@@ -1,0 +1,149 @@
+"""The hash-partitioned merge-apply stage: wave delta -> new lake partition.
+
+Reference semantics being reproduced per partition (SURVEY.md D1/ST3):
+  - LWW: keep only the max-lsn version per doc_id
+    (SQLiteQueries.java:51-52, golden fixtures
+    SQLiteStorageIntegrationSpec.groovy:710-921);
+  - tombstones remove the key from the materialized table
+    (SQLiteQueries.java:54-55);
+  - apply is idempotent: re-applying a wave over the same committed state
+    yields byte-identical output (the reference's PK fence,
+    SQLiteQueries.java:22).
+
+Execution shape: the wave's change Dataset gets `part = hash(doc_id) % P`
+plus a per-batch LWW pre-compaction (the combiner) in `prep_wave_batch`,
+then `groupby("part").map_groups(merger)` routes each partition's delta to
+one task. The task holds the "per-partition sorted upsert buffer" of the
+north star: the compacted delta sorted by doc_id, merged against the
+partition's committed file, staged to a deterministic path. Only the DELTA
+is ever shuffled — the lake itself is read and written partition-locally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..partitioning import add_partition
+from ..schema import reconcile_batch
+from ..state.manifest import schema_from_b64
+from .compact import compact_lww, split_tombstones
+
+# CDC envelope columns that never land in the lake
+ENVELOPE = ("lsn", "op", "ts", "part", "salt")
+
+STATS_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int32()),
+        pa.field("rows", pa.int64()),
+        pa.field("bytes", pa.int64()),
+        pa.field("hwm", pa.int64()),
+        pa.field("n_applied", pa.int64()),
+        pa.field("n_deleted", pa.int64()),
+        pa.field("partials_json", pa.string()),
+    ]
+)
+
+
+def payload_schema(event_schema: pa.Schema) -> pa.Schema:
+    return pa.schema([f for f in event_schema if f.name not in ENVELOPE])
+
+
+def prep_wave_batch(batch: pa.Table, *, num_partitions: int,
+                    salt: int = 0) -> pa.Table:
+    """map_batches stage: partition column + per-batch LWW pre-compaction."""
+    return compact_lww(add_partition(batch, num_partitions, salt=salt))
+
+
+def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema) -> pa.Table:
+    """Project compacted upserts into lake rows (payload + last_lsn)."""
+    pay = pa.schema([f for f in lake_schema if f.name != "last_lsn"])
+    out = reconcile_batch(ups, pay)
+    out = out.append_column("last_lsn", ups.column("lsn").cast(pa.int64()))
+    return out.select(lake_schema.names)   # column order = lake schema order
+
+
+def merge_partition(old: pa.Table, delta: pa.Table,
+                    lake_schema: pa.Schema) -> tuple[pa.Table, int, int]:
+    """Apply a compacted delta to one partition's table.
+
+    Returns (new_table sorted by doc_id, n_applied, n_removed). Old rows
+    are reconciled to the (possibly evolved) lake schema first, so e.g.
+    int32 -> int64 `n_tok` widening applies lake-wide on the next touch.
+    """
+    old = reconcile_batch(old, lake_schema)
+    ups, dels = split_tombstones(delta)
+    changed = delta.column("doc_id")
+    if isinstance(changed, pa.ChunkedArray):
+        changed = changed.combine_chunks()
+    survivors = old.filter(
+        pc.invert(pc.is_in(old.column("doc_id"), value_set=changed))
+    ) if delta.num_rows else old
+    n_removed = old.num_rows - survivors.num_rows
+    new_rows = delta_to_lake_rows(ups, lake_schema)
+    merged = pa.concat_tables([survivors, new_rows]).sort_by("doc_id")
+    return merged, ups.num_rows, n_removed
+
+
+def make_wave_merger(
+    lake_root: str,
+    wave_id: str,
+    parts_map: dict[str, str],          # pid(str) -> committed rel path
+    lake_schema_b64: str,
+    derivations: tuple[Any, ...] = (),
+) -> Callable[[pa.Table], pa.Table]:
+    """Build the map_groups callable for one wave.
+
+    The closure is small (P path strings + schema bytes) and ships once per
+    task; the lake partition file is read inside the task — partition-local
+    I/O, no broadcast of data.
+    """
+
+    def merge_group(delta: pa.Table) -> pa.Table:
+        lake_schema = schema_from_b64(lake_schema_b64)
+        pid = int(delta.column("part")[0].as_py())
+        # final compaction: merges per-batch partials (and salt sub-groups)
+        delta = compact_lww(delta)
+        rel = parts_map.get(str(pid))
+        old = (pq.read_table(os.path.join(lake_root, rel))
+               if rel else lake_schema.empty_table())
+        merged, n_applied, n_removed = merge_partition(old, delta, lake_schema)
+        hwm = int(pc.max(delta.column("lsn")).as_py())
+
+        staged_dir = os.path.join(lake_root, "_staged", wave_id)
+        os.makedirs(staged_dir, exist_ok=True)
+        path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+        pq.write_table(merged, path, compression="zstd")
+
+        partials = {
+            d.name: d.partial_records(merged)
+            for d in derivations if d.upstream == "lake"
+        }
+
+        def _jsafe(o):
+            if isinstance(o, np.integer):
+                return int(o)
+            if isinstance(o, np.floating):
+                return float(o)
+            raise TypeError(type(o))
+
+        return pa.Table.from_pydict(
+            {
+                "pid": [pid],
+                "rows": [merged.num_rows],
+                "bytes": [os.path.getsize(path)],
+                "hwm": [hwm],
+                "n_applied": [n_applied],
+                "n_deleted": [n_removed],
+                "partials_json": [json.dumps(partials, default=_jsafe)],
+            },
+            schema=STATS_SCHEMA,
+        )
+
+    return merge_group

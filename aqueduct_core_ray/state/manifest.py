@@ -1,0 +1,170 @@
+"""Exactly-once idempotent commit: staged files + manifest + watermarks.
+
+Reference analog: `PipeEntity` — messages, named offsets and pipe state
+written in ONE transaction (SQLiteStorage.java:133-171), with the primary
+key on msg_offset as the idempotence fence (SQLiteQueries.java:22,
+SQLiteStorageIntegrationSpec.groovy:250-282). Here the "transaction" is an
+atomic rename chain and the fence is the manifest watermark:
+
+  lake_root/
+    parts/p=000123/g000007.parquet      one current file per partition
+    _staged/<wave_id>/p=000123.parquet  deterministic staging paths
+    manifests/manifest-000007.json      immutable, monotone generation
+    CURRENT                             name of the live manifest (atomic)
+    metrics.jsonl                       per-wave lineage/metrics append log
+
+Commit protocol per wave:
+  1. merge tasks write staged partition files (deterministic names —
+     a retried/replayed task simply overwrites its own output);
+  2. the driver promotes staged -> parts/p=<pid>/g<gen>.parquet;
+  3. the driver writes manifest-<gen>.json then atomically repoints
+     CURRENT.
+
+A crash anywhere before step 3 leaves CURRENT on the previous manifest;
+re-running the wave regenerates identical staged files from identical
+committed inputs and re-promotes them (same generation number), so replays
+are no-ops in effect — no duplicate or lost applies. A wave whose
+watermark is <= CURRENT's is skipped outright (the fence).
+
+Old generations' part files are retained for time-travel/debug until
+`vacuum()` (the D2 retention analog: PostgresqlStorage.java:365-436's
+compaction under an advisory lock; our single-flight guard is the monotone
+generation number).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+@dataclass
+class Manifest:
+    generation: int
+    watermark: int                      # global HWM: max lsn applied anywhere
+    wave_id: str
+    schema_b64: str                     # current lake-wide Arrow schema
+    num_partitions: int
+    # pid(str) -> {path, rows, bytes, hwm, n_applied, n_deleted}
+    partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # derivation name -> pid(str) -> list of partial-aggregate records
+    partials: dict[str, dict[str, list[dict[str, Any]]]] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_b64(self.schema_b64)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class LakeStore:
+    """Filesystem layout + atomic commit for one lake table."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.parts_dir = os.path.join(root, "parts")
+        self.staged_dir = os.path.join(root, "_staged")
+        self.manifests_dir = os.path.join(root, "manifests")
+        self.current_path = os.path.join(root, "CURRENT")
+        for d in (self.parts_dir, self.staged_dir, self.manifests_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def staged_path(self, wave_id: str, pid: int) -> str:
+        d = os.path.join(self.staged_dir, wave_id)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"p={pid:06d}.parquet")
+
+    def part_path(self, pid: int, generation: int) -> str:
+        d = os.path.join(self.parts_dir, f"p={pid:06d}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"g{generation:06d}.parquet")
+
+    def rel(self, path: str) -> str:
+        return os.path.relpath(path, self.root)
+
+    def abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # -- manifest ---------------------------------------------------------
+    def current_manifest(self) -> Manifest | None:
+        if not os.path.exists(self.current_path):
+            return None
+        with open(self.current_path) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifests_dir, name)) as f:
+            return Manifest.from_json(f.read())
+
+    def _atomic_write(self, path: str, data: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def commit(self, manifest: Manifest) -> None:
+        """Step 3: publish the manifest, then repoint CURRENT (both atomic)."""
+        name = f"manifest-{manifest.generation:06d}.json"
+        self._atomic_write(os.path.join(self.manifests_dir, name),
+                           manifest.to_json())
+        self._atomic_write(self.current_path, name)
+
+    def promote_staged(self, wave_id: str, pid: int, generation: int) -> str:
+        """Step 2: move a staged partition file to its committed location.
+        `os.replace` = atomic overwrite, so re-promotion after a crash is
+        idempotent."""
+        dst = self.part_path(pid, generation)
+        os.replace(self.staged_path(wave_id, pid), dst)
+        return dst
+
+    def drop_staged(self, wave_id: str) -> None:
+        shutil.rmtree(os.path.join(self.staged_dir, wave_id),
+                      ignore_errors=True)
+
+    # -- maintenance ------------------------------------------------------
+    def vacuum(self, keep_generations: int = 1) -> int:
+        """Delete part files older than the newest `keep_generations`
+        referenced by CURRENT. Returns files removed. Reference analog:
+        TTL-based cloud compaction + VACUUM (PostgresqlStorage.java:365-436,
+        490-497)."""
+        cur = self.current_manifest()
+        if cur is None:
+            return 0
+        live = {os.path.normpath(self.abs(p["path"]))
+                for p in cur.partitions.values()}
+        removed = 0
+        floor_gen = max(0, cur.generation - keep_generations + 1)
+        for pdir in os.listdir(self.parts_dir):
+            full = os.path.join(self.parts_dir, pdir)
+            for fn in os.listdir(full):
+                fp = os.path.normpath(os.path.join(full, fn))
+                gen = int(fn[1:fn.index(".")])
+                if fp not in live and gen < floor_gen:
+                    os.remove(fp)
+                    removed += 1
+        return removed
+
+    def append_metrics(self, record: dict[str, Any]) -> None:
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")

@@ -1,0 +1,140 @@
+"""End-to-end replay equivalence vs the dict-replay oracle (FIXTURES.md
+§3): token-array equality row by row, consistency sum, watermark
+visibility, idempotent re-apply, subscription filter, derived DAG."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    changelog_table,
+    seed_lake,
+    write_changelog,
+    write_seed_lake,
+)
+
+from oracle_replay import consistency_sum_oracle, oracle_table, replay_oracle
+
+SPEC = ChangelogSpec(n_docs=400, n_events=3_000, seed=42, chunk_size=750,
+                     n_waves=3)
+COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn"]
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("log")
+    return write_changelog(SPEC, str(d))
+
+
+@pytest.fixture(scope="module")
+def seed_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("seed") / "seed.parquet"
+    return write_seed_lake(SPEC, str(p))
+
+
+def assert_equals_oracle(engine: CDCEngine, state: dict):
+    got = engine.lake_table().select(COLS).to_pylist()
+    want = oracle_table(state, COLS)
+    assert len(got) == len(want), (len(got), len(want))
+    for g, w in zip(got, want):
+        assert g["doc_id"] == w["doc_id"]
+        assert g["tokens"] == w["tokens"], g["doc_id"]   # token-array equality
+        assert g["n_tok"] == w["n_tok"]
+        assert g["source"] == w["source"]
+        assert g["last_lsn"] == w["last_lsn"]
+
+
+def test_full_replay_matches_oracle(log_dir, seed_path, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(seed_path)
+    res = eng.replay(log_dir, SPEC.wave_bounds)
+    assert all(not r.get("skipped") for r in res)
+    assert eng.watermark == SPEC.n_events
+
+    state = replay_oracle(changelog_table(SPEC), seed=seed_lake(SPEC.n_docs))
+    assert_equals_oracle(eng, state)
+    assert eng.consistency_sum() == consistency_sum_oracle(state)
+
+
+def test_partition_count_invariance(log_dir, seed_path, tmp_path):
+    """Same final state at a different parallelism/partitioning (the
+    sandbox proxy for the two-cluster-size invariance)."""
+    eng = CDCEngine(str(tmp_path / "lake3"), num_partitions=3)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    state = replay_oracle(changelog_table(SPEC), seed=seed_lake(SPEC.n_docs))
+    assert_equals_oracle(eng, state)
+
+
+def test_watermark_visibility(log_dir, seed_path, tmp_path):
+    """Events beyond the wave watermark are never applied
+    (PostgresqlStorageIntegrationSpec.groovy:884-900)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed_path)
+    hi = SPEC.n_events // 2
+    eng.apply_wave(log_dir, hi=hi)
+    assert eng.watermark == hi
+    t = eng.lake_table()
+    assert pc.max(t.column("last_lsn")).as_py() <= hi
+    state = replay_oracle(changelog_table(SPEC), seed=seed_lake(SPEC.n_docs),
+                          watermark=hi)
+    assert_equals_oracle(eng, state)
+
+
+def test_duplicate_wave_is_noop(log_dir, seed_path, tmp_path):
+    """The watermark fence: re-applying a committed wave is skipped
+    (reference PK fence, SQLiteStorageIntegrationSpec.groovy:250-282)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed_path)
+    r1 = eng.apply_wave(log_dir, hi=1000)
+    r2 = eng.apply_wave(log_dir, hi=1000)
+    assert not r1.get("skipped") and r2.get("skipped")
+    before = eng.lake_table()
+    eng.apply_wave(log_dir, hi=1000)
+    assert eng.lake_table().equals(before)
+
+
+def test_source_subscription_filter(log_dir, seed_path, tmp_path):
+    """Type-filtered subscription (T1): derived sync sees only its sources,
+    including their tombstones (SQLiteQueries.java:105-112)."""
+    subs = ("web", "code")
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, sources=subs)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    state = replay_oracle(changelog_table(SPEC), seed=seed_lake(SPEC.n_docs),
+                          sources=set(subs))
+    assert_equals_oracle(eng, state)
+
+
+def test_derived_dag(log_dir, seed_path, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    state = replay_oracle(changelog_table(SPEC), seed=seed_lake(SPEC.n_docs))
+
+    stats = eng.derived_table("source_stats").to_pylist()
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for r in state.values():
+        w = want[r["source"]]
+        w[0] += 1
+        w[1] += r["n_tok"]
+        w[2] = max(w[2], r["last_lsn"])
+    assert {r["source"]: [r["n_rows"], r["sum_n_tok"], r["max_last_lsn"]]
+            for r in stats} == dict(want)
+
+    roll = eng.derived_table("corpus_rollup").to_pylist()
+    assert len(roll) == 1
+    assert roll[0]["sum_n_rows"] == len(state)
+    assert roll[0]["sum_sum_n_tok"] == sum(r["n_tok"] for r in state.values())
+
+
+def test_no_seed_replay(log_dir, tmp_path):
+    """Insert-only materialization from an empty lake."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed_lake(0))
+    eng.replay(log_dir, SPEC.wave_bounds)
+    state = replay_oracle(changelog_table(SPEC))
+    assert_equals_oracle(eng, state)
