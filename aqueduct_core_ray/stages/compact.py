@@ -20,23 +20,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def compact_lww(t: pa.Table, key: str = "doc_id",
+def compact_lww(t: pa.Table, key: str | list[str] = "doc_id",
                 order_col: str = "lsn") -> pa.Table:
-    """Keep only the max-`order_col` row per `key`. Stable & vectorized:
-    sort indices by (key asc, lsn desc), keep the first index per key run.
-    """
+    """Keep only the max-`order_col` row per `key` (a column name or a
+    composite key list). Stable & vectorized: sort indices by (keys asc,
+    lsn desc), keep the first index per equal-key run."""
+    keys = [key] if isinstance(key, str) else list(key)
     if t.num_rows <= 1:
         return t
     t = t.combine_chunks()
     idx = pc.sort_indices(
-        t, sort_keys=[(key, "ascending"), (order_col, "descending")]
+        t, sort_keys=[(k, "ascending") for k in keys]
+        + [(order_col, "descending")]
     )
-    keys_sorted = pc.take(t.column(key), idx).combine_chunks()
-    n = len(keys_sorted)
-    # first row of each equal-key run
-    neq = pc.not_equal(keys_sorted.slice(1, n - 1), keys_sorted.slice(0, n - 1))
-    mask = np.ones(n, dtype=bool)
-    mask[1:] = neq.to_numpy(zero_copy_only=False)
+    n = len(idx)
+    mask = np.zeros(n, dtype=bool)
+    mask[0] = True
+    for k in keys:
+        ks = pc.take(t.column(k), idx).combine_chunks()
+        a, b = ks.slice(1, n - 1), ks.slice(0, n - 1)
+        neq = pc.not_equal(a, b)
+        # null-safe grouping (SQL GROUP BY): null==null, null!=value
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        vb = pc.is_valid(b).to_numpy(zero_copy_only=False)
+        neq_np = neq.to_numpy(zero_copy_only=False)
+        new_run = np.where(va & vb, neq_np.astype(bool), va != vb)
+        mask[1:] |= new_run
     return t.take(idx.filter(pa.array(mask)))
 
 
