@@ -1,44 +1,200 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents tokenized into the
+input_hint shape and ingested through the full CDC engine) on sf0.001.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operators (dedup, similarity search,
+text analysis, multimodal plumbing); ``oracle_sql()`` gives the DuckDB
+equivalent wherever the operator is SQL-expressible (the rest are
+rows-only checked: approximate / hash-based / engine-internal ops).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 from typing import Any
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: tokenize sf0.001 documents -> insert-only change stream ->
+    CDC engine replay (hash-partitioned merge-apply, exactly-once manifest
+    commit) -> materialized lake Dataset in the input_hint shape."""
+    from aqueduct_core_ray.pipelines.events_replay import replay_documents_lake
+
+    return replay_documents_lake(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aqueduct_core_ray.functions import ann, dedup, multimodal, text
+    from aqueduct_core_ray.pipelines import events_replay as er
+    from aqueduct_core_ray.pipelines import log_queries as lq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def source_stats(sf_dir: str):
+        import pyarrow as pa
+
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["source", "n_chars"])
+        out = ds.groupby("source").sum("n_chars")
+        cnt = ds.groupby("source").count()
+
+        def renamed(t: pa.Table, names) -> pa.Table:
+            return t.rename_columns(names)
+
+        out = out.map_batches(partial(renamed, names=["source", "sum_n_chars"]),
+                              batch_format="pyarrow")
+        cnt = cnt.map_batches(partial(renamed, names=["source", "n_rows"]),
+                              batch_format="pyarrow")
+        # both sides are ≤ #sources rows; fold driver-side
+        a = out.to_pandas().set_index("source")
+        b = cnt.to_pandas().set_index("source")
+        return a.join(b).reset_index()[["source", "n_rows", "sum_n_chars"]]
+
+    return {
+        # --- CDC engine surface (SURVEY.md §2) ---
+        "cdc_replay_events": lq_replay,
+        "lww_compaction": partial(lq.lww_latest),
+        "log_scan": partial(lq.log_scan),
+        "byte_cap_prefix": partial(lq.byte_cap_prefix),
+        "global_latest_offset": partial(lq.global_latest_offset),
+        "max_offset_for_types": partial(lq.max_offset_for_types),
+        "max_offset_before_hour": partial(lq.max_offset_before_hour),
+        "consistency_sum": partial(lq.consistency_sum),
+        "count_by_type": partial(lq.count_by_type),
+        "routing_semijoin": partial(lq.routing_semijoin),
+        "source_stats": source_stats,
+        # --- training-data operators ---
+        "token_count": partial(text.token_count),
+        "quality_score": partial(text.quality_score),
+        "fingerprint": partial(text.fingerprint),
+        "dedup_exact": partial(dedup.exact_dedup),
+        "embedding_cosine_dedup": partial(dedup.embedding_cosine_dedup),
+        "knn_bruteforce": partial(ann.knn_bruteforce),
+        # --- rows-only (not SQL-expressible: approximate / hash-based /
+        #     engine-internal); the driver records a weaker check ---
+        "tokenize_docs": partial(er.tokenize_documents),
+        "replay_documents_lake": partial(er.replay_documents_lake),
+        "lang_id": partial(text.lang_id),
+        "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
+        "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
+        "simhash_dedup": partial(dedup.simhash_dedup),
+        "knn_ivf": partial(ann.knn_ivf),
+        "media_features": partial(multimodal.media_features),
+    }
+
+
+def lq_replay(sf_dir: str):
+    from aqueduct_core_ray.pipelines.events_replay import replay_events_lake
+
+    return replay_events_lake(sf_dir)
+
+
+# The events table is read as the reference's EVENTS change log:
+# lsn = event_id + 1, key = 'u' || lpad(user_id, 6, '0'),
+# type = event_type, tombstone ⇔ event_type = 'error'
+# (see aqueduct_core_ray/pipelines/log_queries.py).
+_LOG_CTE = """
+WITH log AS (
+  SELECT event_id + 1 AS lsn,
+         'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS doc_id,
+         CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS op,
+         value, props, event_type AS source
+  FROM events),
+latest AS (SELECT doc_id, max(lsn) AS last_lsn FROM log GROUP BY doc_id),
+lww AS (
+  SELECT l.doc_id, l.op, l.value, l.props, l.source, t.last_lsn
+  FROM log l JOIN latest t ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_words = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    return {
+        "cdc_replay_events": _LOG_CTE + """
+            SELECT doc_id, value, props, source, last_lsn
+            FROM lww WHERE op = 0""",
+        "lww_compaction": _LOG_CTE + """
+            SELECT doc_id, op, value, props, source, last_lsn FROM lww""",
+        "log_scan": """
+            SELECT * FROM events
+            WHERE event_id > 100
+              AND event_id <= (SELECT max(event_id) * 1 // 2 FROM events)
+              AND event_type IN ('click', 'purchase')""",
+        "byte_cap_prefix": """
+            WITH w AS (
+              SELECT *, SUM(strlen(props)) OVER (ORDER BY event_id) AS cum
+              FROM events),
+            cap AS (SELECT SUM(strlen(props)) // 2 AS c FROM events)
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM w, cap WHERE w.cum <= cap.c""",
+        "global_latest_offset": """
+            SELECT CAST(max(event_id) AS BIGINT) AS global_latest_offset
+            FROM events""",
+        "max_offset_for_types": """
+            SELECT CAST(max(event_id) AS BIGINT) AS max_offset_for_types
+            FROM events WHERE event_type IN ('click', 'view')""",
+        "max_offset_before_hour": """
+            SELECT CAST(max(event_id) AS BIGINT) AS max_offset_before_hour
+            FROM events
+            WHERE ts < date_trunc('hour', (SELECT max(ts) FROM events))""",
+        "consistency_sum": _LOG_CTE + """
+            SELECT CAST(SUM(last_lsn) AS BIGINT) AS consistency_sum
+            FROM lww WHERE op = 0""",
+        "count_by_type": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY event_type""",
+        "routing_semijoin": """
+            SELECT * FROM events
+            WHERE user_id % 16 IN (1, 3, 5, 7)
+              AND event_type IN ('click', 'view', 'purchase')""",
+        "source_stats": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+            FROM documents GROUP BY source""",
+        "token_count": f"""
+            SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(strlen(text) AS BIGINT) AS n_bytes,
+              CAST({n_words} AS BIGINT) AS n_words,
+              CAST({n_alpha} AS BIGINT) AS n_alpha,
+              CAST(CASE WHEN {n_words} >= 5
+                         AND 2 * {n_alpha} >= length(text)
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+            FROM documents""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS fp
+            FROM documents GROUP BY text""",
+        "embedding_cosine_dedup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 3),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(
+                       q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+              FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, vec_id ASC) AS BIGINT) AS knn_rank
+            FROM s QUALIFY knn_rank <= 5""",
+    }

@@ -1,0 +1,124 @@
+"""Text-analysis stages for a training-data pipeline over the
+``documents`` table: token counting, quality scoring, fingerprinting and
+language ID. All per-batch functions are vectorized Arrow kernels except
+md5 (no Arrow kernel exists; it runs as a tight Python loop over one
+column — documented hot-spot, ~1 µs/row, dominated by hashing itself).
+
+These have no reference analog (aqueduct-core moves opaque payloads); they
+are the §"beyond the reference" training-data operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None
+                   ) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
+
+
+# --------------------------------------------------------------------- #
+def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tok = number of whitespace-separated tokens (regex \\S+ matches)."""
+    n = pc.count_substring_regex(t.column(text_col), r"\S+").cast(pa.int64())
+    return pa.table({"doc_id": t.column("doc_id"), "n_tok": n})
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer-valued quality metrics (floats avoided so results are
+    bit-stable against a SQL oracle):
+
+      n_chars  — unicode length
+      n_bytes  — utf-8 byte length
+      n_words  — whitespace token count
+      n_alpha  — count of [A-Za-z] characters
+      is_quality — 1 iff n_words >= 5 AND 2*n_alpha >= n_chars
+                   (alpha fraction >= 0.5 without float division)
+    """
+    txt = t.column(text_col)
+    n_chars = pc.utf8_length(txt).cast(pa.int64())
+    n_bytes = pc.binary_length(txt.cast(pa.binary())).cast(pa.int64())
+    n_words = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+    n_alpha = pc.count_substring_regex(txt, "[A-Za-z]").cast(pa.int64())
+    ok = pc.and_(pc.greater_equal(n_words, 5),
+                 pc.greater_equal(pc.multiply(n_alpha, 2), n_chars))
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_chars": n_chars, "n_bytes": n_bytes, "n_words": n_words,
+        "n_alpha": n_alpha,
+        "is_quality": ok.cast(pa.int64()),
+    })
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint: md5 hex of the utf-8 text (matches SQL md5())."""
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+           for s in t.column(text_col).to_pylist()]
+    return pa.table({"doc_id": t.column("doc_id"), "fp": pa.array(fps)})
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# Language ID — marker-stopword n-gram heuristic (rows-only check: the
+# heuristic is not SQL-expressible). Stateful marker compilation happens
+# once per actor in __init__ (actor-pool stage pattern).
+# --------------------------------------------------------------------- #
+_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was|are)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|den|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|que|pour|dans|avec)\b",
+    "es": r"\b(el|los|las|es|una|que|por|para|con|del|como)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+class LangId:
+    """Actor-pool stage: scores each marker set per batch (one vectorized
+    regex-count kernel per language), argmax wins, ties -> 'und'."""
+
+    def __init__(self, markers: dict[str, str] | None = None):
+        self.markers = markers or _MARKERS
+        self.langs = sorted(self.markers)
+
+    def __call__(self, t: pa.Table, text_col: str = "text") -> pa.Table:
+        txt = t.column(text_col)
+        scores = np.stack([
+            pc.count_substring_regex(txt, self.markers[lang])
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for lang in self.langs
+        ])  # (L, n)
+        best = np.argmax(scores, axis=0)
+        hit = scores.max(axis=0) > 0
+        pred = np.where(hit, np.array(self.langs, dtype=object)[best], "und")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": pa.array(pred.astype(object))})
+
+
+def lang_id(sf_dir: str, concurrency: int = 2) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency)

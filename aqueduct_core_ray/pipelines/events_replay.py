@@ -1,0 +1,140 @@
+"""Flagship end-to-end pipeline: an external table replayed through the
+full CDC engine (waves -> hash-partitioned merge-apply -> exactly-once
+manifest commit -> materialized lake), SURVEY.md §3.2.
+
+Two front-ends:
+
+- ``replay_events_lake``: the testdata ``events`` table as the change log
+  (see pipelines/log_queries.py for the column mapping). SQL-oracle
+  checkable: the final lake must equal LWW-per-key minus tombstone-latest
+  keys.
+- ``tokenize_documents`` + ``replay_documents_lake``: the ``documents``
+  table tokenized into the input_hint shape
+  (doc_id:string, tokens:list<int32>, n_tok:int32, source:string) and
+  ingested as an insert-only wave stream — the "pre-tokenized training
+  sequences" lake of BASELINE.json.
+
+The changelog is staged to parquet under a scratch dir first (at real
+scale it already sits in object storage as the binlog); the timing-
+relevant part is the engine replay, not the staging.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..sources.changelog import BASE_TS_US
+from .log_queries import events_to_changelog, read_events
+from .replay import CDCEngine
+
+VOCAB = 50257
+
+
+def _scratch(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    return d
+
+
+def _wave_bounds(max_lsn: int, n_waves: int) -> list[tuple[int, int]]:
+    edges = np.linspace(0, max_lsn, n_waves + 1).astype(int)
+    return [(int(edges[i]), int(edges[i + 1])) for i in range(n_waves)]
+
+
+def replay_events_lake(sf_dir: str, n_waves: int = 4,
+                       num_partitions: int = 16,
+                       keep_columns: tuple[str, ...] = (
+                           "doc_id", "value", "props", "source", "last_lsn"),
+                       ) -> ray.data.Dataset:
+    """events -> changelog parquet -> CDCEngine.replay -> lake Dataset."""
+    work = _scratch("aqr-events-")
+    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
+    os.makedirs(log_dir, exist_ok=True)
+    (read_events(sf_dir)
+     .map_batches(events_to_changelog, batch_format="pyarrow")
+     .write_parquet(log_dir))
+    max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions, derivations=())
+    eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
+    return eng.read_lake().select_columns(list(keep_columns))
+
+
+# --------------------------------------------------------------------- #
+# documents -> tokenized training-sequence lake (input_hint shape)
+# --------------------------------------------------------------------- #
+def tokenize_batch(t: pa.Table, text_col: str = "text",
+                   vocab: int = VOCAB) -> pa.Table:
+    """Vectorized whitespace+hash tokenizer: text -> tokens:list<int32>.
+
+    Words via an Arrow regex split (no Python row loop); token ids are a
+    stable hash of each word mod vocab (pandas siphash — deterministic
+    across processes, same property partitioning relies on)."""
+    txt = pc.utf8_trim_whitespace(t.column(text_col))
+    words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+    flat = words.flatten()
+    ids = (pd.util.hash_array(
+        np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object),
+        categorize=False) % np.uint64(vocab)).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(words.offsets, pa.array(ids))
+    n_tok = pc.list_value_length(tokens).cast(pa.int32())
+    doc_id = pc.binary_join_element_wise(
+        pa.array(np.repeat("doc", t.num_rows)),
+        pc.ascii_lpad(pc.cast(t.column("doc_id"), pa.string()), 8, "0"),
+        "")
+    return pa.table({"doc_id": doc_id, "tokens": tokens, "n_tok": n_tok,
+                     "source": t.column("source")})
+
+
+def tokenize_documents(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return ds.map_batches(tokenize_batch, batch_format="pyarrow")
+
+
+def replay_documents_lake(sf_dir: str, n_waves: int = 2,
+                          num_partitions: int = 8) -> ray.data.Dataset:
+    """Tokenized documents ingested as an insert-only change stream through
+    the engine — the flagship `entry()` pipeline."""
+    work = _scratch("aqr-docs-")
+    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def to_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        lsn = pc.add(t.column("doc_id"), 1).cast(pa.int64())
+        tok = tokenize_batch(t)
+        ts = pc.add(pc.multiply(lsn, 1000), BASE_TS_US).cast(
+            pa.timestamp("us"))
+        return pa.table({
+            "lsn": lsn,
+            "op": pa.array(np.zeros(n, np.int8)),
+            "doc_id": tok.column("doc_id"),
+            "tokens": tok.column("tokens"),
+            "n_tok": tok.column("n_tok"),
+            "source": tok.column("source"),
+            "ts": ts,
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    ds.map_batches(to_events, batch_format="pyarrow").write_parquet(log_dir)
+    max_lsn = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id")) + 1
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions)
+    eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
+    return eng.read_lake()
+
+
+def cleanup_scratch() -> None:
+    """Remove this process's scratch replay dirs (best-effort)."""
+    import glob
+    for d in glob.glob("/tmp/aqr-*"):
+        shutil.rmtree(d, ignore_errors=True)

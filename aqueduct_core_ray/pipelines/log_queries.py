@@ -1,0 +1,238 @@
+"""CDC log-view operators over an external change log (the testdata
+``events`` table), exposing the reference's read-side operator surface
+(SURVEY.md §2: S1, T1, T3, D1, A1–A5, J3) as Ray Data pipelines whose
+results are checkable against an ANSI-SQL oracle.
+
+Mapping of the ``events`` table onto the reference's EVENTS log
+(PostgresqlStorage.java:446-467, SQLiteQueries.java:20-42):
+
+  event_id   -> msg_offset (lsn = event_id + 1, 1-based, unique, dense)
+  user_id    -> msg_key    (doc_id = 'u' + zero-padded user_id)
+  event_type -> type       (the subscription/filter dimension)
+  ts         -> created_utc
+  value/props-> payload    (props IS the JSON `data` analog)
+  'error'    -> tombstone  (we designate event_type='error' as the
+                            `data IS NULL` delete marker,
+                            SQLiteQueries.java:54-55)
+
+Scale notes: every operator here streams — `read_parquet` with
+column/row pushdown, vectorized Arrow kernels inside map_batches, and the
+only shuffles are the per-key groupbys that the semantics require (LWW
+needs co-location by key; the byte-cap prefix scan needs a range
+partition by offset). Nothing materializes the log on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ..partitioning import add_partition
+from ..stages.compact import compact_lww
+
+TOMBSTONE_TYPE = "error"
+
+
+# --------------------------------------------------------------------- #
+# events -> CHANGE_EVENT-shaped changelog batches
+# --------------------------------------------------------------------- #
+def events_to_changelog(t: pa.Table) -> pa.Table:
+    """Vectorized projection of an events batch into the engine's change
+    -event envelope: (lsn, op, doc_id, value, props, source, ts)."""
+    n = t.num_rows
+    lsn = pc.add(t.column("event_id"), 1).cast(pa.int64())
+    uid = pc.ascii_lpad(pc.cast(t.column("user_id"), pa.string()), 6, "0")
+    doc_id = pc.binary_join_element_wise(
+        pa.array(np.repeat("u", n)), uid.combine_chunks(), ""
+    )
+    is_del = pc.equal(t.column("event_type"), TOMBSTONE_TYPE)
+    op = pc.if_else(is_del, pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8()))
+    return pa.table(
+        {
+            "lsn": lsn,
+            "op": op,
+            "doc_id": doc_id,
+            "value": t.column("value"),
+            "props": t.column("props"),
+            "source": t.column("event_type"),
+            "ts": t.column("ts"),
+        }
+    )
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None,
+                filter: pads.Expression | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=columns, filter=filter)
+
+
+# --------------------------------------------------------------------- #
+# S1 / T1 / T2 — offset-window scan with type filter (pushed to the read)
+# --------------------------------------------------------------------- #
+def log_scan(sf_dir: str, types: tuple[str, ...] = ("click", "purchase"),
+             lo: int = 100, hi_frac_num: int = 1, hi_frac_den: int = 2
+             ) -> ray.data.Dataset:
+    """Reference read contract (PostgresqlStorage.java:60-146): rows with
+    ``lo < offset <= watermark`` and ``type IN (...)``. The watermark here
+    is max(event_id) * num/den so the window is meaningful at every sf;
+    both bounds push down to the parquet scan (row-group pruning)."""
+    wm = read_events(sf_dir, columns=["event_id"]).max("event_id")
+    hi = wm * hi_frac_num // hi_frac_den
+    flt = (
+        (pads.field("event_id") > lo)
+        & (pads.field("event_id") <= hi)
+        & pads.field("event_type").isin(list(types))
+    )
+    return read_events(sf_dir, filter=flt)
+
+
+# --------------------------------------------------------------------- #
+# T3 — byte-capped prefix of the log (running-size window)
+# --------------------------------------------------------------------- #
+def byte_cap_prefix(sf_dir: str, cap: int | None = None,
+                    range_size: int = 4096) -> ray.data.Dataset:
+    """The reference's batch byte-cap: keep the longest log prefix whose
+    running payload-byte sum stays within ``cap``
+    (``SUM(event_size) OVER (ORDER BY msg_offset) <= maxBatchSize``,
+    PostgresqlStorage.java:438-444). Default cap = half the total bytes.
+
+    Distributed as a classic two-pass prefix sum: (1) per range-partition
+    byte totals (tiny groupby), driver computes partition prefix offsets;
+    (2) each range partition cumsums locally + its offset and filters.
+    No global sort, no driver-side row work.
+    """
+
+    def with_bytes(t: pa.Table) -> pa.Table:
+        b = pc.binary_length(t.column("props").cast(pa.binary())).cast(pa.int64())
+        rp = pc.divide(t.column("event_id"), range_size).cast(pa.int64())
+        return t.append_column("nbytes", b).append_column("rp", rp)
+
+    ds = read_events(sf_dir).map_batches(with_bytes, batch_format="pyarrow")
+    if cap is None:
+        cap = int(ds.sum("nbytes")) // 2
+
+    per_rp = ds.groupby("rp").sum("nbytes").take_all()   # ≤ n/range_size rows
+    per_rp.sort(key=lambda r: r["rp"])
+    offsets, run = {}, 0
+    for r in per_rp:
+        offsets[int(r["rp"])] = run
+        run += int(r["sum(nbytes)"])
+
+    def prefix_filter(t: pa.Table) -> pa.Table:
+        rp = int(t.column("rp")[0].as_py())
+        t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+        cum = np.cumsum(t.column("nbytes").to_numpy()) + offsets[rp]
+        return t.filter(pa.array(cum <= cap)).drop_columns(["nbytes", "rp"])
+
+    return ds.groupby("rp").map_groups(prefix_filter, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# D1 — distributed LWW compaction of the whole log
+# --------------------------------------------------------------------- #
+def lww_latest(sf_dir: str, num_partitions: int = 16) -> ray.data.Dataset:
+    """Keep only the max-lsn event per key (SQLiteQueries.java:51-52):
+    per-batch partial compaction (combiner, defuses skew) -> hash shuffle
+    by doc_id -> final per-partition compaction. Tombstone-latest keys are
+    KEPT (compaction ≠ tombstone GC, which is the retention job)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return compact_lww(add_partition(events_to_changelog(t),
+                                         num_partitions))
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = compact_lww(t).drop_columns(["part", "ts"])
+        return out.set_column(out.schema.get_field_index("lsn"),
+                              "last_lsn", out.column("lsn")) \
+                  .set_column(out.schema.get_field_index("op"),
+                              "op", out.column("op").cast(pa.int64()))
+
+    ds = read_events(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return ds.groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+def consistency_sum(sf_dir: str, num_partitions: int = 16) -> pa.Table:
+    """A4 convergence checksum (SQLiteQueries.java:57-64): Σ over keys of
+    max(lsn), excluding keys whose latest event is a tombstone. Reuses the
+    LWW partitioning — no extra shuffle."""
+    latest = lww_latest(sf_dir, num_partitions)
+    live = latest.map_batches(
+        lambda t: t.filter(pc.equal(t.column("op"), 0)),
+        batch_format="pyarrow")
+    s = live.sum("last_lsn")
+    return pa.table({"consistency_sum": pa.array([int(s or 0)], pa.int64())})
+
+
+# --------------------------------------------------------------------- #
+# A1 / A2 / A3 — watermark aggregates
+# --------------------------------------------------------------------- #
+def global_latest_offset(sf_dir: str) -> pa.Table:
+    v = read_events(sf_dir, columns=["event_id"]).max("event_id")
+    return pa.table({"global_latest_offset": pa.array([int(v)], pa.int64())})
+
+
+def max_offset_for_types(sf_dir: str,
+                         types: tuple[str, ...] = ("click", "view")) -> pa.Table:
+    """A2 — max offset over a type subscription (SQLiteQueries.java:114-124)."""
+    ds = read_events(sf_dir, columns=["event_id", "event_type"],
+                     filter=pads.field("event_type").isin(list(types)))
+    v = ds.max("event_id")
+    return pa.table({"max_offset_for_types": pa.array([int(v)], pa.int64())})
+
+
+def max_offset_before_hour(sf_dir: str) -> pa.Table:
+    """A3 — max offset at-or-before the last top-of-hour boundary
+    (SQLiteQueries.java:66-67). Boundary = date_trunc('hour', max(ts))."""
+    import datetime as dt
+
+    max_ts = read_events(sf_dir, columns=["ts"]).max("ts")
+    if isinstance(max_ts, (int, np.integer)):     # us since epoch
+        max_ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(max_ts))
+    boundary = max_ts.replace(minute=0, second=0, microsecond=0)
+    ds = read_events(sf_dir, columns=["event_id", "ts"],
+                     filter=pads.field("ts") < boundary)
+    v = ds.max("event_id")
+    return pa.table({"max_offset_before_hour": pa.array([int(v)], pa.int64())})
+
+
+# --------------------------------------------------------------------- #
+# A5 — count by type (compaction visibility metric)
+# --------------------------------------------------------------------- #
+def count_by_type(sf_dir: str) -> ray.data.Dataset:
+    """PostgresqlStorage.java:507-509: SELECT type, COUNT(*) GROUP BY type."""
+    ds = read_events(sf_dir, columns=["event_type"])
+    out = ds.groupby("event_type").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_rows"]),
+        batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# J3 — routing semi-join of a small cluster-id list against the log
+# --------------------------------------------------------------------- #
+def routing_semijoin(sf_dir: str, n_clusters: int = 16,
+                     clusters: tuple[int, ...] = (1, 3, 5, 7),
+                     types: tuple[str, ...] = ("click", "view", "purchase")
+                     ) -> ray.data.Dataset:
+    """The per-cluster routed read (PostgresqlStorage.java:446-467): rows
+    whose routing id (user_id % n_clusters) is in the caller's small
+    cluster set AND whose type is subscribed. The cluster set is a tiny
+    broadcast captured in the map_batches closure — a broadcast semi-join,
+    never a shuffle join (SURVEY.md J3)."""
+    cset = pa.array(list(clusters), pa.int64())
+    tset = pa.array(list(types))
+
+    def route(t: pa.Table) -> pa.Table:
+        rid = pc.subtract(
+            t.column("user_id"),
+            pc.multiply(pc.divide(t.column("user_id"), n_clusters),
+                        n_clusters))  # integer modulo, matches SQL %
+        mask = pc.and_(pc.is_in(rid, value_set=cset),
+                       pc.is_in(t.column("event_type"), value_set=tset))
+        return t.filter(mask)
+
+    return read_events(sf_dir).map_batches(route, batch_format="pyarrow")
