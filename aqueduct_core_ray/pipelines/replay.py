@@ -35,6 +35,8 @@ import ray.data
 from ..schema import CHANGE_EVENT, evolve_schema
 from ..stages.merge_apply import (
     STATS_SCHEMA,
+    make_delta_splitter,
+    merge_partition_files,
     make_wave_merger,
     payload_schema,
     prep_wave_batch,
@@ -58,13 +60,17 @@ class CDCEngine:
         derivations: tuple[Derivation, ...] = DEFAULT_DAG,
         salt: int = 0,
         sources: tuple[str, ...] | None = None,   # type-subscription filter (T1)
+        merge_strategy: str = "exchange",         # "exchange" | "groupby"
     ):
         topo_check(derivations)
+        if merge_strategy not in ("exchange", "groupby"):
+            raise ValueError(merge_strategy)
         self.store = LakeStore(lake_root)
         self.num_partitions = num_partitions
         self.derivations = derivations
         self.salt = salt
         self.sources = sources
+        self.merge_strategy = merge_strategy
 
     # ------------------------------------------------------------------ #
     @property
@@ -83,8 +89,9 @@ class CDCEngine:
         Runs through the same wave machinery with lsn = last_lsn (0)."""
         if self.manifest is not None:
             return {"skipped": True, "watermark": self.watermark}
-        ds = (ray.data.read_parquet(seed) if isinstance(seed, str)
-              else ray.data.from_arrow(seed))
+        ds = (ray.data.read_parquet(
+                  seed, override_num_blocks=self.wave_blocks())
+              if isinstance(seed, str) else ray.data.from_arrow(seed))
 
         def to_events(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -107,12 +114,30 @@ class CDCEngine:
     def wave_dataset(self, log_path: str, lo: int, hi: int) -> ray.data.Dataset:
         """The wave source: parquet scan with lsn-range row-group pushdown —
         the visibility window (PostgresqlStorage.java:129-131: never read
-        past the publish watermark, never re-read below the HWM)."""
+        past the publish watermark, never re-read below the HWM).
+
+        ``override_num_blocks``: a wave is exchange-bound, so block count
+        is sized to keep every core busy (≈4 blocks/CPU) while bounding
+        the exchange fan-in — each merge task touches every split block,
+        so the file-exchange cost has a B×P term; B must track cluster
+        size, not data size or partition count. (The byte-targeted
+        default is worse in both directions: a 75 MB wave would be ONE
+        block — parallelism 1 — while a 20 GB wave would be 160 blocks
+        of needless fan-in.)"""
         flt = (pads.field("lsn") > lo) & (pads.field("lsn") <= hi)
         if self.sources:
             flt = flt & pads.field("source").isin(list(self.sources))
         return ray.data.read_parquet(log_path, filter=flt,
-                                     file_extensions=["parquet"])
+                                     file_extensions=["parquet"],
+                                     override_num_blocks=self.wave_blocks())
+
+    def wave_blocks(self) -> int:
+        """Split-block count for a wave = num_partitions: deterministic
+        (same physical plan at any cluster size), keeps split tasks'
+        working set bounded by wave_bytes/P, and bounds the exchange
+        fan-in at P×B = P². Cluster size only changes how many of these
+        blocks run at once — which is exactly what should scale."""
+        return self.num_partitions
 
     def apply_wave(self, log_path: str, hi: int,
                    lo: int | None = None) -> dict[str, Any]:
@@ -142,17 +167,27 @@ class CDCEngine:
 
         parts_map = ({pid: p["path"] for pid, p in cur.partitions.items()}
                      if cur else {})
-        merger = make_wave_merger(self.store.root, wave_id, parts_map,
-                                  schema_to_b64(lake_schema),
-                                  self.derivations)
+        # Two stages on purpose: a map_batches directly fused onto the
+        # parquet read is invoked once per READ CHUNK (~row-group), not
+        # once per block — measured 16 splitter calls/block → 16× the
+        # exchange files and merge fan-in. The prep stage both runs the
+        # LWW pre-compaction (combiner) and re-blocks its output, so the
+        # splitter sees exactly one batch per block (batch_size=None).
         prepped = ds.map_batches(
-            prep_wave_batch, batch_format="pyarrow",
+            prep_wave_batch, batch_format="pyarrow", batch_size=None,
             fn_kwargs={"num_partitions": self.num_partitions,
                        "salt": self.salt},
         )
-        stats = (prepped.groupby("part")
-                 .map_groups(merger, batch_format="pyarrow")
-                 .take_all())                      # ≤ P tiny rows
+        if self.merge_strategy == "exchange":
+            stats = self._exchange_merge(prepped, wave_id, parts_map,
+                                         lake_schema)
+        else:
+            merger = make_wave_merger(self.store.root, wave_id, parts_map,
+                                      schema_to_b64(lake_schema),
+                                      self.derivations)
+            stats = (prepped.groupby("part")
+                     .map_groups(merger, batch_format="pyarrow")
+                     .take_all())                  # ≤ P tiny rows
 
         n_events = 0
         new_parts = dict(cur.partitions) if cur else {}
@@ -187,6 +222,8 @@ class CDCEngine:
         )
         self.store.commit(man)
         self.store.drop_staged(wave_id)
+        import shutil as _shutil
+        _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
         self.store.append_metrics({
             "wave_id": wave_id, "generation": gen, "lo": lo, "hi": hi,
             "parts_touched": len(stats), "events_applied": n_events,
@@ -196,6 +233,46 @@ class CDCEngine:
         return {"wave_id": wave_id, "generation": gen, "watermark": hi,
                 "parts_touched": len(stats), "events": n_events,
                 "wall_s": wall}
+
+    # ------------------------------------------------------------------ #
+    def _shuffle_dir(self, wave_id: str) -> str:
+        import os
+        return os.path.join(self.store.root, "_shuffle", wave_id)
+
+    def _exchange_merge(self, prepped: ray.data.Dataset, wave_id: str,
+                        parts_map: dict[str, str],
+                        lake_schema: pa.Schema) -> list[dict[str, Any]]:
+        """File-exchange shuffle (see stages/merge_apply.py): split blocks
+        into per-partition delta files, then one merge task per touched
+        partition. Both sides run at full parallelism with no object-store
+        all-to-all; the barrier between them is the wave semantics (every
+        delta must exist before a partition merges)."""
+        import os
+        import shutil as _shutil
+
+        sdir = self._shuffle_dir(wave_id)
+        _shutil.rmtree(sdir, ignore_errors=True)   # stale partial attempt
+        os.makedirs(sdir, exist_ok=True)
+        splitter = make_delta_splitter(sdir, self.num_partitions)
+        prepped.map_batches(splitter, batch_format="pyarrow",
+                            batch_size=None).take_all()
+        import glob as _glob
+        import json as _json
+        touched_set: set[int] = set()
+        for idx_path in _glob.glob(os.path.join(sdir, "block-*.idx.json")):
+            with open(idx_path) as f:
+                touched_set.update(int(k) for k in _json.load(f))
+        touched = sorted(touched_set)
+        if not touched:
+            return []
+        import ray as _ray
+        merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
+        b64 = schema_to_b64(lake_schema)
+        refs = [merge_task.remote(p, self.store.root, wave_id, sdir,
+                                  parts_map.get(str(p)), b64,
+                                  self.derivations)
+                for p in touched]
+        return _ray.get(refs)
 
     # ------------------------------------------------------------------ #
     def replay(self, log_path: str,

@@ -91,6 +91,167 @@ def merge_partition(old: pa.Table, delta: pa.Table,
     return merged, ups.num_rows, n_removed
 
 
+def make_delta_splitter(
+    shuffle_dir: str,
+    num_partitions: int,
+) -> Callable[[pa.Table], pa.Table]:
+    """File-exchange shuffle, write side (runs inside map_batches).
+
+    Splits one prepped (partition-tagged, pre-compacted) block into
+    per-partition Arrow-IPC delta files under
+    ``shuffle_dir/p=PID/<unique>.arrow``. Replaces the object-store
+    all-to-all (Ray Data ``groupby``) whose raylet object churn was the
+    measured scale ceiling (~450k events/s flat from 8→32 CPUs); the
+    filesystem fan-out is embarrassingly parallel on both sides. On a
+    multi-node cluster ``shuffle_dir`` lives on the shared store — the
+    standard lakehouse-ingest staging pattern.
+
+    Idempotent under Ray task retry: a re-executed block writes duplicate
+    delta files, but rows are (doc_id, lsn)-identical and the merge-side
+    ``compact_lww`` keeps exactly one survivor per key — same fence as
+    the reference's PK on msg_offset (SQLiteQueries.java:22).
+    """
+
+    def split(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        from ..partitioning import add_partition
+
+        if "part" not in batch.column_names:
+            # fused path: partitioning + LWW pre-compaction in ONE
+            # composite sort (part, doc_id, lsn desc) + neighbor dedup
+            batch = add_partition(batch, num_partitions).combine_chunks()
+            idx = pc.sort_indices(batch, sort_keys=[
+                ("part", "ascending"), ("doc_id", "ascending"),
+                ("lsn", "descending")])
+            t = batch.take(idx).combine_chunks()
+            n = t.num_rows
+            if n > 1:
+                ids = t.column("doc_id").combine_chunks()
+                neq = pc.not_equal(ids.slice(1, n - 1), ids.slice(0, n - 1))
+                keep = np.ones(n, dtype=bool)
+                keep[1:] = neq.to_numpy(zero_copy_only=False)
+                if not keep.all():
+                    t = t.filter(pa.array(keep)).combine_chunks()
+        else:
+            # pre-compacted input (prep_wave_batch ran upstream): group
+            # rows by partition only
+            parts_np = batch.column("part").to_numpy(zero_copy_only=False)
+            order = np.argsort(parts_np, kind="stable")
+            t = batch.take(pa.array(order)).combine_chunks()
+        parts = t.column("part").to_numpy(zero_copy_only=False)
+        uniq, starts = np.unique(parts, return_index=True)
+        bounds = np.append(starts, len(parts))
+        sorted_batch = t
+        tag = uuid.uuid4().hex
+        os.makedirs(shuffle_dir, exist_ok=True)
+        # ONE indexed IPC file per block (not one file per partition):
+        # batch i of the file = partition uniq[i]'s slice; the sidecar
+        # maps pid -> batch index. Keeps the exchange at B files total
+        # instead of B×P (65k tiny files measured 3× slower at P=256),
+        # and the merge side mmap-reads only its own batch — zero copy.
+        data_path = os.path.join(shuffle_dir, f"block-{tag}.arrow")
+        idx: dict[int, list[int]] = {}
+        nbatch = 0
+        # lz4 halves the staged-shuffle footprint: on this class of VM,
+        # concurrent page-faulting of fresh tmpfs pages is the scale
+        # bottleneck, so fewer bytes beats zero-copy reads.
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        with pa.OSFile(data_path + ".tmp", "wb") as f:
+            with pa.ipc.new_file(f, sorted_batch.schema, options=opts) as w:
+                for i, pid in enumerate(uniq):
+                    sub = sorted_batch.slice(bounds[i],
+                                             bounds[i + 1] - bounds[i])
+                    for rb in sub.to_batches():
+                        w.write_batch(rb)
+                        idx.setdefault(int(pid), []).append(nbatch)
+                        nbatch += 1
+        os.replace(data_path + ".tmp", data_path)
+        idx_path = os.path.join(shuffle_dir, f"block-{tag}.idx.json")
+        with open(idx_path + ".tmp", "w") as f:
+            json.dump(idx, f)
+        os.replace(idx_path + ".tmp", idx_path)
+        return pa.table({
+            "pid": pa.array([int(p) for p in uniq], pa.int32()),
+            "rows": pa.array((bounds[1:] - bounds[:-1]).astype(np.int64)),
+        })
+
+    return split
+
+
+def merge_partition_files(
+    pid: int,
+    lake_root: str,
+    wave_id: str,
+    shuffle_dir: str,
+    old_rel_path: str | None,
+    lake_schema_b64: str,
+    derivations: tuple[Any, ...] = (),
+) -> dict[str, Any]:
+    """File-exchange shuffle, read side: merge ONE partition.
+
+    Reads the partition's staged delta files + its committed lake file,
+    applies LWW merge (D1 semantics), stages the new partition parquet.
+    Runs as a raw Ray task (``ray.remote`` in the engine): the merge fan
+    is a fixed set of P independent single-partition jobs, where a
+    Dataset adds a scheduling layer (stage startup, block accounting)
+    with nothing to stream — measured ~0.5 s/wave saved at P=128."""
+    import glob as _glob
+
+    lake_schema = schema_from_b64(lake_schema_b64)
+    tabs = []
+    for idx_path in sorted(_glob.glob(
+            os.path.join(shuffle_dir, "block-*.idx.json"))):
+        with open(idx_path) as f:
+            idx = json.load(f)
+        mine = idx.get(str(pid))
+        if not mine:
+            continue
+        data_path = idx_path[: -len(".idx.json")] + ".arrow"
+        # buffered reads, not mmap: with P concurrent mergers each mapping
+        # B files of fresh tmpfs pages, per-page fault overhead under
+        # mmap_lock dominates; pread into pooled Arrow memory reuses
+        # already-faulted heap pages across files
+        with pa.OSFile(data_path, "rb") as src:
+            reader = pa.ipc.open_file(src)
+            for bi in mine:
+                tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
+    if not tabs:
+        raise RuntimeError(f"no staged delta for partition {pid}")
+    delta = compact_lww(pa.concat_tables(tabs))
+    old = (pq.read_table(os.path.join(lake_root, old_rel_path))
+           if old_rel_path else lake_schema.empty_table())
+    merged, n_applied, n_removed = merge_partition(old, delta, lake_schema)
+    hwm = int(pc.max(delta.column("lsn")).as_py())
+
+    staged_dir = os.path.join(lake_root, "_staged", wave_id)
+    os.makedirs(staged_dir, exist_ok=True)
+    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+    pq.write_table(merged, path, compression="zstd")
+
+    partials = {
+        d.name: d.partial_records(merged)
+        for d in derivations if d.upstream == "lake"
+    }
+
+    def _jsafe(o):
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        raise TypeError(type(o))
+
+    return {
+        "pid": pid,
+        "rows": merged.num_rows,
+        "bytes": os.path.getsize(path),
+        "hwm": hwm,
+        "n_applied": n_applied,
+        "n_deleted": n_removed,
+        "partials_json": json.dumps(partials, default=_jsafe),
+    }
+
+
 def make_wave_merger(
     lake_root: str,
     wave_id: str,
