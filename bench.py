@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Headline benchmarks for the Ray-Data CDC engine.
+
+Default mode (driver contract): ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)``, run the headline synthetic CDC replay
+plus a set of operator pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), print ONE JSON line::
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "events_per_s": ...}
+
+``--scaling``: run the headline replay at num_cpus=8 and 32 in FRESH
+subprocesses over the identical pre-generated input and report
+throughput at both plus scaling efficiency ((T32/T8)/4) — the sandbox
+proxy for the north rule's N vs 4N cluster-size criterion.
+
+Headline workload: 16M-event changelog over 1M docs (~76-token rows),
+single replay-to-convergence wave, 128 hash partitions. The log is
+PRE-generated (steady-state measurement excludes generation,
+SURVEY.md §7.5) and page-cache warmed; the lake + exchange staging live
+on /dev/shm — the single-box proxy for a real deployment's parallel
+object store (a lone virtio disk serializes 32 writers; a cluster's
+store does not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+N_DOCS, N_EVENTS, CHUNK, MEAN_TOK, P = 1_000_000, 16_000_000, 125_000, 64, 128
+LOG_DIR = "/tmp/aqr_bench/log16m"
+SEED_PATH = "/tmp/aqr_bench/seed16m/seed.parquet"
+LAKE_ROOT = ("/dev/shm/aqr_bench_lake" if os.path.isdir("/dev/shm")
+             else "/tmp/aqr_bench/lake")
+
+BENCH_QUERIES = [
+    "cdc_replay_events", "lww_compaction", "byte_cap_prefix",
+    "token_count", "dedup_exact", "minhash_lsh_dedup",
+    "knn_bruteforce", "media_features",
+]
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    from ray.data.context import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _spec():
+    from aqueduct_core_ray.sources.changelog import ChangelogSpec
+    return ChangelogSpec(n_docs=N_DOCS, n_events=N_EVENTS, chunk_size=CHUNK,
+                         n_waves=1, mean_tok=MEAN_TOK)
+
+
+def ensure_input() -> None:
+    """Parallel, idempotent pre-generation of log + seed (not timed)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    spec = _spec()
+    os.makedirs(LOG_DIR, exist_ok=True)
+    marker = os.path.join(LOG_DIR, "_SPEC")
+    ident = repr(spec)
+    if not (os.path.exists(marker) and open(marker).read() == ident):
+        @ray.remote
+        def gen(i):
+            from aqueduct_core_ray.sources.changelog import changelog_chunk
+            p = os.path.join(LOG_DIR, f"chunk-{i:05d}.parquet")
+            pq.write_table(changelog_chunk(spec, i), p + ".tmp",
+                           compression="snappy", row_group_size=31250)
+            os.replace(p + ".tmp", p)
+        n = -(-spec.n_events // spec.chunk_size)
+        ray.get([gen.remote(i) for i in range(n)])
+        with open(marker + ".tmp", "w") as f:
+            f.write(ident)
+        os.replace(marker + ".tmp", marker)
+    if not os.path.exists(SEED_PATH):
+        os.makedirs(os.path.dirname(SEED_PATH), exist_ok=True)
+
+        @ray.remote
+        def genseed():
+            from aqueduct_core_ray.sources.changelog import seed_lake
+            pq.write_table(
+                seed_lake(spec.n_docs, spec.seed, spec.mean_tok,
+                          spec.max_tok),
+                SEED_PATH + ".tmp", compression="snappy")
+            os.replace(SEED_PATH + ".tmp", SEED_PATH)
+        ray.get(genseed.remote())
+    # warm the page cache so trial 1 != a 9 GB disk read
+    for fn in os.listdir(LOG_DIR):
+        with open(os.path.join(LOG_DIR, fn), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_replay(trials: int = 2) -> dict:
+    """Headline: single-wave replay-to-convergence of the 16M-event log."""
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+    best = None
+    for _ in range(trials):
+        shutil.rmtree(LAKE_ROOT, ignore_errors=True)
+        eng = CDCEngine(LAKE_ROOT, num_partitions=P)
+        eng.bootstrap(SEED_PATH)
+        t0 = time.perf_counter()
+        eng.replay(LOG_DIR, [(0, N_EVENTS)])
+        dt = time.perf_counter() - t0
+        rows = sum(int(v["rows"]) for v in eng.manifest.partitions.values())
+        if best is None or dt < best["replay_wall_s"]:
+            best = {"replay_wall_s": round(dt, 2),
+                    "events_per_s": round(N_EVENTS / dt),
+                    "lake_rows": rows}
+    shutil.rmtree(LAKE_ROOT, ignore_errors=True)
+    return best
+
+
+def run_queries() -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+    qs = entry.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazily-built Datasets so we time execution, not planning
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        # parent generates once (32 CPUs), children only replay
+        _init_ray(CPUS)
+        ensure_input()
+        import ray
+        ray.shutdown()
+        res = {}
+        for n in (8, 32):
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--replay-only", "--skip-gen", "--cpus", str(n)],
+                capture_output=True, text=True, env=env, check=True)
+            res[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = res[8]["events_per_s"], res[32]["events_per_s"]
+        eff = (t32 / t8) / 4
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3), "unit": "ratio",
+            "events_per_s_8cpu": t8, "events_per_s_32cpu": t32,
+            "speedup": round(t32 / t8, 2),
+            "n_events": N_EVENTS, "detail": res,
+        }))
+        return
+
+    _init_ray(args.cpus)
+    if not args.skip_gen:
+        ensure_input()
+    rep = run_replay()
+    if args.replay_only:
+        print(json.dumps({"num_cpus": args.cpus, **rep}))
+        import ray
+        ray.shutdown()
+        return
+    queries = run_queries()
+    print(json.dumps({
+        "metric": "cdc_replay_16M_events_wall",
+        "value": rep["replay_wall_s"], "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR, "num_cpus": args.cpus,
+        "events_per_s": rep["events_per_s"],
+        "lake_rows": rep["lake_rows"],
+        "n_events": N_EVENTS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
