@@ -147,6 +147,9 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pair", type=int, nargs=2, default=(8, 32),
+                    metavar=("N", "4N"),
+                    help="CPU counts for --scaling (default 8 32)")
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--skip-gen", action="store_true")
@@ -159,7 +162,8 @@ def main() -> None:
         import ray
         ray.shutdown()
         res = {}
-        for n in (8, 32):
+        lo, hi = args.pair
+        for n in (lo, hi):
             env = dict(os.environ)
             env.pop("RAY_ADDRESS", None)
             out = subprocess.run(
@@ -167,13 +171,13 @@ def main() -> None:
                  "--replay-only", "--skip-gen", "--cpus", str(n)],
                 capture_output=True, text=True, env=env, check=True)
             res[n] = json.loads(out.stdout.strip().splitlines()[-1])
-        t8, t32 = res[8]["events_per_s"], res[32]["events_per_s"]
-        eff = (t32 / t8) / 4
+        tlo, thi = res[lo]["events_per_s"], res[hi]["events_per_s"]
+        eff = (thi / tlo) / (hi / lo)
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32_cpus",
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
             "value": round(eff, 3), "unit": "ratio",
-            "events_per_s_8cpu": t8, "events_per_s_32cpu": t32,
-            "speedup": round(t32 / t8, 2),
+            f"events_per_s_{lo}cpu": tlo, f"events_per_s_{hi}cpu": thi,
+            "speedup": round(thi / tlo, 2),
             "n_events": N_EVENTS, "detail": res,
         }))
         return
