@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_by_type": partial(lq.count_by_type),
         "routing_semijoin": partial(lq.routing_semijoin),
         "source_stats": source_stats,
+        "derived_source_stats": partial(er.derived_source_stats),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "quality_score": partial(text.quality_score),
@@ -159,6 +160,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
             FROM documents GROUP BY source""",
+        "derived_source_stats": _LOG_CTE + """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                   max(last_lsn) AS max_last_lsn
+            FROM lww WHERE op = 0 GROUP BY source""",
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
             FROM documents""",

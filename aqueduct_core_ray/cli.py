@@ -1,0 +1,157 @@
+"""CLI entry points: ``python -m aqueduct_core_ray.cli <cmd>``.
+
+Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
+
+  replay     apply a change log to a lake (bootstrap + waves); running it
+             again after a kill IS the resume path (same watermark fence)
+  verify     integrity check of a committed lake: per-partition row
+             counts + consistency sum vs the manifest (reference analog:
+             PRAGMA integrity_check, SQLiteStorage.java:204-234)
+  retention  compact the log + GC old tombstones into a new log dir
+             (reference D2, PostgresqlStorage.java:365-436)
+  bootstrap-wipe
+             drop a lake entirely (reference S5 deleteAll,
+             SQLiteStorage.java:253-264)
+
+CLI owns the Ray session (guarded init); library code never calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    from ray.data.context import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def cmd_replay(args) -> int:
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=args.partitions,
+                    merge_strategy=args.strategy)
+    if args.seed:
+        print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
+    hi = args.watermark
+    if hi is None:
+        import ray.data
+        hi = int(ray.data.read_parquet(
+            args.log, columns=["lsn"], file_extensions=["parquet"]).max("lsn"))
+    import numpy as np
+    edges = np.linspace(eng.watermark if eng.watermark > 0 else 0, hi,
+                        args.waves + 1).astype(int)
+    bounds = [(int(edges[i]), int(edges[i + 1])) for i in range(args.waves)]
+    for r in eng.replay(args.log, bounds):
+        print(json.dumps(r))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake)
+    man = eng.manifest
+    if man is None:
+        print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
+        return 1
+    import pyarrow.parquet as pq
+    bad = []
+    total = 0
+    for pid, p in man.partitions.items():
+        path = eng.store.abs(p["path"])
+        if not os.path.exists(path):
+            bad.append({"pid": pid, "error": "missing file"})
+            continue
+        rows = pq.read_metadata(path).num_rows
+        total += rows
+        if rows != p["rows"]:
+            bad.append({"pid": pid, "manifest_rows": p["rows"],
+                        "file_rows": rows})
+    csum = eng.consistency_sum()
+    print(json.dumps({
+        "ok": not bad, "generation": man.generation,
+        "watermark": man.watermark, "partitions": len(man.partitions),
+        "rows": total, "consistency_sum": csum, "mismatches": bad,
+    }))
+    return 0 if not bad else 1
+
+
+def cmd_retention(args) -> int:
+    _init_ray()
+    import pyarrow as pa
+
+    from .stages.retention import compact_log
+    compact_ts = pa.scalar(args.compact_ts_us, pa.timestamp("us"))
+    deletion_ts = (pa.scalar(args.deletion_ts_us, pa.timestamp("us"))
+                   if args.deletion_ts_us is not None else None)
+    compact_log(args.log, args.out, compact_ts, deletion_ts,
+                num_partitions=args.partitions)
+    print(json.dumps({"compacted_to": args.out}))
+    return 0
+
+
+def cmd_bootstrap_wipe(args) -> int:
+    if not os.path.exists(os.path.join(args.lake, "CURRENT")) \
+            and not args.force:
+        print(json.dumps({"ok": False,
+                          "error": "not a lake root (no CURRENT); "
+                                   "use --force to wipe anyway"}))
+        return 1
+    shutil.rmtree(args.lake, ignore_errors=True)
+    print(json.dumps({"ok": True, "wiped": args.lake}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="aqueduct_core_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="apply a change log (also: resume)")
+    r.add_argument("--log", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--seed")
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--waves", type=int, default=4)
+    r.add_argument("--watermark", type=int,
+                   help="highest lsn to apply (default: max in log)")
+    r.add_argument("--strategy", choices=("exchange", "groupby"),
+                   default="exchange")
+    r.set_defaults(fn=cmd_replay)
+
+    v = sub.add_parser("verify", help="integrity-check a committed lake")
+    v.add_argument("--lake", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    t = sub.add_parser("retention", help="compact log + GC tombstones")
+    t.add_argument("--log", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--compact-ts-us", type=int, required=True)
+    t.add_argument("--deletion-ts-us", type=int)
+    t.add_argument("--partitions", type=int, default=64)
+    t.set_defaults(fn=cmd_retention)
+
+    w = sub.add_parser("bootstrap-wipe", help="delete a lake root")
+    w.add_argument("--lake", required=True)
+    w.add_argument("--force", action="store_true")
+    w.set_defaults(fn=cmd_bootstrap_wipe)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,12 +49,11 @@ def _wave_bounds(max_lsn: int, n_waves: int) -> list[tuple[int, int]]:
     return [(int(edges[i]), int(edges[i + 1])) for i in range(n_waves)]
 
 
-def replay_events_lake(sf_dir: str, n_waves: int = 4,
-                       num_partitions: int = 16,
-                       keep_columns: tuple[str, ...] = (
-                           "doc_id", "value", "props", "source", "last_lsn"),
-                       ) -> ray.data.Dataset:
-    """events -> changelog parquet -> CDCEngine.replay -> lake Dataset."""
+def replay_events_engine(sf_dir: str, n_waves: int = 4,
+                         num_partitions: int = 16,
+                         derivations: tuple = ()) -> CDCEngine:
+    """events -> changelog parquet -> CDCEngine.replay; returns the engine
+    (lake + manifests + derived-table partials committed)."""
     work = _scratch("aqr-events-")
     log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
     os.makedirs(log_dir, exist_ok=True)
@@ -62,9 +61,36 @@ def replay_events_lake(sf_dir: str, n_waves: int = 4,
      .map_batches(events_to_changelog, batch_format="pyarrow")
      .write_parquet(log_dir))
     max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
-    eng = CDCEngine(lake_dir, num_partitions=num_partitions, derivations=())
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions,
+                    derivations=derivations)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
+    return eng
+
+
+def replay_events_lake(sf_dir: str, n_waves: int = 4,
+                       num_partitions: int = 16,
+                       keep_columns: tuple[str, ...] = (
+                           "doc_id", "value", "props", "source", "last_lsn"),
+                       ) -> ray.data.Dataset:
+    eng = replay_events_engine(sf_dir, n_waves, num_partitions)
     return eng.read_lake().select_columns(list(keep_columns))
+
+
+def derived_source_stats(sf_dir: str, n_waves: int = 4,
+                         num_partitions: int = 16) -> pa.Table:
+    """A6/DAG edge with a SQL oracle: the per-source derived table
+    (row count + max last_lsn over the LIVE lake state), maintained as
+    partial aggregates inside the merge tasks and folded from the
+    manifest — the derived table refresh never re-reads the lake."""
+    from .dag import Derivation
+
+    der = (Derivation("source_stats", key="source",
+                      aggs=(("*", "count"), ("last_lsn", "max"))),)
+    eng = replay_events_engine(sf_dir, n_waves, num_partitions,
+                               derivations=der)
+    out = eng.derived_table("source_stats")
+    return out.set_column(out.schema.get_field_index("n_rows"), "n_rows",
+                          out.column("n_rows").cast(pa.int64()))
 
 
 # --------------------------------------------------------------------- #

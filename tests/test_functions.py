@@ -1,0 +1,202 @@
+"""Tests for the training-data operators (functions/): text analysis,
+dedup family, similarity search, multimodal plumbing.
+
+Dedup recall/precision is pinned with a crafted corpus containing exact
+duplicates, near-duplicates (small edits), and unrelated documents —
+LSH must surface the near-dup pairs and must not pair unrelated docs.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aqueduct_core_ray.functions import ann, dedup, multimodal, text
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and every good boy does fine "
+        "with a long tail of extra filler words to make shingles stable "
+        "across small edits of the ending section").split()
+
+
+def _mk_docs(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array([f"src{i % 3}" for i in range(len(texts))]),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """0: base, 1: exact dup of 0, 2: near-dup of 0 (2 words changed),
+    3/4: unrelated, 5: near-dup of 3."""
+    rng = np.random.default_rng(5)
+    other = " ".join(rng.choice(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"], size=60).tolist())
+    other2 = " ".join(rng.choice(
+        ["one", "two", "three", "four", "five", "six", "seven", "eight"],
+        size=60).tolist())
+    near = list(BASE)
+    near[-1], near[-2] = "paragraph", "changed"
+    near3 = other.split()
+    near3[0] = "prefix"
+    texts = [" ".join(BASE), " ".join(BASE), " ".join(near),
+             other, other2, " ".join(near3)]
+    return _mk_docs(tmp_path_factory.mktemp("corpus"), texts)
+
+
+# --------------------------------------------------------------------- #
+def test_token_count_matches_split(corpus):
+    got = {r["doc_id"]: r["n_tok"]
+           for r in text.token_count(corpus).take_all()}
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    for did, s in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        assert got[did] == len(s.split())
+
+
+def test_quality_metrics():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["Hi there world", "123 456 !!"])})
+    out = text.quality_batch(t).to_pylist()
+    assert out[0]["n_words"] == 3 and out[0]["n_alpha"] == 12
+    assert out[0]["is_quality"] == 0          # < 5 words
+    assert out[1]["n_alpha"] == 0 and out[1]["is_quality"] == 0
+
+
+def test_fingerprint_is_md5(corpus):
+    got = {r["doc_id"]: r["fp"] for r in text.fingerprint(corpus).take_all()}
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    for did, s in zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()):
+        assert got[did] == hashlib.md5(s.encode()).hexdigest()
+
+
+def test_lang_id_markers(tmp_path):
+    sf = _mk_docs(tmp_path, [
+        "the cat and the dog are in the house",
+        "der hund und die katze sind nicht hier",
+        "le chat est dans la maison avec le chien",
+        "el perro es una mascota como el gato",
+        "qqqq wwww rrrr",                      # no markers -> und
+    ])
+    got = [r["lang_pred"] for r in
+           sorted(text.lang_id(sf).take_all(), key=lambda r: r["doc_id"])]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+# --------------------------------------------------------------------- #
+def test_exact_dedup_keeps_min_doc_id(corpus):
+    rows = dedup.exact_dedup(corpus).take_all()
+    by_fp = {r["fp"]: r["doc_id"] for r in rows}
+    assert len(rows) == 5                      # 6 docs, one exact dup
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    fp0 = hashlib.md5(t.column("text")[0].as_py().encode()).hexdigest()
+    assert by_fp[fp0] == 0                     # min doc_id survives
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["est_jaccard_pct"]
+             for r in dedup.minhash_lsh_dedup(corpus).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 100    # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs          # near dup
+    assert (3, 5) in pairs                             # near dup
+    for a, b in pairs:
+        assert not (a in (0, 1, 2) and b in (3, 4, 5)) or (a, b) == (3, 5), \
+            f"unrelated docs paired: {(a, b)}"
+
+
+def test_ngram_jaccard_verifies(corpus):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard_pct"]
+             for r in dedup.ngram_jaccard_dedup(corpus,
+                                                min_jaccard_pct=50).take_all()}
+    assert pairs[(0, 1)] == 100
+    assert 50 <= pairs[(0, 2)] < 100
+    assert (3, 4) not in pairs
+
+
+def test_simhash_near_dups(corpus):
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+             for r in dedup.simhash_dedup(corpus, max_hamming=6).take_all()}
+    assert pairs[(0, 1)] == 0                  # identical text
+    assert (0, 2) in pairs                     # small edit, small distance
+    assert (3, 4) not in pairs and (0, 3) not in pairs
+
+
+def test_simhash_batch_deterministic(corpus):
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    a = dedup.simhash_batch(t)
+    b = dedup.simhash_batch(t)
+    assert (a == b).all() and a[0] == a[1]
+
+
+# --------------------------------------------------------------------- #
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _numpy_knn(sf_dir, nq=3, k=5):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    E = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    for q in range(nq):
+        s = En[ids == q][0] @ En.T
+        order = np.lexsort((ids, -s))[:k]
+        out[q] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_knn_bruteforce_matches_numpy():
+    got = {}
+    for r in ann.knn_bruteforce(SF0001).take_all():
+        got.setdefault(r["query_id"], []).append((r["knn_rank"], r["vec_id"]))
+    want = _numpy_knn(SF0001)
+    for q, pairs in got.items():
+        assert [v for _, v in sorted(pairs)] == want[q]
+
+
+def test_knn_ivf_recall():
+    want = _numpy_knn(SF0001)
+    got = {}
+    for r in ann.knn_ivf(SF0001, nprobe=8).take_all():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = np.mean([len(got.get(q, set()) & set(want[q])) / len(want[q])
+                      for q in want])
+    assert recall >= 0.6                       # approximate by design
+
+
+def test_embedding_cosine_dedup_symmetric_threshold():
+    rows = dedup.embedding_cosine_dedup(SF0001, threshold_pct=30).take_all()
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in rows)
+    seen = {(r["vec_id_a"], r["vec_id_b"]) for r in rows}
+    assert len(seen) == len(rows)              # no duplicate pairs
+
+
+# --------------------------------------------------------------------- #
+def test_media_features_plumbing(corpus):
+    rows = sorted(multimodal.media_features(corpus).take_all(),
+                  key=lambda r: r["doc_id"])
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    for r, s in zip(rows, t.column("text").to_pylist()):
+        assert r["n_bytes"] == len(s.encode())
+        assert len(r["feat"]) == multimodal.FEAT_DIM
+    # exact dup docs -> identical payload hash & features
+    assert rows[0]["payload_hash"] == rows[1]["payload_hash"]
+    assert list(rows[0]["feat"]) == list(rows[1]["feat"])
+
+
+def test_media_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaFeatureExtractor.decode_real(b"\x00")
