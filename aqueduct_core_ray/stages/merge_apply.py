@@ -57,8 +57,15 @@ def payload_schema(event_schema: pa.Schema) -> pa.Schema:
 
 def prep_wave_batch(batch: pa.Table, *, num_partitions: int,
                     salt: int = 0) -> pa.Table:
-    """map_batches stage: partition column + per-batch LWW pre-compaction."""
-    return compact_lww(add_partition(batch, num_partitions, salt=salt))
+    """map_batches stage: partition column + per-batch LWW pre-compaction.
+
+    Compacts on the composite key (part, doc_id): doc_id determines part,
+    so the dedup semantics are identical, but the single sort leaves the
+    output GROUPED BY part — the exchange splitter can slice it without a
+    second sort+gather of the token lists (one full-table gather saved
+    per block)."""
+    return compact_lww(add_partition(batch, num_partitions, salt=salt),
+                       key=["part", "doc_id"])
 
 
 def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema) -> pa.Table:
@@ -134,11 +141,15 @@ def make_delta_splitter(
                 if not keep.all():
                     t = t.filter(pa.array(keep)).combine_chunks()
         else:
-            # pre-compacted input (prep_wave_batch ran upstream): group
-            # rows by partition only
+            # pre-compacted input (prep_wave_batch ran upstream, already
+            # grouped by part via its composite sort): sort only if the
+            # grouping was lost (defensive — costs one scan to check)
             parts_np = batch.column("part").to_numpy(zero_copy_only=False)
-            order = np.argsort(parts_np, kind="stable")
-            t = batch.take(pa.array(order)).combine_chunks()
+            if len(parts_np) > 1 and (np.diff(parts_np) < 0).any():
+                order = np.argsort(parts_np, kind="stable")
+                t = batch.take(pa.array(order)).combine_chunks()
+            else:
+                t = batch.combine_chunks()
         parts = t.column("part").to_numpy(zero_copy_only=False)
         uniq, starts = np.unique(parts, return_index=True)
         bounds = np.append(starts, len(parts))
