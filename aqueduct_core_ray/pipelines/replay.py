@@ -33,11 +33,12 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..schema import CHANGE_EVENT, evolve_schema
+from ..stages.compact import LWW, ConflictPolicy
 from ..stages.merge_apply import (
     STATS_SCHEMA,
     make_delta_splitter,
-    merge_partition_files,
     make_wave_merger,
+    merge_partition_files,
     payload_schema,
     prep_wave_batch,
 )
@@ -61,6 +62,7 @@ class CDCEngine:
         salt: int = 0,
         sources: tuple[str, ...] | None = None,   # type-subscription filter (T1)
         merge_strategy: str = "exchange",         # "exchange" | "groupby"
+        conflict: "ConflictPolicy | None" = None, # default LWW-by-lsn
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -71,6 +73,7 @@ class CDCEngine:
         self.salt = salt
         self.sources = sources
         self.merge_strategy = merge_strategy
+        self.conflict = conflict if conflict is not None else LWW
 
     # ------------------------------------------------------------------ #
     @property
@@ -160,10 +163,15 @@ class CDCEngine:
         if ds_schema is None:            # empty wave: keep current schema
             lake_schema = base
         else:
-            incoming_pay = payload_schema(pa.schema(ds_schema.base_schema))
+            incoming = pa.schema(ds_schema.base_schema)
+            incoming_pay = payload_schema(incoming)
+            extra = [pa.field("last_lsn", pa.int64())]
+            lof = self.conflict.lake_order_field
+            if lof and self.conflict.order_col in incoming.names:
+                extra.append(pa.field(
+                    lof, incoming.field(self.conflict.order_col).type))
             lake_schema = evolve_schema(
-                base, pa.schema(list(incoming_pay)
-                                + [pa.field("last_lsn", pa.int64())]))
+                base, pa.schema(list(incoming_pay) + extra))
 
         parts_map = ({pid: p["path"] for pid, p in cur.partitions.items()}
                      if cur else {})
@@ -176,7 +184,7 @@ class CDCEngine:
         prepped = ds.map_batches(
             prep_wave_batch, batch_format="pyarrow", batch_size=None,
             fn_kwargs={"num_partitions": self.num_partitions,
-                       "salt": self.salt},
+                       "salt": self.salt, "policy": self.conflict},
         )
         if self.merge_strategy == "exchange":
             stats = self._exchange_merge(prepped, wave_id, parts_map,
@@ -184,7 +192,7 @@ class CDCEngine:
         else:
             merger = make_wave_merger(self.store.root, wave_id, parts_map,
                                       schema_to_b64(lake_schema),
-                                      self.derivations)
+                                      self.derivations, self.conflict)
             stats = (prepped.groupby("part")
                      .map_groups(merger, batch_format="pyarrow")
                      .take_all())                  # ≤ P tiny rows
@@ -270,7 +278,7 @@ class CDCEngine:
         b64 = schema_to_b64(lake_schema)
         refs = [merge_task.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
-                                  self.derivations)
+                                  self.derivations, self.conflict)
                 for p in touched]
         return _ray.get(refs)
 

@@ -15,23 +15,63 @@ milestone 5) — the classic partial-aggregate pattern.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 
+@dataclass(frozen=True)
+class ConflictPolicy:
+    """Pluggable conflict resolution (SURVEY.md §2.10 'Ours').
+
+    order_col: the column that orders competing writes for a key
+               ("lsn" = log order, "ts" = event time, ...).
+    keep:      "latest" (max order wins, the reference's LWW) or
+               "earliest" (min order wins — first-writer-wins).
+    Ties always break by lsn (unique by generator contract), keeping
+    resolution deterministic for any policy.
+    """
+
+    order_col: str = "lsn"
+    keep: str = "latest"
+
+    def __post_init__(self):
+        if self.keep not in ("latest", "earliest"):
+            raise ValueError(self.keep)
+
+    @property
+    def direction(self) -> str:
+        return "descending" if self.keep == "latest" else "ascending"
+
+    @property
+    def lake_order_field(self) -> str | None:
+        """Extra lake column needed to resolve across waves (None when
+        lsn already serves: last_lsn is always stored as lineage)."""
+        return None if self.order_col == "lsn" else f"last_{self.order_col}"
+
+
+LWW = ConflictPolicy()
+
+
 def compact_lww(t: pa.Table, key: str | list[str] = "doc_id",
-                order_col: str = "lsn") -> pa.Table:
-    """Keep only the max-`order_col` row per `key` (a column name or a
-    composite key list). Stable & vectorized: sort indices by (keys asc,
-    lsn desc), keep the first index per equal-key run."""
+                order_col: str = "lsn",
+                policy: ConflictPolicy | None = None) -> pa.Table:
+    """Keep only the winning row per `key` under `policy` (default: max
+    `order_col`, i.e. LWW). Stable & vectorized: sort indices by
+    (keys asc, order dir, lsn dir), keep the first index per run."""
     keys = [key] if isinstance(key, str) else list(key)
+    if policy is None:
+        policy = ConflictPolicy(order_col=order_col)
     if t.num_rows <= 1:
         return t
     t = t.combine_chunks()
+    order_keys = [(policy.order_col, policy.direction)]
+    if policy.order_col != "lsn":
+        order_keys.append(("lsn", policy.direction))
     idx = pc.sort_indices(
-        t, sort_keys=[(k, "ascending") for k in keys]
-        + [(order_col, "descending")]
+        t, sort_keys=[(k, "ascending") for k in keys] + order_keys
     )
     n = len(idx)
     mask = np.zeros(n, dtype=bool)

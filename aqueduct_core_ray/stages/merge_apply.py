@@ -31,9 +31,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..partitioning import add_partition
-from ..schema import reconcile_batch
+from ..schema import evolve_schema, reconcile_batch
 from ..state.manifest import schema_from_b64
-from .compact import compact_lww, split_tombstones
+from .compact import LWW, ConflictPolicy, compact_lww, split_tombstones
 
 # CDC envelope columns that never land in the lake
 ENVELOPE = ("lsn", "op", "ts", "part", "salt")
@@ -56,7 +56,8 @@ def payload_schema(event_schema: pa.Schema) -> pa.Schema:
 
 
 def prep_wave_batch(batch: pa.Table, *, num_partitions: int,
-                    salt: int = 0) -> pa.Table:
+                    salt: int = 0,
+                    policy: ConflictPolicy = LWW) -> pa.Table:
     """map_batches stage: partition column + per-batch LWW pre-compaction.
 
     Compacts on the composite key (part, doc_id): doc_id determines part,
@@ -65,37 +66,78 @@ def prep_wave_batch(batch: pa.Table, *, num_partitions: int,
     second sort+gather of the token lists (one full-table gather saved
     per block)."""
     return compact_lww(add_partition(batch, num_partitions, salt=salt),
-                       key=["part", "doc_id"])
+                       key=["part", "doc_id"], policy=policy)
 
 
-def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema) -> pa.Table:
-    """Project compacted upserts into lake rows (payload + last_lsn)."""
-    pay = pa.schema([f for f in lake_schema if f.name != "last_lsn"])
+def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema,
+                       policy: ConflictPolicy = LWW) -> pa.Table:
+    """Project compacted upserts into lake rows (payload + last_lsn and,
+    for a non-lsn policy, the policy's last_<order> column)."""
+    extra = {"last_lsn"}
+    if policy.lake_order_field:
+        extra.add(policy.lake_order_field)
+    pay = pa.schema([f for f in lake_schema if f.name not in extra])
     out = reconcile_batch(ups, pay)
     out = out.append_column("last_lsn", ups.column("lsn").cast(pa.int64()))
+    if policy.lake_order_field:
+        f = lake_schema.field(policy.lake_order_field)
+        out = out.append_column(
+            policy.lake_order_field,
+            ups.column(policy.order_col).cast(f.type))
     return out.select(lake_schema.names)   # column order = lake schema order
 
 
+def _old_as_events(old: pa.Table, policy: ConflictPolicy) -> pa.Table:
+    """Committed lake rows as pseudo change events so contested keys are
+    resolved by the SAME compaction kernel as within-log conflicts."""
+    n = old.num_rows
+    cols: dict[str, Any] = {
+        "lsn": old.column("last_lsn").cast(pa.int64()),
+        "op": pa.array(np.zeros(n, np.int8)),
+    }
+    if policy.lake_order_field:
+        cols[policy.order_col] = old.column(policy.lake_order_field)
+    for name in old.column_names:
+        if name != "last_lsn" and name not in cols \
+                and name != policy.lake_order_field:
+            cols[name] = old.column(name)
+    return pa.table(cols)
+
+
 def merge_partition(old: pa.Table, delta: pa.Table,
-                    lake_schema: pa.Schema) -> tuple[pa.Table, int, int]:
+                    lake_schema: pa.Schema,
+                    policy: ConflictPolicy = LWW
+                    ) -> tuple[pa.Table, int, int]:
     """Apply a compacted delta to one partition's table.
+
+    Unified-compaction merge: old rows become pseudo-events and compete
+    with the delta under `policy` — correct for ANY ordering column,
+    including out-of-order event time (where "the delta is newer" does
+    not hold). Tombstone winners drop their key from the partition.
 
     Returns (new_table sorted by doc_id, n_applied, n_removed). Old rows
     are reconciled to the (possibly evolved) lake schema first, so e.g.
     int32 -> int64 `n_tok` widening applies lake-wide on the next touch.
     """
     old = reconcile_batch(old, lake_schema)
-    ups, dels = split_tombstones(delta)
-    changed = delta.column("doc_id")
-    if isinstance(changed, pa.ChunkedArray):
-        changed = changed.combine_chunks()
-    survivors = old.filter(
-        pc.invert(pc.is_in(old.column("doc_id"), value_set=changed))
-    ) if delta.num_rows else old
-    n_removed = old.num_rows - survivors.num_rows
-    new_rows = delta_to_lake_rows(ups, lake_schema)
-    merged = pa.concat_tables([survivors, new_rows]).sort_by("doc_id")
-    return merged, ups.num_rows, n_removed
+    n_old = old.num_rows
+    old_ev = _old_as_events(old, policy)
+    flag = "__from_delta"
+    old_ev = old_ev.append_column(flag, pa.array(np.zeros(n_old, bool)))
+    delta = delta.append_column(
+        flag, pa.array(np.ones(delta.num_rows, bool)))
+    union = evolve_schema(pa.schema(old_ev.schema), pa.schema(delta.schema))
+    both = pa.concat_tables([reconcile_batch(old_ev, union),
+                             reconcile_batch(delta, union)])
+    win = compact_lww(both, "doc_id", policy=policy)
+    ups, _dels = split_tombstones(win)
+    n_applied = int(pc.sum(ups.column(flag)).as_py() or 0)
+    n_kept_old = ups.num_rows - n_applied
+    n_removed = n_old - n_kept_old
+    new_rows = delta_to_lake_rows(ups.drop_columns([flag]), lake_schema,
+                                  policy)
+    merged = new_rows.sort_by("doc_id")
+    return merged, n_applied, n_removed
 
 
 def make_delta_splitter(
@@ -198,6 +240,7 @@ def merge_partition_files(
     old_rel_path: str | None,
     lake_schema_b64: str,
     derivations: tuple[Any, ...] = (),
+    policy: ConflictPolicy = LWW,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
@@ -229,10 +272,11 @@ def merge_partition_files(
                 tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
     if not tabs:
         raise RuntimeError(f"no staged delta for partition {pid}")
-    delta = compact_lww(pa.concat_tables(tabs))
+    delta = compact_lww(pa.concat_tables(tabs), policy=policy)
     old = (pq.read_table(os.path.join(lake_root, old_rel_path))
            if old_rel_path else lake_schema.empty_table())
-    merged, n_applied, n_removed = merge_partition(old, delta, lake_schema)
+    merged, n_applied, n_removed = merge_partition(old, delta, lake_schema,
+                                                   policy)
     hwm = int(pc.max(delta.column("lsn")).as_py())
 
     staged_dir = os.path.join(lake_root, "_staged", wave_id)
@@ -269,6 +313,7 @@ def make_wave_merger(
     parts_map: dict[str, str],          # pid(str) -> committed rel path
     lake_schema_b64: str,
     derivations: tuple[Any, ...] = (),
+    policy: ConflictPolicy = LWW,
 ) -> Callable[[pa.Table], pa.Table]:
     """Build the map_groups callable for one wave.
 
@@ -281,11 +326,12 @@ def make_wave_merger(
         lake_schema = schema_from_b64(lake_schema_b64)
         pid = int(delta.column("part")[0].as_py())
         # final compaction: merges per-batch partials (and salt sub-groups)
-        delta = compact_lww(delta)
+        delta = compact_lww(delta, policy=policy)
         rel = parts_map.get(str(pid))
         old = (pq.read_table(os.path.join(lake_root, rel))
                if rel else lake_schema.empty_table())
-        merged, n_applied, n_removed = merge_partition(old, delta, lake_schema)
+        merged, n_applied, n_removed = merge_partition(old, delta,
+                                                       lake_schema, policy)
         hwm = int(pc.max(delta.column("lsn")).as_py())
 
         staged_dir = os.path.join(lake_root, "_staged", wave_id)
