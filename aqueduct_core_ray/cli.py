@@ -60,6 +60,19 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=args.partitions)
+    if args.seed:
+        print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
+    for r in eng.tail(args.log, wave_size=args.wave_size,
+                      poll_interval_s=args.poll_interval,
+                      max_idle_polls=args.max_idle_polls):
+        print(json.dumps(r))
+    return 0
+
+
 def cmd_verify(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
@@ -131,6 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--strategy", choices=("exchange", "groupby"),
                    default="exchange")
     r.set_defaults(fn=cmd_replay)
+
+    tl = sub.add_parser("tail", help="continuously apply a growing log")
+    tl.add_argument("--log", required=True)
+    tl.add_argument("--lake", required=True)
+    tl.add_argument("--seed")
+    tl.add_argument("--partitions", type=int, default=64)
+    tl.add_argument("--wave-size", type=int, default=1_000_000)
+    tl.add_argument("--poll-interval", type=float, default=0.5)
+    tl.add_argument("--max-idle-polls", type=int, default=3)
+    tl.set_defaults(fn=cmd_tail)
 
     v = sub.add_parser("verify", help="integrity-check a committed lake")
     v.add_argument("--lake", required=True)

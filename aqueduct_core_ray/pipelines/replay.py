@@ -283,6 +283,49 @@ class CDCEngine:
         return _ray.get(refs)
 
     # ------------------------------------------------------------------ #
+    def discover_watermark(self, log_path: str) -> int:
+        """Published watermark = max lsn across the log's parquet footers
+        (row-group statistics only — no data read, driver-side, O(files)).
+        Reference analog: the Global-Latest-Offset header / cached
+        `global_latest_offset` (GlobalLatestOffsetCache.java:14-37)."""
+        import os
+
+        wm = -1
+        for fn in sorted(os.listdir(log_path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(log_path, fn))
+            idx = md.schema.to_arrow_schema().get_field_index("lsn")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    wm = max(wm, int(st.max))
+        return wm
+
+    def tail(self, log_path: str, wave_size: int = 1_000_000,
+             poll_interval_s: float = 0.5, max_idle_polls: int = 3
+             ) -> list[dict[str, Any]]:
+        """The till sync loop (reference §3.2: poll parent for the next
+        batch, apply transactionally, sleep when caught up): discover the
+        published watermark from footer stats, apply (hwm, hwm+wave_size]
+        waves until caught up, poll again; return after `max_idle_polls`
+        consecutive polls with no new data. A killed tail resumes exactly
+        like replay() — the manifest watermark is the only cursor."""
+        out: list[dict[str, Any]] = []
+        idle = 0
+        while idle < max_idle_polls:
+            wm = self.discover_watermark(log_path)
+            if wm <= self.watermark:
+                idle += 1
+                time.sleep(poll_interval_s)
+                continue
+            idle = 0
+            while self.watermark < wm:
+                hi = min(self.watermark + wave_size, wm)
+                out.append(self.apply_wave(log_path, hi=hi))
+        return out
+
+    # ------------------------------------------------------------------ #
     def replay(self, log_path: str,
                wave_bounds: Iterable[tuple[int, int]]) -> list[dict[str, Any]]:
         """Apply every wave whose watermark is beyond CURRENT's — i.e.
