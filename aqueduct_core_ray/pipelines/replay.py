@@ -132,15 +132,35 @@ class CDCEngine:
             flt = flt & pads.field("source").isin(list(self.sources))
         return ray.data.read_parquet(log_path, filter=flt,
                                      file_extensions=["parquet"],
-                                     override_num_blocks=self.wave_blocks())
+                                     override_num_blocks=self.wave_blocks(
+                                         log_path))
 
-    def wave_blocks(self) -> int:
-        """Split-block count for a wave = num_partitions: deterministic
-        (same physical plan at any cluster size), keeps split tasks'
-        working set bounded by wave_bytes/P, and bounds the exchange
-        fan-in at P×B = P². Cluster size only changes how many of these
-        blocks run at once — which is exactly what should scale."""
-        return self.num_partitions
+    # bytes of compressed log per split block before we split finer than P
+    # (token lists decompress ~2-3x: ~64 MB on disk ≈ 150-200 MB in heap)
+    TARGET_SPLIT_BYTES = 64 * 1024 * 1024
+
+    def wave_blocks(self, log_path: str | None = None) -> int:
+        """Split-block count for a wave.
+
+        Baseline = num_partitions: deterministic (same physical plan at
+        any cluster size), exchange fan-in bounded at B×P = P²; cluster
+        size only changes how many blocks run at once — exactly what
+        should scale. For BYTE-heavy waves (wide token rows — SURVEY.md
+        §7.5 item 6: cap block bytes, not row counts) the count grows so
+        no split task's working set exceeds ~TARGET_SPLIT_BYTES of
+        compressed input, capped at 4P to bound the fan-in."""
+        blocks = self.num_partitions
+        if log_path is not None:
+            import os
+            try:
+                total = sum(
+                    e.stat().st_size for e in os.scandir(log_path)
+                    if e.name.endswith(".parquet"))
+            except OSError:
+                total = 0
+            need = -(-total // self.TARGET_SPLIT_BYTES)
+            blocks = max(blocks, min(int(need), 4 * self.num_partitions))
+        return blocks
 
     def apply_wave(self, log_path: str, hi: int,
                    lo: int | None = None) -> dict[str, Any]:

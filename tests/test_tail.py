@@ -25,11 +25,15 @@ N_CHUNKS = 4
 
 
 def publish(log_dir, upto_chunk):
-    """Simulate the external publisher appending lsn-ordered segments."""
+    """Simulate the external publisher appending lsn-ordered segments.
+    Write-then-rename: segments become visible atomically (the binlog
+    contract tail() relies on — a reader must never see a torn file)."""
     for i in range(upto_chunk):
         p = log_dir / f"chunk-{i:05d}.parquet"
         if not p.exists():
-            pq.write_table(changelog_chunk(SPEC, i), str(p))
+            tmp = log_dir / f".chunk-{i:05d}.tmp"
+            pq.write_table(changelog_chunk(SPEC, i), str(tmp))
+            tmp.rename(p)
 
 
 def oracle():
