@@ -71,9 +71,13 @@ def replay_events_lake(sf_dir: str, n_waves: int = 4,
                        num_partitions: int = 16,
                        keep_columns: tuple[str, ...] = (
                            "doc_id", "value", "props", "source", "last_lsn"),
-                       ) -> ray.data.Dataset:
+                       ) -> pa.Table:
+    """Materialized (test-scale) result + scratch cleanup — the driver
+    may call this repeatedly and must not leak /tmp lakes."""
     eng = replay_events_engine(sf_dir, n_waves, num_partitions)
-    return eng.read_lake().select_columns(list(keep_columns))
+    out = eng.lake_table().select(list(keep_columns))
+    shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
+    return out
 
 
 def derived_source_stats(sf_dir: str, n_waves: int = 4,
@@ -89,8 +93,10 @@ def derived_source_stats(sf_dir: str, n_waves: int = 4,
     eng = replay_events_engine(sf_dir, n_waves, num_partitions,
                                derivations=der)
     out = eng.derived_table("source_stats")
-    return out.set_column(out.schema.get_field_index("n_rows"), "n_rows",
-                          out.column("n_rows").cast(pa.int64()))
+    out = out.set_column(out.schema.get_field_index("n_rows"), "n_rows",
+                         out.column("n_rows").cast(pa.int64()))
+    shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -156,7 +162,9 @@ def replay_documents_lake(sf_dir: str, n_waves: int = 2,
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id")) + 1
     eng = CDCEngine(lake_dir, num_partitions=num_partitions)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
-    return eng.read_lake()
+    table = eng.lake_table()                 # test-scale materialization
+    shutil.rmtree(work, ignore_errors=True)  # no /tmp leak across calls
+    return ray.data.from_arrow(table)
 
 
 def cleanup_scratch() -> None:

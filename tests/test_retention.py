@@ -134,3 +134,34 @@ def test_distributed_compact_matches_kernel(tmp_path):
     assert got.column("lsn").to_pylist() == want.column("lsn").to_pylist()
     got2 = got.select(want.column_names).combine_chunks()
     assert got2.equals(want.combine_chunks())
+
+
+def test_compacted_log_replay_equals_full_replay(tmp_path):
+    """Retention ∘ replay = replay: applying the compacted log must yield
+    the same final lake as applying the full log (compaction only drops
+    superseded versions, never a winner). Tombstone GC is withheld
+    (deletion_ts=None) so deletes still propagate."""
+    import pyarrow as pa
+
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec, write_changelog, write_seed_lake)
+    from aqueduct_core_ray.stages.retention import compact_log
+
+    spec = ChangelogSpec(n_docs=200, n_events=3_000, seed=13,
+                         chunk_size=1_000, n_waves=1)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed.parquet"))
+
+    far_future = pa.scalar(7_000_000_000_000_000, pa.timestamp("us"))  # ~2191
+    compacted_dir = str(tmp_path / "log_compacted")
+    compact_log(log, compacted_dir, compact_ts=far_future,
+                deletion_ts=None, num_partitions=4)
+
+    lakes = []
+    for name, src in (("full", log), ("compacted", compacted_dir)):
+        eng = CDCEngine(str(tmp_path / f"lake_{name}"), num_partitions=4)
+        eng.bootstrap(seed)
+        eng.replay(src, [(0, spec.n_events)])
+        lakes.append(eng.lake_table())
+    assert lakes[0].equals(lakes[1])
