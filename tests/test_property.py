@@ -1,0 +1,101 @@
+"""Property-based conformance (hypothesis): the vectorized kernels must
+agree with a straightforward dict-replay oracle on arbitrary event
+streams — all key collisions, op mixes, and policies.
+
+Goes beyond the reference's example-based Spock fixtures (SURVEY.md §5:
+'no property-based tests' there).
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aqueduct_core_ray.schema import CHANGE_EVENT
+from aqueduct_core_ray.stages.compact import ConflictPolicy, compact_lww
+from aqueduct_core_ray.stages.merge_apply import merge_partition
+from aqueduct_core_ray.pipelines.replay import default_lake_schema
+
+KEYS = ["a", "b", "c", "d", "e"]
+US = 1_000_000
+
+
+@st.composite
+def event_streams(draw, max_events=40):
+    n = draw(st.integers(0, max_events))
+    rows = []
+    lsns = draw(st.permutations(list(range(1, max_events + 1))))
+    for i in range(n):
+        key = draw(st.sampled_from(KEYS))
+        op = draw(st.integers(0, 1))
+        ts = draw(st.integers(0, 5)) * US      # deliberately collides
+        tok = None if op else [draw(st.integers(0, 100))]
+        rows.append({"lsn": lsns[i], "op": op, "doc_id": key,
+                     "tokens": tok, "n_tok": None if op else len(tok),
+                     "source": "web", "ts": ts})
+    return rows
+
+
+def oracle_compact(rows, policy: ConflictPolicy):
+    """Winner per key: best (order, lsn) under the policy."""
+    best = {}
+    for r in rows:
+        orderv = (r["lsn"] if policy.order_col == "lsn"
+                  else r["ts"] // 1)
+        rank = (orderv, r["lsn"])
+        cur = best.get(r["doc_id"])
+        better = (cur is None
+                  or (rank > cur[0] if policy.keep == "latest"
+                      else rank < cur[0]))
+        if better:
+            best[r["doc_id"]] = (rank, r)
+    return {k: v[1] for k, v in best.items()}
+
+
+def to_table(rows):
+    return pa.Table.from_pylist(rows, schema=CHANGE_EVENT)
+
+
+POLICIES = [ConflictPolicy(), ConflictPolicy(keep="earliest"),
+            ConflictPolicy(order_col="ts"),
+            ConflictPolicy(order_col="ts", keep="earliest")]
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=event_streams(), pidx=st.integers(0, 3))
+def test_compact_matches_oracle(rows, pidx):
+    policy = POLICIES[pidx]
+    out = compact_lww(to_table(rows), policy=policy)
+    want = oracle_compact(rows, policy)
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["lsn"] == want[k]["lsn"], (k, got[k], want[k])
+
+
+@settings(max_examples=40, deadline=None)
+@given(old_rows=event_streams(max_events=20),
+       new_rows=event_streams(max_events=20))
+def test_merge_partition_matches_oracle(old_rows, new_rows):
+    """Split any stream at any point: compact(all) must equal
+    merge(materialize(compact(first)), compact(second)) — the
+    wave-boundary associativity the engine's correctness rests on."""
+    # disjoint, increasing lsn ranges (the wave contract)
+    for r in new_rows:
+        r["lsn"] += 100
+    lake_schema = default_lake_schema()
+    old_compact = compact_lww(to_table(old_rows))
+    old_ups = old_compact.filter(
+        pa.compute.equal(old_compact.column("op"), 0))
+    from aqueduct_core_ray.stages.merge_apply import delta_to_lake_rows
+    old_lake = delta_to_lake_rows(old_ups, lake_schema)
+    delta = compact_lww(to_table(new_rows))
+    merged, _, _ = merge_partition(old_lake, delta, lake_schema)
+
+    want = oracle_compact(old_rows + new_rows, ConflictPolicy())
+    want_live = {k: r for k, r in want.items() if r["op"] == 0}
+    got = {r["doc_id"]: r for r in merged.to_pylist()}
+    assert set(got) == set(want_live)
+    for k in want_live:
+        assert got[k]["last_lsn"] == want_live[k]["lsn"]
+        assert got[k]["tokens"] == want_live[k]["tokens"]
