@@ -74,6 +74,10 @@ class CDCEngine:
         self.sources = sources
         self.merge_strategy = merge_strategy
         self.conflict = conflict if conflict is not None else LWW
+        # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes),
+        # from parquet footer stats; files are immutable once published
+        # (write-then-rename contract) so entries never invalidate
+        self._seg_cache: dict[tuple[str, str], tuple[int, int, int]] = {}
 
     # ------------------------------------------------------------------ #
     @property
@@ -127,19 +131,30 @@ class CDCEngine:
         default is worse in both directions: a 75 MB wave would be ONE
         block — parallelism 1 — while a 20 GB wave would be 160 blocks
         of needless fan-in.)"""
+        import os
+
+        idx = self._segment_index(log_path)
+        files = [os.path.join(log_path, fn)
+                 for fn, (mn, mx, _) in idx.items() if mx > lo and mn <= hi]
+        if not files:
+            # empty wave: an empty dataset with the log's schema if any
+            any_file = next(iter(idx), None)
+            schema = (pq.read_schema(os.path.join(log_path, any_file))
+                      if any_file else CHANGE_EVENT)
+            return ray.data.from_arrow(schema.empty_table())
+        wave_bytes = sum(idx[os.path.basename(f)][2] for f in files)
         flt = (pads.field("lsn") > lo) & (pads.field("lsn") <= hi)
         if self.sources:
             flt = flt & pads.field("source").isin(list(self.sources))
-        return ray.data.read_parquet(log_path, filter=flt,
-                                     file_extensions=["parquet"],
+        return ray.data.read_parquet(files, filter=flt,
                                      override_num_blocks=self.wave_blocks(
-                                         log_path))
+                                         wave_bytes))
 
     # bytes of compressed log per split block before we split finer than P
     # (token lists decompress ~2-3x: ~64 MB on disk ≈ 150-200 MB in heap)
     TARGET_SPLIT_BYTES = 64 * 1024 * 1024
 
-    def wave_blocks(self, log_path: str | None = None) -> int:
+    def wave_blocks(self, wave_bytes: int | None = None) -> int:
         """Split-block count for a wave.
 
         Baseline = num_partitions: deterministic (same physical plan at
@@ -150,15 +165,8 @@ class CDCEngine:
         no split task's working set exceeds ~TARGET_SPLIT_BYTES of
         compressed input, capped at 4P to bound the fan-in."""
         blocks = self.num_partitions
-        if log_path is not None:
-            import os
-            try:
-                total = sum(
-                    e.stat().st_size for e in os.scandir(log_path)
-                    if e.name.endswith(".parquet"))
-            except OSError:
-                total = 0
-            need = -(-total // self.TARGET_SPLIT_BYTES)
+        if wave_bytes:
+            need = -(-wave_bytes // self.TARGET_SPLIT_BYTES)
             blocks = max(blocks, min(int(need), 4 * self.num_partitions))
         return blocks
 
@@ -303,23 +311,49 @@ class CDCEngine:
         return _ray.get(refs)
 
     # ------------------------------------------------------------------ #
+    def _segment_index(self, log_path: str) -> dict[str, tuple[int, int, int]]:
+        """Per-file (min_lsn, max_lsn, bytes) from parquet footer stats —
+        the log's segment index (Kafka-segment-style). Cached forever:
+        published segments are immutable (write-then-rename contract).
+        Cost: one footer read per NEW file, driver-side, no data read.
+        Files without lsn statistics get (−inf, +inf) — always scanned."""
+        import os
+
+        out: dict[str, tuple[int, int, int]] = {}
+        for fn in sorted(os.listdir(log_path)):
+            if not fn.endswith(".parquet"):
+                continue
+            key = (log_path, fn)
+            if key not in self._seg_cache:
+                full = os.path.join(log_path, fn)
+                md = pq.read_metadata(full)
+                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mn = int(st.min) if mn is None else min(mn, int(st.min))
+                        mx = int(st.max) if mx is None else max(mx, int(st.max))
+                if mn is None:
+                    mn, mx = -(1 << 62), 1 << 62
+                self._seg_cache[key] = (mn, mx, os.path.getsize(full))
+            out[fn] = self._seg_cache[key]
+        return out
+
     def discover_watermark(self, log_path: str) -> int:
-        """Published watermark = max lsn across the log's parquet footers
-        (row-group statistics only — no data read, driver-side, O(files)).
+        """Published watermark = max lsn across the log's segments.
         Reference analog: the Global-Latest-Offset header / cached
         `global_latest_offset` (GlobalLatestOffsetCache.java:14-37)."""
         import os
 
+        idx = self._segment_index(log_path)
         wm = -1
-        for fn in sorted(os.listdir(log_path)):
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(log_path, fn))
-            idx = md.schema.to_arrow_schema().get_field_index("lsn")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is not None and st.has_min_max:
-                    wm = max(wm, int(st.max))
+        for fn, (_, mx, _) in idx.items():
+            if mx >= (1 << 62):            # stat-less file: read the column
+                t = pq.read_table(os.path.join(log_path, fn),
+                                  columns=["lsn"])
+                mx = int(pc.max(t.column("lsn")).as_py()) if t.num_rows else -1
+            wm = max(wm, mx)
         return wm
 
     def tail(self, log_path: str, wave_size: int = 1_000_000,
