@@ -63,10 +63,14 @@ class CDCEngine:
         sources: tuple[str, ...] | None = None,   # type-subscription filter (T1)
         merge_strategy: str = "exchange",         # "exchange" | "groupby"
         conflict: "ConflictPolicy | None" = None, # default LWW-by-lsn
+        emit_changelog: bool = False,             # write outbox/ segments
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
             raise ValueError(merge_strategy)
+        if emit_changelog and merge_strategy != "exchange":
+            raise ValueError("emit_changelog requires the exchange "
+                             "merge strategy")
         self.store = LakeStore(lake_root)
         self.num_partitions = num_partitions
         self.derivations = derivations
@@ -74,6 +78,7 @@ class CDCEngine:
         self.sources = sources
         self.merge_strategy = merge_strategy
         self.conflict = conflict if conflict is not None else LWW
+        self.emit_changelog = emit_changelog
         # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes),
         # from parquet footer stats; files are immutable once published
         # (write-then-rename contract) so entries never invalidate
@@ -107,11 +112,13 @@ class CDCEngine:
                 if "last_lsn" in t.column_names
                 else pa.array([0] * n, pa.int64()),
                 "op": pa.array([0] * n, pa.int8()),
-                "ts": pa.nulls(n, pa.timestamp("us")),
             }
             for name in t.column_names:
                 if name not in ("last_lsn",):
                     cols[name] = t.column(name)
+            # ts last — same column order as regular change events, so
+            # bootstrap outbox segments concat cleanly with wave segments
+            cols["ts"] = pa.nulls(n, pa.timestamp("us"))
             return pa.table(cols)
 
         return self._apply(ds.map_batches(to_events, batch_format="pyarrow"),
@@ -271,6 +278,16 @@ class CDCEngine:
                 "wall_s": wall}
 
     # ------------------------------------------------------------------ #
+    @property
+    def outbox_dir(self) -> str:
+        """This lake's re-served change feed: compacted applied deltas
+        (tombstones included, original lsns preserved) as lsn-ranged
+        parquet segments a child CDCEngine can `tail()` — the reference's
+        hierarchical fanout (each till re-serves the identical read API
+        to its children, SURVEY.md §2.11) as chained lakes."""
+        import os
+        return os.path.join(self.store.root, "outbox")
+
     def _shuffle_dir(self, wave_id: str) -> str:
         import os
         return os.path.join(self.store.root, "_shuffle", wave_id)
@@ -304,9 +321,10 @@ class CDCEngine:
         import ray as _ray
         merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
         b64 = schema_to_b64(lake_schema)
+        outbox = self.outbox_dir if self.emit_changelog else None
         refs = [merge_task.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
-                                  self.derivations, self.conflict)
+                                  self.derivations, self.conflict, outbox)
                 for p in touched]
         return _ray.get(refs)
 

@@ -241,6 +241,7 @@ def merge_partition_files(
     lake_schema_b64: str,
     derivations: tuple[Any, ...] = (),
     policy: ConflictPolicy = LWW,
+    outbox_dir: str | None = None,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
@@ -272,7 +273,29 @@ def merge_partition_files(
                 tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
     if not tabs:
         raise RuntimeError(f"no staged delta for partition {pid}")
+    if len({t.schema for t in tabs}) > 1:
+        # blocks may disagree on column order/presence when a wave spans
+        # source segments of different vintages (bootstrap vs regular
+        # outbox, mid-wave schema evolution): unify before concat
+        union = tabs[0].schema
+        for t in tabs[1:]:
+            union = evolve_schema(union, t.schema)
+        tabs = [reconcile_batch(t, union) for t in tabs]
     delta = compact_lww(pa.concat_tables(tabs), policy=policy)
+
+    if outbox_dir is not None:
+        # hierarchical propagation (reference: till re-serving its parent's
+        # change feed to children, SubNodeGroup.java:53-65): emit the
+        # compacted applied delta — tombstones included — as a new
+        # changelog segment. Atomic publish (write-then-rename); content
+        # is deterministic, so a retried/re-run wave overwrites an
+        # identical file and children (idempotent by lsn) are unaffected.
+        os.makedirs(outbox_dir, exist_ok=True)
+        seg = os.path.join(outbox_dir, f"{wave_id}-p{pid:06d}.parquet")
+        drop = [c for c in ("part", "salt") if c in delta.column_names]
+        pq.write_table(delta.drop_columns(drop) if drop else delta,
+                       seg + ".tmp", compression="zstd")
+        os.replace(seg + ".tmp", seg)
     old = (pq.read_table(os.path.join(lake_root, old_rel_path))
            if old_rel_path else lake_schema.empty_table())
     merged, n_applied, n_removed = merge_partition(old, delta, lake_schema,

@@ -1,0 +1,110 @@
+"""Hierarchical propagation: parent lake re-serves its applied change
+feed (outbox) and children tail it — the reference's cloud→till→till
+tree (SURVEY.md §2.11, SubNodeGroup.java:53-65) as chained lakes.
+
+Convergence is checked with the reference's own instrument: the A4
+offset-consistency sum must agree across every level (comparable
+across parent/child, SQLiteQueries.java:57-64), plus full row equality.
+"""
+
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    changelog_table,
+    seed_lake,
+    write_changelog,
+    write_seed_lake,
+)
+
+from oracle_replay import oracle_table, replay_oracle
+
+SPEC = ChangelogSpec(n_docs=250, n_events=2_500, seed=21, chunk_size=500,
+                     n_waves=3)
+COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn"]
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("s") / "seed.parquet"))
+    return log, seed
+
+
+def oracle():
+    return oracle_table(
+        replay_oracle(changelog_table(SPEC),
+                      seed=seed_lake(SPEC.n_docs, seed=SPEC.seed)), COLS)
+
+
+def test_parent_child_grandchild_converge(inputs, tmp_path):
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    # child tails the parent's outbox; grandchild tails the child's —
+    # data "leaves the cloud once" and propagates down the tree
+    child = CDCEngine(str(tmp_path / "till1"), num_partitions=3,
+                      emit_changelog=True)
+    child.tail(parent.outbox_dir, wave_size=700, poll_interval_s=0.05,
+               max_idle_polls=1)
+    grandchild = CDCEngine(str(tmp_path / "till2"), num_partitions=2)
+    grandchild.tail(child.outbox_dir, wave_size=900, poll_interval_s=0.05,
+                    max_idle_polls=1)
+
+    want = oracle()
+    for eng in (parent, child, grandchild):
+        assert eng.lake_table().select(COLS).to_pylist() == want
+    assert (parent.consistency_sum() == child.consistency_sum()
+            == grandchild.consistency_sum())
+
+
+def test_child_resumes_mid_stream(inputs, tmp_path):
+    """Kill the child between parent waves; it must converge after the
+    parent finishes, with no dup/loss."""
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    b = SPEC.wave_bounds
+    parent.replay(log, b[:1])                       # only wave 1 published
+
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=500, poll_interval_s=0.05,
+               max_idle_polls=1)
+    assert child.watermark == b[0][1]
+
+    parent.replay(log, b)                           # rest of the stream
+    child2 = CDCEngine(str(tmp_path / "till"), num_partitions=3)  # resumed
+    child2.tail(parent.outbox_dir, wave_size=500, poll_interval_s=0.05,
+                max_idle_polls=1)
+    assert child2.lake_table().select(COLS).to_pylist() == oracle()
+    assert child2.consistency_sum() == parent.consistency_sum()
+
+
+def test_outbox_requires_exchange(tmp_path):
+    with pytest.raises(ValueError):
+        CDCEngine(str(tmp_path / "x"), merge_strategy="groupby",
+                  emit_changelog=True)
+
+
+def test_source_filtered_child(inputs, tmp_path):
+    """A child subscribed to a subset of sources (the reference's
+    type-filtered till, SQLiteQueries.java:105-112) materializes exactly
+    the filtered oracle state."""
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=3,
+                      sources=("web", "code"))
+    child.tail(parent.outbox_dir, wave_size=1_000, poll_interval_s=0.05,
+               max_idle_polls=1)
+    want = [r for r in oracle() if r["source"] in ("web", "code")]
+    assert child.lake_table().select(COLS).to_pylist() == want
