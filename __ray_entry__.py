@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- CDC engine surface (SURVEY.md §2) ---
         "cdc_replay_events": lq_replay,
+        "mirror_lake": partial(er.mirror_lake),
         "lww_compaction": partial(lq.lww_latest),
         "log_scan": partial(lq.log_scan),
         "byte_cap_prefix": partial(lq.byte_cap_prefix),
@@ -120,6 +121,11 @@ def oracle_sql() -> dict[str, str]:
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
     return {
         "cdc_replay_events": _LOG_CTE + """
+            SELECT doc_id, value, props, source, last_lsn
+            FROM lww WHERE op = 0""",
+        # the child lake at the bottom of a parent->child outbox chain
+        # must converge to the same LWW state as the parent
+        "mirror_lake": _LOG_CTE + """
             SELECT doc_id, value, props, source, last_lsn
             FROM lww WHERE op = 0""",
         "lww_compaction": _LOG_CTE + """

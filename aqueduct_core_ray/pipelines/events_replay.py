@@ -80,6 +80,37 @@ def replay_events_lake(sf_dir: str, n_waves: int = 4,
     return out
 
 
+def mirror_lake(sf_dir: str, n_waves: int = 4,
+                num_partitions: int = 16,
+                keep_columns: tuple[str, ...] = (
+                    "doc_id", "value", "props", "source", "last_lsn"),
+                ) -> pa.Table:
+    """Hierarchical propagation proof with a SQL oracle: replay events
+    into a parent lake that emits its outbox, have a CHILD engine tail
+    the outbox, return the CHILD's lake — it must equal the same LWW
+    oracle as the parent (reference §2.11: every till converges to the
+    cloud's state)."""
+    work = _scratch("aqr-mirror-")
+    log_dir = os.path.join(work, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    (read_events(sf_dir)
+     .map_batches(events_to_changelog, batch_format="pyarrow")
+     .write_parquet(log_dir))
+    max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    parent = CDCEngine(os.path.join(work, "cloud"),
+                       num_partitions=num_partitions, derivations=(),
+                       emit_changelog=True)
+    parent.replay(log_dir, _wave_bounds(max_lsn, n_waves))
+    child = CDCEngine(os.path.join(work, "till"),
+                      num_partitions=max(2, num_partitions // 2),
+                      derivations=())
+    child.tail(parent.outbox_dir, wave_size=max(1, max_lsn // n_waves),
+               poll_interval_s=0.05, max_idle_polls=1)
+    out = child.lake_table().select(list(keep_columns))
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def derived_source_stats(sf_dir: str, n_waves: int = 4,
                          num_partitions: int = 16) -> pa.Table:
     """A6/DAG edge with a SQL oracle: the per-source derived table

@@ -288,6 +288,28 @@ class CDCEngine:
         import os
         return os.path.join(self.store.root, "outbox")
 
+    def prune_outbox(self, below_lsn: int,
+                     min_child_hwm: int | None = None) -> int:
+        """Delete outbox segments whose max lsn < below_lsn. Guarded like
+        tombstone GC (SURVEY.md §7.5 item 4): refuses to prune past the
+        slowest child's applied watermark — a resumed child must never
+        miss a delete it has not applied. Returns segments removed."""
+        import os
+        if min_child_hwm is not None and below_lsn > min_child_hwm + 1:
+            raise ValueError(
+                "outbox prune threshold is beyond the minimum child HWM; "
+                "a lagging child would lose events")
+        ob = self.outbox_dir
+        if not os.path.isdir(ob):
+            return 0
+        removed = 0
+        for fn, (_, mx, _) in list(self._segment_index(ob).items()):
+            if mx < below_lsn:
+                os.remove(os.path.join(ob, fn))
+                self._seg_cache.pop((ob, fn), None)
+                removed += 1
+        return removed
+
     def _shuffle_dir(self, wave_id: str) -> str:
         import os
         return os.path.join(self.store.root, "_shuffle", wave_id)

@@ -95,3 +95,27 @@ def test_tail_with_concurrent_publisher(tmp_path):
              max_idle_polls=1)              # drain any final segment
     assert eng.watermark == SPEC.n_events
     assert eng.lake_table().select(COLS).to_pylist() == oracle()
+
+
+def test_prune_outbox_guard(tmp_path):
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+    from aqueduct_core_ray.sources.changelog import write_seed_lake
+    import pytest as _pytest
+
+    log = tmp_path / "log"
+    log.mkdir()
+    publish(log, N_CHUNKS)
+    seed = write_seed_lake(SPEC, str(tmp_path / "seed.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4,
+                    emit_changelog=True)
+    eng.bootstrap(seed)
+    eng.replay(str(log), SPEC.wave_bounds)
+
+    with _pytest.raises(ValueError):
+        eng.prune_outbox(below_lsn=SPEC.n_events,
+                         min_child_hwm=SPEC.n_events // 2)
+    removed = eng.prune_outbox(below_lsn=SPEC.n_events // 2,
+                               min_child_hwm=SPEC.n_events // 2)
+    assert removed > 0
+    # remaining segments still cover (min_child_hwm, n_events]
+    assert eng.discover_watermark(eng.outbox_dir) == SPEC.n_events
