@@ -87,3 +87,23 @@ def test_combiner_bounds_hot_key_delta(inputs, tmp_path):
     hot_count = (t.group_by("doc_id").aggregate([("lsn", "count")])
                  .sort_by([("lsn_count", "descending")]))
     assert hot_count.column("lsn_count")[0].as_py() > SPEC.n_events // 10
+
+
+def test_detect_hot_keys(inputs, tmp_path):
+    """The per-wave heavy-hitter sketch must surface the planted hot doc
+    (hot_set=1: ~half of churn hits one key) and not flood with cold
+    keys."""
+    from aqueduct_core_ray.partitioning import detect_hot_keys
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+
+    log, _ = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    ds = eng.wave_dataset(log, 0, SPEC.n_events)
+    hot = detect_hot_keys(ds, min_frac=0.05)
+    assert len(hot) >= 1
+    # the planted hot doc is the single most frequent key in the stream
+    t = changelog_table(SPEC)
+    counts = t.group_by("doc_id").aggregate([("lsn", "count")])
+    top = counts.sort_by([("lsn_count", "descending")])
+    assert top.column("doc_id")[0].as_py() in hot
+    assert len(hot) <= 10
