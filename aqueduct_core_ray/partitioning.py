@@ -54,7 +54,8 @@ def detect_hot_keys(ds, key: str = "doc_id", min_frac: float = 0.01,
     def block_top(t: pa.Table) -> pa.Table:
         vc = t.column(key).combine_chunks().value_counts()
         counts = vc.field("counts")
-        order = pc.sort_indices(counts, order="descending")[:per_block_top]
+        order = pc.sort_indices(
+            counts, sort_keys=[("", "descending")])[:per_block_top]
         n = len(order)
         # block_rows only on the first row: summing non-nulls gives the
         # exact wave row count on the driver
