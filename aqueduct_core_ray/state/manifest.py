@@ -124,7 +124,24 @@ class LakeStore:
         os.replace(tmp, path)
 
     def commit(self, manifest: Manifest) -> None:
-        """Step 3: publish the manifest, then repoint CURRENT (both atomic)."""
+        """Step 3: publish the manifest, then repoint CURRENT (both atomic).
+
+        Single-flight guard (reference analog: the compactor's advisory
+        `SELECT ... FOR UPDATE NOWAIT` lock, PostgresqlStorage.java:
+        416-427): the incoming generation must be exactly CURRENT+1.
+        Two engines racing on one lake root both derive gen from the same
+        CURRENT; the loser's commit lands on a generation that no longer
+        follows and is rejected rather than silently clobbering history.
+        (Best-effort, like the reference's lock — a filesystem has no
+        compare-and-swap rename; the deployment contract is one committer
+        per lake root.)"""
+        cur = self.current_manifest()
+        expect = (cur.generation + 1) if cur else 0
+        if manifest.generation != expect:
+            raise RuntimeError(
+                f"stale commit: manifest generation {manifest.generation} "
+                f"but CURRENT is at {expect - 1} (another committer won); "
+                "re-read CURRENT and retry the wave")
         name = f"manifest-{manifest.generation:06d}.json"
         self._atomic_write(os.path.join(self.manifests_dir, name),
                            manifest.to_json())

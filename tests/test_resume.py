@@ -153,3 +153,27 @@ def test_vacuum_keeps_live_files(log_dir, seed_path, tmp_path):
     removed = eng.store.vacuum(keep_generations=1)
     assert removed > 0
     assert eng.lake_table().equals(before)
+
+
+def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path):
+    """Two engines racing on one lake root: the loser's commit must be
+    rejected, not clobber the winner's manifest (reference analog:
+    single-flight compaction lock, PostgresqlStorage.java:416-427)."""
+    root = str(tmp_path / "lake")
+    a = CDCEngine(root, num_partitions=5)
+    a.bootstrap(seed_path)
+    b = CDCEngine(root, num_partitions=5)
+    bounds = SPEC.wave_bounds
+
+    # both read CURRENT at gen 0; a commits wave 1 first
+    a.apply_wave(log_dir, hi=bounds[0][1])
+    from aqueduct_core_ray.state.manifest import Manifest
+    stale = Manifest(generation=1, watermark=bounds[0][1], wave_id="dup",
+                     schema_b64=a.manifest.schema_b64, num_partitions=5)
+    with pytest.raises(RuntimeError, match="stale commit"):
+        b.store.commit(stale)
+    # winner's state intact; loser re-reads and proceeds normally
+    assert b.watermark == bounds[0][1]
+    b.replay(log_dir, bounds)
+    assert b.lake_table().select(COLS).to_pylist() == \
+        oracle_table(final_state(), COLS)
