@@ -263,9 +263,21 @@ class CDCEngine:
             partitions=new_parts, partials=new_partials,
             lineage=lineage[-200:],
         )
-        self.store.commit(man)
-        self.store.drop_staged(wave_id)
         import shutil as _shutil
+        try:
+            self.store.commit(man)
+        except RuntimeError:
+            # lost the single-flight race: this wave is abandoned (the
+            # winner advanced CURRENT, so it will never be retried under
+            # this wave_id) — reclaim its scratch before re-raising.
+            # Promoted part files are wave-unique orphans; vacuum()
+            # collects them once their generation falls out of the keep
+            # window. A plain crash (no exception path) leaves staged
+            # files for the resumed identical re-run, as before.
+            self.store.drop_staged(wave_id)
+            _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
+            raise
+        self.store.drop_staged(wave_id)
         _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
         self.store.append_metrics({
             "wave_id": wave_id, "generation": gen, "lo": lo, "hi": hi,

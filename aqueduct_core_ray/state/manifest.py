@@ -95,10 +95,18 @@ class LakeStore:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"p={pid:06d}.parquet")
 
-    def part_path(self, pid: int, generation: int) -> str:
+    def part_path(self, pid: int, generation: int,
+                  wave_id: str = "") -> str:
+        """Committed location. The wave_id is part of the filename so two
+        racers that derived the same generation from the same CURRENT but
+        are applying DIFFERENT waves write disjoint files — the loser's
+        promotion can never overwrite the winner's committed data (its
+        orphan files are vacuumed later). A re-run of the SAME wave
+        (resume) still overwrites its own path idempotently."""
         d = os.path.join(self.parts_dir, f"p={pid:06d}")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"g{generation:06d}.parquet")
+        tag = f"-{wave_id}" if wave_id else ""
+        return os.path.join(d, f"g{generation:06d}{tag}.parquet")
 
     def rel(self, path: str) -> str:
         return os.path.relpath(path, self.root)
@@ -151,7 +159,7 @@ class LakeStore:
         """Step 2: move a staged partition file to its committed location.
         `os.replace` = atomic overwrite, so re-promotion after a crash is
         idempotent."""
-        dst = self.part_path(pid, generation)
+        dst = self.part_path(pid, generation, wave_id)
         os.replace(self.staged_path(wave_id, pid), dst)
         return dst
 
@@ -176,7 +184,10 @@ class LakeStore:
             full = os.path.join(self.parts_dir, pdir)
             for fn in os.listdir(full):
                 fp = os.path.normpath(os.path.join(full, fn))
-                gen = int(fn[1:fn.index(".")])
+                # name is g<gen>[-<wave_id>].parquet
+                end = min((i for i in (fn.find("-"), fn.find("."))
+                           if i >= 0), default=len(fn))
+                gen = int(fn[1:end])
                 if fp not in live and gen < floor_gen:
                     os.remove(fp)
                     removed += 1

@@ -155,25 +155,54 @@ def test_vacuum_keeps_live_files(log_dir, seed_path, tmp_path):
     assert eng.lake_table().equals(before)
 
 
-def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path):
-    """Two engines racing on one lake root: the loser's commit must be
-    rejected, not clobber the winner's manifest (reference analog:
-    single-flight compaction lock, PostgresqlStorage.java:416-427)."""
+def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path,
+                                     monkeypatch):
+    """Two engines racing on one lake root, loser driven through the REAL
+    _apply path: it reads CURRENT before the winner commits, promotes its
+    part files, and must then (a) have its commit rejected, (b) have
+    touched NONE of the winner's committed files, and (c) leave no
+    staged/shuffle scratch behind (reference analog: single-flight
+    compaction lock, PostgresqlStorage.java:416-427)."""
+    import hashlib
+    import os
+
     root = str(tmp_path / "lake")
     a = CDCEngine(root, num_partitions=5)
     a.bootstrap(seed_path)
-    b = CDCEngine(root, num_partitions=5)
     bounds = SPEC.wave_bounds
 
-    # both read CURRENT at gen 0; a commits wave 1 first
-    a.apply_wave(log_dir, hi=bounds[0][1])
-    from aqueduct_core_ray.state.manifest import Manifest
-    stale = Manifest(generation=1, watermark=bounds[0][1], wave_id="dup",
-                     schema_b64=a.manifest.schema_b64, num_partitions=5)
+    b = CDCEngine(root, num_partitions=5)
+    stale_manifest = b.manifest                    # CURRENT at bootstrap gen
+
+    a.apply_wave(log_dir, hi=bounds[0][1])         # winner commits first
+    winner_files = {p: hashlib.md5(open(a.store.abs(v["path"]), "rb")
+                                   .read()).hexdigest()
+                    for p, v in a.manifest.partitions.items()}
+
+    # b entered _apply before a's commit: serve it the stale CURRENT once
+    real = b.store.current_manifest
+    served = {"n": 0}
+
+    def stale_once():
+        served["n"] += 1
+        return stale_manifest if served["n"] == 1 else real()
+
+    monkeypatch.setattr(b.store, "current_manifest", stale_once)
     with pytest.raises(RuntimeError, match="stale commit"):
-        b.store.commit(stale)
-    # winner's state intact; loser re-reads and proceeds normally
-    assert b.watermark == bounds[0][1]
+        b._apply(b.wave_dataset(log_dir, 0, bounds[1][1]),
+                 0, bounds[1][1], wave_id="wave-loser")
+    monkeypatch.setattr(b.store, "current_manifest", real)
+
+    # winner's committed bytes untouched by the loser's promotion
+    for p, v in a.manifest.partitions.items():
+        got = hashlib.md5(open(a.store.abs(v["path"]), "rb")
+                          .read()).hexdigest()
+        assert got == winner_files[p], f"winner partition {p} clobbered"
+    # loser's scratch reclaimed
+    assert os.listdir(os.path.join(root, "_staged")) == []
+    assert not os.path.exists(os.path.join(root, "_shuffle", "wave-loser"))
+
+    # loser re-reads CURRENT and proceeds normally to the oracle state
     b.replay(log_dir, bounds)
     assert b.lake_table().select(COLS).to_pylist() == \
         oracle_table(final_state(), COLS)
