@@ -37,23 +37,39 @@ def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
                                  columns=["vec_id", "embedding"])
 
 
+_EMPTY_TOPK = pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                         ("score", pa.float64())])
+
+
+def _topk_emit(qids: np.ndarray, Qn: np.ndarray, ids: np.ndarray,
+               Bn: np.ndarray, k: int) -> pa.Table:
+    """Shared batch-local top-k: matmul + argpartition + partial emit."""
+    if len(ids) == 0:
+        return _EMPTY_TOPK.empty_table()
+    S = Bn @ Qn.T                                   # (n, nq)
+    kk = min(k, len(ids))
+    top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq)
+    nq = len(qids)
+    return pa.table({
+        "query_id": pa.array(np.repeat(qids, kk)),
+        "vec_id": pa.array(ids[top.T.reshape(-1)]),
+        "score": pa.array(S[top.T.reshape(-1),
+                            np.repeat(np.arange(nq), kk)]),
+    })
+
+
+def _normalized(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    B = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    return ids, B / np.linalg.norm(B, axis=1, keepdims=True)
+
+
 def _batch_topk_fn(ref, k: int):
     def batch_topk(t: pa.Table) -> pa.Table:
         qids, Qn = ray.get(ref)
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        B = np.vstack(t.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        S = Bn @ Qn.T                                   # (n, nq)
-        kk = min(k, len(ids))
-        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, nq)
-        nq = len(qids)
-        return pa.table({
-            "query_id": pa.array(np.repeat(qids, kk)),
-            "vec_id": pa.array(ids[top.T.reshape(-1)]),
-            "score": pa.array(S[top.T.reshape(-1),
-                                np.repeat(np.arange(nq), kk)]),
-        })
+        ids, Bn = _normalized(t)
+        return _topk_emit(qids, Qn, ids, Bn, k)
     return batch_topk
 
 
@@ -114,27 +130,10 @@ def knn_ivf(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
 
     def batch_topk(t: pa.Table) -> pa.Table:
         qids, Qn, C, probed = ray.get(ref)
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        B = np.vstack(t.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        ids, Bn = _normalized(t)
         cell = np.argmax(Bn @ C.T, axis=1)
         m = np.isin(cell, probed)
-        if not m.any():
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        ids, Bn = ids[m], Bn[m]
-        S = Bn @ Qn.T
-        kk2 = min(kk, len(ids))
-        top = np.argpartition(-S, kk2 - 1, axis=0)[:kk2]
-        nq_ = len(qids)
-        return pa.table({
-            "query_id": pa.array(np.repeat(qids, kk2)),
-            "vec_id": pa.array(ids[top.T.reshape(-1)]),
-            "score": pa.array(S[top.T.reshape(-1),
-                                np.repeat(np.arange(nq_), kk2)]),
-        })
+        return _topk_emit(qids, Qn, ids[m], Bn[m], kk)
 
     partial = _read_embeddings(sf_dir).map_batches(batch_topk,
                                                    batch_format="pyarrow")

@@ -161,18 +161,14 @@ def _bucket_pairs_fn(min_est_pct: int):
 
 def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Same pair can surface from several buckets — keep one, via a tiny
-    groupby on the packed pair key."""
-
-    def pack(t: pa.Table) -> pa.Table:
-        a = t.column("doc_id_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_id_b").to_numpy(zero_copy_only=False)
-        return t.append_column("pk", pa.array(a * np.int64(1 << 31) + b))
+    multi-key groupby (no packed key: int packing collides once ids pass
+    2^31, silently dropping candidate pairs)."""
 
     def first(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1).drop_columns(["pk"])
+        return t.slice(0, 1)
 
-    return (ds.map_batches(pack, batch_format="pyarrow")
-            .groupby("pk").map_groups(first, batch_format="pyarrow"))
+    return (ds.groupby(["doc_id_a", "doc_id_b"])
+            .map_groups(first, batch_format="pyarrow"))
 
 
 def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
@@ -256,9 +252,11 @@ def simhash_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
             ).astype(np.int32) * 2 - 1                      # (m, 64) ±1
     if len(h) == 0:
         return np.zeros(t.num_rows, dtype=np.uint64)
-    # reduceat indices must stay < len(h); zero-word rows are zeroed below
-    sums = np.add.reduceat(bits, np.minimum(starts, len(h) - 1), axis=0)
-    sums[counts == 0] = 0
+    # reduceat only over non-empty rows (an index-clamp would corrupt the
+    # row before a trailing zero-word row), scatter back into place
+    nonempty = counts > 0
+    sums = np.zeros((t.num_rows, 64), dtype=bits.dtype)
+    sums[nonempty] = np.add.reduceat(bits, starts[nonempty], axis=0)
     return ((sums > 0).astype(np.uint64)
             << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
 
@@ -308,17 +306,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     cand = (ds.map_batches(to_bands, batch_format="pyarrow")
             .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
-
-    def pack(t: pa.Table) -> pa.Table:
-        a = t.column("doc_id_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_id_b").to_numpy(zero_copy_only=False)
-        return t.append_column("pk", pa.array(a * np.int64(1 << 31) + b))
-
-    def first(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1).drop_columns(["pk"])
-
-    return (cand.map_batches(pack, batch_format="pyarrow")
-            .groupby("pk").map_groups(first, batch_format="pyarrow"))
+    return _dedupe_pairs(cand)
 
 
 # --------------------------------------------------------------------- #

@@ -51,20 +51,23 @@ def _wave_bounds(max_lsn: int, n_waves: int) -> list[tuple[int, int]]:
 
 def replay_events_engine(sf_dir: str, n_waves: int = 4,
                          num_partitions: int = 16,
-                         derivations: tuple = ()) -> CDCEngine:
-    """events -> changelog parquet -> CDCEngine.replay; returns the engine
-    (lake + manifests + derived-table partials committed)."""
+                         derivations: tuple = (),
+                         emit_changelog: bool = False,
+                         ) -> tuple[CDCEngine, int]:
+    """events -> changelog parquet -> CDCEngine.replay; returns the
+    engine (lake + manifests + derived-table partials committed) and the
+    stream's max lsn."""
     work = _scratch("aqr-events-")
-    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
+    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "cloud")
     os.makedirs(log_dir, exist_ok=True)
     (read_events(sf_dir)
      .map_batches(events_to_changelog, batch_format="pyarrow")
      .write_parquet(log_dir))
     max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
     eng = CDCEngine(lake_dir, num_partitions=num_partitions,
-                    derivations=derivations)
+                    derivations=derivations, emit_changelog=emit_changelog)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
-    return eng
+    return eng, max_lsn
 
 
 def replay_events_lake(sf_dir: str, n_waves: int = 4,
@@ -74,7 +77,7 @@ def replay_events_lake(sf_dir: str, n_waves: int = 4,
                        ) -> pa.Table:
     """Materialized (test-scale) result + scratch cleanup — the driver
     may call this repeatedly and must not leak /tmp lakes."""
-    eng = replay_events_engine(sf_dir, n_waves, num_partitions)
+    eng, _ = replay_events_engine(sf_dir, n_waves, num_partitions)
     out = eng.lake_table().select(list(keep_columns))
     shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
     return out
@@ -90,17 +93,10 @@ def mirror_lake(sf_dir: str, n_waves: int = 4,
     the outbox, return the CHILD's lake — it must equal the same LWW
     oracle as the parent (reference §2.11: every till converges to the
     cloud's state)."""
-    work = _scratch("aqr-mirror-")
-    log_dir = os.path.join(work, "log")
-    os.makedirs(log_dir, exist_ok=True)
-    (read_events(sf_dir)
-     .map_batches(events_to_changelog, batch_format="pyarrow")
-     .write_parquet(log_dir))
-    max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
-    parent = CDCEngine(os.path.join(work, "cloud"),
-                       num_partitions=num_partitions, derivations=(),
-                       emit_changelog=True)
-    parent.replay(log_dir, _wave_bounds(max_lsn, n_waves))
+    parent, max_lsn = replay_events_engine(
+        sf_dir, n_waves, num_partitions, derivations=(),
+        emit_changelog=True)
+    work = os.path.dirname(parent.store.root)
     child = CDCEngine(os.path.join(work, "till"),
                       num_partitions=max(2, num_partitions // 2),
                       derivations=())
@@ -121,7 +117,7 @@ def derived_source_stats(sf_dir: str, n_waves: int = 4,
 
     der = (Derivation("source_stats", key="source",
                       aggs=(("*", "count"), ("last_lsn", "max"))),)
-    eng = replay_events_engine(sf_dir, n_waves, num_partitions,
+    eng, _ = replay_events_engine(sf_dir, n_waves, num_partitions,
                                derivations=der)
     out = eng.derived_table("source_stats")
     out = out.set_column(out.schema.get_field_index("n_rows"), "n_rows",

@@ -175,18 +175,26 @@ def global_latest_offset(sf_dir: str) -> pa.Table:
     return pa.table({"global_latest_offset": pa.array([int(v)], pa.int64())})
 
 
+def _maybe_int(v) -> int | None:
+    """Ray's max() yields None on an empty dataset — keep it as SQL NULL
+    (matching `SELECT max(...)` over zero rows) instead of crashing."""
+    return None if v is None else int(v)
+
+
 def max_offset_for_types(sf_dir: str,
                          types: tuple[str, ...] = ("click", "view")) -> pa.Table:
     """A2 — max offset over a type subscription (SQLiteQueries.java:114-124)."""
     ds = read_events(sf_dir, columns=["event_id", "event_type"],
                      filter=pads.field("event_type").isin(list(types)))
-    v = ds.max("event_id")
-    return pa.table({"max_offset_for_types": pa.array([int(v)], pa.int64())})
+    v = _maybe_int(ds.max("event_id"))
+    return pa.table({"max_offset_for_types": pa.array([v], pa.int64())})
 
 
 def max_offset_before_hour(sf_dir: str) -> pa.Table:
-    """A3 — max offset at-or-before the last top-of-hour boundary
-    (SQLiteQueries.java:66-67). Boundary = date_trunc('hour', max(ts))."""
+    """A3 — max offset strictly before the last top-of-hour boundary,
+    boundary = date_trunc('hour', max(ts)) (reference: boundary-bounded
+    max, SQLiteQueries.java:66-67; we use strict < on both the Ray and
+    the SQL side). NULL when no event precedes the boundary."""
     import datetime as dt
 
     max_ts = read_events(sf_dir, columns=["ts"]).max("ts")
@@ -195,8 +203,8 @@ def max_offset_before_hour(sf_dir: str) -> pa.Table:
     boundary = max_ts.replace(minute=0, second=0, microsecond=0)
     ds = read_events(sf_dir, columns=["event_id", "ts"],
                      filter=pads.field("ts") < boundary)
-    v = ds.max("event_id")
-    return pa.table({"max_offset_before_hour": pa.array([int(v)], pa.int64())})
+    v = _maybe_int(ds.max("event_id"))
+    return pa.table({"max_offset_before_hour": pa.array([v], pa.int64())})
 
 
 # --------------------------------------------------------------------- #
