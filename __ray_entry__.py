@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from aqueduct_core_ray.functions import ann, dedup, multimodal, text
     from aqueduct_core_ray.pipelines import events_replay as er
     from aqueduct_core_ray.pipelines import log_queries as lq
+    from aqueduct_core_ray.pipelines import temporal as tp
 
     def source_stats(sf_dir: str):
         import pyarrow as pa
@@ -72,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routing_semijoin": partial(lq.routing_semijoin),
         "source_stats": source_stats,
         "derived_source_stats": partial(er.derived_source_stats),
+        "tumbling_window": partial(tp.tumbling_window_counts),
+        "asof_join_prior": partial(tp.asof_join_prior),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "quality_score": partial(text.quality_score),
@@ -170,6 +173,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    max(last_lsn) AS max_last_lsn
             FROM lww WHERE op = 0 GROUP BY source""",
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2""",
+        "asof_join_prior": """
+            SELECT p.event_id, p.user_id, max(c.event_id) AS last_prior
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.event_id < p.event_id
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id""",
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
             FROM documents""",

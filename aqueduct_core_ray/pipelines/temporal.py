@@ -1,0 +1,101 @@
+"""Temporal operators Ray Data lacks natively (task mandate: windowed
+aggregate, as-of join), composed from map_batches + multi-key groupby —
+no raw Ray tasks needed.
+
+Partitioning assumptions (documented per the task's custom-operator
+rule):
+
+- ``tumbling_window``: windows are computed row-locally (a timestamp
+  truncation), so the only exchange is the final (window, type) groupby
+  — pre-aggregated per block first (combiner), so the shuffle moves at
+  most #blocks × #distinct-(window,type) tiny rows, never events.
+- ``asof_join_prior``: correctness requires co-locating each key's full
+  history — one hash shuffle on the join key, then a per-group sorted
+  ``searchsorted`` (vectorized; no global sort). Skewed keys are
+  bounded by per-user history length, not stream length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .log_queries import read_events
+
+
+def tumbling_window_counts(sf_dir: str, unit: str = "hour"
+                           ) -> ray.data.Dataset:
+    """Tumbling-window aggregate: events per (window, type) with the sum
+    of `value` — the streaming-window staple. Window = date_trunc(unit).
+    """
+
+    def prebucket(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column("ts"), unit=unit)
+        # integer cents: float sums are association-dependent and would
+        # hash-mismatch a SQL oracle; floor(v*100 + 0.5) is deterministic
+        # and identical in numpy and DuckDB
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        g = pa.table({
+            "window_start": w,
+            "event_type": t.column("event_type"),
+            "cents": pa.array(cents),
+        })
+        # per-block combiner: partial counts/sums before the shuffle
+        agg = g.group_by(["window_start", "event_type"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return agg.rename_columns(
+            ["window_start", "event_type", "n_rows", "sum_cents"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t.column("window_start").slice(0, 1),
+            "event_type": t.column("event_type").slice(0, 1),
+            "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py()],
+                               pa.int64()),
+            "sum_cents": pa.array([pc.sum(t.column("sum_cents")).as_py()],
+                                  pa.int64()),
+        })
+
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
+    partial = ds.map_batches(prebucket, batch_format="pyarrow",
+                             batch_size=None)
+    return (partial.groupby(["window_start", "event_type"])
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
+                    build_type: str = "click") -> ray.data.Dataset:
+    """As-of join: for every ``probe_type`` event, the most recent PRIOR
+    ``build_type`` event of the same user (strictly earlier event_id),
+    NULL when none exists. LEFT-join semantics."""
+
+    def narrow(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([probe_type, build_type]))
+        return t.select(["event_id", "user_id", "event_type"]).filter(keep)
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, types = ids[order], types[order]
+        probes = ids[types == probe_type]
+        builds = ids[types == build_type]
+        # index of the last build strictly before each probe
+        pos = np.searchsorted(builds, probes, side="left") - 1
+        last = np.where(pos >= 0, builds[np.maximum(pos, 0)], -1)
+        uid = t.column("user_id")[0].as_py()
+        return pa.table({
+            "event_id": pa.array(probes),
+            "user_id": pa.array(np.full(len(probes), uid, np.int64)),
+            "last_prior": pa.array(
+                [None if v < 0 else int(v) for v in last], pa.int64()),
+        })
+
+    ds = read_events(sf_dir).map_batches(narrow, batch_format="pyarrow")
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")

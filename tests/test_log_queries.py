@@ -44,6 +44,7 @@ def canon(df: pd.DataFrame) -> list:
     "routing_semijoin", "source_stats", "derived_source_stats",
     "token_count", "quality_score",
     "fingerprint", "dedup_exact", "knn_bruteforce",
+    "tumbling_window", "asof_join_prior",
 ])
 def test_query_matches_oracle(name, con, entry):
     import pyarrow as pa
