@@ -34,7 +34,9 @@ def canon(df: pd.DataFrame) -> list:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).values.tolist()
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    # NaN != NaN under list equality; normalize nulls to None
+    return df.astype(object).where(pd.notna(df), None).values.tolist()
 
 
 @pytest.mark.parametrize("name", [
