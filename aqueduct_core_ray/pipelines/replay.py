@@ -22,6 +22,7 @@ streaming through the object store with backpressure.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Iterable
 
@@ -35,7 +36,6 @@ import ray.data
 from ..schema import CHANGE_EVENT, evolve_schema
 from ..stages.compact import LWW, ConflictPolicy
 from ..stages.merge_apply import (
-    STATS_SCHEMA,
     make_delta_splitter,
     make_wave_merger,
     merge_partition_files,
@@ -44,9 +44,6 @@ from ..stages.merge_apply import (
 )
 from ..state.manifest import LakeStore, Manifest, schema_to_b64
 from .dag import DEFAULT_DAG, Derivation, topo_check
-
-DEFAULT_LAKE_SCHEMA_B64 = None  # computed lazily from CHANGE_EVENT
-
 
 def default_lake_schema() -> pa.Schema:
     pay = payload_schema(CHANGE_EVENT)
@@ -79,6 +76,7 @@ class CDCEngine:
         self.merge_strategy = merge_strategy
         self.conflict = conflict if conflict is not None else LWW
         self.emit_changelog = emit_changelog
+        self._cached_manifest: Manifest | None = None
         # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes),
         # from parquet footer stats; files are immutable once published
         # (write-then-rename contract) so entries never invalidate
@@ -87,7 +85,12 @@ class CDCEngine:
     # ------------------------------------------------------------------ #
     @property
     def manifest(self) -> Manifest | None:
-        return self.store.current_manifest()
+        """CURRENT's manifest, cached in-process (we are the single
+        committer by deployment contract; the cache is invalidated when
+        a commit is rejected, so a losing racer re-reads the truth)."""
+        if self._cached_manifest is None:
+            self._cached_manifest = self.store.current_manifest()
+        return self._cached_manifest
 
     @property
     def watermark(self) -> int:
@@ -225,10 +228,23 @@ class CDCEngine:
             stats = self._exchange_merge(prepped, wave_id, parts_map,
                                          lake_schema)
         else:
+            src = prepped
+            if self.salt > 0:
+                # salted pre-aggregation: a hot partition's cross-block
+                # traffic is combined in `salt` parallel sub-groups
+                # before the single per-partition merge task sees it
+                from ..stages.compact import compact_lww as _compact
+                pol = self.conflict
+
+                def salt_combine(g: pa.Table) -> pa.Table:
+                    return _compact(g, policy=pol)
+
+                src = src.groupby(["part", "salt"]).map_groups(
+                    salt_combine, batch_format="pyarrow")
             merger = make_wave_merger(self.store.root, wave_id, parts_map,
                                       schema_to_b64(lake_schema),
                                       self.derivations, self.conflict)
-            stats = (prepped.groupby("part")
+            stats = (src.groupby("part")
                      .map_groups(merger, batch_format="pyarrow")
                      .take_all())                  # ≤ P tiny rows
 
@@ -269,16 +285,26 @@ class CDCEngine:
         except RuntimeError:
             # lost the single-flight race: this wave is abandoned (the
             # winner advanced CURRENT, so it will never be retried under
-            # this wave_id) — reclaim its scratch before re-raising.
-            # Promoted part files are wave-unique orphans; vacuum()
-            # collects them once their generation falls out of the keep
-            # window. A plain crash (no exception path) leaves staged
-            # files for the resumed identical re-run, as before.
+            # this wave_id) — reclaim its scratch AND its pre-published
+            # outbox segments before re-raising. Promoted part files are
+            # wave-unique orphans; vacuum() collects them once their
+            # generation falls out of the keep window. A plain crash (no
+            # exception path) leaves staged files for the resumed
+            # identical re-run, as before.
+            self._cached_manifest = None       # CURRENT moved under us
             self.store.drop_staged(wave_id)
             _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
+            if self.emit_changelog:
+                import glob as _glob
+                for seg in _glob.glob(os.path.join(
+                        self.outbox_dir, f"{wave_id}-p*.parquet")):
+                    os.remove(seg)
             raise
+        self._cached_manifest = man
         self.store.drop_staged(wave_id)
         _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
+        if self.emit_changelog:
+            self._publish_outbox_watermark()
         self.store.append_metrics({
             "wave_id": wave_id, "generation": gen, "lo": lo, "hi": hi,
             "parts_touched": len(stats), "events_applied": n_events,
@@ -299,6 +325,20 @@ class CDCEngine:
         to its children, SURVEY.md §2.11) as chained lakes."""
         import os
         return os.path.join(self.store.root, "outbox")
+
+    def _publish_outbox_watermark(self) -> None:
+        """Advance outbox/_WATERMARK to the committed watermark. Written
+        ONLY after a successful commit: children gate their reads on it,
+        so a segment that appears later (slow merge task, abandoned
+        racing wave) can never be skipped-over — without the marker, a
+        child discovering one early segment's max lsn would advance past
+        events still being published (found in review). Also called on
+        replay()/tail() entry to heal a crash between commit and marker
+        write."""
+        os.makedirs(self.outbox_dir, exist_ok=True)
+        self.store._atomic_write(
+            os.path.join(self.outbox_dir, "_WATERMARK"),
+            str(self.watermark))
 
     def prune_outbox(self, below_lsn: int,
                      min_child_hwm: int | None = None) -> int:
@@ -393,11 +433,18 @@ class CDCEngine:
         return out
 
     def discover_watermark(self, log_path: str) -> int:
-        """Published watermark = max lsn across the log's segments.
-        Reference analog: the Global-Latest-Offset header / cached
-        `global_latest_offset` (GlobalLatestOffsetCache.java:14-37)."""
-        import os
-
+        """Published watermark. A `_WATERMARK` marker (written by an
+        emitting parent strictly AFTER its commit) is authoritative when
+        present — it gates readers so per-partition segments published
+        out of order can never be skipped past. Plain logs without a
+        marker fall back to footer-stats max, which is safe there by the
+        publisher's ordering contract (Writer.java:5-9: offsets arrive
+        monotonically). Reference analog: the Global-Latest-Offset
+        header (GlobalLatestOffsetCache.java:14-37)."""
+        marker = os.path.join(log_path, "_WATERMARK")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return int(f.read().strip())
         idx = self._segment_index(log_path)
         wm = -1
         for fn, (_, mx, _) in idx.items():
@@ -418,6 +465,8 @@ class CDCEngine:
         consecutive polls with no new data. A killed tail resumes exactly
         like replay() — the manifest watermark is the only cursor."""
         out: list[dict[str, Any]] = []
+        if self.emit_changelog:
+            self._publish_outbox_watermark()   # heal crash-before-marker
         idle = 0
         while idle < max_idle_polls:
             wm = self.discover_watermark(log_path)
@@ -436,6 +485,8 @@ class CDCEngine:
                wave_bounds: Iterable[tuple[int, int]]) -> list[dict[str, Any]]:
         """Apply every wave whose watermark is beyond CURRENT's — i.e.
         resume-from-checkpoint is the same code path as a fresh run."""
+        if self.emit_changelog:
+            self._publish_outbox_watermark()   # heal crash-before-marker
         out = []
         for lo, hi in wave_bounds:
             out.append(self.apply_wave(log_path, hi=hi, lo=max(lo, self.watermark)))

@@ -130,14 +130,19 @@ def merge_partition(old: pa.Table, delta: pa.Table,
     both = pa.concat_tables([reconcile_batch(old_ev, union),
                              reconcile_batch(delta, union)])
     win = compact_lww(both, "doc_id", policy=policy)
-    ups, _dels = split_tombstones(win)
+    ups, dels = split_tombstones(win)
     n_applied = int(pc.sum(ups.column(flag)).as_py() or 0)
-    n_kept_old = ups.num_rows - n_applied
-    n_removed = n_old - n_kept_old
+    # n_deleted counts only TOMBSTONED existing docs — an update is one
+    # applied event, not an apply + a delete (metric double-count found
+    # in review)
+    n_deleted = int(pc.sum(pc.is_in(
+        old.column("doc_id"),
+        value_set=dels.column("doc_id").combine_chunks())).as_py() or 0) \
+        if dels.num_rows else 0
     new_rows = delta_to_lake_rows(ups.drop_columns([flag]), lake_schema,
                                   policy)
     merged = new_rows.sort_by("doc_id")
-    return merged, n_applied, n_removed
+    return merged, n_applied, n_deleted
 
 
 def make_delta_splitter(
@@ -164,38 +169,26 @@ def make_delta_splitter(
     def split(batch: pa.Table) -> pa.Table:
         import uuid
 
-        from ..partitioning import add_partition
-
         if "part" not in batch.column_names:
-            # fused path: partitioning + LWW pre-compaction in ONE
-            # composite sort (part, doc_id, lsn desc) + neighbor dedup
-            batch = add_partition(batch, num_partitions).combine_chunks()
-            idx = pc.sort_indices(batch, sort_keys=[
-                ("part", "ascending"), ("doc_id", "ascending"),
-                ("lsn", "descending")])
-            t = batch.take(idx).combine_chunks()
-            n = t.num_rows
-            if n > 1:
-                ids = t.column("doc_id").combine_chunks()
-                neq = pc.not_equal(ids.slice(1, n - 1), ids.slice(0, n - 1))
-                keep = np.ones(n, dtype=bool)
-                keep[1:] = neq.to_numpy(zero_copy_only=False)
-                if not keep.all():
-                    t = t.filter(pa.array(keep)).combine_chunks()
+            # Partitioning/pre-compaction policy lives in prep_wave_batch;
+            # a splitter-side fallback would have to duplicate the
+            # ConflictPolicy semantics (an earlier LWW-hardcoded fallback
+            # silently kept the wrong winner under non-default policies)
+            raise ValueError("splitter input must be prepped "
+                             "(prep_wave_batch adds 'part' and applies "
+                             "the conflict policy)")
+        # prep's composite sort leaves blocks grouped by part; re-sort
+        # only if that grouping was lost (defensive — one scan to check)
+        parts_np = batch.column("part").to_numpy(zero_copy_only=False)
+        if len(parts_np) > 1 and (np.diff(parts_np) < 0).any():
+            sorted_batch = batch.take(
+                pa.array(np.argsort(parts_np, kind="stable"))
+            ).combine_chunks()
         else:
-            # pre-compacted input (prep_wave_batch ran upstream, already
-            # grouped by part via its composite sort): sort only if the
-            # grouping was lost (defensive — costs one scan to check)
-            parts_np = batch.column("part").to_numpy(zero_copy_only=False)
-            if len(parts_np) > 1 and (np.diff(parts_np) < 0).any():
-                order = np.argsort(parts_np, kind="stable")
-                t = batch.take(pa.array(order)).combine_chunks()
-            else:
-                t = batch.combine_chunks()
-        parts = t.column("part").to_numpy(zero_copy_only=False)
+            sorted_batch = batch.combine_chunks()
+        parts = sorted_batch.column("part").to_numpy(zero_copy_only=False)
         uniq, starts = np.unique(parts, return_index=True)
         bounds = np.append(starts, len(parts))
-        sorted_batch = t
         tag = uuid.uuid4().hex
         os.makedirs(shuffle_dir, exist_ok=True)
         # ONE indexed IPC file per block (not one file per partition):
@@ -296,9 +289,28 @@ def merge_partition_files(
         pq.write_table(delta.drop_columns(drop) if drop else delta,
                        seg + ".tmp", compression="zstd")
         os.replace(seg + ".tmp", seg)
+    return _merge_and_stage(pid, delta, lake_root, wave_id, old_rel_path,
+                            lake_schema, derivations, policy)
+
+
+def _jsafe(o):
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    raise TypeError(type(o))
+
+
+def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
+                     wave_id: str, old_rel_path: str | None,
+                     lake_schema: pa.Schema,
+                     derivations: tuple[Any, ...],
+                     policy: ConflictPolicy) -> dict[str, Any]:
+    """Shared tail of both merge strategies: apply the compacted delta to
+    the committed partition, stage the result, compute partials/stats."""
     old = (pq.read_table(os.path.join(lake_root, old_rel_path))
            if old_rel_path else lake_schema.empty_table())
-    merged, n_applied, n_removed = merge_partition(old, delta, lake_schema,
+    merged, n_applied, n_deleted = merge_partition(old, delta, lake_schema,
                                                    policy)
     hwm = int(pc.max(delta.column("lsn")).as_py())
 
@@ -311,21 +323,13 @@ def merge_partition_files(
         d.name: d.partial_records(merged)
         for d in derivations if d.upstream == "lake"
     }
-
-    def _jsafe(o):
-        if isinstance(o, np.integer):
-            return int(o)
-        if isinstance(o, np.floating):
-            return float(o)
-        raise TypeError(type(o))
-
     return {
         "pid": pid,
         "rows": merged.num_rows,
         "bytes": os.path.getsize(path),
         "hwm": hwm,
         "n_applied": n_applied,
-        "n_deleted": n_removed,
+        "n_deleted": n_deleted,
         "partials_json": json.dumps(partials, default=_jsafe),
     }
 
@@ -350,41 +354,10 @@ def make_wave_merger(
         pid = int(delta.column("part")[0].as_py())
         # final compaction: merges per-batch partials (and salt sub-groups)
         delta = compact_lww(delta, policy=policy)
-        rel = parts_map.get(str(pid))
-        old = (pq.read_table(os.path.join(lake_root, rel))
-               if rel else lake_schema.empty_table())
-        merged, n_applied, n_removed = merge_partition(old, delta,
-                                                       lake_schema, policy)
-        hwm = int(pc.max(delta.column("lsn")).as_py())
-
-        staged_dir = os.path.join(lake_root, "_staged", wave_id)
-        os.makedirs(staged_dir, exist_ok=True)
-        path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
-        pq.write_table(merged, path, compression="zstd")
-
-        partials = {
-            d.name: d.partial_records(merged)
-            for d in derivations if d.upstream == "lake"
-        }
-
-        def _jsafe(o):
-            if isinstance(o, np.integer):
-                return int(o)
-            if isinstance(o, np.floating):
-                return float(o)
-            raise TypeError(type(o))
-
-        return pa.Table.from_pydict(
-            {
-                "pid": [pid],
-                "rows": [merged.num_rows],
-                "bytes": [os.path.getsize(path)],
-                "hwm": [hwm],
-                "n_applied": [n_applied],
-                "n_deleted": [n_removed],
-                "partials_json": [json.dumps(partials, default=_jsafe)],
-            },
-            schema=STATS_SCHEMA,
-        )
+        stats = _merge_and_stage(pid, delta, lake_root, wave_id,
+                                 parts_map.get(str(pid)), lake_schema,
+                                 derivations, policy)
+        return pa.Table.from_pydict({k: [v] for k, v in stats.items()},
+                                    schema=STATS_SCHEMA)
 
     return merge_group

@@ -123,6 +123,21 @@ class LakeStore:
         with open(os.path.join(self.manifests_dir, name)) as f:
             return Manifest.from_json(f.read())
 
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        """Persist a directory's entries (the rename itself) — without
+        this, a power loss can leave CURRENT naming a manifest whose
+        directory entry never hit disk (found in review). Best-effort on
+        filesystems that reject directory fsync."""
+        try:
+            fd = os.open(path, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+
     def _atomic_write(self, path: str, data: str) -> None:
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -130,6 +145,7 @@ class LakeStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        self._fsync_dir(os.path.dirname(path))
 
     def commit(self, manifest: Manifest) -> None:
         """Step 3: publish the manifest, then repoint CURRENT (both atomic).
@@ -161,6 +177,7 @@ class LakeStore:
         idempotent."""
         dst = self.part_path(pid, generation, wave_id)
         os.replace(self.staged_path(wave_id, pid), dst)
+        self._fsync_dir(os.path.dirname(dst))
         return dst
 
     def drop_staged(self, wave_id: str) -> None:
@@ -169,26 +186,33 @@ class LakeStore:
 
     # -- maintenance ------------------------------------------------------
     def vacuum(self, keep_generations: int = 1) -> int:
-        """Delete part files older than the newest `keep_generations`
-        referenced by CURRENT. Returns files removed. Reference analog:
-        TTL-based cloud compaction + VACUUM (PostgresqlStorage.java:365-436,
-        490-497)."""
+        """Delete part files not referenced by any of the newest
+        `keep_generations` manifests (time-travel retention: those
+        manifests stay fully readable — untouched partitions carry old
+        files forward, so the live set must be the UNION over the keep
+        window, not just CURRENT's paths; found in review). Returns
+        files removed. Reference analog: TTL-based cloud compaction +
+        VACUUM (PostgresqlStorage.java:365-436, 490-497)."""
         cur = self.current_manifest()
         if cur is None:
             return 0
-        live = {os.path.normpath(self.abs(p["path"]))
-                for p in cur.partitions.values()}
-        removed = 0
         floor_gen = max(0, cur.generation - keep_generations + 1)
+        live: set[str] = set()
+        for gen in range(floor_gen, cur.generation + 1):
+            mp = os.path.join(self.manifests_dir,
+                              f"manifest-{gen:06d}.json")
+            if not os.path.exists(mp):
+                continue
+            with open(mp) as f:
+                m = Manifest.from_json(f.read())
+            live |= {os.path.normpath(self.abs(p["path"]))
+                     for p in m.partitions.values()}
+        removed = 0
         for pdir in os.listdir(self.parts_dir):
             full = os.path.join(self.parts_dir, pdir)
             for fn in os.listdir(full):
                 fp = os.path.normpath(os.path.join(full, fn))
-                # name is g<gen>[-<wave_id>].parquet
-                end = min((i for i in (fn.find("-"), fn.find("."))
-                           if i >= 0), default=len(fn))
-                gen = int(fn[1:end])
-                if fp not in live and gen < floor_gen:
+                if fp not in live:
                     os.remove(fp)
                     removed += 1
         return removed

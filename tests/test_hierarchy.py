@@ -108,3 +108,34 @@ def test_source_filtered_child(inputs, tmp_path):
                max_idle_polls=1)
     want = [r for r in oracle() if r["source"] in ("web", "code")]
     assert child.lake_table().select(COLS).to_pylist() == want
+
+
+def test_outbox_watermark_gates_children(inputs, tmp_path):
+    """The _WATERMARK marker (written only after commit) is authoritative
+    for outbox readers: a child must never advance past it even if
+    segments with higher lsns are already visible — protection against
+    the per-partition publish race."""
+    import os
+
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+    marker = os.path.join(parent.outbox_dir, "_WATERMARK")
+    assert int(open(marker).read()) == SPEC.n_events
+
+    # simulate mid-publication: segments visible, marker still at wave 1
+    with open(marker, "w") as f:
+        f.write(str(SPEC.wave_bounds[0][1]))
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=5_000, poll_interval_s=0.05,
+               max_idle_polls=1)
+    assert child.watermark == SPEC.wave_bounds[0][1]   # gated, not footer max
+
+    # publication completes (marker advances): child catches up losslessly
+    with open(marker, "w") as f:
+        f.write(str(SPEC.n_events))
+    child.tail(parent.outbox_dir, wave_size=5_000, poll_interval_s=0.05,
+               max_idle_polls=1)
+    assert child.lake_table().select(COLS).to_pylist() == oracle()

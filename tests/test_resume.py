@@ -179,19 +179,12 @@ def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path,
                                    .read()).hexdigest()
                     for p, v in a.manifest.partitions.items()}
 
-    # b entered _apply before a's commit: serve it the stale CURRENT once
-    real = b.store.current_manifest
-    served = {"n": 0}
-
-    def stale_once():
-        served["n"] += 1
-        return stale_manifest if served["n"] == 1 else real()
-
-    monkeypatch.setattr(b.store, "current_manifest", stale_once)
+    # b entered _apply before a's commit: its in-process cache still
+    # holds the stale CURRENT, while commit() re-reads the real one
+    b._cached_manifest = stale_manifest
     with pytest.raises(RuntimeError, match="stale commit"):
         b._apply(b.wave_dataset(log_dir, 0, bounds[1][1]),
                  0, bounds[1][1], wave_id="wave-loser")
-    monkeypatch.setattr(b.store, "current_manifest", real)
 
     # winner's committed bytes untouched by the loser's promotion
     for p, v in a.manifest.partitions.items():
@@ -206,3 +199,26 @@ def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path,
     b.replay(log_dir, bounds)
     assert b.lake_table().select(COLS).to_pylist() == \
         oracle_table(final_state(), COLS)
+
+
+def test_vacuum_keeps_time_travel_window(log_dir, seed_path, tmp_path):
+    """vacuum(keep_generations=K) must leave every manifest in the keep
+    window fully readable — including files an untouched partition
+    carries forward from older generations."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    root = str(tmp_path / "lake")
+    eng = run_to_end(root, log_dir, seed_path)
+    cur = eng.manifest
+    eng.store.vacuum(keep_generations=2)
+    for gen in (cur.generation - 1, cur.generation):
+        with open(os.path.join(root, "manifests",
+                               f"manifest-{gen:06d}.json")) as f:
+            man = json.load(f)
+        for p in man["partitions"].values():
+            assert os.path.exists(os.path.join(root, p["path"])), \
+                f"gen {gen} references vacuumed file {p['path']}"
+            pq_.read_metadata(os.path.join(root, p["path"]))
