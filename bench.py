@@ -191,7 +191,7 @@ def main() -> None:
     _init_ray(args.cpus)
     if not args.skip_gen:
         ensure_input()
-    rep = run_replay()
+    rep = run_replay(trials=3 if args.replay_only else 2)
     if args.replay_only:
         print(json.dumps({"num_cpus": args.cpus, **rep}))
         import ray
