@@ -94,7 +94,9 @@ def cmd_verify(args) -> int:
         if rows != p["rows"]:
             bad.append({"pid": pid, "manifest_rows": p["rows"],
                         "file_rows": rows})
-    csum = eng.consistency_sum()
+    # the checksum itself reads every partition — only meaningful (and
+    # safe) when the file inventory already checks out
+    csum = eng.consistency_sum() if not bad else None
     print(json.dumps({
         "ok": not bad, "generation": man.generation,
         "watermark": man.watermark, "partitions": len(man.partitions),

@@ -1,0 +1,88 @@
+"""CLI surface: replay (resume), tail, verify, retention, wipe — driven
+in-process (Ray session provided by the test fixture)."""
+
+import json
+
+import pytest
+
+from aqueduct_core_ray.cli import main
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    write_changelog,
+    write_seed_lake,
+)
+
+SPEC = ChangelogSpec(n_docs=150, n_events=1_200, seed=9, chunk_size=400,
+                     n_waves=2)
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("s") / "seed.parquet"))
+    return log, seed
+
+
+def run(argv, capsys):
+    rc = main(argv)
+    out = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    return rc, out
+
+
+def test_replay_verify_wipe_roundtrip(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+
+    rc, out = run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+                   "--partitions", "6", "--waves", "2"], capsys)
+    assert rc == 0
+    assert out[0]["bootstrap"]["wave_id"] == "bootstrap"
+    assert out[-1]["watermark"] == SPEC.n_events
+
+    # re-running the same command IS resume: all waves skip
+    rc, out = run(["replay", "--log", log, "--lake", lake,
+                   "--partitions", "6", "--waves", "2"], capsys)
+    assert rc == 0
+    assert all(w.get("skipped") for w in out)
+
+    rc, out = run(["verify", "--lake", lake], capsys)
+    assert rc == 0 and out[0]["ok"] and out[0]["mismatches"] == []
+    assert out[0]["watermark"] == SPEC.n_events
+
+    rc, out = run(["bootstrap-wipe", "--lake", lake], capsys)
+    assert rc == 0 and out[0]["ok"]
+    rc, out = run(["verify", "--lake", lake], capsys)
+    assert rc == 1
+
+
+def test_verify_detects_corruption(inputs, tmp_path, capsys):
+    import os
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "1"], capsys)
+    # corrupt: delete a partition file the CURRENT manifest references
+    with open(os.path.join(lake, "CURRENT")) as f:
+        name = f.read().strip()
+    with open(os.path.join(lake, "manifests", name)) as f:
+        man = json.load(f)
+    victim = os.path.join(lake, next(iter(man["partitions"].values()))["path"])
+    os.remove(victim)
+    rc, out = run(["verify", "--lake", lake], capsys)
+    assert rc == 1 and out[0]["mismatches"]
+
+
+def test_retention_cli(inputs, tmp_path, capsys):
+    import pyarrow.parquet as pq
+    log, _ = inputs
+    out_dir = str(tmp_path / "compacted")
+    rc, out = run(["retention", "--log", log, "--out", out_dir,
+                   "--compact-ts-us", str(7_000_000_000_000_000),
+                   "--partitions", "4"], capsys)
+    assert rc == 0
+    import glob
+    rows = sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(out_dir + "/*.parquet"))
+    assert 0 < rows < SPEC.n_events          # compaction removed dups
