@@ -77,10 +77,12 @@ class CDCEngine:
         self.conflict = conflict if conflict is not None else LWW
         self.emit_changelog = emit_changelog
         self._cached_manifest: Manifest | None = None
-        # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes),
-        # from parquet footer stats; files are immutable once published
-        # (write-then-rename contract) so entries never invalidate
-        self._seg_cache: dict[tuple[str, str], tuple[int, int, int]] = {}
+        # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes,
+        # schema), from parquet footers; files are immutable once
+        # published (write-then-rename contract) so entries never
+        # invalidate
+        self._seg_cache: dict[tuple[str, str],
+                              tuple[int, int, int, pa.Schema]] = {}
 
     # ------------------------------------------------------------------ #
     @property
@@ -145,14 +147,24 @@ class CDCEngine:
 
         idx = self._segment_index(log_path)
         files = [os.path.join(log_path, fn)
-                 for fn, (mn, mx, _) in idx.items() if mx > lo and mn <= hi]
+                 for fn, (mn, mx, _, _) in idx.items()
+                 if mx > lo and mn <= hi]
         if not files:
             # empty wave: an empty dataset with the log's schema if any
             any_file = next(iter(idx), None)
-            schema = (pq.read_schema(os.path.join(log_path, any_file))
-                      if any_file else CHANGE_EVENT)
+            schema = idx[any_file][3] if any_file else CHANGE_EVENT
+            self._last_wave_schema = None
             return ray.data.from_arrow(schema.empty_table())
         wave_bytes = sum(idx[os.path.basename(f)][2] for f in files)
+        # the wave's event schema is the UNION over its segments —
+        # ds.schema() samples one fragment and would miss a column that
+        # first appears mid-wave, silently dropping it from the evolved
+        # lake schema (found via the chain schema-evolution test)
+        union = None
+        for f in files:
+            sch = idx[os.path.basename(f)][3]
+            union = sch if union is None else evolve_schema(union, sch)
+        self._last_wave_schema = union
         flt = (pads.field("lsn") > lo) & (pads.field("lsn") <= hi)
         if self.sources:
             flt = flt & pads.field("source").isin(list(self.sources))
@@ -185,23 +197,29 @@ class CDCEngine:
         lo = self.watermark if lo is None else lo
         if hi <= self.watermark:
             return {"skipped": True, "watermark": self.watermark}
-        return self._apply(self.wave_dataset(log_path, lo, hi), lo, hi,
-                           wave_id=f"wave-{hi:012d}")
+        ds = self.wave_dataset(log_path, lo, hi)
+        return self._apply(ds, lo, hi, wave_id=f"wave-{hi:012d}",
+                           incoming_schema=self._last_wave_schema)
 
     # ------------------------------------------------------------------ #
     def _apply(self, ds: ray.data.Dataset, lo: int, hi: int,
-               wave_id: str) -> dict[str, Any]:
+               wave_id: str,
+               incoming_schema: pa.Schema | None = None) -> dict[str, Any]:
         t0 = time.perf_counter()
         cur = self.manifest
         gen = cur.generation + 1 if cur else 0
 
         # schema evolution: reconcile lake schema with the wave's payload
-        ds_schema = ds.schema()
+        # (incoming_schema = union over the wave's segments when the
+        # caller computed one; ds.schema() samples a single fragment)
+        if incoming_schema is None:
+            ds_schema = ds.schema()
         base = cur.schema if cur else default_lake_schema()
-        if ds_schema is None:            # empty wave: keep current schema
-            lake_schema = base
+        if incoming_schema is None and ds_schema is None:
+            lake_schema = base           # empty wave: keep current schema
         else:
-            incoming = pa.schema(ds_schema.base_schema)
+            incoming = (incoming_schema if incoming_schema is not None
+                        else pa.schema(ds_schema.base_schema))
             incoming_pay = payload_schema(incoming)
             extra = [pa.field("last_lsn", pa.int64())]
             lof = self.conflict.lake_order_field
@@ -355,7 +373,7 @@ class CDCEngine:
         if not os.path.isdir(ob):
             return 0
         removed = 0
-        for fn, (_, mx, _) in list(self._segment_index(ob).items()):
+        for fn, (_, mx, _, _) in list(self._segment_index(ob).items()):
             if mx < below_lsn:
                 os.remove(os.path.join(ob, fn))
                 self._seg_cache.pop((ob, fn), None)
@@ -403,15 +421,17 @@ class CDCEngine:
         return _ray.get(refs)
 
     # ------------------------------------------------------------------ #
-    def _segment_index(self, log_path: str) -> dict[str, tuple[int, int, int]]:
-        """Per-file (min_lsn, max_lsn, bytes) from parquet footer stats —
-        the log's segment index (Kafka-segment-style). Cached forever:
-        published segments are immutable (write-then-rename contract).
-        Cost: one footer read per NEW file, driver-side, no data read.
-        Files without lsn statistics get (−inf, +inf) — always scanned."""
+    def _segment_index(self, log_path: str
+                       ) -> dict[str, tuple[int, int, int, pa.Schema]]:
+        """Per-file (min_lsn, max_lsn, bytes, schema) from parquet
+        footers — the log's segment index (Kafka-segment-style). Cached
+        forever: published segments are immutable (write-then-rename
+        contract). Cost: one footer read per NEW file, driver-side, no
+        data read. Files without lsn statistics get (−inf, +inf) —
+        always scanned."""
         import os
 
-        out: dict[str, tuple[int, int, int]] = {}
+        out: dict[str, tuple[int, int, int, pa.Schema]] = {}
         for fn in sorted(os.listdir(log_path)):
             if not fn.endswith(".parquet"):
                 continue
@@ -419,7 +439,8 @@ class CDCEngine:
             if key not in self._seg_cache:
                 full = os.path.join(log_path, fn)
                 md = pq.read_metadata(full)
-                idx = md.schema.to_arrow_schema().get_field_index("lsn")
+                arrow_schema = md.schema.to_arrow_schema()
+                idx = arrow_schema.get_field_index("lsn")
                 mn, mx = None, None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
@@ -428,7 +449,8 @@ class CDCEngine:
                         mx = int(st.max) if mx is None else max(mx, int(st.max))
                 if mn is None:
                     mn, mx = -(1 << 62), 1 << 62
-                self._seg_cache[key] = (mn, mx, os.path.getsize(full))
+                self._seg_cache[key] = (mn, mx, os.path.getsize(full),
+                                        arrow_schema)
             out[fn] = self._seg_cache[key]
         return out
 
@@ -447,7 +469,7 @@ class CDCEngine:
                 return int(f.read().strip())
         idx = self._segment_index(log_path)
         wm = -1
-        for fn, (_, mx, _) in idx.items():
+        for fn, (_, mx, _, _) in idx.items():
             if mx >= (1 << 62):            # stat-less file: read the column
                 t = pq.read_table(os.path.join(log_path, fn),
                                   columns=["lsn"])

@@ -139,3 +139,48 @@ def test_outbox_watermark_gates_children(inputs, tmp_path):
     child.tail(parent.outbox_dir, wave_size=5_000, poll_interval_s=0.05,
                max_idle_polls=1)
     assert child.lake_table().select(COLS).to_pylist() == oracle()
+
+
+def test_schema_evolution_propagates_down_chain(tmp_path):
+    """A payload column added mid-stream must reach the child through the
+    outbox: parent evolves on its wave, the child's merge unifies mixed-
+    vintage segments and evolves identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.schema import CHANGE_EVENT
+
+    log = tmp_path / "log"
+    log.mkdir()
+    base = pa.Table.from_pylist([
+        {"lsn": 1, "op": 0, "doc_id": "a", "tokens": [1], "n_tok": 1,
+         "source": "web", "ts": 1_000_000},
+        {"lsn": 2, "op": 0, "doc_id": "b", "tokens": [2], "n_tok": 1,
+         "source": "web", "ts": 2_000_000},
+    ], schema=CHANGE_EVENT)
+    evolved_schema = pa.schema(list(CHANGE_EVENT)
+                               + [pa.field("lang", pa.string())])
+    evolved = pa.Table.from_pylist([
+        {"lsn": 3, "op": 0, "doc_id": "a", "tokens": [9], "n_tok": 1,
+         "source": "web", "ts": 3_000_000, "lang": "en"},
+        {"lsn": 4, "op": 0, "doc_id": "c", "tokens": [3], "n_tok": 1,
+         "source": "web", "ts": 4_000_000, "lang": "de"},
+    ], schema=evolved_schema)
+    pq.write_table(base, str(log / "chunk-00000.parquet"))
+    pq.write_table(evolved, str(log / "chunk-00001.parquet"))
+
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=2,
+                       derivations=(), emit_changelog=True)
+    parent.replay(str(log), [(0, 2), (2, 4)])
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=2,
+                      derivations=())
+    child.tail(parent.outbox_dir, wave_size=4, poll_interval_s=0.05,
+               max_idle_polls=1)
+
+    for eng in (parent, child):
+        rows = {r["doc_id"]: r for r in eng.lake_table().to_pylist()}
+        assert "lang" in eng.manifest.schema.names
+        assert rows["a"]["lang"] == "en" and rows["a"]["tokens"] == [9]
+        assert rows["b"]["lang"] is None          # pre-evolution row
+        assert rows["c"]["lang"] == "de"
+    assert parent.consistency_sum() == child.consistency_sum()
