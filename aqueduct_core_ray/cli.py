@@ -48,9 +48,12 @@ def cmd_replay(args) -> int:
         print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
     hi = args.watermark
     if hi is None:
-        import ray.data
-        hi = int(ray.data.read_parquet(
-            args.log, columns=["lsn"], file_extensions=["parquet"]).max("lsn"))
+        # honors the _WATERMARK publish marker (visibility gate) and
+        # returns -1 on an empty log, unlike a raw footer/column max
+        hi = eng.discover_watermark(args.log)
+        if hi < 0:
+            print(json.dumps({"ok": False, "error": "log is empty"}))
+            return 1
     import numpy as np
     edges = np.linspace(eng.watermark if eng.watermark > 0 else 0, hi,
                         args.waves + 1).astype(int)
@@ -113,8 +116,11 @@ def cmd_retention(args) -> int:
     compact_ts = pa.scalar(args.compact_ts_us, pa.timestamp("us"))
     deletion_ts = (pa.scalar(args.deletion_ts_us, pa.timestamp("us"))
                    if args.deletion_ts_us is not None else None)
+    min_hwm = (pa.scalar(args.min_consumer_hwm_ts_us, pa.timestamp("us"))
+               if args.min_consumer_hwm_ts_us is not None else None)
     compact_log(args.log, args.out, compact_ts, deletion_ts,
-                num_partitions=args.partitions)
+                num_partitions=args.partitions,
+                min_consumer_hwm_ts=min_hwm)
     print(json.dumps({"compacted_to": args.out}))
     return 0
 
@@ -166,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--out", required=True)
     t.add_argument("--compact-ts-us", type=int, required=True)
     t.add_argument("--deletion-ts-us", type=int)
+    t.add_argument("--min-consumer-hwm-ts-us", type=int,
+                   help="slowest consumer's applied ts; tombstone GC "
+                        "refuses to pass it (resurrection guard)")
     t.add_argument("--partitions", type=int, default=64)
     t.set_defaults(fn=cmd_retention)
 

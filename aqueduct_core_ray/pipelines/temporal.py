@@ -76,7 +76,7 @@ def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
     def narrow(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t.column("event_type"),
                         value_set=pa.array([probe_type, build_type]))
-        return t.select(["event_id", "user_id", "event_type"]).filter(keep)
+        return t.filter(keep)
 
     def per_user(t: pa.Table) -> pa.Table:
         ids = t.column("event_id").to_numpy(zero_copy_only=False)
@@ -96,6 +96,7 @@ def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
                 [None if v < 0 else int(v) for v in last], pa.int64()),
         })
 
-    ds = read_events(sf_dir).map_batches(narrow, batch_format="pyarrow")
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "event_type"]
+                     ).map_batches(narrow, batch_format="pyarrow")
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pyarrow")

@@ -61,7 +61,12 @@ def _tokens_for(rng: np.random.Generator, n: int, mean_tok: int,
         rng.lognormal(mean=np.log(mean_tok), sigma=0.6, size=n).astype(np.int64),
         1, max_tok,
     )
-    flat = rng.integers(0, VOCAB, size=int(n_tok.sum()), dtype=np.int32)
+    total = int(n_tok.sum())
+    if total > (1 << 31) - 1:
+        raise ValueError(
+            f"{total} tokens exceed int32 list offsets — generate in "
+            "chunks (changelog_chunk) or lower n/mean_tok per call")
+    flat = rng.integers(0, VOCAB, size=total, dtype=np.int32)
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     toks = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
@@ -191,6 +196,13 @@ def write_changelog(spec: ChangelogSpec, out_dir: str,
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
     n_chunks = -(-spec.n_events // spec.chunk_size)
+    # regeneration under a different spec: drop stale chunks beyond the
+    # new chunk count (and half-written temps) or two streams would mix
+    for fn in os.listdir(out_dir):
+        if fn.endswith(".tmp") or (fn.startswith("chunk-")
+                                   and fn.endswith(".parquet")
+                                   and int(fn[6:11]) >= n_chunks):
+            os.remove(os.path.join(out_dir, fn))
     for i in range(n_chunks):
         # write-then-rename: a concurrent tail() must never see a torn
         # footer (the binlog visibility contract)
