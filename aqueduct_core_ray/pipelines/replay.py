@@ -563,6 +563,22 @@ class CDCEngine:
                 return done[d.name]
         raise KeyError(name)
 
+    def publish_derived_tables(self) -> dict[str, str]:
+        """Materialize every DAG table to ``derived/<name>.parquet``
+        (atomic overwrite) so downstream consumers read plain parquet
+        instead of calling into the engine — the reference's per-type
+        till subscription output, as files. Driver-side fold of manifest
+        partials: O(P × distinct keys) tiny rows, no lake read."""
+        out_dir = os.path.join(self.store.root, "derived")
+        os.makedirs(out_dir, exist_ok=True)
+        published = {}
+        for d in self.derivations:
+            path = os.path.join(out_dir, f"{d.name}.parquet")
+            pq.write_table(self.derived_table(d.name), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            published[d.name] = path
+        return published
+
     def consistency_sum(self) -> int:
         """Σ last_lsn over live docs — the reference's convergence checksum
         (SQLiteQueries.java:57-64): Σ over keys of max(lsn ≤ N), keys whose

@@ -138,3 +138,21 @@ def test_no_seed_replay(log_dir, tmp_path):
     eng.replay(log_dir, SPEC.wave_bounds)
     state = replay_oracle(changelog_table(SPEC))
     assert_equals_oracle(eng, state)
+
+
+def test_publish_derived_tables(log_dir, seed_path, tmp_path):
+    """DAG tables materialize to derived/<name>.parquet and match the
+    on-demand fold."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=5)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    published = eng.publish_derived_tables()
+    assert set(published) == {"source_stats", "corpus_rollup"}
+    for name, path in published.items():
+        assert os.path.exists(path)
+        assert pq_.read_table(path).equals(eng.derived_table(name))
