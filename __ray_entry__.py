@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derived_source_stats": partial(er.derived_source_stats),
         "tumbling_window": partial(tp.tumbling_window_counts),
         "asof_join_prior": partial(tp.asof_join_prior),
+        "distinct_users": partial(tp.distinct_users_by_type),
+        "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "quality_score": partial(text.quality_score),
@@ -179,6 +181,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2""",
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
         "asof_join_prior": """
             SELECT p.event_id, p.user_id, max(c.event_id) AS last_prior
             FROM events p

@@ -46,7 +46,7 @@ def canon(df: pd.DataFrame) -> list:
     "routing_semijoin", "source_stats", "derived_source_stats",
     "token_count", "quality_score",
     "fingerprint", "dedup_exact", "knn_bruteforce",
-    "tumbling_window", "asof_join_prior",
+    "tumbling_window", "asof_join_prior", "distinct_users",
 ])
 def test_query_matches_oracle(name, con, entry):
     import pyarrow as pa
@@ -63,6 +63,19 @@ def test_query_matches_oracle(name, con, entry):
     assert sorted(ours.columns) == sorted(theirs.columns)
     assert len(ours) == len(theirs)
     assert canon(ours) == canon(theirs)
+
+
+def test_hll_accuracy(entry):
+    """HLL estimate within 5% of the exact distinct count at p=12
+    (expected error ~1.6%; sf0.001 has 150 distinct users/type max)."""
+    exact = {r["event_type"]: r["n_users"]
+             for r in entry.queries()["distinct_users"](SF).take_all()}
+    approx = {r["event_type"]: r["approx_users"]
+              for r in entry.queries()["approx_distinct_users"](SF).take_all()}
+    assert set(exact) == set(approx)
+    for et in exact:
+        assert abs(approx[et] - exact[et]) <= max(2, 0.05 * exact[et]), \
+            (et, exact[et], approx[et])
 
 
 def test_entry_smoke(entry):
