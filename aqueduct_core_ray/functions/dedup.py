@@ -44,15 +44,20 @@ _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """First-writer-wins exact dedup: one surviving doc_id (the minimum)
     per distinct text, keyed by md5 so the shuffle moves digests, not
-    documents. Returns (doc_id, fp)."""
+    documents. Returns (doc_id, fp).
+
+    Native ``groupby(fp).min(doc_id)`` aggregate — hash-shuffled partial
+    mins, no per-group Python call (the round-1 ``map_groups(keep_min)``
+    was one interpreter call per distinct text: a wall at 10^9 groups)."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
-    def keep_min(t: pa.Table) -> pa.Table:
-        i = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])[:1]
-        return t.take(i)
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("min(doc_id)"),
+                         "fp": t.column("fp")})
 
-    return fps.groupby("fp").map_groups(keep_min, batch_format="pyarrow")
+    return fps.groupby("fp").min("doc_id").map_batches(
+        rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- #
@@ -135,18 +140,36 @@ def _band_rows(doc_ids: np.ndarray, sig: np.ndarray, bands: int
     })
 
 
+# Degenerate-bucket guard: a bucket of n near-identical docs (boilerplate
+# text, empty pages) is O(n²) pairs — one such bucket OOMs a task. Above
+# the cap we keep a deterministic evenly-spaced subsample by doc_id: the
+# canonical smallest doc_id always survives, and members of a degenerate
+# bucket are mutual near-dups, so sampled pairs still link the cluster.
+MAX_BUCKET = 2048
+
+
+def _cap_bucket(ids: np.ndarray, cap: int = MAX_BUCKET) -> np.ndarray:
+    """Indices (into the doc_id-sorted order) kept for pairing."""
+    n = len(ids)
+    if n <= cap:
+        return np.arange(n)
+    return np.linspace(0, n - 1, cap).astype(np.int64)
+
+
 def _bucket_pairs_fn(min_est_pct: int):
     def pairs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
                           "doc_id_b": pa.array([], pa.int64()),
                           "est_jaccard_pct": pa.array([], pa.int64())})
-        if n < 2:
+        if t.num_rows < 2:
             return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))[order]
+        keep_idx = _cap_bucket(ids[order])
+        ids = ids[order][keep_idx]
+        n = len(ids)
+        sig = np.stack(t.column("sig").to_numpy(
+            zero_copy_only=False))[order][keep_idx]
         ii, jj = np.triu_indices(n, k=1)
         est = (sig[ii] == sig[jj]).mean(axis=1)
         pct = np.floor(est * 100).astype(np.int64)
@@ -159,16 +182,21 @@ def _bucket_pairs_fn(min_est_pct: int):
     return pairs
 
 
-def _dedupe_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+def _dedupe_pairs(ds: ray.data.Dataset,
+                  metric_col: str = "est_jaccard_pct") -> ray.data.Dataset:
     """Same pair can surface from several buckets — keep one, via a tiny
-    multi-key groupby (no packed key: int packing collides once ids pass
-    2^31, silently dropping candidate pairs)."""
+    multi-key NATIVE aggregate (no per-pair Python call; no packed key:
+    int packing collides once ids pass 2^31, silently dropping candidate
+    pairs). The metric is deterministic per pair (signature-derived), so
+    min() returns the one value every bucket computed."""
 
-    def first(t: pa.Table) -> pa.Table:
-        return t.slice(0, 1)
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id_a": t.column("doc_id_a"),
+                         "doc_id_b": t.column("doc_id_b"),
+                         metric_col: t.column(f"min({metric_col})")})
 
-    return (ds.groupby(["doc_id_a", "doc_id_b"])
-            .map_groups(first, batch_format="pyarrow"))
+    return (ds.groupby(["doc_id_a", "doc_id_b"]).min(metric_col)
+            .map_batches(rename, batch_format="pyarrow"))
 
 
 def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
@@ -193,47 +221,163 @@ def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
 # --------------------------------------------------------------------- #
 # exact n-gram Jaccard verification of LSH candidates
 # --------------------------------------------------------------------- #
+_SH_LIST = pa.list_(pa.int64())
+
+
+def _shingle_list_batch(t: pa.Table, shingle: int) -> pa.Table:
+    """(doc_id, sh) rows: per-doc UNIQUE SORTED shingle hashes as a list
+    column — the distributed shingle table both join passes read."""
+    sh, sdoc = _shingle_hashes(t, "text", shingle)
+    order = np.lexsort((sh, sdoc))
+    sh, sdoc = sh[order], sdoc[order]
+    first = np.ones(len(sh), bool)
+    first[1:] = (sdoc[1:] != sdoc[:-1]) | (sh[1:] != sh[:-1])
+    sh, sdoc = sh[first], sdoc[first]
+    counts = np.bincount(sdoc, minlength=t.num_rows)
+    offsets = np.zeros(t.num_rows + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(sh.view(np.int64)))
+    return pa.table({"doc_id": t.column("doc_id"), "sh": lists})
+
+
+def _int_part(ids: np.ndarray, num_partitions: int) -> pa.Array:
+    return pa.array((pd.util.hash_array(ids.copy(), categorize=False)
+                     % np.uint64(num_partitions)).astype(np.int32))
+
+
+def _exact_jaccard_pct(sh_a, sh_b) -> np.ndarray:
+    """Vectorized |A∩B|/|A∪B| in integer percent over PAIRS of unique-
+    sorted shingle lists: flatten both sides tagged by pair index, sort,
+    count adjacent duplicates — one sort, no per-pair Python."""
+    a = sh_a.combine_chunks() if isinstance(sh_a, pa.ChunkedArray) else sh_a
+    b = sh_b.combine_chunks() if isinstance(sh_b, pa.ChunkedArray) else sh_b
+    la = pc.list_value_length(a).to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = pc.list_value_length(b).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(la)
+    flat = np.concatenate([a.flatten().to_numpy(zero_copy_only=False),
+                           b.flatten().to_numpy(zero_copy_only=False)])
+    pidx = np.concatenate([np.repeat(np.arange(n), la),
+                           np.repeat(np.arange(n), lb)])
+    order = np.lexsort((flat, pidx))
+    f, p = flat[order], pidx[order]
+    dup = (p[1:] == p[:-1]) & (f[1:] == f[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = la + lb - inter
+    return (100 * inter) // np.maximum(union, 1)
+
+
+def _attach_shingles(pairs: ray.data.Dataset, shingles: ray.data.Dataset,
+                     key_col: str, carry: list[str],
+                     num_partitions: int) -> ray.data.Dataset:
+    """One co-partitioned hash-join pass: attach the shingle list of
+    ``key_col``'s doc to every pair row, as column ``sh``.
+
+    Both sides are tagged with the SAME hash partition of the join key
+    and unioned; each bounded ``part`` group then resolves pair→doc with
+    a vectorized searchsorted over the group's (unique) doc keys. The
+    shuffle moves candidate pairs + one shingle list per doc — never the
+    corpus, never anything to the driver."""
+    null_sh = _SH_LIST
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        cols = {"part": _int_part(keys, num_partitions),
+                "role": pa.array(np.zeros(t.num_rows, np.int8)),
+                "key": t.column(key_col)}
+        for c in carry:
+            cols[c] = t.column(c)
+        cols["sh"] = pa.nulls(t.num_rows, null_sh)
+        return pa.table(cols)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        keys = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cols = {"part": _int_part(keys, num_partitions),
+                "role": pa.array(np.ones(t.num_rows, np.int8)),
+                "key": t.column("doc_id")}
+        for c in carry:
+            cols[c] = pa.nulls(
+                t.num_rows,
+                null_sh if c.startswith("sh") else pa.int64())
+        cols["sh"] = t.column("sh").cast(null_sh)
+        return pa.table(cols)
+
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        shingles.map_batches(tag_docs, batch_format="pyarrow"))
+
+    def join(g: pa.Table) -> pa.Table:
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(role == 1))
+        prs = g.filter(pa.array(role == 0))
+        out_cols = {c: prs.column(c) for c in ["key"] + carry}
+        if prs.num_rows == 0 or docs.num_rows == 0:
+            out_cols["sh"] = pa.nulls(prs.num_rows, null_sh)
+            return pa.table(out_cols)
+        dk = docs.column("key").to_numpy(zero_copy_only=False)
+        dorder = np.argsort(dk, kind="stable")
+        dk = dk[dorder]
+        dsh = docs.column("sh").take(pa.array(dorder)).combine_chunks()
+        pk = prs.column("key").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dk, pk)
+        pos = np.clip(pos, 0, len(dk) - 1)
+        out_cols["sh"] = dsh.take(pa.array(pos))
+        return pa.table(out_cols)
+
+    return both.groupby("part").map_groups(join, batch_format="pyarrow")
+
+
 def ngram_jaccard_dedup(sf_dir: str, shingle: int = 3,
                         min_jaccard_pct: int = 80, k: int = 64,
-                        bands: int = 16) -> ray.data.Dataset:
+                        bands: int = 16,
+                        num_partitions: int = 16) -> ray.data.Dataset:
     """LSH candidates re-verified with EXACT word-``shingle``-gram Jaccard.
 
-    The shingle-set side is broadcast once via ``ray.put`` (test scale);
-    the scale path replaces the broadcast with a hash-join of pairs
-    against the shingle table on doc_id (two key-local passes)."""
+    Scale shape (replaces round 1's driver-side whole-corpus shingle-set
+    broadcast): the per-doc shingle table is a distributed Dataset; two
+    co-partitioned hash-join passes attach side A's then side B's shingle
+    list to each candidate pair; the exact Jaccard is one vectorized
+    sort-and-count over the pair-tagged shingles. Driver traffic: zero
+    rows."""
     cand = minhash_lsh_dedup(sf_dir, k=k, bands=bands, shingle=shingle,
                              min_est_pct=40)
 
+    def strip_est(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["est_jaccard_pct"])
+
+    cand = cand.map_batches(strip_est, batch_format="pyarrow")
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    shingles = docs.map_batches(_shingle_list_batch, batch_format="pyarrow",
+                                fn_kwargs={"shingle": shingle})
 
-    def shingle_sets(t: pa.Table) -> dict[int, frozenset]:
-        sh, sdoc = _shingle_hashes(t, "text", shingle)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        out = {}
-        for i in range(t.num_rows):
-            out[int(ids[i])] = frozenset(sh[sdoc == i].tolist())
-        return out
+    # pass A: key = doc_id_a → sh_a
+    with_a = _attach_shingles(cand, shingles, "doc_id_a",
+                              ["doc_id_a", "doc_id_b"], num_partitions)
 
-    sets: dict[int, frozenset] = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        sets.update(shingle_sets(b))
-    ref = ray.put(sets)
+    def rename_a(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id_a": t.column("doc_id_a"),
+                         "doc_id_b": t.column("doc_id_b"),
+                         "sh_a": t.column("sh")})
 
-    def verify(t: pa.Table, *, ref=ref) -> pa.Table:
-        s = ray.get(ref) if not isinstance(ref, dict) else ref
-        a = t.column("doc_id_a").to_pylist()
-        b = t.column("doc_id_b").to_pylist()
-        pct = []
-        for x, y in zip(a, b):
-            sa, sb = s[x], s[y]
-            u = len(sa | sb)
-            pct.append(int(100 * len(sa & sb) / u) if u else 0)
-        out = t.drop_columns(["est_jaccard_pct"]).append_column(
-            "jaccard_pct", pa.array(pct, pa.int64()))
+    with_a = with_a.map_batches(rename_a, batch_format="pyarrow")
+
+    # pass B: key = doc_id_b → sh (B's list), sh_a carried through
+    with_b = _attach_shingles(with_a, shingles, "doc_id_b",
+                              ["doc_id_a", "doc_id_b", "sh_a"],
+                              num_partitions)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                             "doc_id_b": pa.array([], pa.int64()),
+                             "jaccard_pct": pa.array([], pa.int64())})
+        pct = _exact_jaccard_pct(t.column("sh_a"), t.column("sh"))
+        out = pa.table({"doc_id_a": t.column("doc_id_a"),
+                        "doc_id_b": t.column("doc_id_b"),
+                        "jaccard_pct": pa.array(pct.astype(np.int64))})
         return out.filter(pc.greater_equal(out.column("jaccard_pct"),
                                            min_jaccard_pct))
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- #
@@ -291,9 +435,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+        keep_idx = _cap_bucket(ids[order])
+        ids = ids[order][keep_idx]
         sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(
-            np.int64).view(np.uint64)[order]
+            np.int64).view(np.uint64)[order][keep_idx]
         ii, jj = np.triu_indices(len(ids), k=1)
         ham = _popcount64(sh[ii] ^ sh[jj]).astype(np.int64)
         keep = ham <= max_hamming
@@ -306,7 +451,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     cand = (ds.map_batches(to_bands, batch_format="pyarrow")
             .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
-    return _dedupe_pairs(cand)
+    return _dedupe_pairs(cand, "hamming")
 
 
 # --------------------------------------------------------------------- #

@@ -313,10 +313,18 @@ class CDCEngine:
             self.store.drop_staged(wave_id)
             _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
             if self.emit_changelog:
-                import glob as _glob
-                for seg in _glob.glob(os.path.join(
-                        self.outbox_dir, f"{wave_id}-p*.parquet")):
-                    os.remove(seg)
+                # Two racers applying the SAME wave share wave_id, so
+                # their outbox segment names are identical: if the winner
+                # committed this very wave, its published segments are the
+                # files we'd be deleting — a child that hasn't read them
+                # yet would permanently miss events. Only clean up when
+                # CURRENT moved to a DIFFERENT wave (found in review).
+                winner = self.manifest
+                if winner is None or winner.wave_id != wave_id:
+                    import glob as _glob
+                    for seg in _glob.glob(os.path.join(
+                            self.outbox_dir, f"{wave_id}-p*.parquet")):
+                        os.remove(seg)
             raise
         self._cached_manifest = man
         self.store.drop_staged(wave_id)

@@ -10,9 +10,11 @@ rule):
   — pre-aggregated per block first (combiner), so the shuffle moves at
   most #blocks × #distinct-(window,type) tiny rows, never events.
 - ``asof_join_prior``: correctness requires co-locating each key's full
-  history — one hash shuffle on the join key, then a per-group sorted
-  ``searchsorted`` (vectorized; no global sort). Skewed keys are
-  bounded by per-user history length, not stream length.
+  history — one hash shuffle on the join key into a BOUNDED number of
+  partitions, then one per-partition sort + segmented ``searchsorted``
+  covering all of the partition's users in a single vectorized kernel
+  (never one Python call per user). Skewed keys are bounded by per-user
+  history length, not stream length.
 """
 
 from __future__ import annotations
@@ -68,38 +70,65 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"
 
 
 def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
-                    build_type: str = "click") -> ray.data.Dataset:
+                    build_type: str = "click",
+                    num_partitions: int = 16) -> ray.data.Dataset:
     """As-of join: for every ``probe_type`` event, the most recent PRIOR
     ``build_type`` event of the same user (strictly earlier event_id),
-    NULL when none exists. LEFT-join semantics."""
+    NULL when none exists. LEFT-join semantics.
+
+    Scale shape: ONE hash shuffle on the join key into ``num_partitions``
+    bounded groups (NOT one Python call per user — unbounded group count
+    was the round-1 wall), then a per-partition sort + ONE segmented
+    ``searchsorted`` over rank-composite keys covering every user in the
+    partition at once. Composite = user_rank * (n_rows+1) + event_rank,
+    overflow-free for any partition under ~3e9 rows."""
+    import pandas as pd
 
     def narrow(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t.column("event_type"),
                         value_set=pa.array([probe_type, build_type]))
-        return t.filter(keep)
+        t = t.filter(keep)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
 
-    def per_user(t: pa.Table) -> pa.Table:
-        ids = t.column("event_id").to_numpy(zero_copy_only=False)
-        types = t.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, types = ids[order], types[order]
-        probes = ids[types == probe_type]
-        builds = ids[types == build_type]
-        # index of the last build strictly before each probe
-        pos = np.searchsorted(builds, probes, side="left") - 1
-        last = np.where(pos >= 0, builds[np.maximum(pos, 0)], -1)
-        uid = t.column("user_id")[0].as_py()
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        typ = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, eid, typ = uid[order], eid[order], typ[order]
+        is_probe = typ == probe_type
+        # rank-composite keys: factorized user x event ranks keep the
+        # int64 product bounded by n^2 regardless of raw id magnitudes
+        u_uniq, u_code = np.unique(uid, return_inverse=True)
+        e_rank = np.searchsorted(np.unique(eid), eid)
+        comp = u_code.astype(np.int64) * np.int64(len(eid) + 1) + e_rank
+        builds_comp = comp[~is_probe]
+        builds_eid = eid[~is_probe]
+        builds_uid = uid[~is_probe]
+        probes_comp = comp[is_probe]
+        n_probe = int(is_probe.sum())
+        if builds_comp.size == 0:
+            last = np.full(n_probe, -1, np.int64)
+        else:
+            pos = np.searchsorted(builds_comp, probes_comp,
+                                  side="left") - 1
+            safe = np.clip(pos, 0, None)
+            # same-user guard: a probe whose pos lands in the previous
+            # user's build run has no prior build of its own
+            valid = (pos >= 0) & (builds_uid[safe] == uid[is_probe])
+            last = np.where(valid, builds_eid[safe], -1)
         return pa.table({
-            "event_id": pa.array(probes),
-            "user_id": pa.array(np.full(len(probes), uid, np.int64)),
-            "last_prior": pa.array(
-                [None if v < 0 else int(v) for v in last], pa.int64()),
+            "event_id": pa.array(eid[is_probe]),
+            "user_id": pa.array(uid[is_probe]),
+            "last_prior": pa.array(last, pa.int64(), mask=last < 0),
         })
 
     ds = read_events(sf_dir, columns=["event_id", "user_id", "event_type"]
                      ).map_batches(narrow, batch_format="pyarrow")
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pyarrow")
+    return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
 def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:

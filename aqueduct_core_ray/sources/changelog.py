@@ -201,7 +201,8 @@ def write_changelog(spec: ChangelogSpec, out_dir: str,
     for fn in os.listdir(out_dir):
         if fn.endswith(".tmp") or (fn.startswith("chunk-")
                                    and fn.endswith(".parquet")
-                                   and int(fn[6:11]) >= n_chunks):
+                                   and int(fn[len("chunk-"):-len(".parquet")])
+                                   >= n_chunks):
             os.remove(os.path.join(out_dir, fn))
     for i in range(n_chunks):
         # write-then-rename: a concurrent tail() must never see a torn

@@ -212,9 +212,22 @@ class LakeStore:
             full = os.path.join(self.parts_dir, pdir)
             for fn in os.listdir(full):
                 fp = os.path.normpath(os.path.join(full, fn))
-                if fp not in live:
-                    os.remove(fp)
-                    removed += 1
+                if fp in live:
+                    continue
+                # generation-floor guard: a file promoted for an IN-FLIGHT
+                # wave (generation CURRENT+1, not yet in any manifest)
+                # must survive a concurrent vacuum or the subsequent
+                # commit would reference missing files. Filename is
+                # g<gen>[-<wave tag>].parquet.
+                try:
+                    gen_str = fn[1:].split("-", 1)[0].split(".", 1)[0]
+                    gen = int(gen_str)
+                except ValueError:
+                    gen = -1
+                if gen > cur.generation:
+                    continue
+                os.remove(fp)
+                removed += 1
         return removed
 
     def append_metrics(self, record: dict[str, Any]) -> None:
