@@ -92,7 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
+        "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),
         "knn_ivf": partial(ann.knn_ivf),
+        "knn_ivf_recall": partial(ann.knn_ivf_recall),
         "media_features": partial(multimodal.media_features),
     }
 

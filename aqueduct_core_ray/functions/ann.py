@@ -5,13 +5,17 @@
   matmul and emits only its local top-k per query (nq*k tiny rows), and a
   final per-query groupby folds the partials — the classic partial-top-k
   combine, so the shuffle moves O(batches * nq * k) rows, never scores.
-- ``knn_ivf``: the scale path — coarse k-means centroids (trained once,
-  driver-side, on a bounded sample), vectors pruned to the query's
-  ``nprobe`` nearest cells before the same batch matmul. Approximate:
-  checked rows-only (no SQL oracle).
+- ``knn_ivf``: the scale path — coarse spherical-k-means centroids
+  trained on a bounded DISTRIBUTED sample (never a driver full-table
+  read), cell assignment MATERIALIZED as a hive-partitioned index
+  (``build_ivf_index``), and the query read pruned to the ``nprobe``
+  nearest cells' partitions. Approximate: recall vs brute force is
+  pinned in pytest and exposed as the ``knn_ivf_recall`` query.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -97,17 +101,48 @@ def knn_bruteforce(sf_dir: str, nq: int = 3, k: int = 5) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------- #
+def _distributed_sample(sf_dir: str, sample: int = 2048,
+                        seed: int = 7) -> np.ndarray:
+    """Bounded, UNBIASED training sample without a driver full-table
+    read (round 1 read the whole embedding column driver-side and took
+    the FIRST 2048 rows — driver OOM + biased at scale): each batch
+    keeps rows whose keyed hash falls under the target fraction, so only
+    ~``sample`` rows ever reach the driver; a final hash-order truncation
+    makes the result deterministic and exactly bounded."""
+    import pandas as pd
+
+    ds = _read_embeddings(sf_dir)
+    n = max(1, ds.count())                      # parquet metadata count
+    frac = min(1.0, 1.5 * sample / n)
+    thresh = frac * float(2**64)            # float compare avoids uint64
+                                            # construction overflow
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
+        keep = h.astype(np.float64) <= thresh
+        return pa.table({
+            "h": pa.array(h[keep].view(np.int64)),
+            "embedding": t.column("embedding").combine_chunks().take(
+                pa.array(np.flatnonzero(keep))),
+        })
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: np.uint64(np.int64(r["h"])))
+    X = np.stack([r["embedding"] for r in rows[:sample]]).astype(np.float64)
+    return X / np.linalg.norm(X, axis=1, keepdims=True)
+
+
 def _train_centroids(sf_dir: str, n_cells: int, sample: int = 2048,
                      iters: int = 8, seed: int = 7) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    X = np.vstack(t.column("embedding").to_numpy(
-        zero_copy_only=False)[:sample]).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    """Spherical k-means on the bounded distributed sample (driver-side
+    training over ≤``sample`` vectors is O(sample·n_cells·dim) — tiny)."""
+    Xn = _distributed_sample(sf_dir, sample, seed)
     rng = np.random.default_rng(np.random.PCG64(seed))
-    C = Xn[rng.choice(len(Xn), size=n_cells, replace=False)]
+    C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
     for _ in range(iters):
         assign = np.argmax(Xn @ C.T, axis=1)
-        for c in range(n_cells):
+        for c in range(len(C)):
             m = assign == c
             if m.any():
                 v = Xn[m].mean(axis=0)
@@ -115,27 +150,85 @@ def _train_centroids(sf_dir: str, n_cells: int, sample: int = 2048,
     return C
 
 
+def _ivf_index_dir(sf_dir: str, n_cells: int, seed: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/aqr_ivf/{tag}-c{n_cells}-s{seed}"
+
+
+def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 7,
+                    force: bool = False) -> str:
+    """Materialize the IVF index: centroids + the embeddings table
+    REPARTITIONED BY CELL (hive `cell=<c>/` parquet layout), so a query
+    reads only its ``nprobe`` cells — partition pruning at the read, not
+    a filter over a full scan. Idempotent via a _DONE marker; at lake
+    scale this is the 'cell id as a lake column / partition' design and
+    the rewrite runs once per index build, not per query."""
+    import shutil
+
+    idx = _ivf_index_dir(sf_dir, n_cells, seed)
+    done = os.path.join(idx, "_DONE")
+    if os.path.exists(done) and not force:
+        return idx
+    shutil.rmtree(idx, ignore_errors=True)
+    os.makedirs(idx, exist_ok=True)
+    C = _train_centroids(sf_dir, n_cells, seed=seed)
+    np.save(os.path.join(idx, "centroids.npy"), C)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(ref)
+        _, Bn = _normalized(t)
+        cell = np.argmax(Bn @ Cm.T, axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cell))
+
+    (_read_embeddings(sf_dir)
+     .map_batches(assign, batch_format="pyarrow")
+     .write_parquet(os.path.join(idx, "cells"), partition_cols=["cell"]))
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def knn_ivf(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
-            nprobe: int = 4) -> ray.data.Dataset:
-    """IVF-pruned ANN: per batch, keep only vectors whose cell is among
-    any query's ``nprobe`` closest cells, then the same partial-top-k
-    pipeline as brute force. At 100 TB the assignment is precomputed as a
-    lake column and cells map to parquet partitions (pruned at the read)."""
-    C = _train_centroids(sf_dir, n_cells)
+            nprobe: int = 4, seed: int = 7) -> ray.data.Dataset:
+    """IVF-pruned ANN over the materialized cell-partitioned index: the
+    read touches ONLY the union of the queries' ``nprobe`` nearest cells
+    (hive partition pruning), then the same broadcast-queries partial-
+    top-k pipeline as brute force. Approximate: recall vs the exact
+    ``knn_bruteforce`` is pinned in pytest and exposed as the
+    ``knn_ivf_recall`` query."""
+    idx = build_ivf_index(sf_dir, n_cells, seed)
+    C = np.load(os.path.join(idx, "centroids.npy"))
     qids, Qn = _load_queries(sf_dir, nq)
     probes = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]     # (nq, nprobe)
     probed = np.unique(probes)
-    ref = ray.put((qids, Qn, C, probed))
-    kk = k
+    import glob as _glob
 
-    def batch_topk(t: pa.Table) -> pa.Table:
-        qids, Qn, C, probed = ray.get(ref)
-        ids, Bn = _normalized(t)
-        cell = np.argmax(Bn @ C.T, axis=1)
-        m = np.isin(cell, probed)
-        return _topk_emit(qids, Qn, ids[m], Bn[m], kk)
-
-    partial = _read_embeddings(sf_dir).map_batches(batch_topk,
-                                                   batch_format="pyarrow")
+    cell_files = [f for c in probed for f in sorted(_glob.glob(
+        os.path.join(idx, "cells", f"cell={c}", "*.parquet")))]
+    if not cell_files:
+        return ray.data.from_arrow(_EMPTY_TOPK.empty_table())
+    ref = ray.put((qids, Qn))
+    pruned = ray.data.read_parquet(cell_files,
+                                   columns=["vec_id", "embedding"])
+    partial = pruned.map_batches(_batch_topk_fn(ref, k),
+                                 batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _final_topk_fn(k), batch_format="pyarrow")
+
+
+def knn_ivf_recall(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
+                   nprobe: int = 4) -> pa.Table:
+    """Recall@k of the IVF path against exact brute force (both fixed
+    seed): one tiny driver-side set comparison over nq·k rows."""
+    exact = {(r["query_id"], r["vec_id"])
+             for r in knn_bruteforce(sf_dir, nq, k).take_all()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in knn_ivf(sf_dir, nq, k, n_cells, nprobe).take_all()}
+    hit = len(exact & approx)
+    return pa.table({
+        "n_exact": pa.array([len(exact)], pa.int64()),
+        "n_hit": pa.array([hit], pa.int64()),
+        "recall_pct": pa.array(
+            [100 * hit // max(1, len(exact))], pa.int64()),
+    })

@@ -148,15 +148,17 @@ def _band_rows(doc_ids: np.ndarray, sig: np.ndarray, bands: int
 MAX_BUCKET = 2048
 
 
-def _cap_bucket(ids: np.ndarray, cap: int = MAX_BUCKET) -> np.ndarray:
-    """Indices (into the doc_id-sorted order) kept for pairing."""
+def _cap_bucket(ids: np.ndarray, cap: int | None = None) -> np.ndarray:
+    """Indices (into the doc_id-sorted order) kept for pairing. Reads
+    ``MAX_BUCKET`` at call time so tests/deployments can tune it."""
     n = len(ids)
+    cap = MAX_BUCKET if cap is None else cap
     if n <= cap:
         return np.arange(n)
     return np.linspace(0, n - 1, cap).astype(np.int64)
 
 
-def _bucket_pairs_fn(min_est_pct: int):
+def _bucket_pairs_fn(min_est_pct: int, max_bucket: int | None = None):
     def pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
                           "doc_id_b": pa.array([], pa.int64()),
@@ -165,7 +167,7 @@ def _bucket_pairs_fn(min_est_pct: int):
             return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
-        keep_idx = _cap_bucket(ids[order])
+        keep_idx = _cap_bucket(ids[order], max_bucket)
         ids = ids[order][keep_idx]
         n = len(ids)
         sig = np.stack(t.column("sig").to_numpy(
@@ -200,8 +202,8 @@ def _dedupe_pairs(ds: ray.data.Dataset,
 
 
 def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
-                      shingle: int = 3, min_est_pct: int = 50
-                      ) -> ray.data.Dataset:
+                      shingle: int = 3, min_est_pct: int = 50,
+                      max_bucket: int | None = None) -> ray.data.Dataset:
     """MinHash+LSH near-dup candidate pairs: shingle -> minhash -> band ->
     bucket groupby -> bucket-local pair verification (signature-estimated
     Jaccard >= threshold) -> global pair dedupe."""
@@ -214,7 +216,7 @@ def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
     cand = banded.groupby("bucket").map_groups(
-        _bucket_pairs_fn(min_est_pct), batch_format="pyarrow")
+        _bucket_pairs_fn(min_est_pct, max_bucket), batch_format="pyarrow")
     return _dedupe_pairs(cand)
 
 
@@ -488,3 +490,68 @@ def embedding_cosine_dedup(sf_dir: str, threshold_pct: int = 35
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     return ds.map_batches(nearpairs, batch_format="pyarrow")
+
+
+def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
+                        n_cells: int = 16, probes: int = 2
+                        ) -> ray.data.Dataset:
+    """The SCALE default for embedding near-dup (the all-pairs broadcast
+    above is the exact small-M tool): candidate generation by IVF cell —
+    each vector is bucketed to its ``probes`` nearest centroids
+    (multi-probe catches boundary pairs), pairwise cosine runs only
+    WITHIN a bucket (bounded by cell size, capped like LSH buckets), and
+    duplicate pairs from shared cells collapse through the native pair
+    aggregate. O(Σ cell²) instead of O(N·M); no full-matrix broadcast."""
+    from .ann import _normalized, build_ivf_index
+
+    idx = build_ivf_index(sf_dir, n_cells)
+    C = np.load(f"{idx}/centroids.npy")
+    ref = ray.put(C)
+    thr = threshold_pct / 100.0
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        Cm = ray.get(ref)
+        ids, Bn = _normalized(t)
+        order = np.argsort(-(Bn @ Cm.T), axis=1)[:, :probes]  # (n, probes)
+        n = len(ids)
+        return pa.table({
+            "cell": pa.array(order.T.reshape(-1).astype(np.int32)),
+            "vec_id": pa.array(np.tile(ids, probes)),
+            "embedding": pa.concat_arrays(
+                [t.column("embedding").combine_chunks()] * probes),
+        })
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                          "vec_id_b": pa.array([], pa.int64()),
+                          "sim_pct": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        keep = _cap_bucket(ids[order])
+        sub = g.take(pa.array(order)).take(pa.array(keep))
+        ids, Bn = _normalized(sub)
+        S = Bn @ Bn.T
+        ii, jj = np.nonzero((S >= thr) & (ids[:, None] < ids[None, :]))
+        if len(ii) == 0:
+            return empty
+        return pa.table({
+            "vec_id_a": pa.array(ids[ii]),
+            "vec_id_b": pa.array(ids[jj]),
+            "sim_pct": pa.array(
+                np.floor(S[ii, jj] * 100).astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cand = (ds.map_batches(to_cells, batch_format="pyarrow")
+            .groupby("cell").map_groups(cell_pairs, batch_format="pyarrow"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id_a": t.column("vec_id_a"),
+                         "vec_id_b": t.column("vec_id_b"),
+                         "sim_pct": t.column("min(sim_pct)")})
+
+    return (cand.groupby(["vec_id_a", "vec_id_b"]).min("sim_pct")
+            .map_batches(rename, batch_format="pyarrow"))

@@ -84,3 +84,31 @@ def test_entry_smoke(entry):
     assert len(rows) == 500                    # sf0.001 documents
     assert {"doc_id", "tokens", "n_tok", "source", "last_lsn"} <= set(rows[0])
     assert all(r["n_tok"] == len(r["tokens"]) for r in rows[:20])
+
+
+def test_asof_probe_without_build(tmp_path):
+    """Regression (round-1 review): a user with probe events but NO build
+    events must yield NULL last_prior, not an IndexError."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.temporal import asof_join_prior
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([base] * 4, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 9, 9], pa.int64()),
+        "event_type": pa.array(
+            ["purchase", "purchase", "click", "purchase"]),
+        "value": pa.array([1.0] * 4),
+        "props": pa.array(["{}"] * 4),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    rows = {r["event_id"]: r["last_prior"]
+            for r in asof_join_prior(str(d)).take_all()}
+    assert rows == {1: None, 2: None, 4: 3}
