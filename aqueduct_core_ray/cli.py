@@ -108,6 +108,41 @@ def cmd_verify(args) -> int:
     return 0 if not bad else 1
 
 
+def cmd_rebuild(args) -> int:
+    """CORRUPTION_RECOVERY (reference BootstrapService.java:37-88): splice
+    freshly re-derived partitions into a new manifest generation. With
+    --auto, rebuilds exactly the partitions `verify` flags (missing or
+    row-count-mismatched files)."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=args.partitions)
+    man = eng.manifest
+    if man is None:
+        print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
+        return 1
+    if man.num_partitions != args.partitions:
+        eng = CDCEngine(args.lake, num_partitions=man.num_partitions)
+        man = eng.manifest
+    pids = list(args.partition or [])
+    if args.auto:
+        import pyarrow.parquet as pq
+        for pid, p in man.partitions.items():
+            path = eng.store.abs(p["path"])
+            try:
+                ok = pq.read_metadata(path).num_rows == p["rows"]
+            except OSError:
+                ok = False
+            if not ok:
+                pids.append(int(pid))
+    if not pids:
+        print(json.dumps({"ok": True, "rebuilt": []}))
+        return 0
+    out = [eng.rebuild_partition(args.log, pid, seed=args.seed)
+           for pid in sorted(set(pids))]
+    print(json.dumps({"ok": True, "rebuilt": out}))
+    return 0
+
+
 def cmd_retention(args) -> int:
     _init_ray()
     import pyarrow as pa
@@ -166,6 +201,19 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="integrity-check a committed lake")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    rb = sub.add_parser("rebuild",
+                        help="re-derive corrupted partitions from the log")
+    rb.add_argument("--log", required=True)
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--seed", help="bootstrap seed parquet, if the lake "
+                                   "was seeded outside the log")
+    rb.add_argument("--partition", type=int, action="append",
+                    help="partition id to rebuild (repeatable)")
+    rb.add_argument("--auto", action="store_true",
+                    help="rebuild every partition verify flags")
+    rb.add_argument("--partitions", type=int, default=64)
+    rb.set_defaults(fn=cmd_rebuild)
 
     t = sub.add_parser("retention", help="compact log + GC tombstones")
     t.add_argument("--log", required=True)

@@ -64,11 +64,13 @@ class MediaFeatureExtractor:
         })
 
 
-def media_features(sf_dir: str, concurrency: int = 2,
+def media_features(sf_dir: str, concurrency: int | None = None,
                    batch_size: int = 1024) -> ray.data.Dataset:
     """documents.text bytes as the opaque payload -> feature extraction.
     Small ``batch_size`` on purpose: with real images, batch bytes =
-    batch_size × payload size must fit the actor heap."""
+    batch_size × payload size must fit the actor heap. Pool size scales
+    with the cluster (see functions.text.actor_pool_size)."""
+    from .text import actor_pool_size
 
     def to_payload(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("doc_id"),
@@ -78,4 +80,5 @@ def media_features(sf_dir: str, concurrency: int = 2,
                                columns=["doc_id", "text"])
     return (ds.map_batches(to_payload, batch_format="pyarrow")
             .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
-                         batch_size=batch_size, concurrency=concurrency))
+                         batch_size=batch_size,
+                         concurrency=concurrency or actor_pool_size()))

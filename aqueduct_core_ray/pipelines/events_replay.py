@@ -161,8 +161,16 @@ def tokenize_documents(sf_dir: str) -> ray.data.Dataset:
 def replay_documents_lake(sf_dir: str, n_waves: int = 2,
                           num_partitions: int = 8) -> ray.data.Dataset:
     """Tokenized documents ingested as an insert-only change stream through
-    the engine — the flagship `entry()` pipeline."""
-    work = _scratch("aqr-docs-")
+    the engine — the flagship `entry()` pipeline.
+
+    Returns the STREAMING lake Dataset (`read_lake()`), not a driver
+    materialization: the lake lives in a deterministic per-(sf,params)
+    scratch root that is wiped and rebuilt per call, and left on disk for
+    the returned Dataset to stream from — the consumer sees partitioned
+    parquet exactly as a 100-TB deployment would."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/aqr-docs-{tag}-w{n_waves}-p{num_partitions}"
+    shutil.rmtree(work, ignore_errors=True)
     log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
     os.makedirs(log_dir, exist_ok=True)
 
@@ -189,9 +197,7 @@ def replay_documents_lake(sf_dir: str, n_waves: int = 2,
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id")) + 1
     eng = CDCEngine(lake_dir, num_partitions=num_partitions)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
-    table = eng.lake_table()                 # test-scale materialization
-    shutil.rmtree(work, ignore_errors=True)  # no /tmp leak across calls
-    return ray.data.from_arrow(table)
+    return eng.read_lake()                   # streaming, no driver gather
 
 
 def cleanup_scratch() -> None:

@@ -112,15 +112,15 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
         return t.append_column("nbytes", b).append_column("rp", rp)
 
     ds = read_events(sf_dir).map_batches(with_bytes, batch_format="pyarrow")
-    if cap is None:
-        cap = int(ds.sum("nbytes")) // 2
-
     per_rp = ds.groupby("rp").sum("nbytes").take_all()   # ≤ n/range_size rows
     per_rp.sort(key=lambda r: r["rp"])
     offsets, run = {}, 0
     for r in per_rp:
         offsets[int(r["rp"])] = run
         run += int(r["sum(nbytes)"])
+    if cap is None:
+        cap = run // 2          # total folded from the same pass — the
+                                # log is scanned once, not twice
 
     def prefix_filter(t: pa.Table) -> pa.Table:
         rp = int(t.column("rp")[0].as_py())

@@ -77,6 +77,11 @@ class CDCEngine:
         self.conflict = conflict if conflict is not None else LWW
         self.emit_changelog = emit_changelog
         self._cached_manifest: Manifest | None = None
+        # last watermark seen on the parent/log this engine consumes —
+        # basis of the UP_TO_DATE / OUT_OF_DATE pipe state (reference:
+        # PipeState.java:3-5, MessageResults.java:8-14: every read tells
+        # the consumer whether it is caught up)
+        self._last_parent_wm: int | None = None
         # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes,
         # schema), from parquet footers; files are immutable once
         # published (write-then-rename contract) so entries never
@@ -352,6 +357,17 @@ class CDCEngine:
         import os
         return os.path.join(self.store.root, "outbox")
 
+    def pipe_state(self) -> str:
+        """UP_TO_DATE when this engine's applied watermark has reached
+        the last watermark observed on its upstream log; OUT_OF_DATE
+        while behind; UNKNOWN before the first upstream poll (reference:
+        PipeState.java:3-5 — consumers learn their currency from every
+        read instead of diffing watermarks themselves)."""
+        if self._last_parent_wm is None:
+            return "UNKNOWN"
+        return ("UP_TO_DATE" if self.watermark >= self._last_parent_wm
+                else "OUT_OF_DATE")
+
     def _publish_outbox_watermark(self) -> None:
         """Advance outbox/_WATERMARK to the committed watermark. Written
         ONLY after a successful commit: children gate their reads on it,
@@ -360,11 +376,20 @@ class CDCEngine:
         child discovering one early segment's max lsn would advance past
         events still being published (found in review). Also called on
         replay()/tail() entry to heal a crash between commit and marker
-        write."""
+        write.
+
+        A `_STATE` sidecar carries this engine's own pipe state, so a
+        child tailing the outbox can tell "parent caught up + I reached
+        its watermark" = chain-wide convergence without extra probes."""
+        import json as _json
         os.makedirs(self.outbox_dir, exist_ok=True)
         self.store._atomic_write(
             os.path.join(self.outbox_dir, "_WATERMARK"),
             str(self.watermark))
+        self.store._atomic_write(
+            os.path.join(self.outbox_dir, "_STATE"),
+            _json.dumps({"state": self.pipe_state(),
+                         "watermark": self.watermark}))
 
     def prune_outbox(self, below_lsn: int,
                      min_child_hwm: int | None = None) -> int:
@@ -500,6 +525,7 @@ class CDCEngine:
         idle = 0
         while idle < max_idle_polls:
             wm = self.discover_watermark(log_path)
+            self._last_parent_wm = max(wm, self._last_parent_wm or -1)
             if wm <= self.watermark:
                 idle += 1
                 time.sleep(poll_interval_s)
@@ -507,7 +533,9 @@ class CDCEngine:
             idle = 0
             while self.watermark < wm:
                 hi = min(self.watermark + wave_size, wm)
-                out.append(self.apply_wave(log_path, hi=hi))
+                r = self.apply_wave(log_path, hi=hi)
+                r["pipe_state"] = self.pipe_state()
+                out.append(r)
         return out
 
     # ------------------------------------------------------------------ #
@@ -521,6 +549,115 @@ class CDCEngine:
         for lo, hi in wave_bounds:
             out.append(self.apply_wave(log_path, hi=hi, lo=max(lo, self.watermark)))
         return out
+
+    # ------------------------------------------------------------------ #
+    def rebuild_partition(self, log_path: str, pid: int,
+                          seed: str | None = None) -> dict[str, Any]:
+        """CORRUPTION_RECOVERY (reference: BootstrapService.java:37-88
+        typed bootstrap sequences; SQLiteStorage.java:275-318 integrity
+        check -> reindex -> bootstrap): re-derive ONE lake partition by
+        replaying only its hash-slice of the log (plus the bootstrap
+        seed, when the lake was seeded) and splicing the result into a
+        new manifest generation at the SAME watermark.
+
+        Scale shape: the read is the full log ≤ watermark but every
+        batch immediately filters to the 1/P hash slice and pre-compacts
+        (combiner), so the exchange carries one partition's compacted
+        history — the same order of work as a normal wave merge for that
+        partition. Untouched partitions are not read or written."""
+        cur = self.manifest
+        if cur is None:
+            raise RuntimeError("no CURRENT manifest — nothing to rebuild "
+                               "(bootstrap/replay first)")
+        wm = cur.watermark
+        gen = cur.generation + 1
+        wave_id = f"rebuild-p{pid:06d}-g{gen:06d}"
+        ds = self.wave_dataset(log_path, lo=-1, hi=wm)
+        union_schema = self._last_wave_schema
+        if seed is not None:
+            seed_ds = ray.data.read_parquet(seed)
+
+            def seed_events(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                cols = {
+                    "lsn": t.column("last_lsn").cast(pa.int64())
+                    if "last_lsn" in t.column_names
+                    else pa.array([0] * n, pa.int64()),
+                    "op": pa.array([0] * n, pa.int8()),
+                }
+                for name in t.column_names:
+                    if name != "last_lsn":
+                        cols[name] = t.column(name)
+                cols["ts"] = pa.nulls(n, pa.timestamp("us"))
+                return pa.table(cols)
+
+            seed_ds = seed_ds.map_batches(seed_events,
+                                          batch_format="pyarrow")
+            ds = ds.union(seed_ds)
+            union_schema = None      # mixed vintages: let merge unify
+
+        pol = self.conflict
+        npart, salt, target = self.num_partitions, self.salt, pid
+
+        def prep_one(t: pa.Table) -> pa.Table:
+            t = prep_wave_batch(t, num_partitions=npart, salt=salt,
+                                policy=pol)
+            return t.filter(pc.equal(t.column("part"), target))
+
+        import shutil as _shutil
+        sdir = self._shuffle_dir(wave_id)
+        _shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir, exist_ok=True)
+        splitter = make_delta_splitter(sdir, self.num_partitions)
+        (ds.map_batches(prep_one, batch_format="pyarrow", batch_size=None)
+           .map_batches(splitter, batch_format="pyarrow", batch_size=None)
+           .take_all())
+        import glob as _glob
+        import json as _json
+        have_delta = any(
+            str(pid) in _json.load(open(p))
+            for p in _glob.glob(os.path.join(sdir, "block-*.idx.json")))
+        new_parts = dict(cur.partitions)
+        new_partials = {k: dict(v) for k, v in cur.partials.items()}
+        if have_delta:
+            import ray as _ray
+            merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
+            r = _ray.get(merge_task.remote(
+                pid, self.store.root, wave_id, sdir, None,
+                schema_to_b64(cur.schema), self.derivations, self.conflict,
+                None))
+            dst = self.store.promote_staged(wave_id, pid, gen)
+            new_parts[str(pid)] = {
+                "path": self.store.rel(dst), "rows": int(r["rows"]),
+                "bytes": int(r["bytes"]), "hwm": int(r["hwm"]),
+                "n_applied": int(r["n_applied"]),
+                "n_deleted": int(r["n_deleted"]),
+            }
+            for dname, recs in _json.loads(r["partials_json"]).items():
+                new_partials.setdefault(dname, {})[str(pid)] = recs
+        else:
+            # the partition holds no live docs at this watermark
+            new_parts.pop(str(pid), None)
+            for dname in new_partials:
+                new_partials[dname].pop(str(pid), None)
+        lineage = list(cur.lineage) + [{
+            "wave_id": wave_id, "lo": -1, "hi": wm, "generation": gen,
+            "parts_touched": 1, "rebuild": True,
+        }]
+        man = Manifest(
+            generation=gen, watermark=wm, wave_id=wave_id,
+            schema_b64=cur.schema_b64,
+            num_partitions=self.num_partitions,
+            partitions=new_parts, partials=new_partials,
+            lineage=lineage[-200:],
+        )
+        self.store.commit(man)
+        self._cached_manifest = man
+        self.store.drop_staged(wave_id)
+        _shutil.rmtree(sdir, ignore_errors=True)
+        rows = new_parts.get(str(pid), {}).get("rows", 0)
+        return {"wave_id": wave_id, "generation": gen, "pid": pid,
+                "rows": rows, "watermark": wm}
 
     # ------------------------------------------------------------------ #
     def lake_files(self) -> list[str]:

@@ -49,9 +49,29 @@ def compact_log_table(
 ) -> pa.Table:
     """The per-partition (or whole-table, for tests) retention kernel.
     Returns surviving events in lsn order. Thresholds compare against the
-    `ts` column (pass the same type: pa.scalar timestamp or int)."""
+    `ts` column (pass the same type: pa.scalar timestamp or int).
+
+    Per-message TTL (reference: the `time_to_live` column stamped by the
+    writer and honored by cloud compaction, PostgresqlStorage.java:
+    365-436, 473-488): when the log carries a `ttl` column (microseconds,
+    null = live forever), any event whose expiry `ts + ttl` is at or
+    before `compact_ts` is dropped FIRST — expiry removes the message
+    outright, so an expired latest version does NOT shield older
+    versions from compaction, matching the reference's delete-then-
+    compact statement order."""
     if t.num_rows == 0:
         return t
+    if "ttl" in t.column_names:
+        ts_us = t.column("ts").cast(pa.int64())
+        expiry = pc.add_checked(ts_us, t.column("ttl").cast(pa.int64()))
+        limit = (compact_ts.cast(pa.int64()).as_py()
+                 if isinstance(compact_ts, pa.Scalar) else int(compact_ts))
+        expired = pc.and_(pc.is_valid(t.column("ttl")),
+                          pc.less_equal(expiry,
+                                        pa.scalar(limit, pa.int64())))
+        t = t.filter(pc.invert(pc.fill_null(expired, False)))
+        if t.num_rows == 0:
+            return t
     in_window = pc.less_equal(t.column("ts"), compact_ts)
     window = t.filter(in_window)
     outside = t.filter(pc.invert(in_window))

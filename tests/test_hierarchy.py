@@ -184,3 +184,30 @@ def test_schema_evolution_propagates_down_chain(tmp_path):
         assert rows["b"]["lang"] is None          # pre-evolution row
         assert rows["c"]["lang"] == "de"
     assert parent.consistency_sum() == child.consistency_sum()
+
+
+def test_pipe_state_transitions(inputs, tmp_path):
+    """Reference PipeState.java:3-5: consumers learn their currency from
+    the read itself. Mid-tail waves report OUT_OF_DATE, the final wave
+    UP_TO_DATE; the outbox _STATE marker mirrors the emitting engine."""
+    import json
+    import os
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=2,
+                      emit_changelog=True)
+    assert child.pipe_state() == "UNKNOWN"     # nothing polled yet
+    waves = child.tail(parent.outbox_dir, wave_size=700,
+                       poll_interval_s=0.05, max_idle_polls=1)
+    states = [w["pipe_state"] for w in waves]
+    assert states[-1] == "UP_TO_DATE"
+    assert all(s == "OUT_OF_DATE" for s in states[:-1])
+    assert child.pipe_state() == "UP_TO_DATE"
+    with open(os.path.join(child.outbox_dir, "_STATE")) as f:
+        marker = json.load(f)
+    assert marker["state"] == "UP_TO_DATE"
+    assert marker["watermark"] == child.watermark

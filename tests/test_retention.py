@@ -165,3 +165,50 @@ def test_compacted_log_replay_equals_full_replay(tmp_path):
         eng.replay(src, [(0, spec.n_events)])
         lakes.append(eng.lake_table())
     assert lakes[0].equals(lakes[1])
+
+
+# --------------------------------------------------------------------- #
+# Per-message TTL (reference: time_to_live stamping + cloud compaction,
+# PostgresqlStorage.java:365-436, 473-488; routing-guarded TTL cases
+# PostgresqlStorageIntegrationSpec.groovy:249-567)
+# --------------------------------------------------------------------- #
+TTL_SCHEMA = pa.schema(list(SCHEMA) + [pa.field("ttl", pa.int64())])
+
+
+def ttl_ev(lsn, key, ts, ttl=None, op=0, source="T"):
+    return {"lsn": lsn, "op": op, "doc_id": key, "source": source,
+            "ts": ts, "ttl": ttl}
+
+
+def ttl_tbl(rows):
+    return pa.Table.from_pylist(rows, schema=TTL_SCHEMA)
+
+
+def test_ttl_expired_message_removed():
+    # A stamped ttl=2 at ts=1 expires at 3 <= compact_ts -> gone even
+    # though it is the key's LATEST version; B (no ttl) untouched
+    t = ttl_tbl([ttl_ev(1, "A", 1, ttl=2), ttl_ev(2, "B", 1)])
+    out = compact_log_table(t, compact_ts=3)
+    assert lsns(out) == [2]
+
+
+def test_ttl_unexpired_kept():
+    t = ttl_tbl([ttl_ev(1, "A", 1, ttl=10), ttl_ev(2, "B", 1)])
+    out = compact_log_table(t, compact_ts=3)
+    assert lsns(out) == [1, 2]
+
+
+def test_ttl_expiry_does_not_shield_older_version():
+    # reference order: TTL delete FIRST, then compaction over the
+    # remainder — the expired latest version vanishes and the older
+    # (ttl-less) version survives as the key's remaining latest
+    t = ttl_tbl([ttl_ev(1, "A", 1), ttl_ev(2, "A", 2, ttl=1)])
+    out = compact_log_table(t, compact_ts=4)
+    assert lsns(out) == [1]
+
+
+def test_ttl_outside_window_untouched():
+    # expiry beyond compact_ts: normal compaction semantics apply
+    t = ttl_tbl([ttl_ev(1, "A", 1, ttl=100), ttl_ev(2, "A", 2, ttl=100)])
+    out = compact_log_table(t, compact_ts=3)
+    assert lsns(out) == [2]
