@@ -224,23 +224,40 @@ def count_by_type(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------- #
 def routing_semijoin(sf_dir: str, n_clusters: int = 16,
                      clusters: tuple[int, ...] = (1, 3, 5, 7),
-                     types: tuple[str, ...] = ("click", "view", "purchase")
-                     ) -> ray.data.Dataset:
+                     types: tuple[str, ...] = ("click", "view", "purchase"),
+                     cache=None) -> ray.data.Dataset:
     """The per-cluster routed read (PostgresqlStorage.java:446-467): rows
     whose routing id (user_id % n_clusters) is in the caller's small
     cluster set AND whose type is subscribed. The cluster set is a tiny
-    broadcast captured in the map_batches closure — a broadcast semi-join,
-    never a shuffle join (SURVEY.md J3)."""
-    cset = pa.array(list(clusters), pa.int64())
-    tset = pa.array(list(types))
+    broadcast — a broadcast semi-join, never a shuffle join (SURVEY.md
+    J3). ``cache`` (state.routing.RoutingCache yielding
+    (clusters, types)) is the ST2 refresh hook: per-wave callers get the
+    current routing table with expiry/invalidation semantics instead of
+    a frozen closure capture."""
+    if cache is not None:
+        import ray as _ray
+        ref = cache.get()
 
-    def route(t: pa.Table) -> pa.Table:
-        rid = pc.subtract(
-            t.column("user_id"),
-            pc.multiply(pc.divide(t.column("user_id"), n_clusters),
-                        n_clusters))  # integer modulo, matches SQL %
-        mask = pc.and_(pc.is_in(rid, value_set=cset),
-                       pc.is_in(t.column("event_type"), value_set=tset))
-        return t.filter(mask)
+        def route(t: pa.Table) -> pa.Table:
+            cl, ty = _ray.get(ref)
+            return _route_filter(t, n_clusters, pa.array(list(cl), pa.int64()),
+                                 pa.array(list(ty)))
+    else:
+        cset = pa.array(list(clusters), pa.int64())
+        tset = pa.array(list(types))
+
+        def route(t: pa.Table) -> pa.Table:
+            return _route_filter(t, n_clusters, cset, tset)
 
     return read_events(sf_dir).map_batches(route, batch_format="pyarrow")
+
+
+def _route_filter(t: pa.Table, n_clusters: int, cset: pa.Array,
+                  tset: pa.Array) -> pa.Table:
+    rid = pc.subtract(
+        t.column("user_id"),
+        pc.multiply(pc.divide(t.column("user_id"), n_clusters),
+                    n_clusters))  # integer modulo, matches SQL %
+    mask = pc.and_(pc.is_in(rid, value_set=cset),
+                   pc.is_in(t.column("event_type"), value_set=tset))
+    return t.filter(mask)

@@ -41,6 +41,7 @@ from ..stages.merge_apply import (
     merge_partition_files,
     payload_schema,
     prep_wave_batch,
+    scan_split_segment,
 )
 from ..state.manifest import LakeStore, Manifest, schema_to_b64
 from .dag import DEFAULT_DAG, Derivation, topo_check
@@ -197,19 +198,64 @@ class CDCEngine:
             blocks = max(blocks, min(int(need), 4 * self.num_partitions))
         return blocks
 
+    def _scan_plan(self, log_path: str, lo: int, hi: int
+                   ) -> tuple[list[list[tuple[str, list[int] | None]]],
+                              pa.Schema | None]:
+        """Raw-task scan plan for a wave: per-task unit lists of
+        (file, row_group_ids|None), pruned by the segment index's lsn
+        stats, each unit's compressed bytes ≤ TARGET_SPLIT_BYTES (large
+        segments split at row-group granularity, small ones one per
+        task). Also returns the union schema over the wave's segments
+        (same evolution contract as wave_dataset)."""
+        idx = self._segment_index(log_path)
+        units: list[list[tuple[str, list[int] | None]]] = []
+        union: pa.Schema | None = None
+        for fn in sorted(idx):
+            mn, mx, nbytes, schema = idx[fn]
+            if not (mx > lo and mn <= hi):
+                continue
+            union = schema if union is None else evolve_schema(union, schema)
+            full = os.path.join(log_path, fn)
+            if nbytes <= self.TARGET_SPLIT_BYTES:
+                units.append([(full, None)])
+                continue
+            md = pq.read_metadata(full)
+            col = md.schema.to_arrow_schema().get_field_index("lsn")
+            group, gbytes = [], 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                if st is not None and st.has_min_max and \
+                        not (int(st.max) > lo and int(st.min) <= hi):
+                    continue                      # row group fully pruned
+                group.append(rg)
+                gbytes += md.row_group(rg).total_byte_size
+                if gbytes >= self.TARGET_SPLIT_BYTES:
+                    units.append([(full, group)])
+                    group, gbytes = [], 0
+            if group:
+                units.append([(full, group)])
+        return units, union
+
     def apply_wave(self, log_path: str, hi: int,
                    lo: int | None = None) -> dict[str, Any]:
         lo = self.watermark if lo is None else lo
         if hi <= self.watermark:
             return {"skipped": True, "watermark": self.watermark}
+        if self.merge_strategy == "exchange":
+            # raw-task scan path: per-segment tasks read/filter/prep/
+            # split without a Dataset plan (see scan_split_segment)
+            units, union = self._scan_plan(log_path, lo, hi)
+            return self._apply(None, lo, hi, wave_id=f"wave-{hi:012d}",
+                               incoming_schema=union, scan_units=units)
         ds = self.wave_dataset(log_path, lo, hi)
         return self._apply(ds, lo, hi, wave_id=f"wave-{hi:012d}",
                            incoming_schema=self._last_wave_schema)
 
     # ------------------------------------------------------------------ #
-    def _apply(self, ds: ray.data.Dataset, lo: int, hi: int,
+    def _apply(self, ds: "ray.data.Dataset | None", lo: int, hi: int,
                wave_id: str,
-               incoming_schema: pa.Schema | None = None) -> dict[str, Any]:
+               incoming_schema: pa.Schema | None = None,
+               scan_units: list | None = None) -> dict[str, Any]:
         t0 = time.perf_counter()
         cur = self.manifest
         gen = cur.generation + 1 if cur else 0
@@ -218,7 +264,7 @@ class CDCEngine:
         # (incoming_schema = union over the wave's segments when the
         # caller computed one; ds.schema() samples a single fragment)
         if incoming_schema is None:
-            ds_schema = ds.schema()
+            ds_schema = ds.schema() if ds is not None else None
         base = cur.schema if cur else default_lake_schema()
         if incoming_schema is None and ds_schema is None:
             lake_schema = base           # empty wave: keep current schema
@@ -236,20 +282,23 @@ class CDCEngine:
 
         parts_map = ({pid: p["path"] for pid, p in cur.partitions.items()}
                      if cur else {})
-        # Two stages on purpose: a map_batches directly fused onto the
-        # parquet read is invoked once per READ CHUNK (~row-group), not
-        # once per block — measured 16 splitter calls/block → 16× the
-        # exchange files and merge fan-in. The prep stage both runs the
-        # LWW pre-compaction (combiner) and re-blocks its output, so the
-        # splitter sees exactly one batch per block (batch_size=None).
-        prepped = ds.map_batches(
+        # Two stages on purpose (Dataset path): a map_batches directly
+        # fused onto the parquet read is invoked once per READ CHUNK
+        # (~row-group), not once per block — measured 16 splitter
+        # calls/block → 16× the exchange files and merge fan-in. The
+        # prep stage both runs the LWW pre-compaction (combiner) and
+        # re-blocks its output, so the splitter sees exactly one batch
+        # per block (batch_size=None).
+        prepped = None if ds is None else ds.map_batches(
             prep_wave_batch, batch_format="pyarrow", batch_size=None,
             fn_kwargs={"num_partitions": self.num_partitions,
                        "salt": self.salt, "policy": self.conflict},
         )
         if self.merge_strategy == "exchange":
             stats = self._exchange_merge(prepped, wave_id, parts_map,
-                                         lake_schema)
+                                         lake_schema,
+                                         scan=(scan_units, lo, hi)
+                                         if scan_units is not None else None)
         else:
             src = prepped
             if self.salt > 0:
@@ -417,33 +466,52 @@ class CDCEngine:
         import os
         return os.path.join(self.store.root, "_shuffle", wave_id)
 
-    def _exchange_merge(self, prepped: ray.data.Dataset, wave_id: str,
+    def _exchange_merge(self, prepped: "ray.data.Dataset | None",
+                        wave_id: str,
                         parts_map: dict[str, str],
-                        lake_schema: pa.Schema) -> list[dict[str, Any]]:
+                        lake_schema: pa.Schema,
+                        scan: tuple | None = None) -> list[dict[str, Any]]:
         """File-exchange shuffle (see stages/merge_apply.py): split blocks
         into per-partition delta files, then one merge task per touched
         partition. Both sides run at full parallelism with no object-store
         all-to-all; the barrier between them is the wave semantics (every
-        delta must exist before a partition merges)."""
+        delta must exist before a partition merges).
+
+        ``scan`` = (units, lo, hi): the raw-task fast path — per-segment
+        scan tasks replace the Dataset read+prep+split stages, removing
+        ~0.4 s/wave of planner critical path (measured; see
+        scan_split_segment)."""
         import os
         import shutil as _shutil
 
         sdir = self._shuffle_dir(wave_id)
         _shutil.rmtree(sdir, ignore_errors=True)   # stale partial attempt
         os.makedirs(sdir, exist_ok=True)
-        splitter = make_delta_splitter(sdir, self.num_partitions)
-        prepped.map_batches(splitter, batch_format="pyarrow",
-                            batch_size=None).take_all()
-        import glob as _glob
-        import json as _json
+        import ray as _ray
         touched_set: set[int] = set()
-        for idx_path in _glob.glob(os.path.join(sdir, "block-*.idx.json")):
-            with open(idx_path) as f:
-                touched_set.update(int(k) for k in _json.load(f))
+        if scan is not None:
+            units, lo, hi = scan
+            if units:
+                scan_task = _ray.remote(num_cpus=1)(scan_split_segment)
+                refs = [scan_task.remote(u, lo, hi, self.sources, sdir,
+                                         self.num_partitions, self.salt,
+                                         self.conflict)
+                        for u in units]
+                for pids in _ray.get(refs):
+                    touched_set.update(pids)
+        else:
+            splitter = make_delta_splitter(sdir, self.num_partitions)
+            prepped.map_batches(splitter, batch_format="pyarrow",
+                                batch_size=None).take_all()
+            import glob as _glob
+            import json as _json
+            for idx_path in _glob.glob(
+                    os.path.join(sdir, "block-*.idx.json")):
+                with open(idx_path) as f:
+                    touched_set.update(int(k) for k in _json.load(f))
         touched = sorted(touched_set)
         if not touched:
             return []
-        import ray as _ray
         merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
         b64 = schema_to_b64(lake_schema)
         outbox = self.outbox_dir if self.emit_changelog else None
@@ -464,28 +532,33 @@ class CDCEngine:
         always scanned."""
         import os
 
-        out: dict[str, tuple[int, int, int, pa.Schema]] = {}
-        for fn in sorted(os.listdir(log_path)):
-            if not fn.endswith(".parquet"):
-                continue
-            key = (log_path, fn)
-            if key not in self._seg_cache:
-                full = os.path.join(log_path, fn)
-                md = pq.read_metadata(full)
-                arrow_schema = md.schema.to_arrow_schema()
-                idx = arrow_schema.get_field_index("lsn")
-                mn, mx = None, None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        mn = int(st.min) if mn is None else min(mn, int(st.min))
-                        mx = int(st.max) if mx is None else max(mx, int(st.max))
-                if mn is None:
-                    mn, mx = -(1 << 62), 1 << 62
-                self._seg_cache[key] = (mn, mx, os.path.getsize(full),
-                                        arrow_schema)
-            out[fn] = self._seg_cache[key]
-        return out
+        def footer(fn: str) -> tuple[str, tuple[int, int, int, pa.Schema]]:
+            full = os.path.join(log_path, fn)
+            md = pq.read_metadata(full)
+            arrow_schema = md.schema.to_arrow_schema()
+            idx = arrow_schema.get_field_index("lsn")
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mn = int(st.min) if mn is None else min(mn, int(st.min))
+                    mx = int(st.max) if mx is None else max(mx, int(st.max))
+            if mn is None:
+                mn, mx = -(1 << 62), 1 << 62
+            return fn, (mn, mx, os.path.getsize(full), arrow_schema)
+
+        names = [fn for fn in sorted(os.listdir(log_path))
+                 if fn.endswith(".parquet")]
+        fresh = [fn for fn in names if (log_path, fn) not in self._seg_cache]
+        if fresh:
+            # footer parse is C++-side (GIL-releasing): a thread pool
+            # turns a 10k-segment cold index from seconds of serial
+            # driver time into one I/O round
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(16, len(fresh))) as ex:
+                for fn, rec in ex.map(footer, fresh):
+                    self._seg_cache[(log_path, fn)] = rec
+        return {fn: self._seg_cache[(log_path, fn)] for fn in names}
 
     def discover_watermark(self, log_path: str) -> int:
         """Published watermark. A `_WATERMARK` marker (written by an

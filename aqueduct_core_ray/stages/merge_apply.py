@@ -139,9 +139,14 @@ def merge_partition(old: pa.Table, delta: pa.Table,
         old.column("doc_id"),
         value_set=dels.column("doc_id").combine_chunks())).as_py() or 0) \
         if dels.num_rows else 0
-    new_rows = delta_to_lake_rows(ups.drop_columns([flag]), lake_schema,
-                                  policy)
-    merged = new_rows.sort_by("doc_id")
+    # compact_lww emits winners in doc_id-ascending order (it sorts by
+    # (doc_id, order) and takes the first index per run) and
+    # delta_to_lake_rows is column-wise only, so the result is ALREADY
+    # sorted by doc_id — a defensive re-sort here was a full extra
+    # gather of the partition's token lists every wave (measured in the
+    # round-1 scaling audit)
+    merged = delta_to_lake_rows(ups.drop_columns([flag]), lake_schema,
+                                policy)
     return merged, n_applied, n_deleted
 
 
@@ -167,62 +172,123 @@ def make_delta_splitter(
     """
 
     def split(batch: pa.Table) -> pa.Table:
-        import uuid
-
-        if "part" not in batch.column_names:
-            # Partitioning/pre-compaction policy lives in prep_wave_batch;
-            # a splitter-side fallback would have to duplicate the
-            # ConflictPolicy semantics (an earlier LWW-hardcoded fallback
-            # silently kept the wrong winner under non-default policies)
-            raise ValueError("splitter input must be prepped "
-                             "(prep_wave_batch adds 'part' and applies "
-                             "the conflict policy)")
-        # prep's composite sort leaves blocks grouped by part; re-sort
-        # only if that grouping was lost (defensive — one scan to check)
-        parts_np = batch.column("part").to_numpy(zero_copy_only=False)
-        if len(parts_np) > 1 and (np.diff(parts_np) < 0).any():
-            sorted_batch = batch.take(
-                pa.array(np.argsort(parts_np, kind="stable"))
-            ).combine_chunks()
-        else:
-            sorted_batch = batch.combine_chunks()
-        parts = sorted_batch.column("part").to_numpy(zero_copy_only=False)
-        uniq, starts = np.unique(parts, return_index=True)
-        bounds = np.append(starts, len(parts))
-        tag = uuid.uuid4().hex
-        os.makedirs(shuffle_dir, exist_ok=True)
-        # ONE indexed IPC file per block (not one file per partition):
-        # batch i of the file = partition uniq[i]'s slice; the sidecar
-        # maps pid -> batch index. Keeps the exchange at B files total
-        # instead of B×P (65k tiny files measured 3× slower at P=256),
-        # and the merge side mmap-reads only its own batch — zero copy.
-        data_path = os.path.join(shuffle_dir, f"block-{tag}.arrow")
-        idx: dict[int, list[int]] = {}
-        nbatch = 0
-        # lz4 halves the staged-shuffle footprint: on this class of VM,
-        # concurrent page-faulting of fresh tmpfs pages is the scale
-        # bottleneck, so fewer bytes beats zero-copy reads.
-        opts = pa.ipc.IpcWriteOptions(compression="lz4")
-        with pa.OSFile(data_path + ".tmp", "wb") as f:
-            with pa.ipc.new_file(f, sorted_batch.schema, options=opts) as w:
-                for i, pid in enumerate(uniq):
-                    sub = sorted_batch.slice(bounds[i],
-                                             bounds[i + 1] - bounds[i])
-                    for rb in sub.to_batches():
-                        w.write_batch(rb)
-                        idx.setdefault(int(pid), []).append(nbatch)
-                        nbatch += 1
-        os.replace(data_path + ".tmp", data_path)
-        idx_path = os.path.join(shuffle_dir, f"block-{tag}.idx.json")
-        with open(idx_path + ".tmp", "w") as f:
-            json.dump(idx, f)
-        os.replace(idx_path + ".tmp", idx_path)
+        uniq, rows = write_split_block(batch, shuffle_dir)
         return pa.table({
             "pid": pa.array([int(p) for p in uniq], pa.int32()),
-            "rows": pa.array((bounds[1:] - bounds[:-1]).astype(np.int64)),
+            "rows": pa.array(rows.astype(np.int64)),
         })
 
     return split
+
+
+def write_split_block(batch: pa.Table, shuffle_dir: str
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Write ONE prepped block as an indexed Arrow-IPC exchange file;
+    returns (touched pids, rows per pid). Shared by the Dataset splitter
+    and the raw-task segment scan."""
+    import uuid
+
+    if "part" not in batch.column_names:
+        # Partitioning/pre-compaction policy lives in prep_wave_batch;
+        # a splitter-side fallback would have to duplicate the
+        # ConflictPolicy semantics (an earlier LWW-hardcoded fallback
+        # silently kept the wrong winner under non-default policies)
+        raise ValueError("splitter input must be prepped "
+                         "(prep_wave_batch adds 'part' and applies "
+                         "the conflict policy)")
+    # prep's composite sort leaves blocks grouped by part; re-sort
+    # only if that grouping was lost (defensive — one scan to check)
+    parts_np = batch.column("part").to_numpy(zero_copy_only=False)
+    if len(parts_np) > 1 and (np.diff(parts_np) < 0).any():
+        sorted_batch = batch.take(
+            pa.array(np.argsort(parts_np, kind="stable"))
+        ).combine_chunks()
+    else:
+        sorted_batch = batch.combine_chunks()
+    parts = sorted_batch.column("part").to_numpy(zero_copy_only=False)
+    uniq, starts = np.unique(parts, return_index=True)
+    bounds = np.append(starts, len(parts))
+    tag = uuid.uuid4().hex
+    os.makedirs(shuffle_dir, exist_ok=True)
+    # ONE indexed IPC file per block (not one file per partition):
+    # batch i of the file = partition uniq[i]'s slice; the sidecar
+    # maps pid -> batch index. Keeps the exchange at B files total
+    # instead of B×P (65k tiny files measured 3× slower at P=256),
+    # and the merge side mmap-reads only its own batch — zero copy.
+    data_path = os.path.join(shuffle_dir, f"block-{tag}.arrow")
+    idx: dict[int, list[int]] = {}
+    nbatch = 0
+    # lz4 halves the staged-shuffle footprint: on this class of VM,
+    # concurrent page-faulting of fresh tmpfs pages is the scale
+    # bottleneck, so fewer bytes beats zero-copy reads.
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.OSFile(data_path + ".tmp", "wb") as f:
+        with pa.ipc.new_file(f, sorted_batch.schema, options=opts) as w:
+            for i, pid in enumerate(uniq):
+                sub = sorted_batch.slice(bounds[i],
+                                         bounds[i + 1] - bounds[i])
+                for rb in sub.to_batches():
+                    w.write_batch(rb)
+                    idx.setdefault(int(pid), []).append(nbatch)
+                    nbatch += 1
+    os.replace(data_path + ".tmp", data_path)
+    idx_path = os.path.join(shuffle_dir, f"block-{tag}.idx.json")
+    with open(idx_path + ".tmp", "w") as f:
+        json.dump(idx, f)
+    os.replace(idx_path + ".tmp", idx_path)
+    return uniq, bounds[1:] - bounds[:-1]
+
+
+def scan_split_segment(
+    units: list[tuple[str, list[int] | None]],
+    lo: int,
+    hi: int,
+    sources: tuple[str, ...] | None,
+    shuffle_dir: str,
+    num_partitions: int,
+    salt: int = 0,
+    policy: ConflictPolicy = LWW,
+) -> list[int]:
+    """Raw-task wave scan: read the unit's log row-groups, filter the
+    (lo, hi] window + source subscription, prep (partition + combiner
+    compaction) and write the exchange block — one task, no Dataset.
+
+    Why raw tasks here (same argument as the merge side): a wave's scan
+    is a FIXED set of per-segment jobs with nothing to stream between
+    stages; Ray Data's planner adds ~0.4 s/wave of driver-side planning
+    plus per-stage block accounting, which is pure critical path at
+    multi-M events/s. ``units`` = [(path, row_group_ids | None)] —
+    row-group granularity keeps any task's working set under the byte
+    target regardless of segment size."""
+    tabs = []
+    for path, rgs in units:
+        f = pq.ParquetFile(path)
+        t = f.read_row_groups(rgs) if rgs is not None else f.read()
+        lsn = t.column("lsn")
+        mask = pc.and_(pc.greater(lsn, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(lsn, pa.scalar(hi, pa.int64())))
+        if sources:
+            mask = pc.and_(mask, pc.is_in(
+                t.column("source"),
+                value_set=pa.array(list(sources))))
+        # full-replay fast path: when the whole unit falls inside the
+        # window (the common convergence wave) skip the filter's full
+        # copy of the token lists
+        if int(pc.sum(mask).as_py() or 0) < t.num_rows:
+            t = t.filter(mask)
+        tabs.append(t)
+    if len({t.schema for t in tabs}) > 1:
+        union = tabs[0].schema
+        for t in tabs[1:]:
+            union = evolve_schema(union, t.schema)
+        tabs = [reconcile_batch(t, union) for t in tabs]
+    block = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    if block.num_rows == 0:
+        return []
+    block = prep_wave_batch(block, num_partitions=num_partitions,
+                            salt=salt, policy=policy)
+    uniq, _ = write_split_block(block, shuffle_dir)
+    return [int(p) for p in uniq]
 
 
 def merge_partition_files(
@@ -274,7 +340,14 @@ def merge_partition_files(
         for t in tabs[1:]:
             union = evolve_schema(union, t.schema)
         tabs = [reconcile_batch(t, union) for t in tabs]
-    delta = compact_lww(pa.concat_tables(tabs), policy=policy)
+    delta = pa.concat_tables(tabs)
+    if outbox_dir is not None:
+        # the outbox contract publishes the COMPACTED applied delta;
+        # without an outbox this pre-compaction is skipped — the merge's
+        # unified compaction resolves cross-block duplicates in the same
+        # single pass that resolves delta-vs-old, saving one full gather
+        # of the delta's token lists per partition per wave
+        delta = compact_lww(delta, policy=policy)
 
     if outbox_dir is not None:
         # hierarchical propagation (reference: till re-serving its parent's

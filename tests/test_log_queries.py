@@ -112,3 +112,29 @@ def test_asof_probe_without_build(tmp_path):
     rows = {r["event_id"]: r["last_prior"]
             for r in asof_join_prior(str(d)).take_all()}
     assert rows == {1: None, 2: None, 4: 3}
+
+
+def test_routing_cache_expiry_and_invalidation():
+    """ST2 refresh semantics (ClusterStorage.java:40-65): cached within
+    the TTL, reloaded on expiry, reloaded after invalidate() — and the
+    cached semi-join returns exactly the closure-capture result."""
+    from aqueduct_core_ray.pipelines.log_queries import routing_semijoin
+    from aqueduct_core_ray.state.routing import RoutingCache
+
+    now = [0.0]
+    cache = RoutingCache(
+        loader=lambda: ((1, 3, 5, 7), ("click", "view", "purchase")),
+        ttl_s=10.0, clock=lambda: now[0])
+    assert cache.loads == 0
+    r1, r2 = cache.get(), cache.get()          # within TTL: one load
+    assert r1 == r2 and cache.loads == 1
+    now[0] = 11.0                              # expiry -> reload
+    cache.get()
+    assert cache.loads == 2
+    cache.invalidate()                         # writer flipped validity
+    cache.get()
+    assert cache.loads == 3 and cache.version == 3
+
+    plain = routing_semijoin(SF).to_pandas()
+    cached = routing_semijoin(SF, cache=cache).to_pandas()
+    assert canon(plain) == canon(cached)
