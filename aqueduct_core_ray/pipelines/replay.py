@@ -440,14 +440,76 @@ class CDCEngine:
             _json.dumps({"state": self.pipe_state(),
                          "watermark": self.watermark}))
 
+    def register_consumer_hwm(self, log_path: str, consumer_id: str,
+                              hwm: int) -> None:
+        """Record this consumer's applied watermark next to the log it
+        tails (``_consumers/<id>``, atomic write). The publisher reads
+        these for lag monitoring and as the automatic prune guard — the
+        reference's last-seen registry heartbeat (Node.java offset+
+        lastSeen, SubNodeGroup.java offline eviction) as files."""
+        import json as _json
+        d = os.path.join(log_path, "_consumers")
+        os.makedirs(d, exist_ok=True)
+        self.store._atomic_write(
+            os.path.join(d, consumer_id),
+            _json.dumps({"hwm": int(hwm), "wall_ts": time.time()}))
+
+    def consumer_hwms(self) -> dict[str, dict[str, Any]]:
+        """Registered consumers of THIS lake's outbox: id -> {hwm,
+        wall_ts}."""
+        import json as _json
+        d = os.path.join(self.outbox_dir, "_consumers")
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in os.listdir(d):
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    out[fn] = _json.load(f)
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def chain_status(self, stale_after_s: float = 300.0
+                     ) -> list[dict[str, Any]]:
+        """Lag report over registered consumers (reference:
+        SubNodeGroup.java:53-135 monitors children via last-seen and
+        evicts offline nodes; we SURFACE the stall instead of reshaping
+        a tree — the DAG is static by design). A child is LAGGING when
+        behind this lake's watermark, STALLED when also silent for
+        ``stale_after_s``."""
+        now = time.time()
+        wm = self.watermark
+        out = []
+        for cid, rec in sorted(self.consumer_hwms().items()):
+            lag = wm - int(rec["hwm"])
+            silent = now - float(rec.get("wall_ts", now))
+            state = ("UP_TO_DATE" if lag <= 0 else
+                     "STALLED" if silent >= stale_after_s else "LAGGING")
+            out.append({"consumer_id": cid, "hwm": int(rec["hwm"]),
+                        "lag_events": max(0, lag),
+                        "silent_s": round(silent, 1), "state": state})
+        return out
+
     def prune_outbox(self, below_lsn: int,
                      min_child_hwm: int | None = None) -> int:
         """Delete outbox segments whose max lsn < below_lsn. Guarded like
         tombstone GC (SURVEY.md §7.5 item 4): refuses to prune past the
         slowest child's applied watermark — a resumed child must never
-        miss a delete it has not applied. Returns segments removed."""
+        miss a delete it has not applied. When ``min_child_hwm`` is not
+        given it is derived from the registered consumers
+        (register_consumer_hwm); pruning with NO registered consumers
+        and no explicit override is refused rather than assumed safe.
+        Returns segments removed."""
         import os
-        if min_child_hwm is not None and below_lsn > min_child_hwm + 1:
+        if min_child_hwm is None:
+            hwms = [int(r["hwm"]) for r in self.consumer_hwms().values()]
+            if not hwms:
+                raise ValueError(
+                    "no registered consumers and no explicit "
+                    "min_child_hwm; refusing to prune blindly")
+            min_child_hwm = min(hwms)
+        if below_lsn > min_child_hwm + 1:
             raise ValueError(
                 "outbox prune threshold is beyond the minimum child HWM; "
                 "a lagging child would lose events")
@@ -584,14 +646,18 @@ class CDCEngine:
         return wm
 
     def tail(self, log_path: str, wave_size: int = 1_000_000,
-             poll_interval_s: float = 0.5, max_idle_polls: int = 3
-             ) -> list[dict[str, Any]]:
+             poll_interval_s: float = 0.5, max_idle_polls: int = 3,
+             consumer_id: str | None = None) -> list[dict[str, Any]]:
         """The till sync loop (reference §3.2: poll parent for the next
         batch, apply transactionally, sleep when caught up): discover the
         published watermark from footer stats, apply (hwm, hwm+wave_size]
         waves until caught up, poll again; return after `max_idle_polls`
         consecutive polls with no new data. A killed tail resumes exactly
-        like replay() — the manifest watermark is the only cursor."""
+        like replay() — the manifest watermark is the only cursor.
+
+        ``consumer_id``: when set, the applied HWM is registered next to
+        the tailed log after every wave (and every idle poll) — the
+        publisher's lag monitor + automatic prune guard input."""
         out: list[dict[str, Any]] = []
         if self.emit_changelog:
             self._publish_outbox_watermark()   # heal crash-before-marker
@@ -600,6 +666,9 @@ class CDCEngine:
             wm = self.discover_watermark(log_path)
             self._last_parent_wm = max(wm, self._last_parent_wm or -1)
             if wm <= self.watermark:
+                if consumer_id:
+                    self.register_consumer_hwm(log_path, consumer_id,
+                                               self.watermark)
                 idle += 1
                 time.sleep(poll_interval_s)
                 continue
@@ -608,6 +677,9 @@ class CDCEngine:
                 hi = min(self.watermark + wave_size, wm)
                 r = self.apply_wave(log_path, hi=hi)
                 r["pipe_state"] = self.pipe_state()
+                if consumer_id:
+                    self.register_consumer_hwm(log_path, consumer_id,
+                                               self.watermark)
                 out.append(r)
         return out
 

@@ -51,6 +51,12 @@ BENCH_QUERIES = [
 
 def _init_ray(num_cpus: int):
     import ray
+    # worker-side ray.data log config (driver setLevel can't reach
+    # workers): console at ERROR, full detail still in ray-data.log
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "ray_data_logging.yaml"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")
@@ -157,26 +163,40 @@ def main() -> None:
                     metavar=("N", "4N"),
                     help="CPU counts for --scaling (default 8 32)")
     ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="interleaved measurement rounds per level "
+                         "(--scaling)")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
 
     if args.scaling:
-        # parent generates once (32 CPUs), children only replay
+        # parent generates once (32 CPUs), children only replay.
+        # Levels run INTERLEAVED (lo, hi, lo, hi): a slow system phase
+        # (noisy-neighbor burst, kernel reclaim) then degrades both
+        # levels instead of silently biasing one side of the ratio;
+        # best-of per level across rounds.
         _init_ray(CPUS)
         ensure_input()
         import ray
         ray.shutdown()
-        res = {}
         lo, hi = args.pair
+        res: dict[int, dict] = {}
+        history: dict[int, list[int]] = {lo: [], hi: []}
+        for _ in range(args.rounds):
+            for n in (lo, hi):
+                env = dict(os.environ)
+                env.pop("RAY_ADDRESS", None)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--replay-only", "--skip-gen", "--cpus", str(n)],
+                    capture_output=True, text=True, env=env, check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                history[n].append(r["events_per_s"])
+                if n not in res or r["events_per_s"] > res[n]["events_per_s"]:
+                    res[n] = r
         for n in (lo, hi):
-            env = dict(os.environ)
-            env.pop("RAY_ADDRESS", None)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--replay-only", "--skip-gen", "--cpus", str(n)],
-                capture_output=True, text=True, env=env, check=True)
-            res[n] = json.loads(out.stdout.strip().splitlines()[-1])
+            res[n]["all_events_per_s"] = history[n]
         tlo, thi = res[lo]["events_per_s"], res[hi]["events_per_s"]
         eff = (thi / tlo) / (hi / lo)
         print(json.dumps({

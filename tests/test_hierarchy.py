@@ -211,3 +211,43 @@ def test_pipe_state_transitions(inputs, tmp_path):
         marker = json.load(f)
     assert marker["state"] == "UP_TO_DATE"
     assert marker["watermark"] == child.watermark
+
+
+def test_consumer_registration_and_chain_status(inputs, tmp_path):
+    """Lag monitoring + automatic prune guard: a tailing child registers
+    its HWM; the parent's chain_status reports it; prune_outbox derives
+    its guard from the slowest registered consumer."""
+    import pytest as _pytest
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    # prune with no registered consumers refuses rather than assumes
+    with _pytest.raises(ValueError):
+        parent.prune_outbox(below_lsn=10)
+
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=2)
+    child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+               poll_interval_s=0.05, max_idle_polls=1,
+               consumer_id="till-1")
+    status = parent.chain_status()
+    assert [s["consumer_id"] for s in status] == ["till-1"]
+    assert status[0]["state"] == "UP_TO_DATE"
+    assert status[0]["lag_events"] == 0
+
+    # guard now derives automatically from till-1's registered HWM
+    with _pytest.raises(ValueError):
+        parent.prune_outbox(below_lsn=SPEC.n_events + 10_000)
+    assert parent.prune_outbox(below_lsn=SPEC.n_events // 2) > 0
+
+    # a lagging child shows up as LAGGING (fresh) / STALLED (silent)
+    parent.register_consumer_hwm(parent.outbox_dir, "till-slow",
+                                 SPEC.n_events // 4)
+    by_id = {s["consumer_id"]: s for s in parent.chain_status()}
+    assert by_id["till-slow"]["state"] == "LAGGING"
+    assert by_id["till-slow"]["lag_events"] > 0
+    by_id = {s["consumer_id"]: s
+             for s in parent.chain_status(stale_after_s=0.0)}
+    assert by_id["till-slow"]["state"] == "STALLED"
