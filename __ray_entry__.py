@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derived_source_stats": partial(er.derived_source_stats),
         "tumbling_window": partial(tp.tumbling_window_counts),
         "asof_join_prior": partial(tp.asof_join_prior),
+        "sessionize": partial(tp.sessionize),
+        "value_histogram": partial(tp.value_histogram),
+        "schema_evolution_lake": partial(er.schema_evolution_lake),
         "distinct_users": partial(tp.distinct_users_by_type),
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
         # --- training-data operators ---
@@ -195,6 +198,35 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_id < p.event_id
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id""",
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL
+                            OR ts - prev > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS s
+              FROM o)
+            SELECT user_id, CAST(SUM(s) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM m GROUP BY user_id""",
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 2500
+                     AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1, 2""",
+        "schema_evolution_lake": _LOG_CTE + """
+            SELECT doc_id, value,
+                   CAST(strlen(props) AS BIGINT) AS vlen,
+                   CASE WHEN last_lsn >
+                          (SELECT (max(event_id) + 1) // 2 FROM events)
+                        THEN props END AS props,
+                   source, last_lsn
+            FROM lww WHERE op = 0""",
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
             FROM documents""",

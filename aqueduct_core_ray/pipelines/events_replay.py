@@ -126,6 +126,62 @@ def derived_source_stats(sf_dir: str, n_waves: int = 4,
     return out
 
 
+def schema_evolution_lake(sf_dir: str, num_partitions: int = 8
+                          ) -> ray.data.Dataset:
+    """Schema evolution THROUGH the engine, with a SQL oracle: wave 1's
+    segments carry no `props` column and an int32 `vlen`; wave 2 adds
+    `props` and widens `vlen` to int64 (the north rule's added-column +
+    int32→int64 cases). The final lake must show: every row's vlen as
+    int64, and props only where the winning write came from wave 2 —
+    exactly what the Arrow-schema reconciler inside the merge produces."""
+    import pyarrow.dataset as pads
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/aqr-sev-{tag}-p{num_partitions}"
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
+    os.makedirs(log_dir, exist_ok=True)
+    max_lsn = int(read_events(sf_dir, columns=["event_id"]).max("event_id")) + 1
+    half = max_lsn // 2
+
+    def to_v1(t: pa.Table) -> pa.Table:
+        e = events_to_changelog(t)
+        vlen = pc.binary_length(
+            e.column("props").cast(pa.binary())).cast(pa.int32())
+        return (e.drop_columns(["props"])
+                .append_column("vlen", vlen))
+
+    def to_v2(t: pa.Table) -> pa.Table:
+        e = events_to_changelog(t)
+        vlen = pc.binary_length(
+            e.column("props").cast(pa.binary())).cast(pa.int64())
+        return e.append_column("vlen", vlen)
+
+    (read_events(sf_dir, filter=pads.field("event_id") < half)
+     .map_batches(to_v1, batch_format="pyarrow")
+     .write_parquet(os.path.join(log_dir, "v1")))
+    (read_events(sf_dir, filter=pads.field("event_id") >= half)
+     .map_batches(to_v2, batch_format="pyarrow")
+     .write_parquet(os.path.join(log_dir, "v2")))
+    # one flat log dir (the engine's segment index scans a directory)
+    for sub in ("v1", "v2"):
+        d = os.path.join(log_dir, sub)
+        for fn in os.listdir(d):
+            os.replace(os.path.join(d, fn),
+                       os.path.join(log_dir, f"{sub}-{fn}"))
+        os.rmdir(d)
+
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions)
+    eng.replay(log_dir, [(0, half), (half, max_lsn)])
+    if eng.manifest.schema.field("vlen").type != pa.int64():
+        raise RuntimeError("vlen was not widened to int64 by the wave-2 "
+                           "schema reconciliation")
+    # full read_lake conforms every partition file to the evolved
+    # manifest schema first (an untouched partition may lag on disk)
+    return eng.read_lake().select_columns(
+        ["doc_id", "value", "vlen", "props", "source", "last_lsn"])
+
+
 # --------------------------------------------------------------------- #
 # documents -> tokenized training-sequence lake (input_hint shape)
 # --------------------------------------------------------------------- #

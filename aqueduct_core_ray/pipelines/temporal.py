@@ -131,6 +131,85 @@ def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
     return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               num_partitions: int = 16) -> ray.data.Dataset:
+    """Session windows per user: a new session starts when the gap to
+    the user's previous event exceeds ``gap_minutes``. Returns
+    (user_id, n_sessions, n_events) — the classic event-stream
+    sessionization a training-data pipeline needs for behavioral
+    filtering.
+
+    Scale shape mirrors asof_join_prior: ONE hash shuffle on user_id
+    into bounded partitions, then a single per-partition lexsort and a
+    segmented np.diff — session boundaries for every user in the
+    partition fall out of one vectorized pass."""
+    import pandas as pd
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.ones(len(uid), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.ones(len(uid), bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = new_user | gap
+        u_uniq, u_inv = np.unique(uid, return_inverse=True)
+        n_sessions = np.bincount(u_inv, weights=starts).astype(np.int64)
+        n_events = np.bincount(u_inv).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u_uniq),
+            "n_sessions": pa.array(n_sessions),
+            "n_events": pa.array(n_events),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+
+
+def value_histogram(sf_dir: str, bucket_width_cents: int = 2500
+                    ) -> ray.data.Dataset:
+    """Equi-width histogram of `value` per event type (integer-cent
+    buckets so the SQL oracle hashes identically): per-block partial
+    counts (combiner), then a tiny (type, bucket) groupby — the shuffle
+    moves histogram rows, never events."""
+
+    def prebucket(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        b = cents // bucket_width_cents
+        g = pa.table({"event_type": t.column("event_type"),
+                      "bucket": pa.array(b)})
+        agg = g.group_by(["event_type", "bucket"]).aggregate(
+            [("bucket", "count")])
+        return agg.rename_columns(["event_type", "bucket", "n_rows"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type").slice(0, 1),
+            "bucket": t.column("bucket").slice(0, 1),
+            "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py()],
+                               pa.int64()),
+        })
+
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    partial = ds.map_batches(prebucket, batch_format="pyarrow",
+                             batch_size=None)
+    return (partial.groupby(["event_type", "bucket"])
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct-count: users per event type. Per-block pair dedup
     (combiner) -> (type, user) groupby dedup is implicit in the final

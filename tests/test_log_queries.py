@@ -47,6 +47,7 @@ def canon(df: pd.DataFrame) -> list:
     "token_count", "quality_score",
     "fingerprint", "dedup_exact", "knn_bruteforce",
     "tumbling_window", "asof_join_prior", "distinct_users",
+    "sessionize", "value_histogram", "schema_evolution_lake",
 ])
 def test_query_matches_oracle(name, con, entry):
     import pyarrow as pa
