@@ -312,9 +312,12 @@ def _attach_shingles(pairs: ray.data.Dataset, shingles: ray.data.Dataset,
         docs = g.filter(pa.array(role == 1))
         prs = g.filter(pa.array(role == 0))
         out_cols = {c: prs.column(c) for c in ["key"] + carry}
-        if prs.num_rows == 0 or docs.num_rows == 0:
-            out_cols["sh"] = pa.nulls(prs.num_rows, null_sh)
+        if prs.num_rows == 0:
+            out_cols["sh"] = pa.nulls(0, null_sh)
             return pa.table(out_cols)
+        if docs.num_rows == 0:
+            raise ValueError("candidate pairs hashed to a partition with "
+                             "no shingle rows — mismatched inputs")
         dk = docs.column("key").to_numpy(zero_copy_only=False)
         dorder = np.argsort(dk, kind="stable")
         dk = dk[dorder]
@@ -322,6 +325,12 @@ def _attach_shingles(pairs: ray.data.Dataset, shingles: ray.data.Dataset,
         pk = prs.column("key").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(dk, pk)
         pos = np.clip(pos, 0, len(dk) - 1)
+        if not (dk[pos] == pk).all():
+            # loud failure beats silently attaching a neighbor's
+            # shingles: candidates are generated FROM this corpus, so a
+            # missing key means mismatched inputs
+            raise ValueError("candidate pair references a doc_id absent "
+                             "from the shingle table")
         out_cols["sh"] = dsh.take(pa.array(pos))
         return pa.table(out_cols)
 

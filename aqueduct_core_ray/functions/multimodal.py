@@ -64,7 +64,8 @@ class MediaFeatureExtractor:
         })
 
 
-def media_features(sf_dir: str, concurrency: int | None = None,
+def media_features(sf_dir: str,
+                   concurrency: "int | tuple[int, int] | None" = None,
                    batch_size: int = 1024) -> ray.data.Dataset:
     """documents.text bytes as the opaque payload -> feature extraction.
     Small ``batch_size`` on purpose: with real images, batch bytes =
