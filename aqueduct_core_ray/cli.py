@@ -160,6 +160,41 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """Operator view of a lake: manifest summary, pipe state, registered
+    consumers with lag (reference: the registry's node summary +
+    PipeState surface)."""
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake)
+    man = eng.manifest
+    if man is None:
+        print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
+        return 1
+    rows = sum(int(p["rows"]) for p in man.partitions.values())
+    nbytes = sum(int(p["bytes"]) for p in man.partitions.values())
+    print(json.dumps({
+        "ok": True, "generation": man.generation,
+        "watermark": man.watermark, "wave_id": man.wave_id,
+        "partitions": len(man.partitions), "rows": rows, "bytes": nbytes,
+        "last_waves": man.lineage[-3:],
+        "consumers": eng.chain_status(stale_after_s=args.stale_after),
+    }))
+    return 0
+
+
+def cmd_prune_outbox(args) -> int:
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake)
+    try:
+        removed = eng.prune_outbox(args.below_lsn,
+                                   min_child_hwm=args.min_child_hwm)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    print(json.dumps({"ok": True, "removed": removed}))
+    return 0
+
+
 def cmd_bootstrap_wipe(args) -> int:
     if not os.path.exists(os.path.join(args.lake, "CURRENT")) \
             and not args.force:
@@ -225,6 +260,21 @@ def main(argv: list[str] | None = None) -> int:
                         "refuses to pass it (resurrection guard)")
     t.add_argument("--partitions", type=int, default=64)
     t.set_defaults(fn=cmd_retention)
+
+    s = sub.add_parser("status", help="manifest + consumer-lag summary")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--stale-after", type=float, default=300.0)
+    s.set_defaults(fn=cmd_status)
+
+    po = sub.add_parser("prune-outbox",
+                        help="GC outbox segments below an lsn (guarded "
+                             "by registered consumer HWMs)")
+    po.add_argument("--lake", required=True)
+    po.add_argument("--below-lsn", type=int, required=True)
+    po.add_argument("--min-child-hwm", type=int,
+                    help="explicit override; default derives from "
+                         "registered consumers")
+    po.set_defaults(fn=cmd_prune_outbox)
 
     w = sub.add_parser("bootstrap-wipe", help="delete a lake root")
     w.add_argument("--lake", required=True)

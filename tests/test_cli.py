@@ -126,3 +126,19 @@ def test_rebuild_recovers_corruption(inputs, tmp_path, capsys):
     assert rc == 0 and out[0]["ok"]
     assert out[0]["consistency_sum"] == csum_before
     assert out[0]["rows"] == rows_before
+
+
+def test_status_and_prune_outbox(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "2"], capsys)
+    rc, out = run(["status", "--lake", lake], capsys)
+    assert rc == 0 and out[0]["ok"]
+    assert out[0]["watermark"] == SPEC.n_events
+    assert out[0]["partitions"] == 4 and out[0]["consumers"] == []
+
+    # prune with no registered consumers must refuse
+    rc, out = run(["prune-outbox", "--lake", lake,
+                   "--below-lsn", "100"], capsys)
+    assert rc == 1 and "consumers" in out[0]["error"]
