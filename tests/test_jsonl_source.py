@@ -1,0 +1,65 @@
+"""JSONL ingress adapter: reference-style Message lines -> CHANGE_EVENT
+-> full engine replay, LWW + tombstone semantics preserved end-to-end
+(Message.java:14-34 field contract; data IS NULL tombstones,
+SQLiteQueries.java:54-55)."""
+
+import json
+
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.jsonl import (
+    read_jsonl_changelog,
+    stage_jsonl_to_log,
+)
+
+LINES = [
+    {"msg_offset": 1, "msg_key": "a", "type": "t1",
+     "created_utc": "2024-01-01T00:00:01Z", "data": "v1"},
+    {"msg_offset": 2, "msg_key": "b", "type": "t1",
+     "created_utc": "2024-01-01T00:00:02Z", "data": "v2"},
+    {"msg_offset": 3, "msg_key": "a", "type": "t1",
+     "created_utc": "2024-01-01T00:00:03Z", "data": "v3"},
+    {"msg_offset": 4, "msg_key": "b", "type": "t1",
+     "created_utc": "2024-01-01T00:00:04Z", "data": None},   # tombstone
+    {"msg_offset": 5, "msg_key": "c", "type": "t2",
+     "created_utc": "2024-01-01T00:00:05Z", "data": "v5"},
+]
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "messages.jsonl"
+    with open(p, "w") as f:
+        for rec in LINES:
+            f.write(json.dumps(rec) + "\n")
+    return str(p)
+
+
+def test_conform_fields_and_tombstones(jsonl_path):
+    rows = sorted(read_jsonl_changelog(jsonl_path).take_all(),
+                  key=lambda r: r["lsn"])
+    assert [r["lsn"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [r["op"] for r in rows] == [0, 0, 0, 1, 0]
+    assert rows[0]["doc_id"] == "a" and rows[0]["source"] == "t1"
+    assert rows[0]["data"] == "v1"
+    assert str(rows[0]["ts"]).startswith("2024-01-01")
+
+
+def test_jsonl_replay_through_engine(jsonl_path, tmp_path):
+    log = stage_jsonl_to_log(jsonl_path, str(tmp_path / "log"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2)
+    eng.replay(log, [(0, 5)])
+    lake = {r["doc_id"]: r for r in eng.lake_table().to_pylist()}
+    # LWW: a -> v3 (offset 3 beats 1); b tombstoned away; c -> v5
+    assert set(lake) == {"a", "c"}
+    assert lake["a"]["data"] == "v3" and lake["a"]["last_lsn"] == 3
+    assert lake["c"]["data"] == "v5"
+
+
+def test_missing_required_field(tmp_path):
+    p = tmp_path / "bad.jsonl"
+    with open(p, "w") as f:
+        f.write(json.dumps({"msg_offset": 1, "type": "t"}) + "\n")
+    with pytest.raises(Exception):
+        read_jsonl_changelog(str(p)).take_all()
