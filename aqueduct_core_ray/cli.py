@@ -88,15 +88,30 @@ def cmd_verify(args) -> int:
     bad = []
     total = 0
     for pid, p in man.partitions.items():
+        # base file: physical rows vs the manifest's file_rows (equal to
+        # logical rows when no sidecars exist; older manifests lack
+        # file_rows and fall back to rows)
+        expect_base = int(p.get("file_rows", p["rows"]))
         path = eng.store.abs(p["path"])
         if not os.path.exists(path):
             bad.append({"pid": pid, "error": "missing file"})
             continue
         rows = pq.read_metadata(path).num_rows
-        total += rows
-        if rows != p["rows"]:
-            bad.append({"pid": pid, "manifest_rows": p["rows"],
+        if rows != expect_base:
+            bad.append({"pid": pid, "manifest_rows": expect_base,
                         "file_rows": rows})
+        for i, d in enumerate(p.get("deltas") or []):
+            dp = eng.store.abs(d["path"])
+            if not os.path.exists(dp):
+                bad.append({"pid": pid, "delta": i,
+                            "error": "missing delta file"})
+                continue
+            drows = pq.read_metadata(dp).num_rows
+            if drows != int(d["rows"]):
+                bad.append({"pid": pid, "delta": i,
+                            "manifest_rows": int(d["rows"]),
+                            "file_rows": drows})
+        total += int(p["rows"])          # logical live rows
     # the checksum itself reads every partition — only meaningful (and
     # safe) when the file inventory already checks out
     csum = eng.consistency_sum() if not bad else None
@@ -126,12 +141,19 @@ def cmd_rebuild(args) -> int:
     pids = list(args.partition or [])
     if args.auto:
         import pyarrow.parquet as pq
-        for pid, p in man.partitions.items():
-            path = eng.store.abs(p["path"])
+
+        def file_ok(path: str, rows: int) -> bool:
             try:
-                ok = pq.read_metadata(path).num_rows == p["rows"]
+                return pq.read_metadata(path).num_rows == rows
             except OSError:
-                ok = False
+                return False
+
+        for pid, p in man.partitions.items():
+            ok = file_ok(eng.store.abs(p["path"]),
+                         int(p.get("file_rows", p["rows"])))
+            for d in (p.get("deltas") or []):
+                ok = ok and file_ok(eng.store.abs(d["path"]),
+                                    int(d["rows"]))
             if not ok:
                 pids.append(int(pid))
     if not pids:

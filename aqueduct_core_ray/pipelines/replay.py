@@ -62,6 +62,12 @@ class CDCEngine:
         merge_strategy: str = "exchange",         # "exchange" | "groupby"
         conflict: "ConflictPolicy | None" = None, # default LWW-by-lsn
         emit_changelog: bool = False,             # write outbox/ segments
+        sidecar_frac: float = 0.25,               # delta/base row ratio under
+                                                  # which a wave stages a
+                                                  # sidecar instead of
+                                                  # rewriting the partition
+        max_deltas: int = 8,                      # sidecars per partition
+                                                  # before a forced rewrite
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -77,6 +83,8 @@ class CDCEngine:
         self.merge_strategy = merge_strategy
         self.conflict = conflict if conflict is not None else LWW
         self.emit_changelog = emit_changelog
+        self.sidecar_frac = sidecar_frac
+        self.max_deltas = max_deltas
         self._cached_manifest: Manifest | None = None
         # last watermark seen on the parent/log this engine consumes —
         # basis of the UP_TO_DATE / OUT_OF_DATE pipe state (reference:
@@ -280,8 +288,7 @@ class CDCEngine:
             lake_schema = evolve_schema(
                 base, pa.schema(list(incoming_pay) + extra))
 
-        parts_map = ({pid: p["path"] for pid, p in cur.partitions.items()}
-                     if cur else {})
+        parts_map = dict(cur.partitions) if cur else {}
         # Two stages on purpose (Dataset path): a map_batches directly
         # fused onto the parquet read is invoked once per READ CHUNK
         # (~row-group), not once per block — measured 16 splitter
@@ -328,12 +335,30 @@ class CDCEngine:
         for r in stats:
             pid = int(r["pid"])
             dst = self.store.promote_staged(wave_id, pid, gen)
-            new_parts[str(pid)] = {
-                "path": self.store.rel(dst), "rows": int(r["rows"]),
-                "bytes": int(r["bytes"]), "hwm": int(r["hwm"]),
+            if r.get("mode") == "delta":
+                # sidecar wave: the promoted file is a DELTA segment —
+                # append it to the entry's chain, update logical stats,
+                # keep the base file untouched
+                prev = new_parts[str(pid)]
+                entry = dict(prev)
+                entry["deltas"] = list(prev.get("deltas") or []) + [{
+                    "path": self.store.rel(dst),
+                    "rows": int(r["file_rows"]),
+                    "bytes": int(r["bytes"]),
+                }]
+                entry["file_rows"] = int(prev.get("file_rows",
+                                                  prev.get("rows", 0)))
+                entry["bytes"] = int(prev.get("bytes", 0)) + int(r["bytes"])
+            else:
+                entry = {"path": self.store.rel(dst), "deltas": [],
+                         "file_rows": int(r["file_rows"]),
+                         "bytes": int(r["bytes"])}
+            entry.update({
+                "rows": int(r["rows"]), "hwm": int(r["hwm"]),
                 "n_applied": int(r["n_applied"]),
                 "n_deleted": int(r["n_deleted"]),
-            }
+            })
+            new_parts[str(pid)] = entry
             n_events += int(r["n_applied"]) + int(r["n_deleted"])
             for dname, recs in _json.loads(r["partials_json"]).items():
                 new_partials.setdefault(dname, {})[str(pid)] = recs
@@ -579,7 +604,8 @@ class CDCEngine:
         outbox = self.outbox_dir if self.emit_changelog else None
         refs = [merge_task.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
-                                  self.derivations, self.conflict, outbox)
+                                  self.derivations, self.conflict, outbox,
+                                  self.sidecar_frac, self.max_deltas)
                 for p in touched]
         return _ray.get(refs)
 
@@ -774,6 +800,8 @@ class CDCEngine:
             dst = self.store.promote_staged(wave_id, pid, gen)
             new_parts[str(pid)] = {
                 "path": self.store.rel(dst), "rows": int(r["rows"]),
+                "file_rows": int(r.get("file_rows", r["rows"])),
+                "deltas": [],
                 "bytes": int(r["bytes"]), "hwm": int(r["hwm"]),
                 "n_applied": int(r["n_applied"]),
                 "n_deleted": int(r["n_deleted"]),
@@ -812,32 +840,67 @@ class CDCEngine:
         return [self.store.abs(p["path"]) for _, p in
                 sorted(m.partitions.items(), key=lambda kv: int(kv[0]))]
 
+    def _sorted_entries(self) -> list[dict[str, Any]]:
+        m = self.manifest
+        if not m:
+            return []
+        return [p for _, p in sorted(m.partitions.items(),
+                                     key=lambda kv: int(kv[0]))]
+
     def read_lake(self, columns: list[str] | None = None) -> ray.data.Dataset:
         """The materialized table as a streaming Dataset (schema reconciled
-        to the current manifest — untouched partitions may lag on disk)."""
+        to the current manifest — untouched partitions may lag on disk).
+
+        Partitions carrying delta sidecars are merged PARTITION-LOCALLY
+        inside the read tasks (one task per such partition, same unified
+        compaction kernel as the write side); delta-free lakes keep the
+        plain multi-file parquet scan."""
         m = self.manifest
-        files = self.lake_files()
-        if not files:
+        entries = self._sorted_entries()
+        if not entries:
             return ray.data.from_arrow(default_lake_schema().empty_table())
-        ds = ray.data.read_parquet(files, columns=columns)
-        if columns is None:
-            from ..schema import reconcile_batch
-            schema = m.schema
+        if not any(p.get("deltas") for p in entries):
+            ds = ray.data.read_parquet(self.lake_files(), columns=columns)
+            if columns is None:
+                from ..schema import reconcile_batch
+                schema = m.schema
 
-            def conform(t: pa.Table) -> pa.Table:
-                return reconcile_batch(t, schema)
+                def conform(t: pa.Table) -> pa.Table:
+                    return reconcile_batch(t, schema)
 
-            ds = ds.map_batches(conform, batch_format="pyarrow")
-        return ds
+                ds = ds.map_batches(conform, batch_format="pyarrow")
+            return ds
+        import json as _json
+        root, b64, pol = self.store.root, m.schema_b64, self.conflict
+        cols = list(columns) if columns is not None else None
+
+        def load(t: pa.Table) -> pa.Table:
+            from ..stages.merge_apply import load_partition_table
+            from ..state.manifest import schema_from_b64
+            schema = schema_from_b64(b64)
+            outs = []
+            for ej in t.column("entry_json").to_pylist():
+                tab = load_partition_table(root, _json.loads(ej), schema,
+                                           pol, cols)
+                if cols is not None:
+                    tab = tab.select(cols)
+                outs.append(tab)
+            return pa.concat_tables(outs)
+
+        descs = [{"entry_json": _json.dumps(p)} for p in entries]
+        return ray.data.from_items(descs).map_batches(
+            load, batch_format="pyarrow", batch_size=1)
 
     def lake_table(self) -> pa.Table:
         """Whole lake as one Arrow table — small/test scale only."""
-        from ..schema import reconcile_batch
+        from ..stages.merge_apply import load_partition_table
         m = self.manifest
-        files = self.lake_files()
-        if not files:
+        entries = self._sorted_entries()
+        if not entries:
             return default_lake_schema().empty_table()
-        tabs = [reconcile_batch(pq.read_table(f), m.schema) for f in files]
+        tabs = [load_partition_table(self.store.root, p, m.schema,
+                                     self.conflict)
+                for p in entries]
         return pa.concat_tables(tabs).sort_by("doc_id")
 
     def derived_table(self, name: str) -> pa.Table:

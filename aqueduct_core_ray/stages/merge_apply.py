@@ -41,7 +41,9 @@ ENVELOPE = ("lsn", "op", "ts", "part", "salt")
 STATS_SCHEMA = pa.schema(
     [
         pa.field("pid", pa.int32()),
-        pa.field("rows", pa.int64()),
+        pa.field("mode", pa.string()),         # "full" | "delta"
+        pa.field("rows", pa.int64()),          # LOGICAL live rows
+        pa.field("file_rows", pa.int64()),     # physical rows staged
         pa.field("bytes", pa.int64()),
         pa.field("hwm", pa.int64()),
         pa.field("n_applied", pa.int64()),
@@ -296,20 +298,36 @@ def merge_partition_files(
     lake_root: str,
     wave_id: str,
     shuffle_dir: str,
-    old_rel_path: str | None,
+    old_entry: "dict[str, Any] | None",
     lake_schema_b64: str,
     derivations: tuple[Any, ...] = (),
     policy: ConflictPolicy = LWW,
     outbox_dir: str | None = None,
+    sidecar_frac: float = 0.0,
+    max_deltas: int = 8,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
-    Reads the partition's staged delta files + its committed lake file,
-    applies LWW merge (D1 semantics), stages the new partition parquet.
-    Runs as a raw Ray task (``ray.remote`` in the engine): the merge fan
-    is a fixed set of P independent single-partition jobs, where a
-    Dataset adds a scheduling layer (stage startup, block accounting)
-    with nothing to stream — measured ~0.5 s/wave saved at P=128."""
+    Reads the partition's staged delta files + its committed lake state,
+    applies LWW merge (D1 semantics), stages the result. Runs as a raw
+    Ray task (``ray.remote`` in the engine): the merge fan is a fixed
+    set of P independent single-partition jobs, where a Dataset adds a
+    scheduling layer (stage startup, block accounting) with nothing to
+    stream — measured ~0.5 s/wave saved at P=128.
+
+    Two staging modes (the north star's RocksDB-style upsert buffers):
+
+    - FULL: rewrite the merged partition (base + sidecars + delta) as a
+      new base file. Always used for bootstrap and for big waves.
+    - DELTA sidecar: when this wave's compacted delta (plus existing
+      sidecars) stays under ``sidecar_frac`` of the base's physical rows
+      and fewer than ``max_deltas`` sidecars exist, stage only the
+      compacted delta (envelope kept) — per-wave write cost becomes
+      O(delta), not O(partition), which is the difference between a
+      steady-state CDC wave touching 0.1%% of a 10^10-row lake costing
+      O(10^7) vs O(10^10). Readers merge base+sidecars partition-locally
+      (``load_partition_table``); the next big wave (or the
+      ``max_deltas`` cap) triggers the absorbing full rewrite."""
     import glob as _glob
 
     lake_schema = schema_from_b64(lake_schema_b64)
@@ -341,12 +359,16 @@ def merge_partition_files(
             union = evolve_schema(union, t.schema)
         tabs = [reconcile_batch(t, union) for t in tabs]
     delta = pa.concat_tables(tabs)
-    if outbox_dir is not None:
-        # the outbox contract publishes the COMPACTED applied delta;
-        # without an outbox this pre-compaction is skipped — the merge's
-        # unified compaction resolves cross-block duplicates in the same
-        # single pass that resolves delta-vs-old, saving one full gather
-        # of the delta's token lists per partition per wave
+    base_rows = int(old_entry.get("file_rows", old_entry.get("rows", 0))) \
+        if old_entry else 0
+    existing = (old_entry.get("deltas") or []) if old_entry else []
+    may_sidecar = (old_entry is not None and sidecar_frac > 0
+                   and len(existing) < max_deltas and base_rows > 0)
+    if outbox_dir is not None or may_sidecar:
+        # the outbox/sidecar contracts need the COMPACTED applied delta;
+        # otherwise this pre-compaction is skipped — the merge's unified
+        # compaction resolves cross-block duplicates in the same single
+        # pass that resolves delta-vs-old (one fewer full token gather)
         delta = compact_lww(delta, policy=policy)
 
     if outbox_dir is not None:
@@ -362,7 +384,11 @@ def merge_partition_files(
         pq.write_table(delta.drop_columns(drop) if drop else delta,
                        seg + ".tmp", compression="zstd")
         os.replace(seg + ".tmp", seg)
-    return _merge_and_stage(pid, delta, lake_root, wave_id, old_rel_path,
+    pending = sum(int(d["rows"]) for d in existing) + delta.num_rows
+    if may_sidecar and pending <= sidecar_frac * base_rows:
+        return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
+                              lake_schema, derivations, policy)
+    return _merge_and_stage(pid, delta, lake_root, wave_id, old_entry,
                             lake_schema, derivations, policy)
 
 
@@ -374,15 +400,123 @@ def _jsafe(o):
     raise TypeError(type(o))
 
 
+def _read_projected(path: str, proj: pa.Schema) -> pa.Table:
+    """Read a parquet file restricted to proj's columns (those present),
+    reconciled to proj (missing cols null-filled, ints widened)."""
+    names = pq.read_schema(path).names
+    cols = [c for c in proj.names if c in names]
+    return reconcile_batch(pq.read_table(path, columns=cols), proj)
+
+
+def _sidecar_events(entry: dict, lake_root: str, proj: pa.Schema,
+                    policy: ConflictPolicy) -> pa.Table | None:
+    """Concat of a partition's delta sidecars, projected to the envelope
+    columns the merge needs plus proj's payload columns."""
+    deltas = entry.get("deltas") or []
+    if not deltas:
+        return None
+    env = {"lsn", "op", policy.order_col}
+    tabs = []
+    for d in deltas:
+        p = os.path.join(lake_root, d["path"])
+        names = pq.read_schema(p).names
+        cols = [c for c in names if c in env or c in proj.names]
+        tabs.append(pq.read_table(p, columns=cols))
+    if len({t.schema for t in tabs}) > 1:
+        union = tabs[0].schema
+        for t in tabs[1:]:
+            union = evolve_schema(union, t.schema)
+        tabs = [reconcile_batch(t, union) for t in tabs]
+    return pa.concat_tables(tabs)
+
+
+def load_partition_table(lake_root: str, entry: "dict[str, Any] | None",
+                         lake_schema: pa.Schema,
+                         policy: ConflictPolicy = LWW,
+                         columns: list[str] | None = None) -> pa.Table:
+    """LOGICAL view of one partition: committed base file + delta
+    sidecars merged under ``policy`` — the read side of the sidecar
+    design. Partition-local: reads only this partition's files, prunes
+    to ``columns`` (+ the doc_id/last_lsn/order columns the merge
+    itself needs) and runs the same unified-compaction kernel the write
+    side uses, so readers and writers can never disagree."""
+    if columns is None:
+        proj = lake_schema
+    else:
+        need = set(columns) | {"doc_id", "last_lsn"}
+        if policy.lake_order_field:
+            need.add(policy.lake_order_field)
+        proj = pa.schema([f for f in lake_schema if f.name in need])
+    if entry is None:
+        return proj.empty_table()
+    base = _read_projected(os.path.join(lake_root, entry["path"]), proj)
+    events = _sidecar_events(entry, lake_root, proj, policy)
+    if events is None:
+        return base
+    merged, _, _ = merge_partition(base, events, proj, policy)
+    return merged
+
+
+def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
+                   wave_id: str, old_entry: dict,
+                   lake_schema: pa.Schema,
+                   derivations: tuple[Any, ...],
+                   policy: ConflictPolicy) -> dict[str, Any]:
+    """DELTA mode: stage the compacted delta itself (envelope kept, so
+    readers can order it against the base) and compute the partition's
+    LOGICAL stats + derivation partials from a token-free projection —
+    the wave never reads or writes the heavy payload of unchanged
+    rows."""
+    drop = [c for c in ("part", "salt") if c in delta.column_names]
+    out = delta.drop_columns(drop) if drop else delta
+    staged_dir = os.path.join(lake_root, "_staged", wave_id)
+    os.makedirs(staged_dir, exist_ok=True)
+    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+    pq.write_table(out, path, compression="zstd")
+
+    # projection: derivation inputs + merge bookkeeping, NOT the payload
+    need = {"doc_id", "last_lsn"}
+    if policy.lake_order_field:
+        need.add(policy.lake_order_field)
+    for d in derivations:
+        if getattr(d, "upstream", "lake") == "lake":
+            if d.key:
+                need.add(d.key)
+            need.update(c for c, f in d.aggs if c != "*")
+    proj = pa.schema([f for f in lake_schema if f.name in need])
+    before = load_partition_table(lake_root, old_entry, lake_schema,
+                                  policy, columns=list(need))
+    env = {"lsn", "op", policy.order_col}
+    dcols = [c for c in out.column_names if c in env or c in proj.names]
+    after, n_applied, n_deleted = merge_partition(
+        before, out.select(dcols), proj, policy)
+    partials = {
+        d.name: d.partial_records(after)
+        for d in derivations if d.upstream == "lake"
+    }
+    return {
+        "pid": pid,
+        "mode": "delta",
+        "rows": after.num_rows,
+        "file_rows": out.num_rows,
+        "bytes": os.path.getsize(path),
+        "hwm": int(pc.max(delta.column("lsn")).as_py()),
+        "n_applied": n_applied,
+        "n_deleted": n_deleted,
+        "partials_json": json.dumps(partials, default=_jsafe),
+    }
+
+
 def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
-                     wave_id: str, old_rel_path: str | None,
+                     wave_id: str, old_entry: "dict[str, Any] | None",
                      lake_schema: pa.Schema,
                      derivations: tuple[Any, ...],
                      policy: ConflictPolicy) -> dict[str, Any]:
-    """Shared tail of both merge strategies: apply the compacted delta to
-    the committed partition, stage the result, compute partials/stats."""
-    old = (pq.read_table(os.path.join(lake_root, old_rel_path))
-           if old_rel_path else lake_schema.empty_table())
+    """FULL mode, shared by both merge strategies: apply the delta to
+    the partition's logical state (base + any sidecars — an absorbing
+    rewrite resets the sidecar chain), stage the merged base, compute
+    partials/stats."""
+    old = load_partition_table(lake_root, old_entry, lake_schema, policy)
     merged, n_applied, n_deleted = merge_partition(old, delta, lake_schema,
                                                    policy)
     hwm = int(pc.max(delta.column("lsn")).as_py())
@@ -398,7 +532,9 @@ def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
     }
     return {
         "pid": pid,
+        "mode": "full",
         "rows": merged.num_rows,
+        "file_rows": merged.num_rows,
         "bytes": os.path.getsize(path),
         "hwm": hwm,
         "n_applied": n_applied,
@@ -410,14 +546,16 @@ def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
 def make_wave_merger(
     lake_root: str,
     wave_id: str,
-    parts_map: dict[str, str],          # pid(str) -> committed rel path
+    parts_map: dict[str, dict],         # pid(str) -> partition entry
     lake_schema_b64: str,
     derivations: tuple[Any, ...] = (),
     policy: ConflictPolicy = LWW,
 ) -> Callable[[pa.Table], pa.Table]:
-    """Build the map_groups callable for one wave.
+    """Build the map_groups callable for one wave (groupby strategy —
+    always FULL mode; the sidecar fast path lives on the exchange
+    strategy's raw merge tasks).
 
-    The closure is small (P path strings + schema bytes) and ships once per
+    The closure is small (P entry dicts + schema bytes) and ships once per
     task; the lake partition file is read inside the task — partition-local
     I/O, no broadcast of data.
     """

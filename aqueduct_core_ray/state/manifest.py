@@ -205,8 +205,10 @@ class LakeStore:
                 continue
             with open(mp) as f:
                 m = Manifest.from_json(f.read())
-            live |= {os.path.normpath(self.abs(p["path"]))
-                     for p in m.partitions.values()}
+            for p in m.partitions.values():
+                live.add(os.path.normpath(self.abs(p["path"])))
+                for d in (p.get("deltas") or []):
+                    live.add(os.path.normpath(self.abs(d["path"])))
         removed = 0
         for pdir in os.listdir(self.parts_dir):
             full = os.path.join(self.parts_dir, pdir)

@@ -218,6 +218,9 @@ def main() -> None:
         ray.shutdown()
         return
     rep8 = run_replay(trials=1, n_waves=8)     # incremental-ingest mode
+    # steady-state CDC: 32 small waves over a converged-size lake —
+    # the regime where delta sidecars replace O(partition) rewrites
+    rep32 = run_replay(trials=1, n_waves=32)
     queries = run_queries()
     print(json.dumps({
         "metric": "cdc_replay_16M_events_wall",
@@ -226,6 +229,7 @@ def main() -> None:
         "sf": SF_DIR, "num_cpus": args.cpus,
         "events_per_s": rep["events_per_s"],
         "events_per_s_8waves": rep8["events_per_s"],
+        "events_per_s_32waves": rep32["events_per_s"],
         "lake_rows": rep["lake_rows"],
         "n_events": N_EVENTS,
     }))

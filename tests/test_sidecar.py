@@ -1,0 +1,136 @@
+"""Delta-sidecar staging (the north star's RocksDB-style upsert
+buffers): small waves stage O(delta) sidecar segments instead of
+rewriting the whole partition; readers merge base+sidecars
+partition-locally; the max_deltas / sidecar_frac thresholds trigger an
+absorbing rewrite. Every path must be byte-equal to a sidecar-free
+engine replaying the same schedule."""
+
+import numpy as np
+import pytest
+
+from aqueduct_core_ray.cli import main as cli_main
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    write_changelog,
+    write_seed_lake,
+)
+
+# 2000-doc seed, 10 waves of 160 events: each compacted wave delta is
+# ~3-8% of a partition's base rows -> sidecar mode engages
+SPEC = ChangelogSpec(n_docs=2000, n_events=1600, seed=33, chunk_size=400,
+                     n_waves=10)
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("s") / "seed.parquet"))
+    return log, seed
+
+
+def wave_bounds(n_waves):
+    edges = np.linspace(0, SPEC.n_events, n_waves + 1).astype(int)
+    return [(int(edges[i]), int(edges[i + 1])) for i in range(n_waves)]
+
+
+def replayed(tmp_path, name, **kw):
+    eng = CDCEngine(str(tmp_path / name), num_partitions=4, **kw)
+    eng.bootstrap_path = None
+    return eng
+
+
+def test_sidecars_engage_and_state_matches_full(inputs, tmp_path):
+    log, seed = inputs
+    side = CDCEngine(str(tmp_path / "side"), num_partitions=4)
+    side.bootstrap(seed)
+    side.replay(log, wave_bounds(10))
+    full = CDCEngine(str(tmp_path / "full"), num_partitions=4,
+                     sidecar_frac=0.0)
+    full.bootstrap(seed)
+    full.replay(log, wave_bounds(10))
+
+    n_deltas = sum(len(p.get("deltas") or [])
+                   for p in side.manifest.partitions.values())
+    assert n_deltas > 0, "sidecar mode never engaged — test is vacuous"
+    assert side.lake_table().equals(full.lake_table())
+    assert side.consistency_sum() == full.consistency_sum()
+    # logical row accounting matches the full engine's physical rows
+    for pid, p in full.manifest.partitions.items():
+        assert side.manifest.partitions[pid]["rows"] == p["rows"]
+
+
+def test_read_lake_pruned_columns_with_sidecars(inputs, tmp_path):
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    assert any(p.get("deltas") for p in eng.manifest.partitions.values())
+    got = sorted(r["doc_id"] for r in
+                 eng.read_lake(columns=["doc_id"]).take_all())
+    want = eng.lake_table().column("doc_id").to_pylist()
+    assert got == want
+
+
+def test_max_deltas_forces_absorbing_rewrite(inputs, tmp_path):
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    for p in eng.manifest.partitions.values():
+        assert len(p.get("deltas") or []) <= 2
+    full = CDCEngine(str(tmp_path / "full"), num_partitions=4,
+                     sidecar_frac=0.0)
+    full.bootstrap(seed)
+    full.replay(log, wave_bounds(10))
+    assert eng.lake_table().equals(full.lake_table())
+
+
+def test_resume_mid_sidecar_schedule(inputs, tmp_path):
+    """Kill after wave 4, resume in a FRESH engine: same final state as
+    an uninterrupted run (the sidecar chain is part of the manifest, so
+    the watermark fence covers it)."""
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10)[:4])
+    resumed = CDCEngine(root, num_partitions=4)
+    out = resumed.replay(log, wave_bounds(10))
+    assert sum(1 for r in out if r.get("skipped")) == 4
+    full = CDCEngine(str(tmp_path / "full"), num_partitions=4,
+                     sidecar_frac=0.0)
+    full.bootstrap(seed)
+    full.replay(log, wave_bounds(10))
+    assert resumed.lake_table().equals(full.lake_table())
+
+
+def test_verify_vacuum_rebuild_with_sidecars(inputs, tmp_path, capsys):
+    import json as _json
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    assert any(p.get("deltas") for p in eng.manifest.partitions.values())
+
+    rc = cli_main(["verify", "--lake", root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
+    csum = out["consistency_sum"]
+
+    # vacuum must keep every live delta file
+    removed = eng.store.vacuum(keep_generations=1)
+    rc = cli_main(["verify", "--lake", root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and removed > 0
+
+    # rebuild a sidecar-carrying partition -> fresh base, chain reset
+    pid = next(int(k) for k, p in eng.manifest.partitions.items()
+               if p.get("deltas"))
+    eng.rebuild_partition(log, pid, seed=seed)
+    assert eng.manifest.partitions[str(pid)]["deltas"] == []
+    rc = cli_main(["verify", "--lake", root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and out["consistency_sum"] == csum
