@@ -182,6 +182,17 @@ def cmd_retention(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Absorb delta sidecars into base files (LSM background
+    compaction) as one new manifest generation."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake)
+    n = eng.compact_partitions(args.partition or None)
+    print(json.dumps({"ok": True, "compacted_partitions": n}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Operator view of a lake: manifest summary, pipe state, registered
     consumers with lag (reference: the registry's node summary +
@@ -282,6 +293,12 @@ def main(argv: list[str] | None = None) -> int:
                         "refuses to pass it (resurrection guard)")
     t.add_argument("--partitions", type=int, default=64)
     t.set_defaults(fn=cmd_retention)
+
+    cp = sub.add_parser("compact",
+                        help="absorb delta sidecars into base files")
+    cp.add_argument("--lake", required=True)
+    cp.add_argument("--partition", type=int, action="append")
+    cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)

@@ -891,6 +891,118 @@ class CDCEngine:
         return ray.data.from_items(descs).map_batches(
             load, batch_format="pyarrow", batch_size=1)
 
+    def get_docs(self, doc_ids: list[str],
+                 columns: list[str] | None = None) -> pa.Table:
+        """Point reads: the live rows for ``doc_ids``, touching ONLY the
+        hash partitions those keys map to (plus their sidecars) — the
+        key-addressed read the doc_id partitioning exists for. Driver-
+        side: O(|keys| / P × partition size) I/O, no scan of the lake."""
+        from ..partitioning import partition_ids
+        from ..stages.merge_apply import load_partition_table
+        import numpy as np
+
+        m = self.manifest
+        if m is None or not doc_ids:
+            return default_lake_schema().empty_table()
+        ids = np.asarray(doc_ids, dtype=object)
+        pids = set(partition_ids(ids, m.num_partitions).tolist())
+        tabs = []
+        want = pa.array(list(doc_ids))
+        for pid in sorted(pids):
+            entry = m.partitions.get(str(pid))
+            if entry is None:
+                continue
+            t = load_partition_table(self.store.root, entry, m.schema,
+                                     self.conflict, columns)
+            t = t.filter(pc.is_in(t.column("doc_id"), value_set=want))
+            if columns is not None:
+                t = t.select(columns)
+            tabs.append(t)
+        if not tabs:
+            sch = m.schema if columns is None else pa.schema(
+                [f for f in m.schema if f.name in columns])
+            return sch.empty_table()
+        out = pa.concat_tables(tabs)
+        return out.sort_by("doc_id") if "doc_id" in out.column_names else out
+
+    def compact_partitions(self, pids: list[int] | None = None) -> int:
+        """Maintenance compaction: absorb delta sidecars into their base
+        files (the LSM background-compaction analog), committed as one
+        new manifest generation at the SAME watermark. Returns the
+        number of partitions rewritten. Partition-parallel raw tasks;
+        partitions without sidecars are untouched."""
+        import ray as _ray
+
+        from ..stages.merge_apply import (
+            _merge_and_stage as _mas,
+            load_partition_table as _lpt,
+        )
+
+        cur = self.manifest
+        if cur is None:
+            return 0
+        todo = [int(k) for k, p in cur.partitions.items()
+                if p.get("deltas") and (pids is None or int(k) in pids)]
+        if not todo:
+            return 0
+        gen = cur.generation + 1
+        wave_id = f"compact-g{gen:06d}"
+        b64 = cur.schema_b64
+        root = self.store.root
+        der, pol = self.derivations, self.conflict
+
+        def absorb(pid: int, entry: dict) -> dict:
+            from ..state.manifest import schema_from_b64 as _sfb
+            schema = _sfb(b64)
+            merged = _lpt(root, entry, schema, pol)
+            # re-stage the logical table as the new base; an empty delta
+            # cannot drive _merge_and_stage, so write directly
+            staged_dir = os.path.join(root, "_staged", wave_id)
+            os.makedirs(staged_dir, exist_ok=True)
+            path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+            pq.write_table(merged, path, compression="zstd")
+            partials = {d.name: d.partial_records(merged)
+                        for d in der if d.upstream == "lake"}
+            import json as _j
+            from ..stages.merge_apply import _jsafe
+            return {"pid": pid, "rows": merged.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "partials_json": _j.dumps(partials, default=_jsafe)}
+
+        task = _ray.remote(num_cpus=1)(absorb)
+        stats = _ray.get([task.remote(p, cur.partitions[str(p)])
+                          for p in todo])
+        import json as _json
+        new_parts = dict(cur.partitions)
+        new_partials = {k: dict(v) for k, v in cur.partials.items()}
+        for r in stats:
+            pid = int(r["pid"])
+            dst = self.store.promote_staged(wave_id, pid, gen)
+            prev = new_parts[str(pid)]
+            new_parts[str(pid)] = {
+                "path": self.store.rel(dst), "rows": int(r["rows"]),
+                "file_rows": int(r["rows"]), "deltas": [],
+                "bytes": int(r["bytes"]), "hwm": int(prev.get("hwm", -1)),
+                "n_applied": 0, "n_deleted": 0,
+            }
+            for dname, recs in _json.loads(r["partials_json"]).items():
+                new_partials.setdefault(dname, {})[str(pid)] = recs
+        lineage = list(cur.lineage) + [{
+            "wave_id": wave_id, "generation": gen, "compaction": True,
+            "parts_touched": len(stats),
+        }]
+        man = Manifest(
+            generation=gen, watermark=cur.watermark, wave_id=wave_id,
+            schema_b64=cur.schema_b64,
+            num_partitions=self.num_partitions,
+            partitions=new_parts, partials=new_partials,
+            lineage=lineage[-200:],
+        )
+        self.store.commit(man)
+        self._cached_manifest = man
+        self.store.drop_staged(wave_id)
+        return len(stats)
+
     def lake_table(self) -> pa.Table:
         """Whole lake as one Arrow table — small/test scale only."""
         from ..stages.merge_apply import load_partition_table

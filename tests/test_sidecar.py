@@ -35,12 +35,6 @@ def wave_bounds(n_waves):
     return [(int(edges[i]), int(edges[i + 1])) for i in range(n_waves)]
 
 
-def replayed(tmp_path, name, **kw):
-    eng = CDCEngine(str(tmp_path / name), num_partitions=4, **kw)
-    eng.bootstrap_path = None
-    return eng
-
-
 def test_sidecars_engage_and_state_matches_full(inputs, tmp_path):
     log, seed = inputs
     side = CDCEngine(str(tmp_path / "side"), num_partitions=4)
@@ -134,3 +128,44 @@ def test_verify_vacuum_rebuild_with_sidecars(inputs, tmp_path, capsys):
     rc = cli_main(["verify", "--lake", root])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"] and out["consistency_sum"] == csum
+
+
+def test_get_docs_point_read(inputs, tmp_path):
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    table = eng.lake_table()
+    want = {r["doc_id"]: r for r in table.to_pylist()}
+    some = sorted(want)[:3] + [sorted(want)[-1]]
+    got = eng.get_docs(some + ["doc-not-there"]).to_pylist()
+    assert [r["doc_id"] for r in got] == some
+    for r in got:
+        assert r["tokens"] == want[r["doc_id"]]["tokens"]
+        assert r["last_lsn"] == want[r["doc_id"]]["last_lsn"]
+    # pruned point read
+    slim = eng.get_docs(some, columns=["doc_id", "last_lsn"])
+    assert slim.column_names == ["doc_id", "last_lsn"]
+    assert slim.num_rows == len(some)
+
+
+def test_compact_partitions_absorbs_sidecars(inputs, tmp_path):
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    before = eng.lake_table()
+    csum = eng.consistency_sum()
+    assert any(p.get("deltas") for p in eng.manifest.partitions.values())
+    n = eng.compact_partitions()
+    assert n > 0
+    assert all(not p.get("deltas")
+               for p in eng.manifest.partitions.values())
+    assert eng.lake_table().equals(before)
+    assert eng.consistency_sum() == csum
+    assert eng.watermark == SPEC.n_events       # watermark unchanged
+    # idempotent: nothing left to absorb
+    assert eng.compact_partitions() == 0
+    # derived partials survive the compaction commit
+    eng2 = CDCEngine(str(tmp_path / "lake"))
+    assert eng2.manifest.generation == eng.manifest.generation
