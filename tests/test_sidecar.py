@@ -169,3 +169,23 @@ def test_compact_partitions_absorbs_sidecars(inputs, tmp_path):
     # derived partials survive the compaction commit
     eng2 = CDCEngine(str(tmp_path / "lake"))
     assert eng2.manifest.generation == eng.manifest.generation
+
+
+def test_sidecar_waves_still_feed_children(inputs, tmp_path):
+    """Outbox emission happens from the compacted delta BEFORE the
+    sidecar/full staging decision — a child tailing a sidecar-mode
+    parent must converge to the identical lake."""
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, wave_bounds(10))
+    assert any(p.get("deltas") for p in parent.manifest.partitions.values())
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=2)
+    child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+               poll_interval_s=0.05, max_idle_polls=1)
+    assert child.lake_table().select(
+        ["doc_id", "tokens", "n_tok", "source", "last_lsn"]).equals(
+        parent.lake_table().select(
+            ["doc_id", "tokens", "n_tok", "source", "last_lsn"]))
+    assert child.consistency_sum() == parent.consistency_sum()
