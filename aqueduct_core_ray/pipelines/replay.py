@@ -285,6 +285,11 @@ class CDCEngine:
             if lof and self.conflict.order_col in incoming.names:
                 extra.append(pa.field(
                     lof, incoming.field(self.conflict.order_col).type))
+            if self.conflict.retains_tombstones:
+                # tombstone winners stay materialized as fence rows so
+                # a later wave cannot resurrect a deleted doc under
+                # first-writer-wins / event-time ordering
+                extra.append(pa.field("last_op", pa.int8()))
             lake_schema = evolve_schema(
                 base, pa.schema(list(incoming_pay) + extra))
 
@@ -859,29 +864,45 @@ class CDCEngine:
         entries = self._sorted_entries()
         if not entries:
             return ray.data.from_arrow(default_lake_schema().empty_table())
+        fenced = "last_op" in m.schema.names
         if not any(p.get("deltas") for p in entries):
-            ds = ray.data.read_parquet(self.lake_files(), columns=columns)
+            read_cols = columns
+            if fenced and columns is not None and "last_op" not in columns:
+                read_cols = list(columns) + ["last_op"]
+            ds = ray.data.read_parquet(self.lake_files(), columns=read_cols)
             if columns is None:
                 from ..schema import reconcile_batch
                 schema = m.schema
 
                 def conform(t: pa.Table) -> pa.Table:
-                    return reconcile_batch(t, schema)
+                    from ..stages.merge_apply import live_rows
+                    return live_rows(reconcile_batch(t, schema))
 
                 ds = ds.map_batches(conform, batch_format="pyarrow")
+            elif fenced:
+                keep = list(columns)
+
+                def strip(t: pa.Table) -> pa.Table:
+                    from ..stages.merge_apply import live_rows
+                    return live_rows(t).select(keep)
+
+                ds = ds.map_batches(strip, batch_format="pyarrow")
             return ds
         import json as _json
         root, b64, pol = self.store.root, m.schema_b64, self.conflict
         cols = list(columns) if columns is not None else None
 
         def load(t: pa.Table) -> pa.Table:
-            from ..stages.merge_apply import load_partition_table
+            from ..stages.merge_apply import (
+                live_rows as _live,
+                load_partition_table,
+            )
             from ..state.manifest import schema_from_b64
             schema = schema_from_b64(b64)
             outs = []
             for ej in t.column("entry_json").to_pylist():
-                tab = load_partition_table(root, _json.loads(ej), schema,
-                                           pol, cols)
+                tab = _live(load_partition_table(root, _json.loads(ej),
+                                                 schema, pol, cols))
                 if cols is not None:
                     tab = tab.select(cols)
                 outs.append(tab)
@@ -898,7 +919,7 @@ class CDCEngine:
         key-addressed read the doc_id partitioning exists for. Driver-
         side: O(|keys| / P × partition size) I/O, no scan of the lake."""
         from ..partitioning import partition_ids
-        from ..stages.merge_apply import load_partition_table
+        from ..stages.merge_apply import live_rows, load_partition_table
         import numpy as np
 
         m = self.manifest
@@ -912,8 +933,9 @@ class CDCEngine:
             entry = m.partitions.get(str(pid))
             if entry is None:
                 continue
-            t = load_partition_table(self.store.root, entry, m.schema,
-                                     self.conflict, columns)
+            t = live_rows(load_partition_table(self.store.root, entry,
+                                               m.schema, self.conflict,
+                                               columns))
             t = t.filter(pc.is_in(t.column("doc_id"), value_set=want))
             if columns is not None:
                 t = t.select(columns)
@@ -1004,14 +1026,15 @@ class CDCEngine:
         return len(stats)
 
     def lake_table(self) -> pa.Table:
-        """Whole lake as one Arrow table — small/test scale only."""
-        from ..stages.merge_apply import load_partition_table
+        """Whole lake as one Arrow table (live rows — tombstone fences
+        excluded) — small/test scale only."""
+        from ..stages.merge_apply import live_rows, load_partition_table
         m = self.manifest
         entries = self._sorted_entries()
         if not entries:
             return default_lake_schema().empty_table()
-        tabs = [load_partition_table(self.store.root, p, m.schema,
-                                     self.conflict)
+        tabs = [live_rows(load_partition_table(self.store.root, p,
+                                               m.schema, self.conflict))
                 for p in entries]
         return pa.concat_tables(tabs).sort_by("doc_id")
 

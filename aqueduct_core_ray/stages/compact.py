@@ -51,6 +51,17 @@ class ConflictPolicy:
         lsn already serves: last_lsn is always stored as lineage)."""
         return None if self.order_col == "lsn" else f"last_{self.order_col}"
 
+    @property
+    def retains_tombstones(self) -> bool:
+        """True when a FUTURE event could lose to a tombstone under this
+        policy (first-writer-wins; any non-lsn ordering). The
+        materialized partition must then keep tombstone winners as
+        fence rows (last_op=1) or a later wave would resurrect the doc —
+        found by the sidecar associativity property test. Default
+        lsn-latest LWW never needs fences: a later event always carries
+        a higher lsn and wins regardless."""
+        return not (self.order_col == "lsn" and self.keep == "latest")
+
 
 LWW = ConflictPolicy()
 

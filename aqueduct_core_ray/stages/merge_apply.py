@@ -71,11 +71,15 @@ def prep_wave_batch(batch: pa.Table, *, num_partitions: int,
                        key=["part", "doc_id"], policy=policy)
 
 
+FENCE_COL = "last_op"      # tombstone-fence marker (retaining policies)
+
+
 def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema,
                        policy: ConflictPolicy = LWW) -> pa.Table:
-    """Project compacted upserts into lake rows (payload + last_lsn and,
-    for a non-lsn policy, the policy's last_<order> column)."""
-    extra = {"last_lsn"}
+    """Project compacted winners into lake rows (payload + last_lsn,
+    the policy's last_<order> column when non-lsn, and the last_op
+    tombstone-fence marker when the policy retains tombstones)."""
+    extra = {"last_lsn", FENCE_COL}
     if policy.lake_order_field:
         extra.add(policy.lake_order_field)
     pay = pa.schema([f for f in lake_schema if f.name not in extra])
@@ -86,22 +90,33 @@ def delta_to_lake_rows(ups: pa.Table, lake_schema: pa.Schema,
         out = out.append_column(
             policy.lake_order_field,
             ups.column(policy.order_col).cast(f.type))
+    if FENCE_COL in lake_schema.names:
+        out = out.append_column(FENCE_COL,
+                                ups.column("op").cast(pa.int8()))
     return out.select(lake_schema.names)   # column order = lake schema order
 
 
 def _old_as_events(old: pa.Table, policy: ConflictPolicy) -> pa.Table:
     """Committed lake rows as pseudo change events so contested keys are
-    resolved by the SAME compaction kernel as within-log conflicts."""
+    resolved by the SAME compaction kernel as within-log conflicts.
+    Tombstone-fence rows (last_op=1) re-enter as tombstone events — the
+    mechanism that keeps a delete's blocking power across waves under
+    retaining policies."""
     n = old.num_rows
+    if FENCE_COL in old.column_names:
+        op = pc.fill_null(old.column(FENCE_COL), 0).cast(pa.int8())
+    else:
+        op = pa.array(np.zeros(n, np.int8))
     cols: dict[str, Any] = {
         "lsn": old.column("last_lsn").cast(pa.int64()),
-        "op": pa.array(np.zeros(n, np.int8)),
+        "op": op,
     }
     if policy.lake_order_field:
         cols[policy.order_col] = old.column(policy.lake_order_field)
     for name in old.column_names:
         if name != "last_lsn" and name not in cols \
-                and name != policy.lake_order_field:
+                and name != policy.lake_order_field \
+                and name != FENCE_COL:
             cols[name] = old.column(name)
     return pa.table(cols)
 
@@ -141,13 +156,16 @@ def merge_partition(old: pa.Table, delta: pa.Table,
         old.column("doc_id"),
         value_set=dels.column("doc_id").combine_chunks())).as_py() or 0) \
         if dels.num_rows else 0
+    # retaining policies materialize tombstone winners as fence rows
+    # (see ConflictPolicy.retains_tombstones); default LWW drops them
+    keep = win if FENCE_COL in lake_schema.names else ups
     # compact_lww emits winners in doc_id-ascending order (it sorts by
     # (doc_id, order) and takes the first index per run) and
     # delta_to_lake_rows is column-wise only, so the result is ALREADY
     # sorted by doc_id — a defensive re-sort here was a full extra
     # gather of the partition's token lists every wave (measured in the
     # round-1 scaling audit)
-    merged = delta_to_lake_rows(ups.drop_columns([flag]), lake_schema,
+    merged = delta_to_lake_rows(keep.drop_columns([flag]), lake_schema,
                                 policy)
     return merged, n_applied, n_deleted
 
@@ -446,6 +464,8 @@ def load_partition_table(lake_root: str, entry: "dict[str, Any] | None",
         need = set(columns) | {"doc_id", "last_lsn"}
         if policy.lake_order_field:
             need.add(policy.lake_order_field)
+        if FENCE_COL in lake_schema.names:
+            need.add(FENCE_COL)
         proj = pa.schema([f for f in lake_schema if f.name in need])
     if entry is None:
         return proj.empty_table()
@@ -478,6 +498,8 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
     need = {"doc_id", "last_lsn"}
     if policy.lake_order_field:
         need.add(policy.lake_order_field)
+    if FENCE_COL in lake_schema.names:
+        need.add(FENCE_COL)
     for d in derivations:
         if getattr(d, "upstream", "lake") == "lake":
             if d.key:
@@ -490,14 +512,15 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
     dcols = [c for c in out.column_names if c in env or c in proj.names]
     after, n_applied, n_deleted = merge_partition(
         before, out.select(dcols), proj, policy)
+    after_live = live_rows(after)
     partials = {
-        d.name: d.partial_records(after)
+        d.name: d.partial_records(after_live)
         for d in derivations if d.upstream == "lake"
     }
     return {
         "pid": pid,
         "mode": "delta",
-        "rows": after.num_rows,
+        "rows": after_live.num_rows,
         "file_rows": out.num_rows,
         "bytes": os.path.getsize(path),
         "hwm": int(pc.max(delta.column("lsn")).as_py()),
@@ -505,6 +528,14 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
         "n_deleted": n_deleted,
         "partials_json": json.dumps(partials, default=_jsafe),
     }
+
+
+def live_rows(t: pa.Table) -> pa.Table:
+    """User-visible view: tombstone-fence rows excluded."""
+    if FENCE_COL not in t.column_names:
+        return t
+    return t.filter(pc.not_equal(
+        pc.fill_null(t.column(FENCE_COL), 0), pa.scalar(1, pa.int8())))
 
 
 def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
@@ -526,14 +557,15 @@ def _merge_and_stage(pid: int, delta: pa.Table, lake_root: str,
     path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
     pq.write_table(merged, path, compression="zstd")
 
+    live = live_rows(merged)
     partials = {
-        d.name: d.partial_records(merged)
+        d.name: d.partial_records(live)
         for d in derivations if d.upstream == "lake"
     }
     return {
         "pid": pid,
         "mode": "full",
-        "rows": merged.num_rows,
+        "rows": live.num_rows,
         "file_rows": merged.num_rows,
         "bytes": os.path.getsize(path),
         "hwm": hwm,

@@ -112,3 +112,38 @@ def test_ts_policy_tombstone(tmp_path):
     got = lake(eng)
     assert got["a"]["tokens"] == [1]       # survived the stale delete
     assert "b" not in got                  # fresh delete applied
+
+
+def test_fww_tombstone_blocks_reinsert_across_waves(tmp_path):
+    """Fence regression: under first-writer-wins, an early tombstone
+    must keep blocking a LATER wave's re-insert even after the wave
+    boundary materialized it — requires the last_op fence rows."""
+    log = write_log(tmp_path, [
+        ev(1, "a", op=1),                           # wave 1: delete first
+        ev(2, "b", tok=[7]),
+        ev(3, "a", tok=[99]),                       # wave 2: re-insert
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2,
+                    derivations=(),
+                    conflict=ConflictPolicy(keep="earliest"))
+    eng.replay(log, [(0, 2), (2, 3)])
+    got = lake(eng)
+    assert "a" not in got                           # tombstone fence held
+    assert got["b"]["tokens"] == [7]
+
+
+def test_event_time_tombstone_blocks_older_update(tmp_path):
+    """Event-time ordering: a tombstone at ts=100 must beat an update
+    at ts=50 arriving in a LATER wave (out-of-order event time)."""
+    log = write_log(tmp_path, [
+        ev(1, "a", op=1, ts=100 * US),              # wave 1
+        ev(2, "a", tok=[5], ts=50 * US),            # wave 2: older ts
+        ev(3, "b", tok=[6], ts=10 * US),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2,
+                    derivations=(),
+                    conflict=ConflictPolicy(order_col="ts"))
+    eng.replay(log, [(0, 1), (1, 3)])
+    got = lake(eng)
+    assert "a" not in got
+    assert got["b"]["tokens"] == [6]

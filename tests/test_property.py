@@ -99,3 +99,52 @@ def test_merge_partition_matches_oracle(old_rows, new_rows):
     for k in want_live:
         assert got[k]["last_lsn"] == want_live[k]["lsn"]
         assert got[k]["tokens"] == want_live[k]["tokens"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(base_rows=event_streams(max_events=15),
+       d1=event_streams(max_events=12),
+       d2=event_streams(max_events=12),
+       pidx=st.integers(0, 3))
+def test_sidecar_read_equals_sequential_folds(base_rows, d1, d2, pidx):
+    """The sidecar read contract: merging base against the CONCAT of two
+    wave deltas must equal folding them sequentially through full
+    rewrites — for every ConflictPolicy. This is exactly what
+    load_partition_table relies on when a partition carries a sidecar
+    chain instead of per-wave rewritten bases."""
+    policy = POLICIES[pidx]
+    for r in d1:
+        r["lsn"] += 100
+    for r in d2:
+        r["lsn"] += 200
+    extra = []
+    if policy.lake_order_field:
+        extra.append(pa.field(policy.lake_order_field, pa.timestamp("us")))
+    if policy.retains_tombstones:
+        # fence rows keep deletes blocking across materializations —
+        # without them sequential folds resurrect docs under FWW /
+        # event-time ordering (the bug this test originally caught)
+        extra.append(pa.field("last_op", pa.int8()))
+    lake_schema = pa.schema(list(default_lake_schema()) + extra)
+    from aqueduct_core_ray.stages.merge_apply import (
+        delta_to_lake_rows,
+        live_rows,
+    )
+    base_c = compact_lww(to_table(base_rows), policy=policy)
+    keep = base_c if policy.retains_tombstones else base_c.filter(
+        pa.compute.equal(base_c.column("op"), 0))
+    base = delta_to_lake_rows(keep, lake_schema, policy)
+
+    # path A: sequential full rewrites (wave-by-wave)
+    s1, _, _ = merge_partition(
+        base, compact_lww(to_table(d1), policy=policy), lake_schema, policy)
+    s2, _, _ = merge_partition(
+        s1, compact_lww(to_table(d2), policy=policy), lake_schema, policy)
+
+    # path B: base + sidecar chain merged once at read time
+    side = pa.concat_tables([compact_lww(to_table(d1), policy=policy),
+                             compact_lww(to_table(d2), policy=policy)])
+    got, _, _ = merge_partition(base, side, lake_schema, policy)
+
+    assert live_rows(got).sort_by("doc_id").equals(
+        live_rows(s2).sort_by("doc_id"))
