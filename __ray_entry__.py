@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
+        "top_tokens_by_source": partial(text.top_tokens_by_source),
         "quality_score": partial(text.quality_score),
         "fingerprint": partial(text.fingerprint),
         "dedup_exact": partial(dedup.exact_dedup),
@@ -230,6 +231,21 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
             FROM documents""",
+        "top_tokens_by_source": r"""
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+              FROM documents),
+            c AS (SELECT source, token,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY cnt DESC, token) AS rk
+                  FROM c)
+            SELECT source, token, cnt, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10""",
         "quality_score": f"""
             SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars,

@@ -83,6 +83,46 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------- #
+def top_tokens_by_source(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Per-source top-``k`` most frequent whitespace tokens (vocabulary
+    heavy hitters — the corpus-stats staple). Ties break by token asc.
+
+    Scale shape: per-block (source, token) partial counts (Arrow
+    group_by combiner — the shuffle moves distinct pairs, never words),
+    native distributed sum, then a top-k per source over a BOUNDED
+    group count (#sources)."""
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "source": pa.array(np.repeat(src, counts)),
+            "token": words.flatten(),
+        })
+        agg = g.group_by(["source", "token"]).aggregate([("token", "count")])
+        return agg.rename_columns(["source", "token", "cnt"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        cnt = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -cnt))[:k]
+        n = len(order)
+        return pa.table({
+            "source": t.column("source").take(pa.array(order)),
+            "token": t.column("token").take(pa.array(order)),
+            "cnt": pa.array(cnt[order].astype(np.int64)),
+            "rk": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        })
+
+    ds = read_documents(sf_dir, columns=["source", "text"])
+    partial = ds.map_batches(pair_counts, batch_format="pyarrow")
+    total = partial.groupby(["source", "token"]).sum("cnt")
+    return total.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
 # Language ID — marker-stopword n-gram heuristic (rows-only check: the
 # heuristic is not SQL-expressible). Stateful marker compilation happens
 # once per actor in __init__ (actor-pool stage pattern).
