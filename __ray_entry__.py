@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_docs": partial(er.tokenize_documents),
         "replay_documents_lake": partial(er.replay_documents_lake),
         "lang_id": partial(text.lang_id),
+        "chunk_dedup": _chunk_dedup,
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": partial(ann.knn_ivf),
         "knn_ivf_recall": partial(ann.knn_ivf_recall),
         "media_features": partial(multimodal.media_features),
+        "frame_sample": partial(multimodal.frame_sample),
     }
 
 
@@ -107,6 +109,15 @@ def lq_replay(sf_dir: str):
     from aqueduct_core_ray.pipelines.events_replay import replay_events_lake
 
     return replay_events_lake(sf_dir)
+
+
+def _chunk_dedup(sf_dir: str):
+    from aqueduct_core_ray.functions.chunking import chunk_dedup
+
+    # min_docs=1 so the driver's rows-only check sees a stable non-empty
+    # result on any corpus (cross-doc duplicates need crafted fixtures,
+    # covered in tests/test_chunking.py)
+    return chunk_dedup(sf_dir, min_docs=1)
 
 
 # The events table is read as the reference's EVENTS change log:

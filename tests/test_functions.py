@@ -244,3 +244,19 @@ def test_media_features_plumbing(corpus):
 def test_media_decode_stub_gated():
     with pytest.raises(NotImplementedError):
         multimodal.MediaFeatureExtractor.decode_real(b"\x00")
+
+
+def test_frame_sample_explosion(corpus):
+    rows = multimodal.frame_sample(corpus, n_frames=3).take_all()
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    assert len(rows) == t.num_rows * 3          # 1 -> N explosion
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, frames in by_doc.items():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
+    # identical payloads (docs 0 and 1) -> identical frame sets
+    f0 = sorted((r["frame_idx"], r["frame_hash"]) for r in by_doc[0])
+    f1 = sorted((r["frame_idx"], r["frame_hash"]) for r in by_doc[1])
+    assert f0 == f1
+    assert all(len(r["feat"]) == multimodal.FEAT_DIM for r in rows)
