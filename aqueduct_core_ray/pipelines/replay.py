@@ -974,20 +974,24 @@ class CDCEngine:
         der, pol = self.derivations, self.conflict
 
         def absorb(pid: int, entry: dict) -> dict:
+            from ..stages.merge_apply import live_rows as _live
             from ..state.manifest import schema_from_b64 as _sfb
             schema = _sfb(b64)
             merged = _lpt(root, entry, schema, pol)
-            # re-stage the logical table as the new base; an empty delta
-            # cannot drive _merge_and_stage, so write directly
+            # re-stage the materialized table (fence rows INCLUDED — they
+            # must keep blocking) as the new base; an empty delta cannot
+            # drive _merge_and_stage, so write directly
             staged_dir = os.path.join(root, "_staged", wave_id)
             os.makedirs(staged_dir, exist_ok=True)
             path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
             pq.write_table(merged, path, compression="zstd")
-            partials = {d.name: d.partial_records(merged)
+            live = _live(merged)        # stats/partials exclude fences
+            partials = {d.name: d.partial_records(live)
                         for d in der if d.upstream == "lake"}
             import json as _j
             from ..stages.merge_apply import _jsafe
-            return {"pid": pid, "rows": merged.num_rows,
+            return {"pid": pid, "rows": live.num_rows,
+                    "file_rows": merged.num_rows,
                     "bytes": os.path.getsize(path),
                     "partials_json": _j.dumps(partials, default=_jsafe)}
 
@@ -1003,7 +1007,7 @@ class CDCEngine:
             prev = new_parts[str(pid)]
             new_parts[str(pid)] = {
                 "path": self.store.rel(dst), "rows": int(r["rows"]),
-                "file_rows": int(r["rows"]), "deltas": [],
+                "file_rows": int(r["file_rows"]), "deltas": [],
                 "bytes": int(r["bytes"]), "hwm": int(prev.get("hwm", -1)),
                 "n_applied": 0, "n_deleted": 0,
             }

@@ -147,3 +147,30 @@ def test_event_time_tombstone_blocks_older_update(tmp_path):
     got = lake(eng)
     assert "a" not in got
     assert got["b"]["tokens"] == [6]
+
+
+def test_fww_fence_survives_sidecar_and_compaction(tmp_path):
+    """Fences + sidecars + maintenance compaction together: under FWW a
+    tombstone staged as a SIDECAR must still block a later re-insert,
+    and compact_partitions must carry the fence into the absorbed
+    base."""
+    inserts = [ev(i + 1, f"d{i:03d}", tok=[i]) for i in range(100)]
+    log = write_log(tmp_path, inserts + [
+        ev(101, "d000", op=1),                    # delete (loses: later)
+        ev(102, "x", op=1),                       # delete unseen doc
+        ev(103, "x", tok=[1]),                    # re-insert -> must lose
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2,
+                    derivations=(), sidecar_frac=0.5,
+                    conflict=ConflictPolicy(keep="earliest"))
+    eng.replay(log, [(0, 100), (100, 102), (102, 103)])
+    assert any(p.get("deltas") for p in
+               eng.manifest.partitions.values()), "sidecars never engaged"
+    got = lake(eng)
+    assert "x" not in got                         # fence held via sidecar
+    assert got["d000"]["tokens"] == [0]           # FWW: delete lost
+    assert len(got) == 100
+
+    eng.compact_partitions()
+    got2 = lake(eng)
+    assert got2 == got                            # fence survived absorb
