@@ -122,21 +122,29 @@ def chunk_dedup(sf_dir: str, k_bits: int = 8, max_chunk: int = 4096,
                 min_docs: int = 2) -> ray.data.Dataset:
     """Chunk fingerprints appearing in at least ``min_docs`` DISTINCT
     documents: (chunk_fp, n_docs, n_occurrences) — the shared-boilerplate
-    detector. Shuffle moves fingerprints only."""
+    detector. Shuffle moves fingerprints only, and both aggregation
+    stages are NATIVE (distinct-doc counting = a (fp, doc) groupby
+    feeding a per-fp Count/Sum — no per-fingerprint Python call; group
+    count here is unbounded at corpus scale)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     chunks = ds.map_batches(chunk_batch, batch_format="pyarrow",
                             fn_kwargs={"k_bits": k_bits,
                                        "max_chunk": max_chunk})
+    pair_occ = chunks.groupby(["chunk_fp", "doc_id"]).count()
+    per_fp = pair_occ.groupby("chunk_fp").aggregate(
+        Count(), Sum("count()"))
 
-    def per_fp(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        nd = pc.count_distinct(t.column("doc_id")).as_py()
-        return pa.table({
-            "chunk_fp": t.column("chunk_fp").slice(0, 1),
-            "n_docs": pa.array([nd], pa.int64()),
-            "n_occurrences": pa.array([t.num_rows], pa.int64()),
+    def rename(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "chunk_fp": t.column("chunk_fp"),
+            "n_docs": t.column("count()").cast(pa.int64()),
+            "n_occurrences": t.column("sum(count())").cast(pa.int64()),
         })
+        return out.filter(pc.greater_equal(out.column("n_docs"),
+                                           min_docs))
 
-    out = chunks.groupby("chunk_fp").map_groups(per_fp,
-                                                batch_format="pyarrow")
-    return out.filter(lambda r: r["n_docs"] >= min_docs)
+    return per_fp.map_batches(rename, batch_format="pyarrow")

@@ -52,21 +52,25 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"
         return agg.rename_columns(
             ["window_start", "event_type", "n_rows", "sum_cents"])
 
-    def fold(t: pa.Table) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    def rename(t: pa.Table) -> pa.Table:
         return pa.table({
-            "window_start": t.column("window_start").slice(0, 1),
-            "event_type": t.column("event_type").slice(0, 1),
-            "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py()],
-                               pa.int64()),
-            "sum_cents": pa.array([pc.sum(t.column("sum_cents")).as_py()],
-                                  pa.int64()),
+            "window_start": t.column("window_start"),
+            "event_type": t.column("event_type"),
+            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
+            "sum_cents": t.column("sum(sum_cents)").cast(pa.int64()),
         })
 
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
     partial = ds.map_batches(prebucket, batch_format="pyarrow",
                              batch_size=None)
+    # NATIVE multi-agg fold: the (window, type) group count grows with
+    # the time range — a per-group Python call would be a wall at years
+    # of hourly windows
     return (partial.groupby(["window_start", "event_type"])
-            .map_groups(fold, batch_format="pyarrow"))
+            .aggregate(Sum("n_rows"), Sum("sum_cents"))
+            .map_batches(rename, batch_format="pyarrow"))
 
 
 def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
@@ -195,19 +199,18 @@ def value_histogram(sf_dir: str, bucket_width_cents: int = 2500
             [("bucket", "count")])
         return agg.rename_columns(["event_type", "bucket", "n_rows"])
 
-    def fold(t: pa.Table) -> pa.Table:
+    def rename(t: pa.Table) -> pa.Table:
         return pa.table({
-            "event_type": t.column("event_type").slice(0, 1),
-            "bucket": t.column("bucket").slice(0, 1),
-            "n_rows": pa.array([pc.sum(t.column("n_rows")).as_py()],
-                               pa.int64()),
+            "event_type": t.column("event_type"),
+            "bucket": t.column("bucket"),
+            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
         })
 
     ds = read_events(sf_dir, columns=["event_type", "value"])
     partial = ds.map_batches(prebucket, batch_format="pyarrow",
                              batch_size=None)
-    return (partial.groupby(["event_type", "bucket"])
-            .map_groups(fold, batch_format="pyarrow"))
+    return (partial.groupby(["event_type", "bucket"]).sum("n_rows")
+            .map_batches(rename, batch_format="pyarrow"))
 
 
 def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
