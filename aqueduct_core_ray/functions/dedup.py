@@ -158,29 +158,70 @@ def _cap_bucket(ids: np.ndarray, cap: int | None = None) -> np.ndarray:
     return np.linspace(0, n - 1, cap).astype(np.int64)
 
 
+def _cap_segments(seg: np.ndarray, cap: int) -> np.ndarray:
+    """Row-keep mask enforcing the bucket cap over CONTIGUOUS segments
+    (input sorted by segment): oversized segments keep every
+    ceil(size/cap)-th row — deterministic, evenly spaced, ≤ cap rows.
+    Vectorized across all segments at once."""
+    _, starts, sizes = np.unique(seg, return_index=True,
+                                 return_counts=True)
+    ranks = np.arange(len(seg)) - np.repeat(starts, sizes)
+    step = np.repeat(-(-sizes // cap), sizes)
+    return ranks % step == 0
+
+
+def _segmented_pairs(seg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Index arrays (a, b) of ALL within-segment pairs (a < b by
+    position) over a segment-sorted array — one vectorized construction
+    for every bucket in a partition, replacing a Python call per bucket
+    (the round-2 scale fix: bucket COUNT is unbounded at corpus scale
+    even though each bucket is small)."""
+    n = len(seg)
+    _, starts, sizes = np.unique(seg, return_index=True,
+                                 return_counts=True)
+    ranks = np.arange(n) - np.repeat(starts, sizes)
+    cnt = np.repeat(sizes, sizes) - 1 - ranks     # partners after row i
+    a = np.repeat(np.arange(n), cnt)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    within = np.arange(len(a)) - np.repeat(csum[:-1], cnt) + 1
+    return a, a + within
+
+
 def _bucket_pairs_fn(min_est_pct: int, max_bucket: int | None = None):
+    """Pair generation over ONE bucket-hash PARTITION: sort by (bucket,
+    doc_id), cap oversized buckets, then a single segmented pair
+    construction + signature comparison covering every bucket in the
+    partition — no per-bucket Python call."""
+
     def pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
                           "doc_id_b": pa.array([], pa.int64()),
                           "est_jaccard_pct": pa.array([], pa.int64())})
         if t.num_rows < 2:
             return empty
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        keep_idx = _cap_bucket(ids[order], max_bucket)
-        ids = ids[order][keep_idx]
-        n = len(ids)
+        order = np.lexsort((ids, bucket))
+        bucket, ids = bucket[order], ids[order]
+        keep = _cap_segments(bucket, max_bucket or MAX_BUCKET)
+        bucket, ids = bucket[keep], ids[keep]
+        if len(ids) < 2:
+            return empty
         sig = np.stack(t.column("sig").to_numpy(
-            zero_copy_only=False))[order][keep_idx]
-        ii, jj = np.triu_indices(n, k=1)
+            zero_copy_only=False))[order][keep]
+        ii, jj = _segmented_pairs(bucket)
+        if len(ii) == 0:
+            return empty
         est = (sig[ii] == sig[jj]).mean(axis=1)
         pct = np.floor(est * 100).astype(np.int64)
-        keep = pct >= min_est_pct
-        if not keep.any():
+        m = pct >= min_est_pct
+        if not m.any():
             return empty
-        return pa.table({"doc_id_a": pa.array(ids[ii[keep]]),
-                         "doc_id_b": pa.array(ids[jj[keep]]),
-                         "est_jaccard_pct": pa.array(pct[keep])})
+        a, b = ids[ii[m]], ids[jj[m]]
+        lo, hi_ = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"doc_id_a": pa.array(lo),
+                         "doc_id_b": pa.array(hi_),
+                         "est_jaccard_pct": pa.array(pct[m])})
     return pairs
 
 
@@ -203,19 +244,24 @@ def _dedupe_pairs(ds: ray.data.Dataset,
 
 def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
                       shingle: int = 3, min_est_pct: int = 50,
-                      max_bucket: int | None = None) -> ray.data.Dataset:
+                      max_bucket: int | None = None,
+                      num_partitions: int = 16) -> ray.data.Dataset:
     """MinHash+LSH near-dup candidate pairs: shingle -> minhash -> band ->
-    bucket groupby -> bucket-local pair verification (signature-estimated
-    Jaccard >= threshold) -> global pair dedupe."""
+    bucket-HASH-partition groupby (bounded group count; every bucket in a
+    partition pairs in one vectorized segmented pass) -> global pair
+    dedupe. Bucket co-location is preserved: bpart = bucket % P."""
 
     def to_bands(t: pa.Table) -> pa.Table:
         sig = minhash_sigs(t, k=k, shingle=shingle)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return _band_rows(ids, sig, bands)
+        out = _band_rows(ids, sig, bands)
+        bp = (out.column("bucket").to_numpy(zero_copy_only=False)
+              .view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return out.append_column("bpart", pa.array(bp))
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = banded.groupby("bucket").map_groups(
+    cand = banded.groupby("bpart").map_groups(
         _bucket_pairs_fn(min_est_pct, max_bucket), batch_format="pyarrow")
     return _dedupe_pairs(cand)
 
@@ -420,10 +466,13 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
-def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
+def simhash_dedup(sf_dir: str, max_hamming: int = 3,
+                  num_partitions: int = 16) -> ray.data.Dataset:
     """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``,
     candidate generation by 16-bit band pigeonhole (4 bands: any pair
-    within distance 3 shares at least one exact band)."""
+    within distance 3 shares at least one exact band). Pairing runs per
+    bucket-hash PARTITION with one segmented vectorized pass over all
+    buckets (same scale shape as minhash_lsh_dedup)."""
 
     def to_bands(t: pa.Table) -> pa.Table:
         sh = simhash_batch(t)
@@ -434,7 +483,9 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             band = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
             buckets[b * n:(b + 1) * n] = (band.astype(np.int64)
                                           | (np.int64(b) << 32))
+        bp = (buckets % num_partitions).astype(np.int32)
         return pa.table({"bucket": pa.array(buckets),
+                         "bpart": pa.array(bp),
                          "doc_id": pa.array(np.tile(ids, 4)),
                          "simhash": pa.array(np.tile(sh, 4).view(np.int64))})
 
@@ -444,24 +495,31 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
                           "hamming": pa.array([], pa.int64())})
         if t.num_rows < 2:
             return empty
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        keep_idx = _cap_bucket(ids[order])
-        ids = ids[order][keep_idx]
-        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(
-            np.int64).view(np.uint64)[order][keep_idx]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ham = _popcount64(sh[ii] ^ sh[jj]).astype(np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
+        order = np.lexsort((ids, bucket))
+        bucket, ids = bucket[order], ids[order]
+        keep = _cap_segments(bucket, MAX_BUCKET)
+        bucket, ids = bucket[keep], ids[keep]
+        if len(ids) < 2:
             return empty
-        return pa.table({"doc_id_a": pa.array(ids[ii[keep]]),
-                         "doc_id_b": pa.array(ids[jj[keep]]),
-                         "hamming": pa.array(ham[keep])})
+        sh = t.column("simhash").to_numpy(zero_copy_only=False).astype(
+            np.int64).view(np.uint64)[order][keep]
+        ii, jj = _segmented_pairs(bucket)
+        if len(ii) == 0:
+            return empty
+        ham = _popcount64(sh[ii] ^ sh[jj]).astype(np.int64)
+        m = ham <= max_hamming
+        if not m.any():
+            return empty
+        a, b = ids[ii[m]], ids[jj[m]]
+        return pa.table({"doc_id_a": pa.array(np.minimum(a, b)),
+                         "doc_id_b": pa.array(np.maximum(a, b)),
+                         "hamming": pa.array(ham[m])})
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     cand = (ds.map_batches(to_bands, batch_format="pyarrow")
-            .groupby("bucket").map_groups(pairs, batch_format="pyarrow"))
+            .groupby("bpart").map_groups(pairs, batch_format="pyarrow"))
     return _dedupe_pairs(cand, "hamming")
 
 
