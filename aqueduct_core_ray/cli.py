@@ -29,9 +29,16 @@ import sys
 def _init_ray() -> None:
     import ray
     if not ray.is_initialized():
-        ray.init(address="local",
-                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None,
-                 include_dashboard=False, logging_level="ERROR")
+        # RAY_ADDRESS=local (the default here) starts a fresh local
+        # cluster; a real gcs address joins an existing one — which is
+        # how `ray job submit` drives this CLI on a standing cluster
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {}
+        if addr == "local":
+            kwargs["num_cpus"] = (
+                int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+            kwargs["include_dashboard"] = False
+        ray.init(address=addr, logging_level="ERROR", **kwargs)
     import logging
 
     from ray.data.context import DataContext
