@@ -94,7 +94,8 @@ def log_scan(sf_dir: str, types: tuple[str, ...] = ("click", "purchase"),
 # T3 — byte-capped prefix of the log (running-size window)
 # --------------------------------------------------------------------- #
 def byte_cap_prefix(sf_dir: str, cap: int | None = None,
-                    range_size: int = 4096) -> ray.data.Dataset:
+                    range_size: int | None = None,
+                    max_ranges: int = 4096) -> ray.data.Dataset:
     """The reference's batch byte-cap: keep the longest log prefix whose
     running payload-byte sum stays within ``cap``
     (``SUM(event_size) OVER (ORDER BY msg_offset) <= maxBatchSize``,
@@ -103,8 +104,13 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
     Distributed as a classic two-pass prefix sum: (1) per range-partition
     byte totals (tiny groupby), driver computes partition prefix offsets;
     (2) each range partition cumsums locally + its offset and filters.
-    No global sort, no driver-side row work.
-    """
+    No global sort, no driver-side row work; ``range_size`` scales with
+    the id span so the driver's offsets table stays ≤ ``max_ranges``
+    entries at ANY log size (a fixed 4096-row range meant an O(n)
+    driver dict at 10^10 events)."""
+    if range_size is None:
+        hi = int(read_events(sf_dir, columns=["event_id"]).max("event_id"))
+        range_size = max(4096, -(-(hi + 1) // max_ranges))
 
     def with_bytes(t: pa.Table) -> pa.Table:
         b = pc.binary_length(t.column("props").cast(pa.binary())).cast(pa.int64())
