@@ -13,11 +13,12 @@ staged->promote->manifest chain; `replay()` consults CURRENT's watermark
 and re-runs only unfinished waves, whose re-execution is deterministic and
 idempotent. No dup/loss — validated by tests/test_resume.py.
 
-Scale notes: the only shuffle per wave is the groupby("part") exchange of
-the *pre-compacted delta*; the lake is read/written partition-locally by
-the merge tasks; manifest/driver traffic is O(P) tiny rows; promotes are
-O(P) renames. At 10^10 events this is a loop of bounded waves, each
-streaming through the object store with backpressure.
+Scale notes: the only exchange per wave is the indexed-file shuffle of
+the *pre-compacted delta* (raw per-segment scan tasks on the default
+exchange path); the lake is read/written partition-locally by the merge
+tasks — as full rewrites for big waves or O(delta) sidecar segments for
+small ones; manifest/driver traffic is O(P) tiny rows; promotes are
+O(P) renames. At 10^10 events this is a loop of bounded waves.
 """
 
 from __future__ import annotations

@@ -10,13 +10,16 @@ Reference semantics being reproduced per partition (SURVEY.md D1/ST3):
     yields byte-identical output (the reference's PK fence,
     SQLiteQueries.java:22).
 
-Execution shape: the wave's change Dataset gets `part = hash(doc_id) % P`
-plus a per-batch LWW pre-compaction (the combiner) in `prep_wave_batch`,
-then `groupby("part").map_groups(merger)` routes each partition's delta to
-one task. The task holds the "per-partition sorted upsert buffer" of the
-north star: the compacted delta sorted by doc_id, merged against the
-partition's committed file, staged to a deterministic path. Only the DELTA
-is ever shuffled — the lake itself is read and written partition-locally.
+Execution shape: wave segments get `part = hash(doc_id) % P` plus a
+per-block LWW pre-compaction (the combiner) in `prep_wave_batch`
+(running inside raw scan tasks on the exchange path, or a map_batches
+stage on the Dataset path); the indexed file exchange routes each
+partition's delta to one merge task. The task holds the "per-partition
+sorted upsert buffer" of the north star: the compacted delta sorted by
+doc_id, merged against the partition's committed state — either as a
+FULL rewrite or, for small waves, a DELTA SIDECAR next to the untouched
+base (see merge_partition_files). Only the DELTA is ever shuffled — the
+lake itself is read and written partition-locally.
 """
 
 from __future__ import annotations
