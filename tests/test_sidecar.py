@@ -189,3 +189,55 @@ def test_sidecar_waves_still_feed_children(inputs, tmp_path):
         parent.lake_table().select(
             ["doc_id", "tokens", "n_tok", "source", "last_lsn"]))
     assert child.consistency_sum() == parent.consistency_sum()
+
+
+def test_schema_evolution_through_sidecar_chain(tmp_path):
+    """Mid-chain schema evolution: wave 2 adds a column while waves are
+    small enough to stage sidecars — the chain then holds files of two
+    vintages, and reads must reconcile them to the evolved manifest
+    schema (nulls for pre-evolution rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.schema import CHANGE_EVENT
+
+    def rows(lo, hi, extra=False):
+        out = []
+        for lsn in range(lo + 1, hi + 1):
+            r = {"lsn": lsn, "op": 0, "doc_id": f"d{lsn % 200:04d}",
+                 "tokens": [lsn % 50], "n_tok": 1, "source": "web",
+                 "ts": None}
+            if extra:
+                r["quality"] = float(lsn % 7)
+            out.append(r)
+        return out
+
+    sch2 = pa.schema(list(CHANGE_EVENT) + [pa.field("quality",
+                                                    pa.float64())])
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows(0, 1000), schema=CHANGE_EVENT),
+                   str(log / "seg-1.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows(1000, 1040, extra=True),
+                                        schema=sch2),
+                   str(log / "seg-2.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows(1040, 1080, extra=True),
+                                        schema=sch2),
+                   str(log / "seg-3.parquet"))
+
+    # sidecar_frac high enough that BOTH small waves stay sidecars (the
+    # default 0.25 would absorb on wave 3 — covered elsewhere)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=2,
+                    derivations=(), sidecar_frac=0.8)
+    # wave 1 big (full bases), waves 2-3 tiny (sidecars, new schema)
+    eng.replay(str(log), [(0, 1000), (1000, 1040), (1040, 1080)])
+    assert any(p.get("deltas") for p in eng.manifest.partitions.values())
+    assert "quality" in eng.manifest.schema.names
+    got = {r["doc_id"]: r for r in eng.lake_table().to_pylist()}
+    assert len(got) == 200
+    # docs last written pre-evolution read as NULL quality; post have it
+    pre = [r for r in got.values() if r["last_lsn"] <= 1000]
+    post = [r for r in got.values() if r["last_lsn"] > 1000]
+    assert pre and post
+    assert all(r["quality"] is None for r in pre)
+    assert all(r["quality"] is not None for r in post)
