@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": source_stats,
         "derived_source_stats": partial(er.derived_source_stats),
         "tumbling_window": partial(tp.tumbling_window_counts),
+        "hopping_window": partial(tp.hopping_window_counts),
+        "range_join_bands": partial(tp.range_join_value_bands),
         "asof_join_prior": partial(tp.asof_join_prior),
         "sessionize": partial(tp.sessionize),
         "value_histogram": partial(tp.value_histogram),
@@ -210,6 +212,25 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_id < p.event_id
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id""",
+        "hopping_window": """
+            WITH p AS (
+              SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                       - k * (INTERVAL 15 MINUTE) AS window_start,
+                     event_type
+              FROM events
+              CROSS JOIN (SELECT unnest(range(4)) AS k))
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM p GROUP BY 1, 2""",
+        "range_join_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+              ('micro', 0.0, 1.0), ('small', 1.0, 10.0),
+              ('medium', 10.0, 50.0), ('large', 50.0, 200.0),
+              ('jumbo', 200.0, 1000000000.0))
+            SELECT b.band, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band""",
         "sessionize": """
             WITH o AS (
               SELECT user_id, ts,

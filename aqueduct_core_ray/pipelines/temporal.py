@@ -135,6 +135,89 @@ def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
     return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
 
 
+def hopping_window_counts(sf_dir: str, window_minutes: int = 60,
+                          hop_minutes: int = 15) -> ray.data.Dataset:
+    """SLIDING (hopping) windows: length ``window_minutes``, advancing
+    every ``hop_minutes`` — each event lands in W/S overlapping windows
+    (the other half of the streaming-window pair next to
+    ``tumbling_window_counts``). Row-local window assignment via a
+    vectorized repeat (duplication factor W/S), per-block combiner,
+    then the same native (window, type) fold — the shuffle moves
+    partial counts, never the W/S-amplified events."""
+    from ray.data.aggregate import Sum
+
+    k = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes) * 60_000_000
+
+    def prebucket(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us           # newest window's start
+        n = len(ts)
+        ws = (np.repeat(base, k)
+              - np.tile(np.arange(k, dtype=np.int64) * hop_us, n))
+        et = t.column("event_type").take(
+            pa.array(np.repeat(np.arange(n), k)))
+        g = pa.table({
+            "window_start": pa.array(ws).cast(pa.timestamp("us")),
+            "event_type": et,
+        })
+        agg = g.group_by(["window_start", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return agg.rename_columns(["window_start", "event_type", "n_rows"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t.column("window_start"),
+            "event_type": t.column("event_type"),
+            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
+        })
+
+    ds = read_events(sf_dir, columns=["ts", "event_type"])
+    partial = ds.map_batches(prebucket, batch_format="pyarrow",
+                             batch_size=None)
+    return (partial.groupby(["window_start", "event_type"])
+            .aggregate(Sum("n_rows"))
+            .map_batches(rename, batch_format="pyarrow"))
+
+
+# deterministic value bands for the broadcast range join (mirrored
+# verbatim in the SQL oracle's VALUES clause)
+VALUE_BANDS = [("micro", 0.0, 1.0), ("small", 1.0, 10.0),
+               ("medium", 10.0, 50.0), ("large", 50.0, 200.0),
+               ("jumbo", 200.0, 1e9)]
+
+
+def range_join_value_bands(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast RANGE join: events matched to a small interval table
+    (``value ∈ [lo, hi)``) — the canonical small-side non-equi join. The
+    band table is a closure broadcast; each batch resolves membership
+    with ONE vectorized searchsorted over the band edges — never a
+    shuffle join, never a per-row loop."""
+    edges = np.array([b[1] for b in VALUE_BANDS] + [VALUE_BANDS[-1][2]])
+    labels = np.array([b[0] for b in VALUE_BANDS], dtype=object)
+
+    def bandify(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(labels))
+        lab = labels[np.clip(idx, 0, len(labels) - 1)]
+        g = pa.table({"band": pa.array(lab[ok].astype(object))})
+        agg = g.group_by(["band"]).aggregate([("band", "count")])
+        return agg.rename_columns(["band", "n_rows"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": t.column("band"),
+            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
+        })
+
+    ds = read_events(sf_dir, columns=["value"])
+    partial = ds.map_batches(bandify, batch_format="pyarrow",
+                             batch_size=None)
+    return (partial.groupby("band").sum("n_rows")
+            .map_batches(rename, batch_format="pyarrow"))
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30,
                num_partitions: int = 16) -> ray.data.Dataset:
     """Session windows per user: a new session starts when the gap to

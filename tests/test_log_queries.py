@@ -48,7 +48,7 @@ def canon(df: pd.DataFrame) -> list:
     "fingerprint", "dedup_exact", "knn_bruteforce",
     "tumbling_window", "asof_join_prior", "distinct_users",
     "sessionize", "value_histogram", "schema_evolution_lake",
-    "top_tokens_by_source",
+    "top_tokens_by_source", "hopping_window", "range_join_bands",
 ])
 def test_query_matches_oracle(name, con, entry):
     import pyarrow as pa
