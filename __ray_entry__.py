@@ -31,7 +31,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from aqueduct_core_ray.functions import ann, dedup, multimodal, text
+    from aqueduct_core_ray.functions import (
+        ann, dedup, multimodal, sampling, text)
     from aqueduct_core_ray.pipelines import events_replay as er
     from aqueduct_core_ray.pipelines import log_queries as lq
     from aqueduct_core_ray.pipelines import temporal as tp
@@ -96,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replay_documents_lake": partial(er.replay_documents_lake),
         "lang_id": partial(text.lang_id),
         "chunk_dedup": _chunk_dedup,
+        "stratified_sample": partial(sampling.stratified_sample),
+        "mixture_resample": partial(
+            sampling.mixture_resample,
+            weights={"src0": 2.0, "src1": 1.0}),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),

@@ -1,0 +1,72 @@
+"""Deterministic sampling operators for training-data curation:
+per-source stratified sampling and mixture rebalancing.
+
+Sampling is keyed-hash thresholding on ``doc_id`` (pandas siphash —
+stable across processes, nodes and runs): a doc is IN a sample iff
+``hash(doc_id, seed) / 2^64 < frac``. This makes samples reproducible,
+cheaply recomputable on any worker (pure filter, no shuffle, no state),
+and NESTED: the 1%% sample is a subset of the 10%% sample — the property
+scaling-law runs rely on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .text import read_documents
+
+
+def _accept(ids: np.ndarray, frac: float, seed: int) -> np.ndarray:
+    h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
+    return h.astype(np.float64) < float(frac) * float(2**64)
+
+
+def stratified_sample(sf_dir: str,
+                      fracs: "dict[str, float] | None" = None,
+                      default_frac: float = 0.5,
+                      seed: int = 91) -> ray.data.Dataset:
+    """Per-source sampling rates: keep each doc with its source's
+    fraction (sources absent from ``fracs`` use ``default_frac``).
+    Pure per-batch filter — streams at read speed."""
+    fracs = fracs or {}
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for s in np.unique(src):
+            m = src == s
+            keep[m] = _accept(ids[m], fracs.get(s, default_frac), seed)
+        return t.filter(pa.array(keep))
+
+    ds = read_documents(sf_dir)
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def mixture_resample(sf_dir: str,
+                     weights: "dict[str, float]",
+                     seed: int = 91) -> ray.data.Dataset:
+    """Downsample sources toward a TARGET MIXTURE: given desired
+    relative weights per source, compute per-source acceptance
+    fractions (≤1 — downsampling only, the largest-feasible mixture)
+    from the actual counts, then stratified-sample. Two passes: a tiny
+    native count aggregate, then the streaming filter — the classic
+    mixture-rebalancing step before tokenizer/packing."""
+    counts = {r["source"]: r["count()"] for r in
+              read_documents(sf_dir, columns=["source"])
+              .groupby("source").count().take_all()}
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weights name unknown sources: {sorted(missing)}")
+    # scale so the most-constrained source keeps 100% of its docs
+    scale = min(counts[s] / w for s, w in weights.items() if w > 0)
+    fracs = {s: min(1.0, (w * scale) / counts[s])
+             for s, w in weights.items()}
+    # sources without a weight are dropped
+    for s in counts:
+        fracs.setdefault(s, 0.0)
+    return stratified_sample(sf_dir, fracs, default_frac=0.0, seed=seed)
