@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": partial(text.lang_id),
         "chunk_dedup": _chunk_dedup,
         "stratified_sample": partial(sampling.stratified_sample),
+        "pack_sequences": _pack_sequences,
         "mixture_resample": partial(
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
@@ -116,6 +117,12 @@ def lq_replay(sf_dir: str):
     from aqueduct_core_ray.pipelines.events_replay import replay_events_lake
 
     return replay_events_lake(sf_dir)
+
+
+def _pack_sequences(sf_dir: str):
+    from aqueduct_core_ray.functions.packing import pack_sequences
+
+    return pack_sequences(sf_dir)
 
 
 def _chunk_dedup(sf_dir: str):

@@ -1,0 +1,81 @@
+"""Sequence packing: tokenized documents -> fixed-length training
+sequences (the last mile of a pretraining data pipeline over exactly
+the input_hint shape ``(doc_id, tokens, n_tok, source)``).
+
+Concat-and-chunk packing per HASH PARTITION: documents are routed by
+``hash(doc_id) % P`` and packed in doc_id order within each partition,
+so the output is deterministic for a corpus regardless of read
+parallelism or block boundaries (block-local packing would change with
+the execution plan). Everything inside a partition is vectorized: one
+flatten of the token lists, one offsets arange to re-slice into
+``context_len`` windows — no per-document loop.
+
+The trailing partial pack of each partition is emitted unpadded with
+its true length (callers pad or drop; emitting it keeps token counts
+conserved and testable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..pipelines.events_replay import tokenize_documents
+
+
+def pack_sequences(sf_dir: str, context_len: int = 512,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """(pack_id, tokens, n_tok, n_docs) rows; all packs are exactly
+    ``context_len`` tokens except each partition's final partial."""
+
+    def part_col(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(np.asarray(ids, dtype=object),
+                                   categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def pack(g: pa.Table) -> pa.Table:
+        pid = int(g.column("part")[0].as_py())
+        order = np.argsort(
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            kind="stable")
+        toks = g.column("tokens").take(pa.array(order)).combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n == 0:
+            return pa.table({
+                "pack_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "n_tok": pa.array([], pa.int32()),
+                "n_docs": pa.array([], pa.int64()),
+            })
+        n_packs = -(-n // context_len)
+        offsets = np.minimum(
+            np.arange(n_packs + 1, dtype=np.int64) * context_len, n)
+        packs = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(flat.astype(np.int32), pa.int32()))
+        # docs whose FIRST token falls in pack k are attributed to k —
+        # a cheap, exact per-pack doc count via searchsorted
+        doc_lens = g.column("n_tok").take(
+            pa.array(order)).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(doc_lens), dtype=np.int64)
+        np.cumsum(doc_lens[:-1], out=starts[1:])
+        per_pack = np.bincount(starts // context_len,
+                               minlength=n_packs).astype(np.int64)
+        ids = [f"p{pid:04d}-{i:08d}" for i in range(n_packs)]
+        return pa.table({
+            "pack_id": pa.array(ids),
+            "tokens": packs,
+            "n_tok": pa.array(
+                (offsets[1:] - offsets[:-1]).astype(np.int32)),
+            "n_docs": pa.array(per_pack),
+        })
+
+    ds = tokenize_documents(sf_dir).map_batches(part_col,
+                                                batch_format="pyarrow")
+    return ds.groupby("part").map_groups(pack, batch_format="pyarrow")
