@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_lake": partial(er.schema_evolution_lake),
         "distinct_users": partial(tp.distinct_users_by_type),
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
+        "approx_quantiles": partial(tp.approx_quantiles_by_type),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "top_tokens_by_source": partial(text.top_tokens_by_source),

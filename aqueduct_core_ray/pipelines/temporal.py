@@ -321,6 +321,64 @@ def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
             .map_groups(count_unique, batch_format="pyarrow"))
 
 
+def approx_quantiles_by_type(sf_dir: str,
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                             n_bins: int = 4096) -> ray.data.Dataset:
+    """Mergeable approximate quantiles of `value` per event type: each
+    block builds a fixed LOG-SPACED histogram (cents scale, vectorized
+    bincount), histograms MERGE by elementwise sum in the per-type
+    group, quantiles read off the merged CDF once at the end — the same
+    bounded-exchange sketch pattern as the HLL (#blocks × #types ×
+    n_bins ints move, never values). Relative error is bounded by the
+    log-bin width (~0.6% at 4096 bins over [1¢, 10^7¢]); approximate →
+    rows-only check, accuracy pinned vs DuckDB quantile_cont in
+    pytest."""
+    lo_c, hi_c = 1.0, 1e7            # cents domain of the log grid
+    log_lo, log_hi = np.log(lo_c), np.log(hi_c)
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.maximum(np.floor(v * 100 + 0.5), 1.0)
+        b = ((np.log(cents) - log_lo) / (log_hi - log_lo)
+             * (n_bins - 1)).astype(np.int64).clip(0, n_bins - 1)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        out_t, out_h = [], []
+        for et in np.unique(types):
+            out_t.append(et)
+            out_h.append(np.bincount(b[types == et], minlength=n_bins))
+        return pa.table({
+            "event_type": pa.array(out_t),
+            "hist": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(out_h).astype(np.int64)), n_bins),
+        })
+
+    def merge_quantiles(t: pa.Table) -> pa.Table:
+        h = np.stack(t.column("hist").to_numpy(zero_copy_only=False))
+        merged = h.sum(axis=0)
+        cdf = np.cumsum(merged)
+        total = cdf[-1]
+        qv = []
+        for q in qs:
+            bin_i = int(np.searchsorted(cdf, q * total))
+            # bin center back to cents -> dollars
+            c = np.exp(log_lo + (bin_i + 0.5) / (n_bins - 1)
+                       * (log_hi - log_lo))
+            qv.append(round(float(c) / 100.0, 4))
+        return pa.table({
+            "event_type": pa.concat_arrays(
+                [t.column("event_type").slice(0, 1).combine_chunks()]
+                * len(qs)),
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(qv, pa.float64()),
+        })
+
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    partial = ds.map_batches(block_hist, batch_format="pyarrow",
+                             batch_size=None)
+    return (partial.groupby("event_type")
+            .map_groups(merge_quantiles, batch_format="pyarrow"))
+
+
 def approx_distinct_users_by_type(sf_dir: str, p_bits: int = 12
                                   ) -> ray.data.Dataset:
     """HyperLogLog distinct-count per event type — the mergeable-sketch

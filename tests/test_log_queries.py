@@ -140,3 +140,25 @@ def test_routing_cache_expiry_and_invalidation():
     plain = routing_semijoin(SF).to_pandas()
     cached = routing_semijoin(SF, cache=cache).to_pandas()
     assert canon(plain) == canon(cached)
+
+
+def test_approx_quantiles_accuracy(entry, con):
+    """Log-binned histogram quantiles within ~2% relative error of the
+    exact DuckDB quantile_disc per type."""
+    got = {(r["event_type"], r["q"]): r["value"]
+           for r in entry.queries()["approx_quantiles"](SF).take_all()}
+    # quantile_disc (an actual sample, ceil semantics) matches the
+    # sketch's CDF readout; interpolating quantile_cont is
+    # ill-conditioned at sf0.001's per-type tail sample sizes
+    want = con.execute("""
+        SELECT event_type,
+               quantile_disc(value, 0.5)  AS q50,
+               quantile_disc(value, 0.9)  AS q90,
+               quantile_disc(value, 0.99) AS q99
+        FROM events GROUP BY event_type""").df()
+    for _, row in want.iterrows():
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            exact = row[col]
+            approx = got[(row["event_type"], q)]
+            assert abs(approx - exact) <= max(0.02 * exact, 0.02), \
+                (row["event_type"], q, exact, approx)
