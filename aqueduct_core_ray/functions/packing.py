@@ -53,6 +53,11 @@ def pack_sequences(sf_dir: str, context_len: int = 512,
                 "n_tok": pa.array([], pa.int32()),
                 "n_docs": pa.array([], pa.int64()),
             })
+        if n > (1 << 31) - 1:
+            raise ValueError(
+                f"partition holds {n} tokens — exceeds int32 list "
+                "offsets; raise num_partitions so each partition stays "
+                "under 2^31 tokens")
         n_packs = -(-n // context_len)
         offsets = np.minimum(
             np.arange(n_packs + 1, dtype=np.int64) * context_len, n)

@@ -45,7 +45,8 @@ LAKE_ROOT = ("/dev/shm/aqr_bench_lake" if os.path.isdir("/dev/shm")
 BENCH_QUERIES = [
     "cdc_replay_events", "lww_compaction", "byte_cap_prefix",
     "token_count", "dedup_exact", "minhash_lsh_dedup",
-    "knn_bruteforce", "media_features",
+    "knn_bruteforce", "media_features", "sessionize",
+    "chunk_dedup", "pack_sequences",
 ]
 
 
