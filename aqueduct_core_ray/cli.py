@@ -142,9 +142,6 @@ def cmd_rebuild(args) -> int:
     if man is None:
         print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
         return 1
-    if man.num_partitions != args.partitions:
-        eng = CDCEngine(args.lake, num_partitions=man.num_partitions)
-        man = eng.manifest
     pids = list(args.partition or [])
     if args.auto:
         import pyarrow.parquet as pq
@@ -194,7 +191,7 @@ def cmd_compact(args) -> int:
     compaction) as one new manifest generation."""
     _init_ray()
     from .pipelines.replay import CDCEngine
-    eng = CDCEngine(args.lake)
+    eng = CDCEngine(args.lake, num_partitions=None)
     n = eng.compact_partitions(args.partition or None)
     print(json.dumps({"ok": True, "compacted_partitions": n}))
     return 0
@@ -205,7 +202,7 @@ def cmd_status(args) -> int:
     consumers with lag (reference: the registry's node summary +
     PipeState surface)."""
     from .pipelines.replay import CDCEngine
-    eng = CDCEngine(args.lake)
+    eng = CDCEngine(args.lake, num_partitions=None)
     man = eng.manifest
     if man is None:
         print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
@@ -224,7 +221,7 @@ def cmd_status(args) -> int:
 
 def cmd_prune_outbox(args) -> int:
     from .pipelines.replay import CDCEngine
-    eng = CDCEngine(args.lake)
+    eng = CDCEngine(args.lake, num_partitions=None)
     try:
         removed = eng.prune_outbox(args.below_lsn,
                                    min_child_hwm=args.min_child_hwm)
@@ -255,7 +252,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--log", required=True)
     r.add_argument("--lake", required=True)
     r.add_argument("--seed")
-    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--partitions", type=int, default=None,
+                   help="default: adopt the lake's committed count (64 if new)")
     r.add_argument("--waves", type=int, default=4)
     r.add_argument("--watermark", type=int,
                    help="highest lsn to apply (default: max in log)")
@@ -267,7 +265,7 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--log", required=True)
     tl.add_argument("--lake", required=True)
     tl.add_argument("--seed")
-    tl.add_argument("--partitions", type=int, default=64)
+    tl.add_argument("--partitions", type=int, default=None)
     tl.add_argument("--wave-size", type=int, default=1_000_000)
     tl.add_argument("--poll-interval", type=float, default=0.5)
     tl.add_argument("--max-idle-polls", type=int, default=3)
@@ -287,7 +285,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="partition id to rebuild (repeatable)")
     rb.add_argument("--auto", action="store_true",
                     help="rebuild every partition verify flags")
-    rb.add_argument("--partitions", type=int, default=64)
+    rb.add_argument("--partitions", type=int, default=None)
     rb.set_defaults(fn=cmd_rebuild)
 
     t = sub.add_parser("retention", help="compact log + GC tombstones")

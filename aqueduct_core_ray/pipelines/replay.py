@@ -56,7 +56,8 @@ class CDCEngine:
     def __init__(
         self,
         lake_root: str,
-        num_partitions: int = 64,
+        num_partitions: "int | None" = 64,   # None = adopt the committed
+                                             # lake's count (64 if new)
         derivations: tuple[Derivation, ...] = DEFAULT_DAG,
         salt: int = 0,
         sources: tuple[str, ...] | None = None,   # type-subscription filter (T1)
@@ -77,6 +78,9 @@ class CDCEngine:
             raise ValueError("emit_changelog requires the exchange "
                              "merge strategy")
         self.store = LakeStore(lake_root)
+        if num_partitions is None:
+            m = self.store.current_manifest()
+            num_partitions = m.num_partitions if m else 64
         self.num_partitions = num_partitions
         self.derivations = derivations
         self.salt = salt
@@ -267,6 +271,14 @@ class CDCEngine:
                scan_units: list | None = None) -> dict[str, Any]:
         t0 = time.perf_counter()
         cur = self.manifest
+        if cur is not None and cur.num_partitions != self.num_partitions:
+            raise ValueError(
+                f"engine configured with num_partitions="
+                f"{self.num_partitions} but this lake was committed with "
+                f"{cur.num_partitions}; the partition count is immutable "
+                "for a lake (it defines doc_id hash routing) — construct "
+                "the engine with num_partitions=None to adopt the "
+                "committed value, or bootstrap a new lake")
         gen = cur.generation + 1 if cur else 0
 
         # schema evolution: reconcile lake schema with the wave's payload
@@ -746,6 +758,11 @@ class CDCEngine:
         if cur is None:
             raise RuntimeError("no CURRENT manifest — nothing to rebuild "
                                "(bootstrap/replay first)")
+        if cur.num_partitions != self.num_partitions:
+            raise ValueError(
+                "engine/lake partition-count mismatch "
+                f"({self.num_partitions} vs {cur.num_partitions}); "
+                "construct with num_partitions=None to adopt")
         wm = cur.watermark
         gen = cur.generation + 1
         wave_id = f"rebuild-p{pid:06d}-g{gen:06d}"
@@ -1021,7 +1038,8 @@ class CDCEngine:
         man = Manifest(
             generation=gen, watermark=cur.watermark, wave_id=wave_id,
             schema_b64=cur.schema_b64,
-            num_partitions=self.num_partitions,
+            num_partitions=cur.num_partitions,   # maintenance commit must
+                                                 # never alter routing
             partitions=new_parts, partials=new_partials,
             lineage=lineage[-200:],
         )

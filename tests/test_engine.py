@@ -156,3 +156,24 @@ def test_publish_derived_tables(log_dir, seed_path, tmp_path):
     for name, path in published.items():
         assert os.path.exists(path)
         assert pq_.read_table(path).equals(eng.derived_table(name))
+
+
+def test_partition_count_is_immutable_per_lake(log_dir, seed_path,
+                                               tmp_path):
+    """A mismatched num_partitions must be REJECTED (silently re-hashing
+    doc_ids over a different P would split docs across partitions);
+    num_partitions=None adopts the committed count."""
+    import pytest as _pytest
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds[:1])
+
+    wrong = CDCEngine(root, num_partitions=8)
+    with _pytest.raises(ValueError, match="immutable"):
+        wrong.replay(log_dir, SPEC.wave_bounds)
+
+    adopted = CDCEngine(root, num_partitions=None)
+    assert adopted.num_partitions == 4
+    adopted.replay(log_dir, SPEC.wave_bounds)
+    assert adopted.watermark == SPEC.n_events

@@ -241,3 +241,22 @@ def test_schema_evolution_through_sidecar_chain(tmp_path):
     assert pre and post
     assert all(r["quality"] is None for r in pre)
     assert all(r["quality"] is not None for r in post)
+
+
+def test_cli_compact_preserves_partition_count(inputs, tmp_path, capsys):
+    import json as _json
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    assert any(p.get("deltas") for p in eng.manifest.partitions.values())
+    rc = cli_main(["compact", "--lake", root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["compacted_partitions"] > 0
+    eng2 = CDCEngine(root, num_partitions=None)
+    assert eng2.num_partitions == 4            # routing unchanged
+    assert eng2.manifest.num_partitions == 4
+    rc = cli_main(["verify", "--lake", root])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
