@@ -406,11 +406,23 @@ def merge_partition_files(
                        seg + ".tmp", compression="zstd")
         os.replace(seg + ".tmp", seg)
     pending = sum(int(d["rows"]) for d in existing) + delta.num_rows
-    if may_sidecar and pending <= sidecar_frac * base_rows:
+    if may_sidecar and pending <= _staggered_frac(sidecar_frac,
+                                                  pid) * base_rows:
         return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
                               lake_schema, derivations, policy)
     return _merge_and_stage(pid, delta, lake_root, wave_id, old_entry,
                             lake_schema, derivations, policy)
+
+
+def _staggered_frac(sidecar_frac: float, pid: int) -> float:
+    """Deterministic per-partition jitter (1.0–1.5×) on the absorb
+    threshold: partitions fill their sidecar chains at the same rate, so
+    an un-jittered threshold makes EVERY partition absorb in the SAME
+    wave — a periodic full-lake rewrite spike (and a cluster-wide memory
+    surge at scale). Jitter staggers absorbs across waves; correctness
+    is threshold-independent (the state-equality tests replay with any
+    frac)."""
+    return sidecar_frac * (1.0 + 0.5 * ((pid * 2654435761) % 97) / 97.0)
 
 
 def _jsafe(o):

@@ -260,3 +260,11 @@ def test_cli_compact_preserves_partition_count(inputs, tmp_path, capsys):
     rc = cli_main(["verify", "--lake", root])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ok"]
+
+
+def test_absorb_threshold_staggered():
+    from aqueduct_core_ray.stages.merge_apply import _staggered_frac
+    vals = {_staggered_frac(0.25, pid) for pid in range(64)}
+    assert len(vals) > 16                      # thresholds actually differ
+    assert all(0.25 <= v <= 0.375 + 1e-9 for v in vals)
+    assert _staggered_frac(0.25, 7) == _staggered_frac(0.25, 7)
