@@ -178,7 +178,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             cap AS (SELECT SUM(strlen(props)) // 2 AS c FROM events)
             SELECT event_id, ts, user_id, event_type, value, props
-            FROM w, cap WHERE w.cum <= cap.c""",
+            FROM w, cap
+            WHERE w.cum <= cap.c
+               OR w.event_id = (SELECT min(event_id) FROM events)""",
         "global_latest_offset": """
             SELECT CAST(max(event_id) AS BIGINT) AS global_latest_offset
             FROM events""",

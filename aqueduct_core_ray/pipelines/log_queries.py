@@ -107,9 +107,15 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
     No global sort, no driver-side row work; ``range_size`` scales with
     the id span so the driver's offsets table stays ≤ ``max_ranges``
     entries at ANY log size (a fixed 4096-row range meant an O(n)
-    driver dict at 10^10 events)."""
+    driver dict at 10^10 events).
+
+    Reference edge (PipeReadControllerBatchIntegrationSpec.groovy:49-91):
+    a single over-budget first row still ships alone — the batch is
+    never empty while the log isn't."""
+    ds_ids = read_events(sf_dir, columns=["event_id"])
+    first_id = int(ds_ids.min("event_id"))
     if range_size is None:
-        hi = int(read_events(sf_dir, columns=["event_id"]).max("event_id"))
+        hi = int(ds_ids.max("event_id"))
         range_size = max(4096, -(-(hi + 1) // max_ranges))
 
     def with_bytes(t: pa.Table) -> pa.Table:
@@ -132,7 +138,9 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
         rp = int(t.column("rp")[0].as_py())
         t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
         cum = np.cumsum(t.column("nbytes").to_numpy()) + offsets[rp]
-        return t.filter(pa.array(cum <= cap)).drop_columns(["nbytes", "rp"])
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        keep = (cum <= cap) | (ids == first_id)   # over-budget first row
+        return t.filter(pa.array(keep)).drop_columns(["nbytes", "rp"])
 
     return ds.groupby("rp").map_groups(prefix_filter, batch_format="pyarrow")
 

@@ -162,3 +162,31 @@ def test_approx_quantiles_accuracy(entry, con):
             approx = got[(row["event_type"], q)]
             assert abs(approx - exact) <= max(0.02 * exact, 0.02), \
                 (row["event_type"], q, exact, approx)
+
+
+def test_byte_cap_over_budget_first_row(tmp_path):
+    """Reference edge (PipeReadControllerBatchIntegrationSpec.groovy:
+    49-91): a single over-budget row still ships alone — the batch is
+    never empty while the log isn't."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.log_queries import byte_cap_prefix
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([base] * 3, pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.0] * 3),
+        "props": pa.array(["X" * 10_000, "y", "z"]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = sorted(r["event_id"]
+                 for r in byte_cap_prefix(str(d), cap=100).take_all())
+    assert got == [1]                          # huge first row ships alone
