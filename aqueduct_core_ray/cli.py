@@ -118,14 +118,25 @@ def cmd_verify(args) -> int:
                 bad.append({"pid": pid, "delta": i,
                             "manifest_rows": int(d["rows"]),
                             "file_rows": drows})
-        total += int(p["rows"])          # logical live rows
+        total += int(p["rows"])          # accounted as of last absorb
     # the checksum itself reads every partition — only meaningful (and
-    # safe) when the file inventory already checks out
-    csum = eng.consistency_sum() if not bad else None
+    # safe) when the file inventory already checks out. The same pass
+    # counts exact live rows (partitions with pending sidecars have
+    # stale manifest accounting by design — see _stage_sidecar); for a
+    # sidecar-free lake the accounted and exact counts must agree, a
+    # stats-integrity check on top of the file inventory.
+    csum = rows_exact = None
+    if not bad:
+        csum, rows_exact = eng.consistency_stats()
+        if not eng.dirty_pids() and rows_exact != total:
+            bad.append({"error": "accounted rows != exact live rows",
+                        "accounted": total, "exact": rows_exact})
     print(json.dumps({
         "ok": not bad, "generation": man.generation,
         "watermark": man.watermark, "partitions": len(man.partitions),
-        "rows": total, "consistency_sum": csum, "mismatches": bad,
+        "rows": rows_exact if rows_exact is not None else total,
+        "rows_accounted": total,
+        "consistency_sum": csum, "mismatches": bad,
     }))
     return 0 if not bad else 1
 
@@ -209,10 +220,13 @@ def cmd_status(args) -> int:
         return 1
     rows = sum(int(p["rows"]) for p in man.partitions.values())
     nbytes = sum(int(p["bytes"]) for p in man.partitions.values())
+    pending = sum(int(d["rows"]) for p in man.partitions.values()
+                  for d in (p.get("deltas") or []))
     print(json.dumps({
         "ok": True, "generation": man.generation,
         "watermark": man.watermark, "wave_id": man.wave_id,
         "partitions": len(man.partitions), "rows": rows, "bytes": nbytes,
+        "pending_sidecar_rows": pending,
         "last_waves": man.lineage[-3:],
         "consumers": eng.chain_status(stale_after_s=args.stale_after),
     }))

@@ -47,6 +47,13 @@ from ..stages.merge_apply import (
 from ..state.manifest import LakeStore, Manifest, schema_to_b64
 from .dag import DEFAULT_DAG, Derivation, topo_check
 
+# module-level remote functions: a fresh ray.remote(...) per wave would
+# re-export the function to the cluster every wave — measured as part of
+# a ~0.4 s/wave fixed scan cost in the 32-wave steady state
+_SCAN_TASK = ray.remote(num_cpus=1)(scan_split_segment)
+_MERGE_TASK = ray.remote(num_cpus=1)(merge_partition_files)
+
+
 def default_lake_schema() -> pa.Schema:
     pay = payload_schema(CHANGE_EVENT)
     return pa.schema(list(pay) + [pa.field("last_lsn", pa.int64())])
@@ -64,11 +71,17 @@ class CDCEngine:
         merge_strategy: str = "exchange",         # "exchange" | "groupby"
         conflict: "ConflictPolicy | None" = None, # default LWW-by-lsn
         emit_changelog: bool = False,             # write outbox/ segments
-        sidecar_frac: float = 0.25,               # delta/base row ratio under
-                                                  # which a wave stages a
-                                                  # sidecar instead of
-                                                  # rewriting the partition
-        max_deltas: int = 8,                      # sidecars per partition
+        sidecar_frac: float = 0.5,                # pending-delta/base row
+                                                  # ratio under which a wave
+                                                  # stages a sidecar instead
+                                                  # of rewriting the
+                                                  # partition (0.5 ≈ 2 base
+                                                  # rows rewritten per event
+                                                  # amortized — measured
+                                                  # best steady-state
+                                                  # throughput; 0.25 paid
+                                                  # ~2x the absorb cost)
+        max_deltas: int = 16,                     # sidecars per partition
                                                   # before a forced rewrite
     ):
         topo_check(derivations)
@@ -97,11 +110,14 @@ class CDCEngine:
         # the consumer whether it is caught up)
         self._last_parent_wm: int | None = None
         # segment index: (log_path, file) -> (min_lsn, max_lsn, bytes,
-        # schema), from parquet footers; files are immutable once
-        # published (write-then-rename contract) so entries never
-        # invalidate
-        self._seg_cache: dict[tuple[str, str],
-                              tuple[int, int, int, pa.Schema]] = {}
+        # schema, row_groups) where row_groups = [(min_lsn, max_lsn,
+        # bytes), ...] per row group — all from one parquet footer read;
+        # files are immutable once published (write-then-rename
+        # contract) so entries never invalidate
+        self._seg_cache: dict[
+            tuple[str, str],
+            tuple[int, int, int, pa.Schema,
+                  list[tuple[int, int, int]]]] = {}
 
     # ------------------------------------------------------------------ #
     @property
@@ -166,7 +182,7 @@ class CDCEngine:
 
         idx = self._segment_index(log_path)
         files = [os.path.join(log_path, fn)
-                 for fn, (mn, mx, _, _) in idx.items()
+                 for fn, (mn, mx, *_) in idx.items()
                  if mx > lo and mn <= hi]
         if not files:
             # empty wave: an empty dataset with the log's schema if any
@@ -211,42 +227,69 @@ class CDCEngine:
             blocks = max(blocks, min(int(need), 4 * self.num_partitions))
         return blocks
 
+    # floor on scan-unit size: below this, per-task overhead dominates
+    MIN_SPLIT_BYTES = 4 * 1024 * 1024
+
     def _scan_plan(self, log_path: str, lo: int, hi: int
                    ) -> tuple[list[list[tuple[str, list[int] | None]]],
                               pa.Schema | None]:
         """Raw-task scan plan for a wave: per-task unit lists of
-        (file, row_group_ids|None), pruned by the segment index's lsn
-        stats, each unit's compressed bytes ≤ TARGET_SPLIT_BYTES (large
-        segments split at row-group granularity, small ones one per
-        task). Also returns the union schema over the wave's segments
-        (same evolution contract as wave_dataset)."""
+        (file, row_group_ids|None), pruned at ROW-GROUP granularity from
+        the cached footer stats (no per-wave metadata I/O). Unit size
+        ADAPTS to the wave: a full-replay wave packs ~TARGET_SPLIT_BYTES
+        per task, while a small steady-state wave splits down to
+        MIN_SPLIT_BYTES so its scan fans out across the cluster instead
+        of decoding serially on a handful of tasks (a fixed ~0.4 s/wave
+        scan floor at 32 CPUs before this). Also returns the union
+        schema over the wave's segments (same evolution contract as
+        wave_dataset)."""
         idx = self._segment_index(log_path)
-        units: list[list[tuple[str, list[int] | None]]] = []
+        # (file, rg_id | None-for-whole-file, est. compressed bytes)
+        pieces: list[tuple[str, int | None, int]] = []
         union: pa.Schema | None = None
+        total = 0
         for fn in sorted(idx):
-            mn, mx, nbytes, schema = idx[fn]
+            mn, mx, nbytes, schema, rgs = idx[fn]
             if not (mx > lo and mn <= hi):
                 continue
             union = schema if union is None else evolve_schema(union, schema)
             full = os.path.join(log_path, fn)
-            if nbytes <= self.TARGET_SPLIT_BYTES:
-                units.append([(full, None)])
+            if not rgs:
+                pieces.append((full, None, nbytes))
+                total += nbytes
                 continue
-            md = pq.read_metadata(full)
-            col = md.schema.to_arrow_schema().get_field_index("lsn")
-            group, gbytes = [], 0
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(col).statistics
-                if st is not None and st.has_min_max and \
-                        not (int(st.max) > lo and int(st.min) <= hi):
-                    continue                      # row group fully pruned
-                group.append(rg)
-                gbytes += md.row_group(rg).total_byte_size
-                if gbytes >= self.TARGET_SPLIT_BYTES:
-                    units.append([(full, group)])
-                    group, gbytes = [], 0
-            if group:
-                units.append([(full, group)])
+            # footer total_byte_size is uncompressed; scale to file size
+            rg_tot = sum(b for _, _, b in rgs) or 1
+            scale = nbytes / rg_tot
+            for rg_id, (gmn, gmx, gbytes) in enumerate(rgs):
+                if gmx > lo and gmn <= hi:
+                    b = max(1, int(gbytes * scale))
+                    pieces.append((full, rg_id, b))
+                    total += b
+        if not pieces:
+            return [], union
+        import ray as _ray
+        cpus = (int(_ray.cluster_resources().get("CPU", 32))
+                if _ray.is_initialized() else 32)
+        unit_bytes = max(self.MIN_SPLIT_BYTES,
+                         min(self.TARGET_SPLIT_BYTES,
+                             total // (2 * cpus) + 1))
+        units: list[list[tuple[str, list[int] | None]]] = []
+        cur: list[tuple[str, list[int] | None]] = []
+        cur_b = 0
+        for full, rg_id, b in pieces:
+            if cur and cur_b + b > unit_bytes:
+                units.append(cur)
+                cur, cur_b = [], 0
+            if rg_id is None:
+                cur.append((full, None))
+            elif cur and cur[-1][0] == full and cur[-1][1] is not None:
+                cur[-1] = (full, cur[-1][1] + [rg_id])
+            else:
+                cur.append((full, [rg_id]))
+            cur_b += b
+        if cur:
+            units.append(cur)
         return units, union
 
     def apply_wave(self, log_path: str, hi: int,
@@ -270,6 +313,7 @@ class CDCEngine:
                incoming_schema: pa.Schema | None = None,
                scan_units: list | None = None) -> dict[str, Any]:
         t0 = time.perf_counter()
+        self._phase_t = {}          # per-wave phase telemetry (exchange)
         cur = self.manifest
         if cur is not None and cur.num_partitions != self.num_partitions:
             raise ValueError(
@@ -355,8 +399,13 @@ class CDCEngine:
             dst = self.store.promote_staged(wave_id, pid, gen)
             if r.get("mode") == "delta":
                 # sidecar wave: the promoted file is a DELTA segment —
-                # append it to the entry's chain, update logical stats,
-                # keep the base file untouched
+                # append it to the entry's chain, keep the base file
+                # untouched. Logical stats/partials are NOT updated
+                # (that would cost an O(partition) accounting pass per
+                # wave — see _stage_sidecar): `rows` stays as-of the
+                # last full accounting; an entry with a non-empty delta
+                # chain is by definition stale, and exact values come
+                # from exact_partition_stats / the next absorb.
                 prev = new_parts[str(pid)]
                 entry = dict(prev)
                 entry["deltas"] = list(prev.get("deltas") or []) + [{
@@ -372,14 +421,17 @@ class CDCEngine:
                          "file_rows": int(r["file_rows"]),
                          "bytes": int(r["bytes"])}
             entry.update({
-                "rows": int(r["rows"]), "hwm": int(r["hwm"]),
+                "hwm": int(r["hwm"]),
                 "n_applied": int(r["n_applied"]),
                 "n_deleted": int(r["n_deleted"]),
             })
+            if int(r["rows"]) >= 0:
+                entry["rows"] = int(r["rows"])
             new_parts[str(pid)] = entry
             n_events += int(r["n_applied"]) + int(r["n_deleted"])
-            for dname, recs in _json.loads(r["partials_json"]).items():
-                new_partials.setdefault(dname, {})[str(pid)] = recs
+            if r["partials_json"]:
+                for dname, recs in _json.loads(r["partials_json"]).items():
+                    new_partials.setdefault(dname, {})[str(pid)] = recs
 
         wall = time.perf_counter() - t0
         lineage = (list(cur.lineage) if cur else []) + [{
@@ -428,11 +480,14 @@ class CDCEngine:
         _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
         if self.emit_changelog:
             self._publish_outbox_watermark()
+        n_delta = sum(1 for r in stats if r.get("mode") == "delta")
         self.store.append_metrics({
             "wave_id": wave_id, "generation": gen, "lo": lo, "hi": hi,
             "parts_touched": len(stats), "events_applied": n_events,
             "wall_s": round(wall, 4),
             "events_per_s": round(n_events / wall, 1) if wall > 0 else None,
+            "sidecar_parts": n_delta, "full_parts": len(stats) - n_delta,
+            **getattr(self, "_phase_t", {}),
         })
         return {"wave_id": wave_id, "generation": gen, "watermark": hi,
                 "parts_touched": len(stats), "events": n_events,
@@ -560,7 +615,7 @@ class CDCEngine:
         if not os.path.isdir(ob):
             return 0
         removed = 0
-        for fn, (_, mx, _, _) in list(self._segment_index(ob).items()):
+        for fn, (_, mx, *_) in list(self._segment_index(ob).items()):
             if mx < below_lsn:
                 os.remove(os.path.join(ob, fn))
                 self._seg_cache.pop((ob, fn), None)
@@ -593,12 +648,12 @@ class CDCEngine:
         _shutil.rmtree(sdir, ignore_errors=True)   # stale partial attempt
         os.makedirs(sdir, exist_ok=True)
         import ray as _ray
+        t_scan0 = time.perf_counter()
         touched_set: set[int] = set()
         if scan is not None:
             units, lo, hi = scan
             if units:
-                scan_task = _ray.remote(num_cpus=1)(scan_split_segment)
-                refs = [scan_task.remote(u, lo, hi, self.sources, sdir,
+                refs = [_SCAN_TASK.remote(u, lo, hi, self.sources, sdir,
                                          self.num_partitions, self.salt,
                                          self.conflict)
                         for u in units]
@@ -615,17 +670,20 @@ class CDCEngine:
                 with open(idx_path) as f:
                     touched_set.update(int(k) for k in _json.load(f))
         touched = sorted(touched_set)
+        self._phase_t = {"scan_s": round(time.perf_counter() - t_scan0, 4)}
         if not touched:
             return []
-        merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
+        t_merge0 = time.perf_counter()
         b64 = schema_to_b64(lake_schema)
         outbox = self.outbox_dir if self.emit_changelog else None
-        refs = [merge_task.remote(p, self.store.root, wave_id, sdir,
+        refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
                                   self.derivations, self.conflict, outbox,
                                   self.sidecar_frac, self.max_deltas)
                 for p in touched]
-        return _ray.get(refs)
+        out = _ray.get(refs)
+        self._phase_t["merge_s"] = round(time.perf_counter() - t_merge0, 4)
+        return out
 
     # ------------------------------------------------------------------ #
     def _segment_index(self, log_path: str
@@ -638,20 +696,26 @@ class CDCEngine:
         always scanned."""
         import os
 
-        def footer(fn: str) -> tuple[str, tuple[int, int, int, pa.Schema]]:
+        def footer(fn: str) -> tuple[str, tuple]:
             full = os.path.join(log_path, fn)
             md = pq.read_metadata(full)
             arrow_schema = md.schema.to_arrow_schema()
             idx = arrow_schema.get_field_index("lsn")
             mn, mx = None, None
+            rgs: list[tuple[int, int, int]] = []
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
+                g = md.row_group(rg)
+                st = g.column(idx).statistics
                 if st is not None and st.has_min_max:
-                    mn = int(st.min) if mn is None else min(mn, int(st.min))
-                    mx = int(st.max) if mx is None else max(mx, int(st.max))
+                    gmn, gmx = int(st.min), int(st.max)
+                    mn = gmn if mn is None else min(mn, gmn)
+                    mx = gmx if mx is None else max(mx, gmx)
+                else:
+                    gmn, gmx = -(1 << 62), 1 << 62
+                rgs.append((gmn, gmx, g.total_byte_size))
             if mn is None:
                 mn, mx = -(1 << 62), 1 << 62
-            return fn, (mn, mx, os.path.getsize(full), arrow_schema)
+            return fn, (mn, mx, os.path.getsize(full), arrow_schema, rgs)
 
         names = [fn for fn in sorted(os.listdir(log_path))
                  if fn.endswith(".parquet")]
@@ -681,7 +745,7 @@ class CDCEngine:
                 return int(f.read().strip())
         idx = self._segment_index(log_path)
         wm = -1
-        for fn, (_, mx, _, _) in idx.items():
+        for fn, (_, mx, *_) in idx.items():
             if mx >= (1 << 62):            # stat-less file: read the column
                 t = pq.read_table(os.path.join(log_path, fn),
                                   columns=["lsn"])
@@ -815,8 +879,7 @@ class CDCEngine:
         new_partials = {k: dict(v) for k, v in cur.partials.items()}
         if have_delta:
             import ray as _ray
-            merge_task = _ray.remote(num_cpus=1)(merge_partition_files)
-            r = _ray.get(merge_task.remote(
+            r = _ray.get(_MERGE_TASK.remote(
                 pid, self.store.root, wave_id, sdir, None,
                 schema_to_b64(cur.schema), self.derivations, self.conflict,
                 None))
@@ -1061,13 +1124,79 @@ class CDCEngine:
                 for p in entries]
         return pa.concat_tables(tabs).sort_by("doc_id")
 
-    def derived_table(self, name: str) -> pa.Table:
-        """Finalize a derived table from manifest partials (DAG edge)."""
+    def dirty_pids(self) -> list[int]:
+        """Partitions whose manifest stats are stale: a non-empty delta
+        chain means sidecar waves landed since the last full accounting
+        (sidecar staging is O(delta) and does not recount — see
+        _stage_sidecar)."""
         m = self.manifest
+        if m is None:
+            return []
+        return sorted(int(k) for k, p in m.partitions.items()
+                      if p.get("deltas"))
+
+    def exact_partition_stats(self) -> dict[int, dict[str, Any]]:
+        """Exact logical {rows, partials} for every DIRTY partition —
+        the lazily-paid accounting pass (narrow-projection merge of
+        base + sidecar chain, partition-parallel raw tasks). Cached per
+        manifest generation: querying derived tables repeatedly between
+        waves costs one pass, and a generation with no sidecars costs
+        nothing."""
+        import json as _json
+
+        import ray as _ray
+
+        from ..stages.merge_apply import partition_accounting
+
+        m = self.manifest
+        cache = getattr(self, "_acct_cache", None)
+        if cache is not None and m is not None and cache[0] == m.generation:
+            return cache[1]
+        dirty = self.dirty_pids()
+        out: dict[int, dict[str, Any]] = {}
+        if dirty:
+            task = _ray.remote(num_cpus=1)(partition_accounting)
+            res = _ray.get([
+                task.remote(p, self.store.root, m.partitions[str(p)],
+                            m.schema_b64, self.derivations, self.conflict)
+                for p in dirty])
+            for r in res:
+                out[int(r["pid"])] = {
+                    "rows": int(r["rows"]),
+                    "partials": _json.loads(r["partials_json"]),
+                }
+        if m is not None:
+            self._acct_cache = (m.generation, out)
+        return out
+
+    def logical_rows(self) -> int:
+        """Exact live-row count of the lake: manifest accounting for
+        clean partitions + lazy accounting for dirty ones."""
+        m = self.manifest
+        if m is None:
+            return 0
+        fresh = self.exact_partition_stats()
+        return sum(fresh[int(k)]["rows"] if int(k) in fresh
+                   else int(p["rows"]) for k, p in m.partitions.items())
+
+    def derived_table(self, name: str) -> pa.Table:
+        """Finalize a derived table from manifest partials (DAG edge).
+        Partitions carrying pending sidecars have stale manifest
+        partials; their contribution is replaced by the lazily-computed
+        exact partials (exact_partition_stats) so derived tables are
+        always exact regardless of how many sidecar waves are
+        in-flight."""
+        m = self.manifest
+        fresh = (self.exact_partition_stats()
+                 if any(d.upstream == "lake" for d in self.derivations)
+                 and self.dirty_pids() else {})
         done: dict[str, pa.Table] = {}
         for d in self.derivations:
             if d.upstream == "lake":
-                done[d.name] = d.finalize((m.partials or {}).get(d.name, {}))
+                by_pid = dict((m.partials or {}).get(d.name, {}))
+                for pid, rec in fresh.items():
+                    by_pid[str(pid)] = rec["partials"].get(d.name, [])
+                done[d.name] = d.finalize(by_pid)
             else:
                 done[d.name] = d.derive_from_table(done[d.upstream])
             if d.name == name:
@@ -1094,6 +1223,16 @@ class CDCEngine:
         """Σ last_lsn over live docs — the reference's convergence checksum
         (SQLiteQueries.java:57-64): Σ over keys of max(lsn ≤ N), keys whose
         latest event is a tombstone excluded (they are not in the lake)."""
+        return self.consistency_stats()[0]
+
+    def consistency_stats(self) -> tuple[int, int]:
+        """(consistency checksum, exact live rows) in ONE distributed
+        lake read — verify's combined pass, so exact row counting costs
+        no extra I/O over the checksum it already needs."""
+        from ray.data.aggregate import Count, Sum
         ds = self.read_lake(columns=["last_lsn"])
-        res = ds.sum("last_lsn")
-        return int(res) if res is not None else 0
+        res = ds.aggregate(Sum("last_lsn"), Count())
+        if res is None:
+            return 0, 0
+        return (int(res.get("sum(last_lsn)") or 0),
+                int(res.get("count()") or 0))

@@ -498,18 +498,58 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
                    derivations: tuple[Any, ...],
                    policy: ConflictPolicy) -> dict[str, Any]:
     """DELTA mode: stage the compacted delta itself (envelope kept, so
-    readers can order it against the base) and compute the partition's
-    LOGICAL stats + derivation partials from a token-free projection —
-    the wave never reads or writes the heavy payload of unchanged
-    rows."""
+    readers can order it against the base) — truly O(delta): the base
+    is never read. Exact logical row counts and derivation partials
+    need the OLD values of the delta's keys (membership in the base),
+    which for uniformly-random keys costs an O(partition) read no
+    index can avoid; instead the manifest keeps stats AS OF THE LAST
+    FULL ACCOUNTING (entry with non-empty ``deltas`` = stale) and
+    exact values are recomputed lazily — at absorb time (free: the
+    absorbing merge reads everything anyway) or on demand by
+    ``CDCEngine.exact_partition_stats`` when a derived table or
+    operator report is queried while sidecars are pending. Reference
+    anchor: the till maintains offsets incrementally and never
+    recounts its table per batch (SQLiteStorage.java:133-171); the
+    analog here is paying accounting cost per *query/absorb*, not per
+    wave.
+
+    ``n_applied``/``n_deleted`` for a sidecar wave count the staged
+    delta's live/tombstone events ("events processed") rather than
+    base-membership-exact applies — identical in the monotonic-lsn
+    common path (a compacted delta row always beats the committed
+    row), differing only for deletes of absent docs."""
     drop = [c for c in ("part", "salt") if c in delta.column_names]
     out = delta.drop_columns(drop) if drop else delta
     staged_dir = os.path.join(lake_root, "_staged", wave_id)
     os.makedirs(staged_dir, exist_ok=True)
     path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
     pq.write_table(out, path, compression="zstd")
+    n_tomb = int(pc.sum(pc.equal(out.column("op"),
+                                 pa.scalar(1, pa.int8()))).as_py() or 0)
+    return {
+        "pid": pid,
+        "mode": "delta",
+        "rows": -1,                      # unknown until next accounting
+        "file_rows": out.num_rows,
+        "bytes": os.path.getsize(path),
+        "hwm": int(pc.max(delta.column("lsn")).as_py()),
+        "n_applied": out.num_rows - n_tomb,
+        "n_deleted": n_tomb,
+        "partials_json": "",             # manifest partials stay as-of-base
+    }
 
-    # projection: derivation inputs + merge bookkeeping, NOT the payload
+
+def partition_accounting(pid: int, lake_root: str, entry: dict,
+                         lake_schema_b64: str,
+                         derivations: tuple[Any, ...],
+                         policy: ConflictPolicy) -> dict[str, Any]:
+    """Exact logical stats for ONE partition with pending sidecars:
+    narrow-projection merge of base + delta chain (token payload never
+    read), live row count + derivation partials. Runs as a raw Ray task
+    from ``CDCEngine.exact_partition_stats`` — the lazily-paid
+    counterpart of the per-wave accounting `_stage_sidecar` no longer
+    does."""
+    lake_schema = schema_from_b64(lake_schema_b64)
     need = {"doc_id", "last_lsn"}
     if policy.lake_order_field:
         need.add(policy.lake_order_field)
@@ -520,29 +560,15 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
             if d.key:
                 need.add(d.key)
             need.update(c for c, f in d.aggs if c != "*")
-    proj = pa.schema([f for f in lake_schema if f.name in need])
-    before = load_partition_table(lake_root, old_entry, lake_schema,
-                                  policy, columns=list(need))
-    env = {"lsn", "op", policy.order_col}
-    dcols = [c for c in out.column_names if c in env or c in proj.names]
-    after, n_applied, n_deleted = merge_partition(
-        before, out.select(dcols), proj, policy)
-    after_live = live_rows(after)
+    table = load_partition_table(lake_root, entry, lake_schema, policy,
+                                 columns=list(need))
+    live = live_rows(table)
     partials = {
-        d.name: d.partial_records(after_live)
+        d.name: d.partial_records(live)
         for d in derivations if d.upstream == "lake"
     }
-    return {
-        "pid": pid,
-        "mode": "delta",
-        "rows": after_live.num_rows,
-        "file_rows": out.num_rows,
-        "bytes": os.path.getsize(path),
-        "hwm": int(pc.max(delta.column("lsn")).as_py()),
-        "n_applied": n_applied,
-        "n_deleted": n_deleted,
-        "partials_json": json.dumps(partials, default=_jsafe),
-    }
+    return {"pid": pid, "rows": live.num_rows,
+            "partials_json": json.dumps(partials, default=_jsafe)}
 
 
 def live_rows(t: pa.Table) -> pa.Table:

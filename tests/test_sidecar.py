@@ -50,9 +50,21 @@ def test_sidecars_engage_and_state_matches_full(inputs, tmp_path):
     assert n_deltas > 0, "sidecar mode never engaged — test is vacuous"
     assert side.lake_table().equals(full.lake_table())
     assert side.consistency_sum() == full.consistency_sum()
-    # logical row accounting matches the full engine's physical rows
+    # sidecar waves are O(delta): manifest rows are exact only as of the
+    # last full accounting; the LAZY accounting pass must reproduce the
+    # full engine's exact per-partition rows for every dirty partition
+    fresh = side.exact_partition_stats()
+    assert set(fresh) == set(side.dirty_pids()) and fresh
     for pid, p in full.manifest.partitions.items():
-        assert side.manifest.partitions[pid]["rows"] == p["rows"]
+        got = (fresh[int(pid)]["rows"] if int(pid) in fresh
+               else side.manifest.partitions[pid]["rows"])
+        assert got == p["rows"]
+    assert side.logical_rows() == sum(
+        int(p["rows"]) for p in full.manifest.partitions.values())
+    # derived tables stay exact while sidecars are pending (stale
+    # manifest partials replaced by the lazy recompute)
+    for name in ("source_stats", "corpus_rollup"):
+        assert side.derived_table(name).equals(full.derived_table(name))
 
 
 def test_read_lake_pruned_columns_with_sidecars(inputs, tmp_path):
@@ -163,6 +175,10 @@ def test_compact_partitions_absorbs_sidecars(inputs, tmp_path):
                for p in eng.manifest.partitions.values())
     assert eng.lake_table().equals(before)
     assert eng.consistency_sum() == csum
+    # absorb restores exact manifest accounting (chain empty = clean)
+    assert not eng.dirty_pids()
+    assert sum(int(p["rows"]) for p in eng.manifest.partitions.values()) \
+        == before.num_rows
     assert eng.watermark == SPEC.n_events       # watermark unchanged
     # idempotent: nothing left to absorb
     assert eng.compact_partitions() == 0
