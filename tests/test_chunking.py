@@ -74,6 +74,34 @@ def test_chunk_batch_rows():
     assert total == len(t.column("text")[0].as_py().encode())
 
 
+def test_chunk_batch_matches_per_doc_boundaries():
+    """The whole-batch vectorized pass must produce EXACTLY the same
+    chunk layout as the per-doc reference kernel — including edge
+    lengths around the window size, empty docs, and max_chunk caps."""
+    texts = ["", "x", "y" * 15, "z" * 16, "w" * 17, para(3),
+             para(400), para(2000), "PREFIX-" * 3 + para(400)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = chunk_batch(t, max_chunk=512)
+    got: dict[int, list[int]] = {}
+    for did, nb in zip(out.column("doc_id").to_pylist(),
+                       out.column("n_bytes").to_pylist()):
+        ends = got.setdefault(did, [])
+        ends.append((ends[-1] if ends else 0) + nb)
+    for did, s in enumerate(texts):
+        want = chunk_boundaries(s.encode(), max_chunk=512)
+        assert got.get(did, []) == want, f"doc {did}"
+    # fingerprints: equal content -> equal fp, across different docs
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array([texts[6], "pad. " + texts[6]])})
+    f = chunk_batch(t2)
+    by_doc = {0: set(), 1: set()}
+    for did, fp in zip(f.column("doc_id").to_pylist(),
+                       f.column("chunk_fp").to_pylist()):
+        by_doc[did].add(fp)
+    assert len(by_doc[0] & by_doc[1]) >= len(by_doc[0]) * 0.5
+
+
 def test_chunk_dedup_finds_shared_boilerplate(tmp_path):
     shared = para(600)
     texts = [shared + " " + para(200),
