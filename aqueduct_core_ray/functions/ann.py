@@ -150,29 +150,59 @@ def _train_centroids(sf_dir: str, n_cells: int, sample: int = 2048,
     return C
 
 
-def _ivf_index_dir(sf_dir: str, n_cells: int, seed: int) -> str:
+def _default_index_root(sf_dir: str) -> str:
+    """Where IVF indexes live. Priority: explicit ``index_root`` param >
+    ``$AQR_IVF_ROOT`` > a ``_ivf`` directory BESIDE the data (the
+    cluster-correct default: workers and driver share the data store, so
+    they share the index) > ``/tmp/aqr_ivf`` only when the data
+    directory is read-only (single-node fallback — NOT cluster-safe, as
+    every node would see a different /tmp)."""
+    env = os.environ.get("AQR_IVF_ROOT")
+    if env:
+        return env
+    if os.access(sf_dir, os.W_OK):
+        return os.path.join(sf_dir, "_ivf")
+    return "/tmp/aqr_ivf"
+
+
+def _ivf_index_dir(sf_dir: str, n_cells: int, seed: int,
+                   index_root: str | None = None) -> str:
+    root = index_root or _default_index_root(sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/aqr_ivf/{tag}-c{n_cells}-s{seed}"
+    return os.path.join(root, f"{tag}-c{n_cells}-s{seed}")
 
 
 def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 7,
-                    force: bool = False) -> str:
+                    force: bool = False,
+                    index_root: str | None = None) -> str:
     """Materialize the IVF index: centroids + the embeddings table
     REPARTITIONED BY CELL (hive `cell=<c>/` parquet layout), so a query
     reads only its ``nprobe`` cells — partition pruning at the read, not
-    a filter over a full scan. Idempotent via a _DONE marker; at lake
-    scale this is the 'cell id as a lake column / partition' design and
-    the rewrite runs once per index build, not per query."""
-    import shutil
+    a filter over a full scan. At lake scale this is the 'cell id as a
+    lake column / partition' design and the rewrite runs once per index
+    build, not per query.
 
-    idx = _ivf_index_dir(sf_dir, n_cells, seed)
+    Publication is ATOMIC: the index is built in a unique temp directory
+    (with its ``_DONE`` marker already inside) and renamed into place —
+    a reader can never observe a half-built index, and two concurrent
+    builders race on the rename (the loser discards its identical,
+    deterministically-seeded build). ``index_root`` must be a SHARED
+    path on a cluster (see _default_index_root)."""
+    import shutil
+    import uuid
+
+    idx = _ivf_index_dir(sf_dir, n_cells, seed, index_root)
     done = os.path.join(idx, "_DONE")
     if os.path.exists(done) and not force:
         return idx
-    shutil.rmtree(idx, ignore_errors=True)
-    os.makedirs(idx, exist_ok=True)
+    if os.path.isdir(idx):
+        # stale partial build (pre-atomic layout or crashed writer):
+        # clear it so the rename below can land
+        shutil.rmtree(idx, ignore_errors=True)
+    tmp = f"{idx}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     C = _train_centroids(sf_dir, n_cells, seed=seed)
-    np.save(os.path.join(idx, "centroids.npy"), C)
+    np.save(os.path.join(tmp, "centroids.npy"), C)
     ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -183,21 +213,29 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 7,
 
     (_read_embeddings(sf_dir)
      .map_batches(assign, batch_format="pyarrow")
-     .write_parquet(os.path.join(idx, "cells"), partition_cols=["cell"]))
-    with open(done, "w") as f:
+     .write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"]))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, idx)                 # atomic publish
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(done):        # racer left no valid index
+            raise
     return idx
 
 
 def knn_ivf(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
-            nprobe: int = 4, seed: int = 7) -> ray.data.Dataset:
+            nprobe: int = 4, seed: int = 7,
+            index_root: str | None = None) -> ray.data.Dataset:
     """IVF-pruned ANN over the materialized cell-partitioned index: the
     read touches ONLY the union of the queries' ``nprobe`` nearest cells
     (hive partition pruning), then the same broadcast-queries partial-
     top-k pipeline as brute force. Approximate: recall vs the exact
     ``knn_bruteforce`` is pinned in pytest and exposed as the
     ``knn_ivf_recall`` query."""
-    idx = build_ivf_index(sf_dir, n_cells, seed)
+    idx = build_ivf_index(sf_dir, n_cells, seed,
+                          index_root=index_root)
     C = np.load(os.path.join(idx, "centroids.npy"))
     qids, Qn = _load_queries(sf_dir, nq)
     probes = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]     # (nq, nprobe)
@@ -218,13 +256,15 @@ def knn_ivf(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
 
 
 def knn_ivf_recall(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
-                   nprobe: int = 4) -> pa.Table:
+                   nprobe: int = 4,
+                   index_root: str | None = None) -> pa.Table:
     """Recall@k of the IVF path against exact brute force (both fixed
     seed): one tiny driver-side set comparison over nq·k rows."""
     exact = {(r["query_id"], r["vec_id"])
              for r in knn_bruteforce(sf_dir, nq, k).take_all()}
     approx = {(r["query_id"], r["vec_id"])
-              for r in knn_ivf(sf_dir, nq, k, n_cells, nprobe).take_all()}
+              for r in knn_ivf(sf_dir, nq, k, n_cells, nprobe,
+                               index_root=index_root).take_all()}
     hit = len(exact & approx)
     return pa.table({
         "n_exact": pa.array([len(exact)], pa.int64()),

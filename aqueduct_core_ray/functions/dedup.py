@@ -560,7 +560,8 @@ def embedding_cosine_dedup(sf_dir: str, threshold_pct: int = 35
 
 
 def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
-                        n_cells: int = 16, probes: int = 2
+                        n_cells: int = 16, probes: int = 2,
+                        index_root: str | None = None
                         ) -> ray.data.Dataset:
     """The SCALE default for embedding near-dup (the all-pairs broadcast
     above is the exact small-M tool): candidate generation by IVF cell —
@@ -571,7 +572,7 @@ def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
     aggregate. O(Σ cell²) instead of O(N·M); no full-matrix broadcast."""
     from .ann import _normalized, build_ivf_index
 
-    idx = build_ivf_index(sf_dir, n_cells)
+    idx = build_ivf_index(sf_dir, n_cells, index_root=index_root)
     C = np.load(f"{idx}/centroids.npy")
     ref = ray.put(C)
     thr = threshold_pct / 100.0

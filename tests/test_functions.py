@@ -260,3 +260,26 @@ def test_frame_sample_explosion(corpus):
     f1 = sorted((r["frame_idx"], r["frame_hash"]) for r in by_doc[1])
     assert f0 == f1
     assert all(len(r["feat"]) == multimodal.FEAT_DIM for r in rows)
+
+
+def test_ivf_index_shared_root_and_atomic_marker(tmp_path):
+    """Cluster contract: the index lives under an explicit SHARED root;
+    a builder publishes atomically (_DONE inside the renamed dir), and a
+    separate consumer (fresh call, same root) reads it without
+    rebuilding."""
+    import os
+    import time
+
+    root = str(tmp_path / "shared_ivf")
+    idx = ann.build_ivf_index(SF0001, index_root=root)
+    assert idx.startswith(root)
+    assert os.path.exists(os.path.join(idx, "_DONE"))
+    assert not [d for d in os.listdir(root) if ".build-" in d]
+    mtime = os.path.getmtime(idx)
+    # a second engine instance pointed at the shared root reuses it
+    t0 = time.perf_counter()
+    rows = ann.knn_ivf(SF0001, nprobe=8, index_root=root).take_all()
+    assert rows and os.path.getmtime(idx) == mtime
+    # recall query through the same shared root
+    rec = ann.knn_ivf_recall(SF0001, nprobe=8, index_root=root)
+    assert rec.to_pylist()[0]["recall_pct"] >= 90
