@@ -589,6 +589,60 @@ class CDCEngine:
                         "silent_s": round(silent, 1), "state": state})
         return out
 
+    # -- parent-initiated bootstrap requests --------------------------- #
+    # Reference: NODE_REQUESTS — the server stores a per-node request
+    # (PostgreSQLNodeRequestStorage.java:20-68) and the node's own sync
+    # loop consumes it and re-bootstraps itself
+    # (SelfRegistrationTask.java:74-78). Here the request is a
+    # `_requests/<consumer_id>` marker beside the log the child tails;
+    # the child's tail() consumes it as a wipe-and-re-bootstrap.
+
+    def request_bootstrap(self, consumer_id: str) -> str:
+        """Parent-side: flag ``consumer_id`` to wipe its lake and
+        re-tail this outbox from scratch on its next poll — the remedy
+        for a child chain_status shows as corrupted/STALLED. Atomic
+        write; repeated requests coalesce (one marker per consumer)."""
+        import json as _json
+        d = os.path.join(self.outbox_dir, "_requests")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, consumer_id)
+        self.store._atomic_write(p, _json.dumps({
+            "request": "bootstrap", "wall_ts": time.time(),
+            "watermark": self.watermark}))
+        return p
+
+    def request_stalled_bootstraps(self, stale_after_s: float = 300.0
+                                   ) -> list[str]:
+        """Flag every STALLED consumer (behind AND silent — see
+        chain_status) for re-bootstrap. Returns flagged consumer ids."""
+        out = []
+        for r in self.chain_status(stale_after_s):
+            if r["state"] == "STALLED":
+                self.request_bootstrap(r["consumer_id"])
+                out.append(r["consumer_id"])
+        return out
+
+    def _consume_bootstrap_request(self, log_path: str,
+                                   consumer_id: str) -> bool:
+        """Child-side: if the tailed log carries a pending request for
+        us, wipe the local lake and reset in-process state so the next
+        wave re-bootstraps from lsn -1. The marker is removed only
+        AFTER the wipe — a crash between the two re-runs an (idempotent)
+        empty-lake wipe on the next poll, never loses the request."""
+        p = os.path.join(log_path, "_requests", consumer_id)
+        if not os.path.exists(p):
+            return False
+        import shutil as _shutil
+        _shutil.rmtree(self.store.root, ignore_errors=True)
+        self.store = LakeStore(self.store.root)
+        self._cached_manifest = None
+        self._acct_cache = None
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+        return True
+
     def prune_outbox(self, below_lsn: int,
                      min_child_hwm: int | None = None) -> int:
         """Delete outbox segments whose max lsn < below_lsn. Guarded like
@@ -771,6 +825,9 @@ class CDCEngine:
             self._publish_outbox_watermark()   # heal crash-before-marker
         idle = 0
         while idle < max_idle_polls:
+            if consumer_id and self._consume_bootstrap_request(
+                    log_path, consumer_id):
+                idle = 0                  # wiped: re-tail from scratch
             wm = self.discover_watermark(log_path)
             self._last_parent_wm = max(wm, self._last_parent_wm or -1)
             if wm <= self.watermark:

@@ -251,3 +251,53 @@ def test_consumer_registration_and_chain_status(inputs, tmp_path):
     by_id = {s["consumer_id"]: s
              for s in parent.chain_status(stale_after_s=0.0)}
     assert by_id["till-slow"]["state"] == "STALLED"
+
+
+def test_parent_initiated_bootstrap_request(inputs, tmp_path):
+    """Reference NODE_REQUESTS (PostgreSQLNodeRequestStorage.java:20-68,
+    SelfRegistrationTask.java:74-78): the parent flags a consumer; the
+    child's next poll consumes the marker, wipes its lake and re-tails
+    from scratch. Here the child's lake is CORRUPTED out-of-band (its
+    manifest/state diverges silently), the parent sees it STALLED and
+    requests a bootstrap; after the re-tail the A4 sums converge."""
+    import os
+    import shutil
+
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    child_root = str(tmp_path / "till")
+    child = CDCEngine(child_root, num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+               poll_interval_s=0.05, max_idle_polls=1,
+               consumer_id="till-1")
+    assert child.consistency_sum() == parent.consistency_sum()
+
+    # corrupt the child: nuke a committed partition file out-of-band
+    victim = child.lake_files()[0]
+    os.remove(victim)
+    # parent decides till-1 is stalled and flags it
+    parent.register_consumer_hwm(parent.outbox_dir, "till-1",
+                                 SPEC.n_events // 4)  # stale heartbeat
+    flagged = parent.request_stalled_bootstraps(stale_after_s=0.0)
+    assert flagged == ["till-1"]
+    marker = os.path.join(parent.outbox_dir, "_requests", "till-1")
+    assert os.path.exists(marker)
+
+    # a FRESH child engine (restarted process) consumes the request on
+    # its next poll: wipe + full re-tail, marker gone, state converges
+    child2 = CDCEngine(child_root, num_partitions=3)
+    child2.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+                poll_interval_s=0.05, max_idle_polls=1,
+                consumer_id="till-1")
+    assert not os.path.exists(marker)
+    assert child2.watermark == SPEC.n_events
+    assert child2.consistency_sum() == parent.consistency_sum()
+    assert child2.lake_table().select(COLS).to_pylist() == oracle()
+
+    # no pending request -> tail is a no-op consume (idempotent)
+    assert not child2._consume_bootstrap_request(parent.outbox_dir,
+                                                 "till-1")
