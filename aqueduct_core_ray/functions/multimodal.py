@@ -36,12 +36,57 @@ class MediaFeatureExtractor:
         rng = np.random.default_rng(np.random.PCG64(model_seed))
         self.proj = rng.standard_normal((FEAT_DIM, FEAT_DIM))
         self.real_decode = real_decode
+        # probe-import once per ACTOR (not per batch): PIL when the
+        # environment has it, else the stdlib decoders below
+        self._pil = None
+        if real_decode:
+            try:                        # pragma: no cover - env-dependent
+                from PIL import Image
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
-    @staticmethod
-    def decode_real(payload: bytes) -> np.ndarray:
+    def decode_real(self, payload: bytes) -> np.ndarray:
+        """REAL decode -> FEAT_DIM feature vector for self-describing
+        payloads: PIL-decodable images when PIL is importable, WAV audio
+        (stdlib ``wave``) and raw PGM/PPM images (header + bytes) always.
+        Payloads needing absent codec libraries still raise
+        ``NotImplementedError`` — the honest gate, now only for formats
+        this environment genuinely cannot decode."""
+        import io
+
+        if self._pil is not None:       # pragma: no cover - env-dependent
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("L")
+                px = np.asarray(img, dtype=np.float64).ravel()
+                return _pooled(px / 255.0)
+            except Exception:
+                pass                    # fall through to stdlib decoders
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import wave
+            with wave.open(io.BytesIO(payload)) as w:
+                raw = w.readframes(w.getnframes())
+                width = w.getsampwidth()
+            dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+            if dt is None:
+                raise NotImplementedError(f"WAV sample width {width}")
+            x = np.frombuffer(raw, dt).astype(np.float64)
+            x /= float(np.abs(np.iinfo(dt).max))
+            # per-window RMS over FEAT_DIM windows — a real (if tiny)
+            # audio descriptor
+            n = len(x) - len(x) % FEAT_DIM
+            if n == 0:
+                return np.zeros(FEAT_DIM)
+            return np.sqrt((x[:n].reshape(FEAT_DIM, -1) ** 2).mean(axis=1))
+        if payload[:2] in (b"P5", b"P6"):          # raw PGM / PPM
+            parts = payload.split(maxsplit=4)
+            if len(parts) < 5:
+                raise NotImplementedError("truncated PGM/PPM header")
+            px = np.frombuffer(parts[4], np.uint8).astype(np.float64)
+            return _pooled(px / 255.0)
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "environment; plug a real decoder here (PIL/av/soundfile)")
+            "payload format needs codec libraries not present in this "
+            "environment (PIL/av/soundfile)")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payload = t.column("payload")
@@ -49,12 +94,21 @@ class MediaFeatureExtractor:
         h = pd.util.hash_array(
             np.asarray(payload.to_numpy(zero_copy_only=False), dtype=object),
             categorize=False)
-        if self.real_decode:           # pragma: no cover - stub gate
-            self.decode_real(b"")
-        # fake "embedding": 8 hash-derived lanes through the model matrix
-        lanes = np.stack([(h >> np.uint64(8 * i)) & np.uint64(0xFF)
-                          for i in range(FEAT_DIM)], axis=1).astype(np.float64)
-        feat = (lanes / 255.0) @ self.proj.T
+        if self.real_decode:
+            # decode is inherently per-payload (each is one media file);
+            # the numpy feature math inside each decode is vectorized
+            feat = np.stack([self.decode_real(p)
+                             for p in payload.to_pylist()]) \
+                if t.num_rows else np.zeros((0, FEAT_DIM))
+            feat = feat @ self.proj.T
+        else:
+            # fake "embedding": 8 hash-derived lanes through the model
+            # matrix — the deterministic stand-in when no real decoder
+            # applies
+            lanes = np.stack([(h >> np.uint64(8 * i)) & np.uint64(0xFF)
+                              for i in range(FEAT_DIM)],
+                             axis=1).astype(np.float64)
+            feat = (lanes / 255.0) @ self.proj.T
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_bytes": n_bytes,
@@ -62,6 +116,18 @@ class MediaFeatureExtractor:
             "feat": pa.FixedSizeListArray.from_arrays(
                 pa.array(feat.reshape(-1), pa.float32()), FEAT_DIM),
         })
+
+
+def _pooled(x: np.ndarray) -> np.ndarray:
+    """Mean-pool a flat pixel/sample array into FEAT_DIM segments."""
+    if len(x) == 0:
+        return np.zeros(FEAT_DIM)
+    n = len(x) - len(x) % FEAT_DIM
+    if n == 0:
+        out = np.zeros(FEAT_DIM)
+        out[:len(x)] = x
+        return out
+    return x[:n].reshape(FEAT_DIM, -1).mean(axis=1)
 
 
 class FrameSampler:
@@ -117,20 +183,28 @@ def frame_sample(sf_dir: str, n_frames: int = 4,
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    # max_restarts=0: Ray Data ships fused-operator constructor state
+    # through the object store, and restartable actors then warn that a
+    # lost arg would break the restart (ray issue 53727); dead actors
+    # are replaced by the pool and the task retried either way
     return (ds.map_batches(to_payload, batch_format="pyarrow")
             .map_batches(FrameSampler, batch_format="pyarrow",
                          batch_size=batch_size,
                          fn_constructor_kwargs={"n_frames": n_frames},
-                         concurrency=concurrency or actor_pool_size()))
+                         concurrency=concurrency or actor_pool_size(),
+                         max_restarts=0))
 
 
 def media_features(sf_dir: str,
                    concurrency: "int | tuple[int, int] | None" = None,
-                   batch_size: int = 1024) -> ray.data.Dataset:
+                   batch_size: int = 1024,
+                   real_decode: bool = False) -> ray.data.Dataset:
     """documents.text bytes as the opaque payload -> feature extraction.
     Small ``batch_size`` on purpose: with real images, batch bytes =
     batch_size × payload size must fit the actor heap. Pool size scales
-    with the cluster (see functions.text.actor_pool_size)."""
+    with the cluster (see functions.text.actor_pool_size).
+    ``real_decode=True`` routes payloads through the real decoders
+    (PIL when importable, stdlib WAV/PGM/PPM otherwise)."""
     from .text import actor_pool_size
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -142,4 +216,6 @@ def media_features(sf_dir: str,
     return (ds.map_batches(to_payload, batch_format="pyarrow")
             .map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                          batch_size=batch_size,
-                         concurrency=concurrency or actor_pool_size()))
+                         fn_constructor_kwargs={"real_decode": real_decode},
+                         concurrency=concurrency or actor_pool_size(),
+                         max_restarts=0))   # see frame_sample note

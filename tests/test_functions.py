@@ -242,8 +242,75 @@ def test_media_features_plumbing(corpus):
 
 
 def test_media_decode_stub_gated():
+    ex = multimodal.MediaFeatureExtractor(real_decode=True)
     with pytest.raises(NotImplementedError):
-        multimodal.MediaFeatureExtractor.decode_real(b"\x00")
+        ex.decode_real(b"\x00")                # no decodable format
+
+
+def _wav_bytes(freq=440.0, n=8000, rate=8000, amp=20000):
+    import io
+    import wave
+
+    x = (np.sin(2 * np.pi * freq * np.arange(n) / rate)
+         * amp).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _pgm_bytes(w=16, h=16, seed=3):
+    px = np.random.default_rng(seed).integers(0, 256, w * h,
+                                              dtype=np.uint8)
+    return b"P5 %d %d 255 " % (w, h) + px.tobytes()
+
+
+def test_media_real_decode_wav_and_pgm():
+    """The real-decode path genuinely decodes self-describing payloads:
+    WAV via stdlib wave (per-window RMS features), raw PGM via its
+    header. Deterministic; distinct content -> distinct features."""
+    ex = multimodal.MediaFeatureExtractor(real_decode=True)
+    wav, pgm = _wav_bytes(), _pgm_bytes()
+    fa = ex.decode_real(wav)
+    fb = ex.decode_real(_wav_bytes(amp=4000))            # quieter signal
+    assert fa.shape == (multimodal.FEAT_DIM,)
+    assert np.allclose(fa, ex.decode_real(wav))          # deterministic
+    assert np.all(fa > fb)          # louder -> higher RMS in every window
+    fp = ex.decode_real(pgm)
+    assert fp.shape == (multimodal.FEAT_DIM,)
+    assert np.all((fp >= 0) & (fp <= 1))                 # mean of pixels/255
+
+    # through the ACTOR-POOL pipeline: real decode end to end
+    import ray.data
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "payload": pa.array([wav, wav, pgm], pa.binary())})
+    rows = sorted(
+        ray.data.from_arrow(t)
+        .map_batches(multimodal.MediaFeatureExtractor,
+                     batch_format="pyarrow", batch_size=2,
+                     fn_constructor_kwargs={"real_decode": True},
+                     concurrency=1, max_restarts=0)
+        .take_all(), key=lambda r: r["doc_id"])
+    assert list(rows[0]["feat"]) == list(rows[1]["feat"])   # same wav
+    assert list(rows[0]["feat"]) != list(rows[2]["feat"])
+    assert rows[2]["n_bytes"] == len(pgm)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL")
+    is None, reason="PIL not installed")
+def test_media_real_decode_pil():                # pragma: no cover
+    from PIL import Image
+    import io
+    img = Image.new("RGB", (8, 8), (128, 64, 32))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    ex = multimodal.MediaFeatureExtractor(real_decode=True)
+    f = ex.decode_real(buf.getvalue())
+    assert f.shape == (multimodal.FEAT_DIM,)
 
 
 def test_frame_sample_explosion(corpus):
