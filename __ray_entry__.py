@@ -72,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistency_sum": partial(lq.consistency_sum),
         "count_by_type": partial(lq.count_by_type),
         "routing_semijoin": partial(lq.routing_semijoin),
+        # routing_id override: user 10 remapped INTO the cluster set,
+        # user 17 (default route 1, in-set) remapped OUT — the
+        # reference's routing_id≠cluster_id model (Message.java:14-34)
+        "routing_semijoin_override": partial(
+            lq.routing_semijoin,
+            overrides={10: 1, 17: 2, 33: 5, 50: 0}),
         "source_stats": source_stats,
         "derived_source_stats": partial(er.derived_source_stats),
         "tumbling_window": partial(tp.tumbling_window_counts),
@@ -200,6 +206,12 @@ def oracle_sql() -> dict[str, str]:
         "routing_semijoin": """
             SELECT * FROM events
             WHERE user_id % 16 IN (1, 3, 5, 7)
+              AND event_type IN ('click', 'view', 'purchase')""",
+        "routing_semijoin_override": """
+            SELECT * FROM events
+            WHERE (CASE user_id WHEN 10 THEN 1 WHEN 17 THEN 2
+                   WHEN 33 THEN 5 WHEN 50 THEN 0
+                   ELSE user_id % 16 END) IN (1, 3, 5, 7)
               AND event_type IN ('click', 'view', 'purchase')""",
         "source_stats": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

@@ -239,39 +239,71 @@ def count_by_type(sf_dir: str) -> ray.data.Dataset:
 def routing_semijoin(sf_dir: str, n_clusters: int = 16,
                      clusters: tuple[int, ...] = (1, 3, 5, 7),
                      types: tuple[str, ...] = ("click", "view", "purchase"),
+                     overrides: "dict[int, int] | None" = None,
                      cache=None) -> ray.data.Dataset:
     """The per-cluster routed read (PostgresqlStorage.java:446-467): rows
-    whose routing id (user_id % n_clusters) is in the caller's small
-    cluster set AND whose type is subscribed. The cluster set is a tiny
-    broadcast — a broadcast semi-join, never a shuffle join (SURVEY.md
-    J3). ``cache`` (state.routing.RoutingCache yielding
-    (clusters, types)) is the ST2 refresh hook: per-wave callers get the
-    current routing table with expiry/invalidation semantics instead of
-    a frozen closure capture."""
+    whose ROUTING id is in the caller's small cluster set AND whose type
+    is subscribed. The routing id defaults to the hash route
+    (user_id % n_clusters) but an ``overrides`` map (user_id ->
+    routing_id) takes precedence — the reference's routing_id-distinct-
+    from-cluster_id model (Message.java:14-34; a clusterId≠routingId
+    remap is what drives its bootstrap fast path,
+    PipeReadController.java:112-147). Both the cluster set and the
+    override map are tiny broadcasts — a broadcast semi-join, never a
+    shuffle join (SURVEY.md J3). ``cache`` (state.routing.RoutingCache
+    yielding (clusters, types) or (clusters, types, overrides)) is the
+    ST2 refresh hook: per-wave callers get the current routing table
+    with expiry/invalidation semantics instead of a frozen closure
+    capture — an invalidation-driven remap reroutes the next wave."""
     if cache is not None:
         import ray as _ray
         ref = cache.get()
 
         def route(t: pa.Table) -> pa.Table:
-            cl, ty = _ray.get(ref)
-            return _route_filter(t, n_clusters, pa.array(list(cl), pa.int64()),
-                                 pa.array(list(ty)))
+            entry = _ray.get(ref)
+            cl, ty = entry[0], entry[1]
+            ov = entry[2] if len(entry) > 2 else None
+            ok, ovl = _sorted_overrides(ov)
+            return _route_filter(t, n_clusters,
+                                 pa.array(list(cl), pa.int64()),
+                                 pa.array(list(ty)), ok, ovl)
     else:
         cset = pa.array(list(clusters), pa.int64())
         tset = pa.array(list(types))
+        okeys, ovals = _sorted_overrides(overrides)
 
         def route(t: pa.Table) -> pa.Table:
-            return _route_filter(t, n_clusters, cset, tset)
+            return _route_filter(t, n_clusters, cset, tset, okeys, ovals)
 
     return read_events(sf_dir).map_batches(route, batch_format="pyarrow")
 
 
+def _sorted_overrides(overrides: "dict[int, int] | None"
+                      ) -> tuple["np.ndarray | None", "np.ndarray | None"]:
+    if not overrides:
+        return None, None
+    okeys = np.array(sorted(overrides), dtype=np.int64)
+    ovals = np.array([overrides[k] for k in okeys.tolist()],
+                     dtype=np.int64)
+    return okeys, ovals
+
+
 def _route_filter(t: pa.Table, n_clusters: int, cset: pa.Array,
-                  tset: pa.Array) -> pa.Table:
+                  tset: pa.Array, okeys: "np.ndarray | None" = None,
+                  ovals: "np.ndarray | None" = None) -> pa.Table:
     rid = pc.subtract(
         t.column("user_id"),
         pc.multiply(pc.divide(t.column("user_id"), n_clusters),
                     n_clusters))  # integer modulo, matches SQL %
+    if okeys is not None and len(okeys):
+        # vectorized override: binary-search each user into the sorted
+        # override keys; matches take the override routing id
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        r = rid.to_numpy(zero_copy_only=False).copy()
+        pos = np.clip(np.searchsorted(okeys, u), 0, len(okeys) - 1)
+        m = okeys[pos] == u
+        r[m] = ovals[pos[m]]
+        rid = pa.array(r)
     mask = pc.and_(pc.is_in(rid, value_set=cset),
                    pc.is_in(t.column("event_type"), value_set=tset))
     return t.filter(mask)

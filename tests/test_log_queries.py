@@ -190,3 +190,43 @@ def test_byte_cap_over_budget_first_row(tmp_path):
     got = sorted(r["event_id"]
                  for r in byte_cap_prefix(str(d), cap=100).take_all())
     assert got == [1]                          # huge first row ships alone
+
+
+def test_routing_override_remap_through_cache():
+    """routing_id override (reference Message.java:14-34,
+    PostgresqlStorageIntegrationSpec.groovy:901-922): an override map
+    takes precedence over the hash route, and an invalidation-driven
+    remap through RoutingCache reroutes the next read."""
+    from aqueduct_core_ray.pipelines.log_queries import routing_semijoin
+    from aqueduct_core_ray.state.routing import RoutingCache
+
+    base = routing_semijoin(SF).to_pandas()
+    users = set(base["user_id"])
+    # pick one user currently routed IN and one routed OUT
+    uin = min(users)
+    import pyarrow.parquet as pq
+    all_users = set(pq.read_table(f"{SF}/events.parquet",
+                                  columns=["user_id"])
+                    .column("user_id").to_pylist())
+    uout = min(all_users - users)
+    ov = {uin: 0, uout: 1}            # kick uin out, pull uout in
+    got = routing_semijoin(SF, overrides=ov).to_pandas()
+    assert uin not in set(got["user_id"])
+    assert uout in set(got["user_id"])
+    # everything else unaffected
+    assert (set(base["user_id"]) - {uin}) == (set(got["user_id"]) - {uout})
+
+    # invalidation-driven remap: same cache object, new overrides honored
+    # only after invalidate()
+    table = {"entry": ((1, 3, 5, 7),
+                       ("click", "view", "purchase"), None)}
+    cache = RoutingCache(lambda: table["entry"], ttl_s=3600)
+    first = routing_semijoin(SF, cache=cache).to_pandas()
+    assert set(first["user_id"]) == users
+    table["entry"] = ((1, 3, 5, 7), ("click", "view", "purchase"), ov)
+    same = routing_semijoin(SF, cache=cache).to_pandas()   # TTL valid
+    assert set(same["user_id"]) == users                   # not reloaded
+    cache.invalidate()
+    remapped = routing_semijoin(SF, cache=cache).to_pandas()
+    assert uout in set(remapped["user_id"])
+    assert uin not in set(remapped["user_id"])
