@@ -439,12 +439,31 @@ class CDCEngine:
             "parts_touched": len(stats), "n_applied_or_deleted": n_events,
             "wall_s": round(wall, 4),
         }]
+        # maintained named offsets (reference OffsetName.java:3-5): fold
+        # this wave's per-hour lsn maxima (computed inside the scan
+        # tasks, no extra read) into the stored checkpoint; hours older
+        # than the retention window are already folded and pruned
+        hour_max = dict(cur.hour_max) if cur else {}
+        for h, m in getattr(self, "_wave_hour_max", {}).items():
+            if m > hour_max.get(h, -1):
+                hour_max[h] = m
+        named = dict(cur.named_offsets) if cur else {}
+        named["GLOBAL_LATEST"] = hi
+        if hour_max:
+            latest = max(int(h) for h in hour_max)
+            before = [m for h, m in hour_max.items() if int(h) < latest]
+            if before and max(before) > named.get(
+                    "MAX_OFFSET_PREVIOUS_HOUR", -1):
+                named["MAX_OFFSET_PREVIOUS_HOUR"] = max(before)
+            hour_max = {h: m for h, m in hour_max.items()
+                        if int(h) >= latest - 48}
         man = Manifest(
             generation=gen, watermark=hi, wave_id=wave_id,
             schema_b64=schema_to_b64(lake_schema),
             num_partitions=self.num_partitions,
             partitions=new_parts, partials=new_partials,
             lineage=lineage[-200:],
+            named_offsets=named, hour_max=hour_max,
         )
         import shutil as _shutil
         try:
@@ -704,6 +723,7 @@ class CDCEngine:
         import ray as _ray
         t_scan0 = time.perf_counter()
         touched_set: set[int] = set()
+        self._wave_hour_max: dict[str, int] = {}
         if scan is not None:
             units, lo, hi = scan
             if units:
@@ -711,8 +731,11 @@ class CDCEngine:
                                          self.num_partitions, self.salt,
                                          self.conflict)
                         for u in units]
-                for pids in _ray.get(refs):
-                    touched_set.update(pids)
+                for r in _ray.get(refs):
+                    touched_set.update(r["pids"])
+                    for h, m in r["hour_max"].items():
+                        if m > self._wave_hour_max.get(h, -1):
+                            self._wave_hour_max[h] = m
         else:
             splitter = make_delta_splitter(sdir, self.num_partitions)
             prepped.map_batches(splitter, batch_format="pyarrow",
@@ -966,6 +989,8 @@ class CDCEngine:
             num_partitions=self.num_partitions,
             partitions=new_parts, partials=new_partials,
             lineage=lineage[-200:],
+            named_offsets=dict(cur.named_offsets),
+            hour_max=dict(cur.hour_max),
         )
         self.store.commit(man)
         self._cached_manifest = man
@@ -1162,6 +1187,8 @@ class CDCEngine:
                                                  # never alter routing
             partitions=new_parts, partials=new_partials,
             lineage=lineage[-200:],
+            named_offsets=dict(cur.named_offsets),
+            hour_max=dict(cur.hour_max),
         )
         self.store.commit(man)
         self._cached_manifest = man
@@ -1275,6 +1302,21 @@ class CDCEngine:
             os.replace(path + ".tmp", path)
             published[d.name] = path
         return published
+
+    def named_offset(self, name: str) -> int:
+        """Maintained named offsets (reference OffsetName.java:3-5 —
+        GLOBAL_LATEST, MAX_OFFSET_PREVIOUS_HOUR as periodically-updated
+        checkpoints, not per-query scans): GLOBAL_LATEST is the
+        watermark; MAX_OFFSET_PREVIOUS_HOUR is the max lsn whose event
+        time falls before the latest hour boundary seen in the stream,
+        folded incrementally from each wave's scan stats and persisted
+        in the manifest. Returns -1 when unknown."""
+        m = self.manifest
+        if m is None:
+            return -1
+        if name == "GLOBAL_LATEST":
+            return m.watermark
+        return int(m.named_offsets.get(name, -1))
 
     def consistency_sum(self) -> int:
         """Σ last_lsn over live docs — the reference's convergence checksum

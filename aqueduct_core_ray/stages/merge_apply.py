@@ -271,7 +271,7 @@ def scan_split_segment(
     num_partitions: int,
     salt: int = 0,
     policy: ConflictPolicy = LWW,
-) -> list[int]:
+) -> dict[str, Any]:
     """Raw-task wave scan: read the unit's log row-groups, filter the
     (lo, hi] window + source subscription, prep (partition + combiner
     compaction) and write the exchange block — one task, no Dataset.
@@ -282,7 +282,12 @@ def scan_split_segment(
     plus per-stage block accounting, which is pure critical path at
     multi-M events/s. ``units`` = [(path, row_group_ids | None)] —
     row-group granularity keeps any task's working set under the byte
-    target regardless of segment size."""
+    target regardless of segment size.
+
+    Returns {"pids": touched partition ids, "hour_max": {hour_epoch_us
+    (str) -> max lsn}} — the per-hour lsn maxima feed the engine's
+    maintained named offsets (MAX_OFFSET_PREVIOUS_HOUR, reference
+    OffsetName.java:3-5) as a per-wave fold, no extra scan."""
     tabs = []
     for path, rgs in units:
         f = pq.ParquetFile(path)
@@ -307,11 +312,35 @@ def scan_split_segment(
         tabs = [reconcile_batch(t, union) for t in tabs]
     block = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
     if block.num_rows == 0:
-        return []
+        return {"pids": [], "hour_max": {}}
+    hour_max = _hour_max_lsn(block)
     block = prep_wave_batch(block, num_partitions=num_partitions,
                             salt=salt, policy=policy)
     uniq, _ = write_split_block(block, shuffle_dir)
-    return [int(p) for p in uniq]
+    return {"pids": [int(p) for p in uniq], "hour_max": hour_max}
+
+
+_HOUR_US = 3_600_000_000
+
+
+def _hour_max_lsn(block: pa.Table) -> dict[str, int]:
+    """Per-hour max lsn of a scanned window (null-ts rows skipped) —
+    a handful of entries per wave, vectorized segmented max."""
+    if "ts" not in block.column_names:
+        return {}
+    col = block.column("ts").combine_chunks()
+    ok = col.is_valid().to_numpy(zero_copy_only=False)
+    if not ok.any():
+        return {}
+    ts = pc.fill_null(col.cast(pa.int64()), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lsn = block.column("lsn").to_numpy(zero_copy_only=False)
+    hours = ts[ok] // _HOUR_US
+    ls = lsn[ok]
+    order = np.argsort(hours, kind="stable")
+    h, start = np.unique(hours[order], return_index=True)
+    mx = np.maximum.reduceat(ls[order], start)
+    return {str(int(hh)): int(m) for hh, m in zip(h, mx)}
 
 
 def merge_partition_files(

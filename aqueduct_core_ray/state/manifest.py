@@ -64,6 +64,13 @@ class Manifest:
     # derivation name -> pid(str) -> list of partial-aggregate records
     partials: dict[str, dict[str, list[dict[str, Any]]]] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
+    # maintained named offsets (reference OffsetName.java:3-5): updated
+    # every commit from per-wave scan stats, never recomputed by a scan
+    named_offsets: dict[str, int] = field(default_factory=dict)
+    # hour_epoch (str) -> max lsn seen in that hour; the bounded working
+    # state behind MAX_OFFSET_PREVIOUS_HOUR (pruned to a recent window —
+    # older hours are already folded into the named offset)
+    hour_max: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> pa.Schema:

@@ -177,3 +177,46 @@ def test_partition_count_is_immutable_per_lake(log_dir, seed_path,
     assert adopted.num_partitions == 4
     adopted.replay(log_dir, SPEC.wave_bounds)
     assert adopted.watermark == SPEC.n_events
+
+
+def test_named_offsets_maintained_across_waves(tmp_path):
+    """Maintained named offsets (reference OffsetName.java:3-5): the
+    MAX_OFFSET_PREVIOUS_HOUR checkpoint is folded from each wave's scan
+    stats — never recomputed by a scan — and persists in the manifest
+    across engine restarts. Log spans 3 hours; waves split mid-hour."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.schema import CHANGE_EVENT
+
+    HOUR_US = 3_600_000_000
+    base_ts = 1_700_000_000_000_000
+    rows = []
+    for lsn in range(1, 301):
+        # 100 events per hour, hours 0..2
+        ts = base_ts + ((lsn - 1) // 100) * HOUR_US + (lsn % 97) * 1_000
+        rows.append({"lsn": lsn, "op": 0, "doc_id": f"d{lsn % 40:03d}",
+                     "tokens": [lsn % 7], "n_tok": 1, "source": "web",
+                     "ts": ts})
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=CHANGE_EVENT),
+                   str(log / "seg-1.parquet"))
+
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=2, derivations=())
+    # wave 1 ends mid-hour-1: latest hour = hour 1, previous = hour 0
+    eng.replay(str(log), [(0, 150)])
+    assert eng.named_offset("GLOBAL_LATEST") == 150
+    assert eng.named_offset("MAX_OFFSET_PREVIOUS_HOUR") == 100
+    # wave 2 into hour 2: hours 0-1 fold in; max lsn before hour 2 = 200
+    eng.replay(str(log), [(150, 250)])
+    assert eng.named_offset("MAX_OFFSET_PREVIOUS_HOUR") == 200
+    # persisted: a fresh engine reads the checkpoint from the manifest
+    eng2 = CDCEngine(root, num_partitions=None, derivations=())
+    assert eng2.named_offset("MAX_OFFSET_PREVIOUS_HOUR") == 200
+    assert eng2.named_offset("GLOBAL_LATEST") == 250
+    assert eng2.named_offset("NO_SUCH") == -1
+    # finishing the stream doesn't regress the checkpoint
+    eng2.replay(str(log), [(250, 300)])
+    assert eng2.named_offset("MAX_OFFSET_PREVIOUS_HOUR") == 200
