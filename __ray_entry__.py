@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": partial(text.quality_score),
         "fingerprint": partial(text.fingerprint),
         "dedup_exact": partial(dedup.exact_dedup),
+        "redact_pii": partial(text.redact_pii),
         "embedding_cosine_dedup": partial(dedup.embedding_cosine_dedup),
         "knn_bruteforce": partial(ann.knn_bruteforce),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_resample": partial(
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
+        "decontaminate": partial(dedup.decontaminate),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
@@ -217,6 +219,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
             FROM documents GROUP BY source""",
+        "redact_pii": r"""
+            WITH r1 AS (
+                SELECT doc_id, text AS t0,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents),
+            r2 AS (
+                SELECT *, regexp_replace(t1,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t2
+                FROM r1)
+            SELECT doc_id,
+                   regexp_replace(t2,
+                       '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}\b',
+                       '<PHONE>', 'g') AS text,
+                   CAST(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(t2,
+                       '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}\b'))
+                       AS BIGINT) AS n_phone
+            FROM r2""",
         "derived_source_stats": _LOG_CTE + """
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    max(last_lsn) AS max_last_lsn

@@ -623,3 +623,51 @@ def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
 
     return (cand.groupby(["vec_id_a", "vec_id_b"]).min("sim_pct")
             .map_batches(rename, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------- #
+# benchmark decontamination
+# --------------------------------------------------------------------- #
+def decontaminate(sf_dir: str, benchmark: "list[str] | None" = None,
+                  shingle: int = 8, min_hits: int = 1) -> ray.data.Dataset:
+    """Benchmark/eval-set decontamination — a core training-corpus step:
+    flag documents sharing >= ``min_hits`` word-``shingle``-grams with
+    the benchmark texts, so eval contamination can be dropped before
+    training. Returns (doc_id, n_hits, contaminated).
+
+    Scale shape: eval sets are small by nature, so the blocklist (unique
+    benchmark shingle hashes) is built driver-side and broadcast ONCE via
+    ``ray.put``; every batch counts membership with one vectorized
+    searchsorted against the sorted blocklist — no shuffle, no joins,
+    the corpus streams through untouched. When ``benchmark`` is None the
+    corpus's doc 0 text is used (a deterministic self-contamination
+    demo: doc 0 and its exact/near duplicates get flagged)."""
+    if benchmark is None:
+        import pyarrow.parquet as _pq
+        t0 = _pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "=", 0)])
+        benchmark = t0.column("text").to_pylist()
+    bt = pa.table({"text": pa.array(list(benchmark))})
+    block = np.unique(_shingle_hashes(bt, "text", shingle)[0])
+    ref = ray.put(block)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        sh, sdoc = _shingle_hashes(t, "text", shingle)
+        if len(sh) and len(bl):
+            pos = np.clip(np.searchsorted(bl, sh), 0, len(bl) - 1)
+            hit = bl[pos] == sh
+            n_hits = np.bincount(sdoc[hit], minlength=t.num_rows)
+        else:
+            n_hits = np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_hits": pa.array(n_hits.astype(np.int64)),
+            "contaminated": pa.array(
+                (n_hits >= min_hits).astype(np.int8)),
+        })
+
+    from .text import read_documents
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -179,3 +179,41 @@ def lang_id(sf_dir: str,
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow",
                           concurrency=concurrency or actor_pool_size())
+
+
+# --------------------------------------------------------------------- #
+# PII redaction — core training-corpus scrubbing. RE2 patterns (Arrow's
+# and DuckDB's regex engine are both RE2, so the SQL oracle replays the
+# identical semantics). Applied IN ORDER: each pattern is counted on the
+# text as redacted by the previous ones, then replaced — ordering is
+# part of the contract (an email must not be half-eaten by the phone
+# pattern).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone",
+     r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}\b",
+     "<PHONE>"),
+)
+
+
+def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, text, n_email, n_ip, n_phone): text with PII replaced by
+    typed placeholders + per-kind match counts. Fully vectorized Arrow
+    RE2 kernels — no per-row Python."""
+    txt = t.column(text_col)
+    cols: dict = {"doc_id": t.column("doc_id")}
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(
+            pa.int64())
+        txt = pc.replace_substring_regex(txt, pat, repl)
+    cols["text"] = txt
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def redact_pii(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(redact_pii_batch, batch_format="pyarrow")

@@ -350,3 +350,69 @@ def test_ivf_index_shared_root_and_atomic_marker(tmp_path):
     # recall query through the same shared root
     rec = ann.knn_ivf_recall(SF0001, nprobe=8, index_root=root)
     assert rec.to_pylist()[0]["recall_pct"] >= 90
+
+
+# --------------------------------------------------------------------- #
+PII_TEXTS = [
+    "contact me at jane.doe+spam@example.co.uk or on +1 (555) 123-4567",
+    "server at 10.0.12.255 and 192.168.1.1 rebooted; mail root@host.io",
+    "no pii here at all just words",
+    "overlap case: a@b.com then 1.2.3.4 then +44 (020) 794-6095",
+]
+
+
+def test_redact_pii_patterns(tmp_path):
+    sf = _mk_docs(tmp_path, PII_TEXTS)
+    rows = sorted(text.redact_pii(sf).take_all(), key=lambda r: r["doc_id"])
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 1
+    assert "<EMAIL>" in rows[0]["text"] and "<PHONE>" in rows[0]["text"]
+    assert "jane.doe" not in rows[0]["text"]
+    assert rows[1]["n_ip"] == 2 and rows[1]["n_email"] == 1
+    assert rows[2]["n_email"] == rows[2]["n_ip"] == rows[2]["n_phone"] == 0
+    assert rows[2]["text"] == PII_TEXTS[2]
+    assert rows[3]["n_email"] == 1 and rows[3]["n_ip"] == 1 \
+        and rows[3]["n_phone"] == 1
+
+
+def test_redact_pii_matches_duckdb_oracle(tmp_path):
+    """Arrow RE2 and DuckDB RE2 must replay IDENTICAL redaction — the
+    oracle contract, exercised here on text that actually contains
+    PII (the synthetic corpus has none, which would make the driver's
+    check vacuous for the patterns)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = _mk_docs(tmp_path, PII_TEXTS)
+    got = (text.redact_pii(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(entry.oracle_sql()["redact_pii"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    assert got[cols].equals(want[cols].astype(got[cols].dtypes))
+
+
+def test_decontaminate_flags_benchmark_overlap(corpus):
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(f"{corpus}/documents.parquet")
+    bench_text = t.column("text")[0].as_py()      # doc 0 = eval set
+    rows = {r["doc_id"]: r for r in
+            dedup.decontaminate(corpus, benchmark=[bench_text],
+                                min_hits=3).take_all()}
+    assert rows[0]["contaminated"] == 1           # the benchmark itself
+    assert rows[1]["contaminated"] == 1           # exact duplicate
+    assert rows[2]["contaminated"] == 1           # near-dup shares grams
+    assert rows[3]["contaminated"] == 0           # unrelated
+    assert rows[4]["contaminated"] == 0
+    assert rows[0]["n_hits"] >= rows[2]["n_hits"] > 0
+    # default benchmark (doc 0) is the deterministic demo path
+    auto = {r["doc_id"]: r["contaminated"]
+            for r in dedup.decontaminate(corpus, min_hits=3).take_all()}
+    assert auto[0] == 1 and auto[3] == 0
