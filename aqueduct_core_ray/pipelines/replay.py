@@ -731,11 +731,16 @@ class CDCEngine:
                                          self.num_partitions, self.salt,
                                          self.conflict)
                         for u in units]
+                plans: dict[int, list] = {}
                 for r in _ray.get(refs):
                     touched_set.update(r["pids"])
                     for h, m in r["hour_max"].items():
                         if m > self._wave_hour_max.get(h, -1):
                             self._wave_hour_max[h] = m
+                    if r["block"] is not None:
+                        for pid_s, bids in r["idx"].items():
+                            plans.setdefault(int(pid_s), []).append(
+                                (r["block"], bids))
         else:
             splitter = make_delta_splitter(sdir, self.num_partitions)
             prepped.map_batches(splitter, batch_format="pyarrow",
@@ -753,10 +758,12 @@ class CDCEngine:
         t_merge0 = time.perf_counter()
         b64 = schema_to_b64(lake_schema)
         outbox = self.outbox_dir if self.emit_changelog else None
+        plans = plans if scan is not None else {}
         refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
                                   self.derivations, self.conflict, outbox,
-                                  self.sidecar_frac, self.max_deltas)
+                                  self.sidecar_frac, self.max_deltas,
+                                  plans.get(p))
                 for p in touched]
         out = _ray.get(refs)
         self._phase_t["merge_s"] = round(time.perf_counter() - t_merge0, 4)

@@ -195,7 +195,7 @@ def make_delta_splitter(
     """
 
     def split(batch: pa.Table) -> pa.Table:
-        uniq, rows = write_split_block(batch, shuffle_dir)
+        uniq, rows, _, _ = write_split_block(batch, shuffle_dir)
         return pa.table({
             "pid": pa.array([int(p) for p in uniq], pa.int32()),
             "rows": pa.array(rows.astype(np.int64)),
@@ -205,10 +205,16 @@ def make_delta_splitter(
 
 
 def write_split_block(batch: pa.Table, shuffle_dir: str
-                      ) -> tuple[np.ndarray, np.ndarray]:
+                      ) -> tuple[np.ndarray, np.ndarray, str,
+                                 dict[int, list[int]]]:
     """Write ONE prepped block as an indexed Arrow-IPC exchange file;
-    returns (touched pids, rows per pid). Shared by the Dataset splitter
-    and the raw-task segment scan."""
+    returns (touched pids, rows per pid, data path, pid->batch-index
+    map). Shared by the Dataset splitter and the raw-task segment scan.
+    The map is both persisted as a .idx.json sidecar (the glob fallback
+    used by the Dataset path and rebuilds) and returned so the exchange
+    fast path can hand every merge task its EXACT (file, batches) read
+    plan — without it each of P merge tasks re-read all B sidecars
+    (B×P metadata reads per wave)."""
     import uuid
 
     if "part" not in batch.column_names:
@@ -259,7 +265,7 @@ def write_split_block(batch: pa.Table, shuffle_dir: str
     with open(idx_path + ".tmp", "w") as f:
         json.dump(idx, f)
     os.replace(idx_path + ".tmp", idx_path)
-    return uniq, bounds[1:] - bounds[:-1]
+    return uniq, bounds[1:] - bounds[:-1], data_path, idx
 
 
 def scan_split_segment(
@@ -285,9 +291,11 @@ def scan_split_segment(
     target regardless of segment size.
 
     Returns {"pids": touched partition ids, "hour_max": {hour_epoch_us
-    (str) -> max lsn}} — the per-hour lsn maxima feed the engine's
-    maintained named offsets (MAX_OFFSET_PREVIOUS_HOUR, reference
-    OffsetName.java:3-5) as a per-wave fold, no extra scan."""
+    (str) -> max lsn}, "block": exchange file path, "idx": pid ->
+    batch indices within it} — hour maxima feed the maintained named
+    offsets (OffsetName.java:3-5) and the idx map feeds the merge
+    tasks' explicit read plans, both folded driver-side from results
+    the task already had, no extra I/O."""
     tabs = []
     for path, rgs in units:
         f = pq.ParquetFile(path)
@@ -312,12 +320,13 @@ def scan_split_segment(
         tabs = [reconcile_batch(t, union) for t in tabs]
     block = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
     if block.num_rows == 0:
-        return {"pids": [], "hour_max": {}}
+        return {"pids": [], "hour_max": {}, "block": None, "idx": {}}
     hour_max = _hour_max_lsn(block)
     block = prep_wave_batch(block, num_partitions=num_partitions,
                             salt=salt, policy=policy)
-    uniq, _ = write_split_block(block, shuffle_dir)
-    return {"pids": [int(p) for p in uniq], "hour_max": hour_max}
+    uniq, _, data_path, idx = write_split_block(block, shuffle_dir)
+    return {"pids": [int(p) for p in uniq], "hour_max": hour_max,
+            "block": data_path, "idx": idx}
 
 
 _HOUR_US = 3_600_000_000
@@ -355,6 +364,7 @@ def merge_partition_files(
     outbox_dir: str | None = None,
     sidecar_frac: float = 0.0,
     max_deltas: int = 8,
+    plan: "list[tuple[str, list[int]]] | None" = None,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
@@ -378,18 +388,24 @@ def merge_partition_files(
       O(10^7) vs O(10^10). Readers merge base+sidecars partition-locally
       (``load_partition_table``); the next big wave (or the
       ``max_deltas`` cap) triggers the absorbing full rewrite."""
-    import glob as _glob
-
     lake_schema = schema_from_b64(lake_schema_b64)
+    if plan is None:
+        # glob fallback (Dataset splitter path, rebuilds): discover this
+        # partition's batches from the .idx.json sidecars. The exchange
+        # fast path passes an explicit ``plan`` instead — P tasks each
+        # re-reading all B sidecars was B×P metadata reads per wave.
+        import glob as _glob
+        plan = []
+        for idx_path in sorted(_glob.glob(
+                os.path.join(shuffle_dir, "block-*.idx.json"))):
+            with open(idx_path) as f:
+                idx = json.load(f)
+            mine = idx.get(str(pid))
+            if mine:
+                plan.append((idx_path[: -len(".idx.json")] + ".arrow",
+                             mine))
     tabs = []
-    for idx_path in sorted(_glob.glob(
-            os.path.join(shuffle_dir, "block-*.idx.json"))):
-        with open(idx_path) as f:
-            idx = json.load(f)
-        mine = idx.get(str(pid))
-        if not mine:
-            continue
-        data_path = idx_path[: -len(".idx.json")] + ".arrow"
+    for data_path, mine in plan:
         # buffered reads, not mmap: with P concurrent mergers each mapping
         # B files of fresh tmpfs pages, per-page fault overhead under
         # mmap_lock dominates; pread into pooled Arrow memory reuses
