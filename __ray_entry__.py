@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
         "decontaminate": partial(dedup.decontaminate),
+        "export_shards": _export_shards,
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
@@ -120,6 +121,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": partial(multimodal.media_features),
         "frame_sample": partial(multimodal.frame_sample),
     }
+
+
+def _export_shards(sf_dir: str):
+    """Sharded training export (resumable, deterministic) -> per-shard
+    doc counts as the stable summary table."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from aqueduct_core_ray.functions.sampling import export_training_shards
+
+    out = os.path.join("/tmp/aqr_export",
+                       os.path.basename(os.path.normpath(sf_dir)))
+    export_training_shards(sf_dir, out, n_shards=8)
+    t = pads.dataset(out, partitioning="hive").to_table(
+        columns=["doc_id", "shard"])
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    g = t.group_by("shard").aggregate([("doc_id", "count")])
+    g = g.rename_columns(["shard", "n_docs"])
+    return g.sort_by("shard").set_column(
+        1, "n_docs", g.sort_by("shard").column("n_docs").cast(_pa.int64()))
 
 
 def lq_replay(sf_dir: str):

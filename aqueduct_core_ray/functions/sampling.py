@@ -70,3 +70,56 @@ def mixture_resample(sf_dir: str,
     for s in counts:
         fracs.setdefault(s, 0.0)
     return stratified_sample(sf_dir, fracs, default_frac=0.0, seed=seed)
+
+
+# --------------------------------------------------------------------- #
+# sharded training export
+# --------------------------------------------------------------------- #
+def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
+                           seed: int = 17,
+                           columns: "list[str] | None" = None
+                           ) -> dict[str, int]:
+    """Write the corpus as ``n_shards`` hive-partitioned parquet shard
+    directories (``shard=<k>/``) under ``out_dir`` — the training-export
+    step: shard membership is a keyed hash of (doc_id, seed), so the
+    global order is decorrelated from ingest order (inter-shard
+    randomization; trainers shuffle within a shard via their own buffer)
+    while remaining DETERMINISTIC across runs, nodes and cluster sizes.
+
+    One streaming pass: a map_batches tags shards, ``write_parquet``
+    partitions on the column — no driver materialization, no all-to-all
+    (hive partitioning splits at the writer). RESUMABLE contract: the
+    export publishes an ``_EXPORTED`` marker (write-then-rename) only
+    after every file lands; a rerun with the marker present is a no-op,
+    a crashed half-export has no marker and is rewritten into the same
+    directory idempotently (deterministic content). Returns
+    {"docs": N, "shards": n_shards, "skipped": 0|1}."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_EXPORTED")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            st = json.load(f)
+        return {**st, "skipped": 1}
+    shutil.rmtree(out_dir, ignore_errors=True)   # half-written attempt
+    os.makedirs(out_dir, exist_ok=True)
+    cols = columns or ["doc_id", "text", "source"]
+    ds = read_documents(sf_dir, columns=cols)
+    n = ds.count()
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
+
+    (ds.map_batches(tag, batch_format="pyarrow")
+       .write_parquet(out_dir, partition_cols=["shard"]))
+    st = {"docs": int(n), "shards": int(n_shards)}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, marker)
+    return {**st, "skipped": 0}
