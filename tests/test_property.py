@@ -148,3 +148,54 @@ def test_sidecar_read_equals_sequential_folds(base_rows, d1, d2, pidx):
 
     assert live_rows(got).sort_by("doc_id").equals(
         live_rows(s2).sort_by("doc_id"))
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=event_streams(max_events=30),
+       cuts=st.lists(st.integers(1, 29), max_size=3),
+       frac=st.sampled_from([0.6, 1.0]),
+       md=st.integers(2, 4))
+def test_lazy_accounting_matches_full_engine(rows, cuts, frac, md):
+    """Engine-level property: for ANY event stream, wave split, sidecar
+    threshold and chain cap, the sidecar engine's lake, lazily-computed
+    exact rows, and derived tables must equal a sidecar-free engine's —
+    the contract of the O(delta) staging + lazy accounting design."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+
+    if not rows:
+        return
+    rows = sorted(rows, key=lambda r: r["lsn"])
+    hi = max(r["lsn"] for r in rows)
+    edges = sorted({c for c in cuts if c < hi}) + [hi]
+    bounds, lo = [], 0
+    for e in edges:
+        if e > lo:
+            bounds.append((lo, e))
+            lo = e
+    d = tempfile.mkdtemp(prefix="aqr_prop_")
+    try:
+        import os
+        log = os.path.join(d, "log")
+        os.makedirs(log)
+        pq.write_table(to_table(rows), os.path.join(log, "seg.parquet"))
+        side = CDCEngine(os.path.join(d, "side"), num_partitions=2,
+                         sidecar_frac=frac, max_deltas=md)
+        side.replay(log, bounds)
+        full = CDCEngine(os.path.join(d, "full"), num_partitions=2,
+                         sidecar_frac=0.0)
+        full.replay(log, bounds)
+        assert side.lake_table().equals(full.lake_table())
+        want_rows = sum(int(p["rows"])
+                        for p in full.manifest.partitions.values())
+        assert side.logical_rows() == want_rows
+        fresh = side.exact_partition_stats()
+        assert set(fresh) == set(side.dirty_pids())
+        for name in ("source_stats", "corpus_rollup"):
+            assert side.derived_table(name).equals(full.derived_table(name))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
