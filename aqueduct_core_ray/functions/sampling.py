@@ -93,7 +93,11 @@ def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
     after every file lands; a rerun with the marker present is a no-op,
     a crashed half-export has no marker and is rewritten into the same
     directory idempotently (deterministic content). Returns
-    {"docs": N, "shards": n_shards, "skipped": 0|1}."""
+    {"docs": N, "shards": n_shards, "skipped": 0|1}.
+
+    Scale note: the hive writer emits one file per (input block, shard),
+    so keep ``n_shards`` modest (≤ ~1k) or repartition first — B×S tiny
+    files is the failure mode at extreme shard counts."""
     import json
     import os
     import shutil

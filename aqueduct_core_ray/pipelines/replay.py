@@ -759,6 +759,11 @@ class CDCEngine:
         b64 = schema_to_b64(lake_schema)
         outbox = self.outbox_dir if self.emit_changelog else None
         plans = plans if scan is not None else {}
+        # explicit plans are B×P driver-side entries; past ~2M (huge P ×
+        # byte-capped B) the memory and per-task arg cost outweigh the
+        # saved sidecar reads — fall back to the glob discovery path
+        if len(touched) and sum(len(v) for v in plans.values()) > 2_000_000:
+            plans = {}
         refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
                                   parts_map.get(str(p)), b64,
                                   self.derivations, self.conflict, outbox,

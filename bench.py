@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "cdc_replay_events", "lww_compaction", "byte_cap_prefix",
     "token_count", "dedup_exact", "minhash_lsh_dedup",
     "knn_bruteforce", "media_features", "sessionize",
-    "chunk_dedup", "pack_sequences",
+    "chunk_dedup", "pack_sequences", "redact_pii", "decontaminate",
 ]
 
 
