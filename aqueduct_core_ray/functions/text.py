@@ -178,7 +178,9 @@ def lang_id(sf_dir: str,
             ) -> ray.data.Dataset:
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=concurrency or actor_pool_size())
+                          concurrency=concurrency or actor_pool_size(),
+                          max_restarts=0)   # ray#53727 warning (see
+                                            # multimodal.frame_sample)
 
 
 # --------------------------------------------------------------------- #
