@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             weights={"src0": 2.0, "src1": 1.0}),
         "decontaminate": partial(dedup.decontaminate),
         "export_shards": _export_shards,
+        "curate_corpus": _curate,
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
@@ -121,6 +122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": partial(multimodal.media_features),
         "frame_sample": partial(multimodal.frame_sample),
     }
+
+
+def _curate(sf_dir: str):
+    """Composed curation flagship: lang -> quality -> decontaminate ->
+    exact dedup; returns the per-stage attrition table."""
+    from aqueduct_core_ray.pipelines.curate import curate_corpus
+
+    return curate_corpus(sf_dir)
 
 
 def _export_shards(sf_dir: str):

@@ -1,0 +1,204 @@
+"""End-to-end training-corpus curation: the composed flagship pipeline
+a 100-TB pretraining-data run actually executes, built entirely from
+this repo's operators —
+
+    read -> language ID -> quality score -> PII counts ->
+    benchmark decontamination -> exact dedup -> (optional) sharded export
+
+Scale shape (every stage audited against the 100-TB lens):
+
+- ONE flag pass: a single ``map_batches`` stage computes lang_pred,
+  integer quality metrics, the md5 fingerprint, and blocklist n-gram
+  hits (broadcast once) — per-stage keep flags ride along as int8
+  columns, so stage attrition counts come from native Sum aggregates
+  over the SAME pass, not one scan per stage.
+- exact dedup moves fingerprints, not text: survivors (min doc_id per
+  fp) are computed from a (fp, doc_id)-only projection, and the
+  surviving rows are recovered with a CO-PARTITIONED semi-join (docs
+  and survivor ids union-tagged on hash(doc_id) % P, one
+  ``groupby(part).map_groups`` pass) — no broadcast of an O(corpus)
+  survivor set, no driver materialization.
+- output is the resumable sharded export (atomic ``_EXPORTED`` marker).
+
+No reference analog (aqueduct-core moves opaque payloads); this is the
+"beyond the reference" §2 mandate composed into one pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.dedup import _shingle_hashes
+from ..functions.text import (
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+    read_documents,
+)
+
+
+def _flags_stage(block_ref, lang: str, shingle: int, min_hits: int):
+    """Per-batch curation flags (vectorized; blocklist read from the
+    object store once per task via the captured ref). Language scoring,
+    quality metrics, fingerprint and contamination hits all come from
+    ONE pass over each batch."""
+    lang_id = LangId()
+
+    def flags(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        fp = fingerprint_batch(t)
+        pred = lang_id(t).column("lang_pred")
+        bl = ray.get(block_ref)
+        sh, sdoc = _shingle_hashes(t, "text", shingle)
+        if len(sh) and len(bl):
+            pos = np.clip(np.searchsorted(bl, sh), 0, len(bl) - 1)
+            n_hits = np.bincount(sdoc[bl[pos] == sh],
+                                 minlength=t.num_rows)
+        else:
+            n_hits = np.zeros(t.num_rows, np.int64)
+        lang_ok = pc.equal(pred, lang).cast(pa.int8())
+        qual_ok = q.column("is_quality").cast(pa.int8())
+        clean = pa.array((n_hits < min_hits).astype(np.int8))
+        keep = pc.multiply(pc.multiply(lang_ok, qual_ok), clean)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "source": t.column("source"),
+            "fp": fp.column("fp"),
+            "lang_ok": lang_ok,
+            "qual_ok": qual_ok,
+            "clean": clean,
+            "keep": keep,
+        })
+
+    return flags
+
+
+def curate_corpus(sf_dir: str, out_dir: str | None = None,
+                  lang: str = "en", shingle: int = 8, min_hits: int = 3,
+                  benchmark: "list[str] | None" = None,
+                  num_partitions: int = 16,
+                  n_shards: int = 8) -> pa.Table:
+    """Run the full curation pipeline; returns the per-stage attrition
+    table (stage, n_docs) — deterministic for a given corpus/config.
+    When ``out_dir`` is given the surviving corpus is also written as
+    resumable training shards."""
+    from ray.data.aggregate import Count, Sum
+
+    if benchmark is None:
+        import pyarrow.parquet as _pq
+        t0 = _pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "=", 0)])
+        benchmark = t0.column("text").to_pylist()
+    bt = pa.table({"text": pa.array(list(benchmark))})
+    block = np.unique(_shingle_hashes(bt, "text", shingle)[0])
+    block_ref = ray.put(block)
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+    flagged = ds.map_batches(_flags_stage(block_ref, lang, shingle,
+                                          min_hits),
+                             batch_format="pyarrow")
+
+    # one aggregate pass gives every stage's attrition; the same flagged
+    # dataset feeds the dedup below (Ray Data re-executes the lazy chain
+    # — acceptable: both consumers stream, nothing materializes)
+    agg = flagged.aggregate(Count(), Sum("lang_ok"), Sum("qual_ok"),
+                            Sum("clean"), Sum("keep"))
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("keep"),
+                                 pa.scalar(1, pa.int8())))
+
+    kept = flagged.map_batches(only_kept, batch_format="pyarrow")
+
+    # exact dedup among the kept docs: survivors = min doc_id per fp,
+    # computed over an (fp, doc_id) projection — text never shuffles
+    P = num_partitions
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids + np.int64(11), categorize=False)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    survivors = (kept.select_columns(["fp", "doc_id"])
+                 .groupby("fp").min("doc_id")
+                 .map_batches(lambda t: pa.table(
+                     {"doc_id": t.column("min(doc_id)")}),
+                     batch_format="pyarrow"))
+
+    # co-partitioned semi-join: union-tag docs (is_doc=1) and survivor
+    # ids (is_doc=0) on hash(doc_id) % P, filter per group
+    docs_tagged = kept.drop_columns(
+        ["lang_ok", "qual_ok", "clean", "keep"]).map_batches(
+        lambda t: doc_part(t).append_column(
+            "is_doc", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    surv_tagged = survivors.map_batches(
+        lambda t: doc_part(pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "source": pa.nulls(t.num_rows, pa.string()),
+            "fp": pa.nulls(t.num_rows, pa.string()),
+        })).append_column(
+            "is_doc", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+
+    def filter_group(g: pa.Table) -> pa.Table:
+        is_doc = g.column("is_doc").to_numpy(zero_copy_only=False) == 1
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        want = np.unique(ids[~is_doc])
+        rows = g.filter(pa.array(is_doc))
+        rids = rows.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(want, rids), 0,
+                      max(0, len(want) - 1))
+        m = (want[pos] == rids) if len(want) else np.zeros(len(rids), bool)
+        return rows.filter(pa.array(m)).drop_columns(["part", "is_doc"])
+
+    deduped = (docs_tagged.union(surv_tagged)
+               .groupby("part")
+               .map_groups(filter_group, batch_format="pyarrow"))
+
+    n_dedup = deduped.count()
+    if out_dir is not None:
+        # export from the already-curated stream: write the deduped rows
+        # as hive shards with the same resumable-marker contract
+        import json
+        import os
+        import shutil
+        marker = os.path.join(out_dir, "_EXPORTED")
+        if not os.path.exists(marker):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.makedirs(out_dir, exist_ok=True)
+
+            def tag_shard(t: pa.Table) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                h = pd.util.hash_array(ids + np.int64(17),
+                                       categorize=False)
+                return t.append_column("shard", pa.array(
+                    (h % np.uint64(n_shards)).astype(np.int32)))
+
+            (deduped.map_batches(tag_shard, batch_format="pyarrow")
+             .write_parquet(out_dir, partition_cols=["shard"]))
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"docs": int(n_dedup)}, f)
+            os.replace(tmp, marker)
+
+    return pa.table({
+        "stage": pa.array(["input", "lang", "quality", "decontaminated",
+                           "kept", "deduped"]),
+        "n_docs": pa.array([int(agg["count()"]),
+                            int(agg["sum(lang_ok)"]),
+                            int(agg["sum(qual_ok)"]),
+                            int(agg["sum(clean)"]),
+                            int(agg["sum(keep)"]),
+                            int(n_dedup)], pa.int64()),
+    })
