@@ -196,8 +196,13 @@ def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 7,
     if os.path.exists(done) and not force:
         return idx
     if os.path.isdir(idx):
-        # stale partial build (pre-atomic layout or crashed writer):
-        # clear it so the rename below can land
+        # re-check under the isdir branch: a concurrent builder may have
+        # PUBLISHED between our _DONE probe and here — deleting its
+        # valid index would leave readers with no index for the whole
+        # rebuild. Only a dir still lacking _DONE (crashed/partial
+        # writer) is cleared.
+        if os.path.exists(done) and not force:
+            return idx
         shutil.rmtree(idx, ignore_errors=True)
     tmp = f"{idx}.build-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)

@@ -628,6 +628,34 @@ def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
 # --------------------------------------------------------------------- #
 # benchmark decontamination
 # --------------------------------------------------------------------- #
+def build_ngram_blocklist(sf_dir: str,
+                          benchmark: "list[str] | None" = None,
+                          shingle: int = 8) -> np.ndarray:
+    """Sorted unique word-n-gram hashes of the benchmark texts — the
+    broadcastable blocklist shared by ``decontaminate`` and the curation
+    pipeline. ``benchmark=None`` uses the corpus's doc 0 text (the
+    deterministic self-contamination demo)."""
+    if benchmark is None:
+        import pyarrow.parquet as _pq
+        t0 = _pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "=", 0)])
+        benchmark = t0.column("text").to_pylist()
+    bt = pa.table({"text": pa.array(list(benchmark))})
+    return np.unique(_shingle_hashes(bt, "text", shingle)[0])
+
+
+def count_blocklist_hits(t: pa.Table, bl: np.ndarray,
+                         shingle: int = 8) -> np.ndarray:
+    """Per-row count of the batch's n-grams present in the sorted
+    blocklist (one vectorized searchsorted — no shuffle, no state)."""
+    sh, sdoc = _shingle_hashes(t, "text", shingle)
+    if len(sh) and len(bl):
+        pos = np.clip(np.searchsorted(bl, sh), 0, len(bl) - 1)
+        return np.bincount(sdoc[bl[pos] == sh], minlength=t.num_rows)
+    return np.zeros(t.num_rows, np.int64)
+
+
 def decontaminate(sf_dir: str, benchmark: "list[str] | None" = None,
                   shingle: int = 8, min_hits: int = 1) -> ray.data.Dataset:
     """Benchmark/eval-set decontamination — a core training-corpus step:
@@ -642,25 +670,10 @@ def decontaminate(sf_dir: str, benchmark: "list[str] | None" = None,
     the corpus streams through untouched. When ``benchmark`` is None the
     corpus's doc 0 text is used (a deterministic self-contamination
     demo: doc 0 and its exact/near duplicates get flagged)."""
-    if benchmark is None:
-        import pyarrow.parquet as _pq
-        t0 = _pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"],
-                            filters=[("doc_id", "=", 0)])
-        benchmark = t0.column("text").to_pylist()
-    bt = pa.table({"text": pa.array(list(benchmark))})
-    block = np.unique(_shingle_hashes(bt, "text", shingle)[0])
-    ref = ray.put(block)
+    ref = ray.put(build_ngram_blocklist(sf_dir, benchmark, shingle))
 
     def scan(t: pa.Table) -> pa.Table:
-        bl = ray.get(ref)
-        sh, sdoc = _shingle_hashes(t, "text", shingle)
-        if len(sh) and len(bl):
-            pos = np.clip(np.searchsorted(bl, sh), 0, len(bl) - 1)
-            hit = bl[pos] == sh
-            n_hits = np.bincount(sdoc[hit], minlength=t.num_rows)
-        else:
-            n_hits = np.zeros(t.num_rows, np.int64)
+        n_hits = count_blocklist_hits(t, ray.get(ref), shingle)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_hits": pa.array(n_hits.astype(np.int64)),

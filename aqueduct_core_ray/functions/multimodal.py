@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata; decode /
 feature-extract runs as an actor-pool ``map_batches`` stage (model loaded
-once per actor in ``__init__``). The actual image/audio decode is STUBBED
-(no codec libraries in this environment): ``decode_real`` raises
-``NotImplementedError`` and the default path produces a deterministic fake
-feature vector — the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested.
+once per actor in ``__init__``). ``real_decode=True`` genuinely decodes
+self-describing payloads — PIL-supported images when PIL is importable
+(probed once per actor), WAV audio and raw PGM/PPM via the stdlib — and
+raises ``NotImplementedError`` only for formats this environment cannot
+decode; the default path produces a deterministic fake feature vector so
+the Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is exercised everywhere.
 
 Here the ``documents.text`` utf-8 bytes stand in for the media payload.
 """
@@ -71,7 +73,11 @@ class MediaFeatureExtractor:
             if dt is None:
                 raise NotImplementedError(f"WAV sample width {width}")
             x = np.frombuffer(raw, dt).astype(np.float64)
-            x /= float(np.abs(np.iinfo(dt).max))
+            if width == 1:
+                x -= 128.0          # 8-bit WAV is unsigned, midpoint 128
+                x /= 127.0
+            else:
+                x /= float(np.abs(np.iinfo(dt).max))
             # per-window RMS over FEAT_DIM windows — a real (if tiny)
             # audio descriptor
             n = len(x) - len(x) % FEAT_DIM
@@ -79,10 +85,15 @@ class MediaFeatureExtractor:
                 return np.zeros(FEAT_DIM)
             return np.sqrt((x[:n].reshape(FEAT_DIM, -1) ** 2).mean(axis=1))
         if payload[:2] in (b"P5", b"P6"):          # raw PGM / PPM
-            parts = payload.split(maxsplit=4)
-            if len(parts) < 5:
+            # header = magic, width, height, maxval + EXACTLY ONE
+            # whitespace byte before the pixels (a split() would eat
+            # leading pixel bytes that happen to be whitespace values)
+            import re
+            m = re.match(rb"P[56]\s+\d+\s+\d+\s+\d+\s", payload)
+            if m is None:
                 raise NotImplementedError("truncated PGM/PPM header")
-            px = np.frombuffer(parts[4], np.uint8).astype(np.float64)
+            px = np.frombuffer(payload[m.end():],
+                               np.uint8).astype(np.float64)
             return _pooled(px / 255.0)
         raise NotImplementedError(
             "payload format needs codec libraries not present in this "

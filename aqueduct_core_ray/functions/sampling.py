@@ -75,6 +75,52 @@ def mixture_resample(sf_dir: str,
 # --------------------------------------------------------------------- #
 # sharded training export
 # --------------------------------------------------------------------- #
+def write_shards(ds: "ray.data.Dataset", out_dir: str,
+                 n_shards: int, seed: int,
+                 marker_payload: dict) -> dict:
+    """Shared sharded-writer contract: keyed-hash shard tags in one
+    streaming pass, hive-partitioned parquet, atomic ``_EXPORTED``
+    marker written only after every file lands. A present marker whose
+    payload matches short-circuits; a half-written attempt (no marker)
+    is cleared and rewritten idempotently. Used by
+    ``export_training_shards`` and the curation pipeline."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_EXPORTED")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            st = json.load(f)
+        if st.get("src") == marker_payload:
+            return {**st, "skipped": 1}
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged.write_parquet(out_dir, partition_cols=["shard"])
+    # count from the WRITTEN files (metadata only) — no second pass
+    # over the input chain
+    import pyarrow.parquet as pq
+    n = 0
+    for dirpath, _, files in os.walk(out_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(dirpath, fn)).num_rows
+    st = {"docs": int(n), "shards": int(n_shards), "src": marker_payload}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, marker)
+    return {**st, "skipped": 0}
+
+
 def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
                            seed: int = 17,
                            columns: "list[str] | None" = None
@@ -98,32 +144,16 @@ def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
     Scale note: the hive writer emits one file per (input block, shard),
     so keep ``n_shards`` modest (≤ ~1k) or repartition first — B×S tiny
     files is the failure mode at extreme shard counts."""
-    import json
     import os
-    import shutil
 
-    marker = os.path.join(out_dir, "_EXPORTED")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            st = json.load(f)
-        return {**st, "skipped": 1}
-    shutil.rmtree(out_dir, ignore_errors=True)   # half-written attempt
-    os.makedirs(out_dir, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat = os.stat(src)
     cols = columns or ["doc_id", "text", "source"]
-    ds = read_documents(sf_dir, columns=cols)
-    n = ds.count()
-
-    def tag(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
-        return t.append_column(
-            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
-
-    (ds.map_batches(tag, batch_format="pyarrow")
-       .write_parquet(out_dir, partition_cols=["shard"]))
-    st = {"docs": int(n), "shards": int(n_shards)}
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(st, f)
-    os.replace(tmp, marker)
-    return {**st, "skipped": 0}
+    # the marker payload fingerprints the SOURCE + export params; a
+    # regenerated corpus or changed config invalidates it instead of
+    # silently serving stale shards
+    fp = {"size": stat.st_size, "mtime_ns": stat.st_mtime_ns,
+          "n_shards": int(n_shards), "seed": int(seed),
+          "columns": sorted(cols)}
+    return write_shards(read_documents(sf_dir, columns=cols), out_dir,
+                        n_shards, seed, fp)

@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.dedup import _shingle_hashes
+from ..functions.dedup import build_ngram_blocklist, count_blocklist_hits
 from ..functions.text import (
     LangId,
     fingerprint_batch,
@@ -54,14 +54,7 @@ def _flags_stage(block_ref, lang: str, shingle: int, min_hits: int):
         q = quality_batch(t)
         fp = fingerprint_batch(t)
         pred = lang_id(t).column("lang_pred")
-        bl = ray.get(block_ref)
-        sh, sdoc = _shingle_hashes(t, "text", shingle)
-        if len(sh) and len(bl):
-            pos = np.clip(np.searchsorted(bl, sh), 0, len(bl) - 1)
-            n_hits = np.bincount(sdoc[bl[pos] == sh],
-                                 minlength=t.num_rows)
-        else:
-            n_hits = np.zeros(t.num_rows, np.int64)
+        n_hits = count_blocklist_hits(t, ray.get(block_ref), shingle)
         lang_ok = pc.equal(pred, lang).cast(pa.int8())
         qual_ok = q.column("is_quality").cast(pa.int8())
         clean = pa.array((n_hits < min_hits).astype(np.int8))
@@ -91,15 +84,8 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
     resumable training shards."""
     from ray.data.aggregate import Count, Sum
 
-    if benchmark is None:
-        import pyarrow.parquet as _pq
-        t0 = _pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "text"],
-                            filters=[("doc_id", "=", 0)])
-        benchmark = t0.column("text").to_pylist()
-    bt = pa.table({"text": pa.array(list(benchmark))})
-    block = np.unique(_shingle_hashes(bt, "text", shingle)[0])
-    block_ref = ray.put(block)
+    block_ref = ray.put(build_ngram_blocklist(sf_dir, benchmark,
+                                              shingle))
 
     ds = read_documents(sf_dir, columns=["doc_id", "text", "source"])
     flagged = ds.map_batches(_flags_stage(block_ref, lang, shingle,
@@ -166,31 +152,20 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
                .groupby("part")
                .map_groups(filter_group, batch_format="pyarrow"))
 
-    n_dedup = deduped.count()
     if out_dir is not None:
-        # export from the already-curated stream: write the deduped rows
-        # as hive shards with the same resumable-marker contract
-        import json
-        import os
-        import shutil
-        marker = os.path.join(out_dir, "_EXPORTED")
-        if not os.path.exists(marker):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            os.makedirs(out_dir, exist_ok=True)
+        # export THROUGH the shared sharded-writer contract; the row
+        # count comes from the written files' metadata, so the curated
+        # chain executes exactly once for the write (not again for a
+        # count) — and a matching _EXPORTED marker skips it entirely
+        from ..functions.sampling import write_shards
 
-            def tag_shard(t: pa.Table) -> pa.Table:
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                h = pd.util.hash_array(ids + np.int64(17),
-                                       categorize=False)
-                return t.append_column("shard", pa.array(
-                    (h % np.uint64(n_shards)).astype(np.int32)))
-
-            (deduped.map_batches(tag_shard, batch_format="pyarrow")
-             .write_parquet(out_dir, partition_cols=["shard"]))
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"docs": int(n_dedup)}, f)
-            os.replace(tmp, marker)
+        payload = {"pipeline": "curate", "lang": lang,
+                   "shingle": int(shingle), "min_hits": int(min_hits),
+                   "n_shards": int(n_shards)}
+        st = write_shards(deduped, out_dir, n_shards, 17, payload)
+        n_dedup = int(st["docs"])
+    else:
+        n_dedup = deduped.count()
 
     return pa.table({
         "stage": pa.array(["input", "lang", "quality", "decontaminated",

@@ -40,6 +40,7 @@ from ..stages.merge_apply import (
     make_delta_splitter,
     make_wave_merger,
     merge_partition_files,
+    partition_accounting,
     payload_schema,
     prep_wave_batch,
     scan_split_segment,
@@ -52,6 +53,7 @@ from .dag import DEFAULT_DAG, Derivation, topo_check
 # a ~0.4 s/wave fixed scan cost in the 32-wave steady state
 _SCAN_TASK = ray.remote(num_cpus=1)(scan_split_segment)
 _MERGE_TASK = ray.remote(num_cpus=1)(merge_partition_files)
+_ACCT_TASK = ray.remote(num_cpus=1)(partition_accounting)
 
 
 def default_lake_schema() -> pa.Schema:
@@ -652,8 +654,27 @@ class CDCEngine:
         if not os.path.exists(p):
             return False
         import shutil as _shutil
-        _shutil.rmtree(self.store.root, ignore_errors=True)
-        self.store = LakeStore(self.store.root)
+        root = self.store.root
+        if os.path.isdir(root):
+            for name in os.listdir(root):
+                if name == "outbox":
+                    # this node's own published feed survives the wipe:
+                    # children/grandchildren keep reading the immutable
+                    # already-published segments while we re-derive, and
+                    # the deterministic re-applied waves overwrite them
+                    # with identical content (deleting the outbox left
+                    # downstream tail()s crashing on a vanished dir for
+                    # the whole re-bootstrap window — found in review)
+                    continue
+                sub = os.path.join(root, name)
+                if os.path.isdir(sub):
+                    _shutil.rmtree(sub, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(sub)
+                    except OSError:
+                        pass
+        self.store = LakeStore(root)
         self._cached_manifest = None
         self._acct_cache = None
         try:
@@ -1242,8 +1263,6 @@ class CDCEngine:
 
         import ray as _ray
 
-        from ..stages.merge_apply import partition_accounting
-
         m = self.manifest
         cache = getattr(self, "_acct_cache", None)
         if cache is not None and m is not None and cache[0] == m.generation:
@@ -1251,10 +1270,11 @@ class CDCEngine:
         dirty = self.dirty_pids()
         out: dict[int, dict[str, Any]] = {}
         if dirty:
-            task = _ray.remote(num_cpus=1)(partition_accounting)
             res = _ray.get([
-                task.remote(p, self.store.root, m.partitions[str(p)],
-                            m.schema_b64, self.derivations, self.conflict)
+                _ACCT_TASK.remote(p, self.store.root,
+                                  m.partitions[str(p)],
+                                  m.schema_b64, self.derivations,
+                                  self.conflict)
                 for p in dirty])
             for r in res:
                 out[int(r["pid"])] = {
@@ -1322,7 +1342,11 @@ class CDCEngine:
         watermark; MAX_OFFSET_PREVIOUS_HOUR is the max lsn whose event
         time falls before the latest hour boundary seen in the stream,
         folded incrementally from each wave's scan stats and persisted
-        in the manifest. Returns -1 when unknown."""
+        in the manifest. Maintained by the default EXCHANGE merge
+        strategy (whose raw scan tasks report per-hour maxima for
+        free); a groupby-strategy engine returns -1 for hour
+        checkpoints — use the A3 query (max_offset_before_hour) there.
+        Returns -1 when unknown."""
         m = self.manifest
         if m is None:
             return -1

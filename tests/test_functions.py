@@ -282,6 +282,25 @@ def test_media_real_decode_wav_and_pgm():
     fp = ex.decode_real(pgm)
     assert fp.shape == (multimodal.FEAT_DIM,)
     assert np.all((fp >= 0) & (fp <= 1))                 # mean of pixels/255
+    # regression: a first pixel that IS a whitespace byte (32) must not
+    # be eaten by header parsing — exactly one separator after maxval
+    px = np.full(64, 200, np.uint8)
+    px[0] = 32
+    tricky = b"P5 8 8 255 " + px.tobytes()
+    ft = ex.decode_real(tricky)
+    assert np.isclose(ft[0], px[:8].mean() / 255.0)
+    # regression: 8-bit WAV is unsigned with midpoint 128 — silence
+    # must give ~0 RMS, not ~0.5
+    import io
+    import wave as _wave
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(np.full(8000, 128, np.uint8).tobytes())
+    silent = ex.decode_real(buf.getvalue())
+    assert np.all(silent < 0.01)
 
     # through the ACTOR-POOL pipeline: real decode end to end
     import ray.data

@@ -270,11 +270,13 @@ def test_parent_initiated_bootstrap_request(inputs, tmp_path):
     parent.replay(log, SPEC.wave_bounds)
 
     child_root = str(tmp_path / "till")
-    child = CDCEngine(child_root, num_partitions=3)
+    child = CDCEngine(child_root, num_partitions=3,
+                      emit_changelog=True)
     child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
                poll_interval_s=0.05, max_idle_polls=1,
                consumer_id="till-1")
     assert child.consistency_sum() == parent.consistency_sum()
+    child_outbox_segs = set(os.listdir(child.outbox_dir))
 
     # corrupt the child: nuke a committed partition file out-of-band
     victim = child.lake_files()[0]
@@ -288,12 +290,17 @@ def test_parent_initiated_bootstrap_request(inputs, tmp_path):
     assert os.path.exists(marker)
 
     # a FRESH child engine (restarted process) consumes the request on
-    # its next poll: wipe + full re-tail, marker gone, state converges
-    child2 = CDCEngine(child_root, num_partitions=3)
+    # its next poll: wipe + full re-tail, marker gone, state converges.
+    # The child's OWN outbox must survive the wipe — a grandchild
+    # tailing it keeps reading published segments during the rebuild —
+    # and the deterministic re-applied waves overwrite them in place.
+    child2 = CDCEngine(child_root, num_partitions=3,
+                       emit_changelog=True)
     child2.tail(parent.outbox_dir, wave_size=SPEC.n_events,
                 poll_interval_s=0.05, max_idle_polls=1,
                 consumer_id="till-1")
     assert not os.path.exists(marker)
+    assert child_outbox_segs <= set(os.listdir(child2.outbox_dir))
     assert child2.watermark == SPEC.n_events
     assert child2.consistency_sum() == parent.consistency_sum()
     assert child2.lake_table().select(COLS).to_pylist() == oracle()
