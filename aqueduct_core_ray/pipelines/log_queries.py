@@ -112,19 +112,32 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
     Reference edge (PipeReadControllerBatchIntegrationSpec.groovy:49-91):
     a single over-budget first row still ships alone — the batch is
     never empty while the log isn't."""
+    from ray.data.aggregate import Max, Min
+
     ds_ids = read_events(sf_dir, columns=["event_id"])
-    first_id = int(ds_ids.min("event_id"))
+    mm = ds_ids.aggregate(Min("event_id"), Max("event_id"))  # one pass
+    first_id = int(mm["min(event_id)"])
     if range_size is None:
-        hi = int(ds_ids.max("event_id"))
-        range_size = max(4096, -(-(hi + 1) // max_ranges))
+        range_size = max(4096, -(-(int(mm["max(event_id)"]) + 1)
+                                 // max_ranges))
 
-    def with_bytes(t: pa.Table) -> pa.Table:
-        b = pc.binary_length(t.column("props").cast(pa.binary())).cast(pa.int64())
-        rp = pc.divide(t.column("event_id"), range_size).cast(pa.int64())
-        return t.append_column("nbytes", b).append_column("rp", rp)
+    # pass 1 — per-range byte totals with a PER-BATCH combiner: only
+    # ≤ max_ranges partial rows per batch ever reach the groupby (the
+    # previous per-ROW groupby shuffled the whole (rp, nbytes) table)
+    def rp_partials(t: pa.Table) -> pa.Table:
+        b = pc.binary_length(t.column("props").cast(pa.binary())) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rp = (t.column("event_id").to_numpy(zero_copy_only=False)
+              // range_size)
+        order = np.argsort(rp, kind="stable")
+        u, start = np.unique(rp[order], return_index=True)
+        sums = np.add.reduceat(b[order], start)
+        return pa.table({"rp": pa.array(u.astype(np.int64)),
+                         "nbytes": pa.array(sums.astype(np.int64))})
 
-    ds = read_events(sf_dir).map_batches(with_bytes, batch_format="pyarrow")
-    per_rp = ds.groupby("rp").sum("nbytes").take_all()   # ≤ n/range_size rows
+    per_rp = (read_events(sf_dir, columns=["event_id", "props"])
+              .map_batches(rp_partials, batch_format="pyarrow")
+              .groupby("rp").sum("nbytes").take_all())
     per_rp.sort(key=lambda r: r["rp"])
     offsets, run = {}, 0
     for r in per_rp:
@@ -134,15 +147,50 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
         cap = run // 2          # total folded from the same pass — the
                                 # log is scanned once, not twice
 
-    def prefix_filter(t: pa.Table) -> pa.Table:
-        rp = int(t.column("rp")[0].as_py())
-        t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
-        cum = np.cumsum(t.column("nbytes").to_numpy()) + offsets[rp]
-        ids = t.column("event_id").to_numpy(zero_copy_only=False)
-        keep = (cum <= cap) | (ids == first_id)   # over-budget first row
-        return t.filter(pa.array(keep)).drop_columns(["nbytes", "rp"])
+    # pass 2 — range-granular decisions need NO shuffle: a range whose
+    # offset+total fits the cap is kept WHOLE (streaming filter), one
+    # past it is dropped whole; only the single BOUNDARY range needs
+    # the per-row sort+cumsum, and it is read alone via an event_id
+    # range filter (row-group pruned), so the exact prefix work is
+    # O(range_size) regardless of log size. The previous version
+    # sort-shuffled the ENTIRE event table by range id.
+    totals = {int(r["rp"]): int(r["sum(nbytes)"]) for r in per_rp}
+    full_keep = sorted(rp for rp, off in offsets.items()
+                       if off + totals[rp] <= cap)
+    boundary = sorted(rp for rp, off in offsets.items()
+                      if off <= cap < off + totals[rp])
+    keep_arr = pa.array(full_keep, pa.int64())
 
-    return ds.groupby("rp").map_groups(prefix_filter, batch_format="pyarrow")
+    def keep_full(t: pa.Table) -> pa.Table:
+        rp = pc.divide(t.column("event_id"), range_size).cast(pa.int64())
+        return t.filter(pc.is_in(rp, value_set=keep_arr))
+
+    out = read_events(sf_dir).map_batches(keep_full,
+                                          batch_format="pyarrow")
+    if not boundary:
+        return out
+    b = boundary[0]             # prefix sums are monotone: at most one
+    flt = ((pads.field("event_id") >= b * range_size)
+           & (pads.field("event_id") < (b + 1) * range_size))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t,
+                                   sort_keys=[("event_id", "ascending")]))
+        nb = pc.binary_length(t.column("props").cast(pa.binary())) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(nb) + offsets[b]
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        keep = (cum <= cap) | (ids == first_id)  # over-budget first row
+        return t.filter(pa.array(keep))
+
+    edge = (read_events(sf_dir, filter=flt)
+            .map_batches(lambda t: t.append_column(
+                "g", pa.array(np.zeros(t.num_rows, np.int8))),
+                batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(lambda t: prefix_rows(t.drop_columns(["g"])),
+                        batch_format="pyarrow"))
+    return out.union(edge)
 
 
 # --------------------------------------------------------------------- #
