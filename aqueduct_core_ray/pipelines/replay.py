@@ -85,6 +85,13 @@ class CDCEngine:
                                                   # ~2x the absorb cost)
         max_deltas: int = 16,                     # sidecars per partition
                                                   # before a forced rewrite
+        chain_compact: bool = True,               # tiered compaction: fold a
+                                                  # full chain into ONE
+                                                  # sidecar (O(pending))
+                                                  # instead of absorbing into
+                                                  # the base (O(base)); False
+                                                  # = pre-tiering behavior
+                                                  # (A/B + escape hatch)
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -105,6 +112,7 @@ class CDCEngine:
         self.emit_changelog = emit_changelog
         self.sidecar_frac = sidecar_frac
         self.max_deltas = max_deltas
+        self.chain_compact = chain_compact
         self._cached_manifest: Manifest | None = None
         # last watermark seen on the parent/log this engine consumes —
         # basis of the UP_TO_DATE / OUT_OF_DATE pipe state (reference:
@@ -418,6 +426,24 @@ class CDCEngine:
                 entry["file_rows"] = int(prev.get("file_rows",
                                                   prev.get("rows", 0)))
                 entry["bytes"] = int(prev.get("bytes", 0)) + int(r["bytes"])
+            elif r.get("mode") == "chain":
+                # tiered chain compaction: the promoted file REPLACES the
+                # whole sidecar chain (base untouched) — same staleness
+                # contract as delta mode (rows/partials as-of-base), the
+                # superseded chain files become vacuum-collectable
+                prev = new_parts[str(pid)]
+                entry = dict(prev)
+                old_chain = sum(int(d["bytes"])
+                                for d in (prev.get("deltas") or []))
+                entry["deltas"] = [{
+                    "path": self.store.rel(dst),
+                    "rows": int(r["file_rows"]),
+                    "bytes": int(r["bytes"]),
+                }]
+                entry["file_rows"] = int(prev.get("file_rows",
+                                                  prev.get("rows", 0)))
+                entry["bytes"] = (int(prev.get("bytes", 0)) - old_chain
+                                  + int(r["bytes"]))
             else:
                 entry = {"path": self.store.rel(dst), "deltas": [],
                          "file_rows": int(r["file_rows"]),
@@ -502,12 +528,14 @@ class CDCEngine:
         if self.emit_changelog:
             self._publish_outbox_watermark()
         n_delta = sum(1 for r in stats if r.get("mode") == "delta")
+        n_chain = sum(1 for r in stats if r.get("mode") == "chain")
         self.store.append_metrics({
             "wave_id": wave_id, "generation": gen, "lo": lo, "hi": hi,
             "parts_touched": len(stats), "events_applied": n_events,
             "wall_s": round(wall, 4),
             "events_per_s": round(n_events / wall, 1) if wall > 0 else None,
-            "sidecar_parts": n_delta, "full_parts": len(stats) - n_delta,
+            "sidecar_parts": n_delta, "chain_parts": n_chain,
+            "full_parts": len(stats) - n_delta - n_chain,
             **getattr(self, "_phase_t", {}),
         })
         return {"wave_id": wave_id, "generation": gen, "watermark": hi,
@@ -789,7 +817,8 @@ class CDCEngine:
                                   parts_map.get(str(p)), b64,
                                   self.derivations, self.conflict, outbox,
                                   self.sidecar_frac, self.max_deltas,
-                                  plans.get(p))
+                                  plans.get(p),
+                                  chain_compact=self.chain_compact)
                 for p in touched]
         out = _ray.get(refs)
         self._phase_t["merge_s"] = round(time.perf_counter() - t_merge0, 4)

@@ -365,6 +365,7 @@ def merge_partition_files(
     sidecar_frac: float = 0.0,
     max_deltas: int = 8,
     plan: "list[tuple[str, list[int]]] | None" = None,
+    chain_compact: bool = True,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
@@ -386,8 +387,14 @@ def merge_partition_files(
       O(delta), not O(partition), which is the difference between a
       steady-state CDC wave touching 0.1%% of a 10^10-row lake costing
       O(10^7) vs O(10^10). Readers merge base+sidecars partition-locally
-      (``load_partition_table``); the next big wave (or the
-      ``max_deltas`` cap) triggers the absorbing full rewrite."""
+      (``load_partition_table``); a wave that pushes pending past the
+      ``sidecar_frac`` threshold triggers the absorbing full rewrite.
+    - CHAIN (tiered) compaction: chain length hit ``max_deltas`` but
+      pending rows are still under the absorb threshold — fold chain +
+      delta into ONE sidecar, never reading the base (``_compact_chain``).
+      Without this tier, tiny waves on a huge base (the true steady-state
+      regime: 0.1%% waves hit the count cap at ~1.6%% pending with
+      ``max_deltas=16``) would force an O(base) rewrite ~30x too early."""
     lake_schema = schema_from_b64(lake_schema_b64)
     if plan is None:
         # glob fallback (Dataset splitter path, rebuilds): discover this
@@ -451,10 +458,18 @@ def merge_partition_files(
                        seg + ".tmp", compression="zstd")
         os.replace(seg + ".tmp", seg)
     pending = sum(int(d["rows"]) for d in existing) + delta.num_rows
-    if may_sidecar and pending <= _staggered_frac(sidecar_frac,
-                                                  pid) * base_rows:
-        return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
-                              lake_schema, derivations, policy)
+    if pending <= _staggered_frac(sidecar_frac, pid) * base_rows:
+        if may_sidecar:
+            return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
+                                  lake_schema, derivations, policy)
+        if (chain_compact and old_entry is not None and sidecar_frac > 0
+                and base_rows > 0 and existing):
+            # chain full (max_deltas) but pending rows are still far
+            # under the absorb threshold: TIERED compaction — fold the
+            # chain + this delta into ONE sidecar without reading the
+            # base. O(pending), not O(base); see _compact_chain.
+            return _compact_chain(pid, delta, lake_root, wave_id,
+                                  old_entry, policy)
     return _merge_and_stage(pid, delta, lake_root, wave_id, old_entry,
                             lake_schema, derivations, policy)
 
@@ -579,6 +594,56 @@ def _stage_sidecar(pid: int, delta: pa.Table, lake_root: str,
         "bytes": os.path.getsize(path),
         "hwm": int(pc.max(delta.column("lsn")).as_py()),
         "n_applied": out.num_rows - n_tomb,
+        "n_deleted": n_tomb,
+        "partials_json": "",             # manifest partials stay as-of-base
+    }
+
+
+def _compact_chain(pid: int, delta: pa.Table, lake_root: str,
+                   wave_id: str, old_entry: dict,
+                   policy: ConflictPolicy) -> dict[str, Any]:
+    """TIERED mode: the sidecar chain is full (``max_deltas``) but total
+    pending rows are still under the absorb threshold — merge the chain
+    plus this wave's delta into ONE sidecar. The base is never read:
+    cost is O(pending), which at a 10^10-row lake with 0.1%% waves is
+    ~30x cheaper than the O(base) absorb the count cap used to force.
+    Correct because ``compact_lww`` over an event stream keeps the
+    policy-winning EVENT per key (tombstones survive as events), so
+    merge(base, compact(chain+delta)) == merge(base, chain+delta) — the
+    associativity the sidecar property test pins. LSM analog: universal
+    compaction of L0 runs into a single L1 run; the absorbing rewrite
+    into the base still happens once pending crosses ``sidecar_frac``.
+
+    ``n_applied``/``n_deleted`` keep the sidecar-wave convention: THIS
+    wave's compacted-delta live/tombstone events ("events processed"),
+    not the merged chain's."""
+    delta = compact_lww(delta, policy=policy)
+    drop = [c for c in ("part", "salt") if c in delta.column_names]
+    mine = delta.drop_columns(drop) if drop else delta
+    tabs = [pq.read_table(os.path.join(lake_root, d["path"]))
+            for d in (old_entry.get("deltas") or [])] + [mine]
+    if len({t.schema for t in tabs}) > 1:
+        # chains span waves of different schema vintages (mid-chain
+        # evolution): unify exactly like the read side does
+        union = tabs[0].schema
+        for t in tabs[1:]:
+            union = evolve_schema(union, t.schema)
+        tabs = [reconcile_batch(t, union) for t in tabs]
+    merged = compact_lww(pa.concat_tables(tabs), policy=policy)
+    staged_dir = os.path.join(lake_root, "_staged", wave_id)
+    os.makedirs(staged_dir, exist_ok=True)
+    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+    pq.write_table(merged, path, compression="zstd")
+    n_tomb = int(pc.sum(pc.equal(mine.column("op"),
+                                 pa.scalar(1, pa.int8()))).as_py() or 0)
+    return {
+        "pid": pid,
+        "mode": "chain",                 # replaces the chain, keeps base
+        "rows": -1,                      # unknown until next accounting
+        "file_rows": merged.num_rows,
+        "bytes": os.path.getsize(path),
+        "hwm": int(pc.max(delta.column("lsn")).as_py()),
+        "n_applied": mine.num_rows - n_tomb,
         "n_deleted": n_tomb,
         "partials_json": "",             # manifest partials stay as-of-base
     }

@@ -79,18 +79,68 @@ def test_read_lake_pruned_columns_with_sidecars(inputs, tmp_path):
     assert got == want
 
 
-def test_max_deltas_forces_absorbing_rewrite(inputs, tmp_path):
+def _wave_metrics(eng):
+    import json as _json
+    import os
+    with open(os.path.join(eng.store.root, "metrics.jsonl")) as f:
+        return [_json.loads(line) for line in f]
+
+
+def test_absorb_when_pending_crosses_threshold(inputs, tmp_path):
+    """sidecar_frac small enough that pending rows cross the absorb
+    threshold: full rewrites must fire, chains stay bounded, state is
+    byte-equal to a sidecar-free replay."""
     log, seed = inputs
-    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2,
+                    sidecar_frac=0.08)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10))
     for p in eng.manifest.partitions.values():
         assert len(p.get("deltas") or []) <= 2
+    assert sum(m["full_parts"] for m in _wave_metrics(eng)) > 0
     full = CDCEngine(str(tmp_path / "full"), num_partitions=4,
                      sidecar_frac=0.0)
     full.bootstrap(seed)
     full.replay(log, wave_bounds(10))
     assert eng.lake_table().equals(full.lake_table())
+
+
+def test_max_deltas_triggers_chain_compaction_not_absorb(inputs, tmp_path):
+    """The 100-TB steady-state regime: chain length hits max_deltas while
+    pending rows are far under the absorb threshold. Tiered compaction
+    must fold the chain into ONE sidecar WITHOUT touching the base —
+    base paths stay frozen across all waves — and the logical state,
+    lazy accounting, and derived tables must equal a sidecar-free
+    replay."""
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2,
+                    sidecar_frac=5.0)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10)[:1])
+    bases = {k: p["path"] for k, p in eng.manifest.partitions.items()}
+    eng.replay(log, wave_bounds(10)[1:])
+    # base files never rewritten after the first sidecar wave
+    assert {k: p["path"]
+            for k, p in eng.manifest.partitions.items()} == bases
+    metrics = _wave_metrics(eng)
+    assert sum(m.get("chain_parts", 0) for m in metrics) > 0
+    assert sum(m["full_parts"] for m in metrics
+               if m["wave_id"] != "bootstrap") == 0
+    for p in eng.manifest.partitions.values():
+        assert 1 <= len(p.get("deltas") or []) <= 2
+    full = CDCEngine(str(tmp_path / "full"), num_partitions=4,
+                     sidecar_frac=0.0)
+    full.bootstrap(seed)
+    full.replay(log, wave_bounds(10))
+    assert eng.lake_table().equals(full.lake_table())
+    assert eng.consistency_sum() == full.consistency_sum()
+    fresh = eng.exact_partition_stats()
+    for pid, p in full.manifest.partitions.items():
+        got = (fresh[int(pid)]["rows"] if int(pid) in fresh
+               else eng.manifest.partitions[pid]["rows"])
+        assert got == p["rows"]
+    for name in ("source_stats", "corpus_rollup"):
+        assert eng.derived_table(name).equals(full.derived_table(name))
 
 
 def test_resume_mid_sidecar_schedule(inputs, tmp_path):
