@@ -143,6 +143,32 @@ def test_max_deltas_triggers_chain_compaction_not_absorb(inputs, tmp_path):
         assert eng.derived_table(name).equals(full.derived_table(name))
 
 
+def test_vacuum_collects_superseded_chain_segments(inputs, tmp_path):
+    """A chain compaction replaces N chain segment files with ONE folded
+    sidecar; the superseded segments are referenced only by older
+    generations, so vacuum(keep_generations=1) must collect them while
+    the base + the live folded sidecar survive and the lake still
+    reads."""
+    import os
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4, max_deltas=2, sidecar_frac=5.0)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    assert sum(m.get("chain_parts", 0) for m in _wave_metrics(eng)) > 0
+    before = eng.lake_table()
+    removed = eng.store.vacuum(keep_generations=1)
+    assert removed > 0
+    live = set()
+    for p in eng.manifest.partitions.values():
+        live.add(p["path"])
+        for d in p.get("deltas") or []:
+            live.add(d["path"])
+    for rel in live:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    assert eng.lake_table().equals(before)
+
+
 def test_resume_mid_sidecar_schedule(inputs, tmp_path):
     """Kill after wave 4, resume in a FRESH engine: same final state as
     an uninterrupted run (the sidecar chain is part of the manifest, so
