@@ -199,10 +199,16 @@ def cmd_retention(args) -> int:
 
 def cmd_compact(args) -> int:
     """Absorb delta sidecars into base files (LSM background
-    compaction) as one new manifest generation."""
+    compaction) as one new manifest generation; ``--fold`` instead
+    merges each chain into ONE sidecar without reading the base
+    (O(pending), shortens the read-side merge fan)."""
     _init_ray()
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=None)
+    if getattr(args, "fold", False):
+        n = eng.fold_chains(args.partition or None)
+        print(json.dumps({"ok": True, "folded_partitions": n}))
+        return 0
     n = eng.compact_partitions(args.partition or None)
     print(json.dumps({"ok": True, "compacted_partitions": n}))
     return 0
@@ -317,6 +323,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="absorb delta sidecars into base files")
     cp.add_argument("--lake", required=True)
     cp.add_argument("--partition", type=int, action="append")
+    cp.add_argument("--fold", action="store_true",
+                    help="fold chains into one sidecar each "
+                         "(O(pending), base untouched) instead of "
+                         "absorbing into the base")
     cp.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")

@@ -1257,6 +1257,65 @@ class CDCEngine:
         self.store.drop_staged(wave_id)
         return len(stats)
 
+    def fold_chains(self, pids: list[int] | None = None) -> int:
+        """Maintenance chain fold: merge every (selected) partition's
+        sidecar chain into ONE sidecar without touching the base —
+        O(total pending) I/O vs ``compact_partitions``'s O(lake).
+        Shortens the per-read merge fan (readers merge base + chain) on
+        lakes where pending is small relative to the base; committed as
+        one new manifest generation at the SAME watermark. Returns the
+        number of partitions folded (chains of length ≥2 only)."""
+        import ray as _ray
+
+        from ..stages.merge_apply import fold_chain as _fold
+
+        cur = self.manifest
+        if cur is None:
+            return 0
+        todo = [int(k) for k, p in cur.partitions.items()
+                if len(p.get("deltas") or []) >= 2
+                and (pids is None or int(k) in pids)]
+        if not todo:
+            return 0
+        gen = cur.generation + 1
+        wave_id = f"fold-g{gen:06d}"
+        root, pol = self.store.root, self.conflict
+        task = _ray.remote(num_cpus=1)(_fold)
+        stats = _ray.get([task.remote(p, root, wave_id,
+                                      cur.partitions[str(p)], pol)
+                          for p in todo])
+        new_parts = dict(cur.partitions)
+        for r in stats:
+            pid = int(r["pid"])
+            dst = self.store.promote_staged(wave_id, pid, gen)
+            prev = new_parts[str(pid)]
+            entry = dict(prev)
+            old_chain = sum(int(d["bytes"])
+                            for d in (prev.get("deltas") or []))
+            entry["deltas"] = [{"path": self.store.rel(dst),
+                                "rows": int(r["file_rows"]),
+                                "bytes": int(r["bytes"])}]
+            entry["bytes"] = (int(prev.get("bytes", 0)) - old_chain
+                              + int(r["bytes"]))
+            new_parts[str(pid)] = entry
+        lineage = list(cur.lineage) + [{
+            "wave_id": wave_id, "generation": gen, "fold": True,
+            "parts_touched": len(stats),
+        }]
+        man = Manifest(
+            generation=gen, watermark=cur.watermark, wave_id=wave_id,
+            schema_b64=cur.schema_b64,
+            num_partitions=cur.num_partitions,
+            partitions=new_parts, partials=dict(cur.partials),
+            lineage=lineage[-200:],
+            named_offsets=dict(cur.named_offsets),
+            hour_max=dict(cur.hour_max),
+        )
+        self.store.commit(man)
+        self._cached_manifest = man
+        self.store.drop_staged(wave_id)
+        return len(stats)
+
     def lake_table(self) -> pa.Table:
         """Whole lake as one Arrow table (live rows — tombstone fences
         excluded) — small/test scale only."""

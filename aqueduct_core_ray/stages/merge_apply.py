@@ -622,14 +622,7 @@ def _compact_chain(pid: int, delta: pa.Table, lake_root: str,
     mine = delta.drop_columns(drop) if drop else delta
     tabs = [pq.read_table(os.path.join(lake_root, d["path"]))
             for d in (old_entry.get("deltas") or [])] + [mine]
-    if len({t.schema for t in tabs}) > 1:
-        # chains span waves of different schema vintages (mid-chain
-        # evolution): unify exactly like the read side does
-        union = tabs[0].schema
-        for t in tabs[1:]:
-            union = evolve_schema(union, t.schema)
-        tabs = [reconcile_batch(t, union) for t in tabs]
-    merged = compact_lww(pa.concat_tables(tabs), policy=policy)
+    merged = compact_lww(_unify_chain(tabs), policy=policy)
     staged_dir = os.path.join(lake_root, "_staged", wave_id)
     os.makedirs(staged_dir, exist_ok=True)
     path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
@@ -647,6 +640,40 @@ def _compact_chain(pid: int, delta: pa.Table, lake_root: str,
         "n_deleted": n_tomb,
         "partials_json": "",             # manifest partials stay as-of-base
     }
+
+
+def _unify_chain(tabs: "list[pa.Table]") -> pa.Table:
+    """Concat chain segments, unifying schemas when the chain spans
+    waves of different schema vintages (mid-chain evolution) — exactly
+    like the read side does."""
+    if len({t.schema for t in tabs}) > 1:
+        union = tabs[0].schema
+        for t in tabs[1:]:
+            union = evolve_schema(union, t.schema)
+        tabs = [reconcile_batch(t, union) for t in tabs]
+    return pa.concat_tables(tabs)
+
+
+def fold_chain(pid: int, lake_root: str, wave_id: str,
+               entry: dict, policy: ConflictPolicy) -> dict[str, Any]:
+    """Maintenance fold (``compact --fold`` / ``CDCEngine.fold_chains``):
+    merge a partition's sidecar chain into ONE sidecar WITHOUT reading
+    the base. Readers pay an O(chain-length) merge per partition read
+    (``load_partition_table``); on a huge lake an operator can shorten
+    every chain to length 1 for O(pending) total I/O — the absorbing
+    ``compact`` rewrite costs O(base) and is overkill when pending is
+    small. Same associativity argument as ``_compact_chain``:
+    ``compact_lww`` keeps the policy-winning EVENT per key, so
+    merge(base, compact(chain)) == merge(base, chain)."""
+    tabs = [pq.read_table(os.path.join(lake_root, d["path"]))
+            for d in (entry.get("deltas") or [])]
+    merged = compact_lww(_unify_chain(tabs), policy=policy)
+    staged_dir = os.path.join(lake_root, "_staged", wave_id)
+    os.makedirs(staged_dir, exist_ok=True)
+    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+    pq.write_table(merged, path, compression="zstd")
+    return {"pid": pid, "file_rows": merged.num_rows,
+            "bytes": os.path.getsize(path)}
 
 
 def partition_accounting(pid: int, lake_root: str, entry: dict,

@@ -169,6 +169,47 @@ def test_vacuum_collects_superseded_chain_segments(inputs, tmp_path):
     assert eng.lake_table().equals(before)
 
 
+def test_fold_chains_maintenance(inputs, tmp_path, capsys):
+    """`compact --fold`: every chain collapses to ONE sidecar, base
+    paths untouched, watermark unchanged, lake/derived state identical;
+    a second fold is a no-op."""
+    import json as _json
+    import os
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=4, max_deltas=16, sidecar_frac=5.0)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10))
+    assert any(len(p.get("deltas") or []) >= 2
+               for p in eng.manifest.partitions.values())
+    before = eng.lake_table()
+    wm = eng.watermark
+    bases = {k: p["path"] for k, p in eng.manifest.partitions.items()}
+    derived = {n: eng.derived_table(n)
+               for n in ("source_stats", "corpus_rollup")}
+
+    rc = cli_main(["compact", "--lake", root, "--fold"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and out["folded_partitions"] > 0
+
+    eng = CDCEngine(root, num_partitions=4)   # re-read committed manifest
+    assert eng.watermark == wm
+    assert {k: p["path"]
+            for k, p in eng.manifest.partitions.items()} == bases
+    for p in eng.manifest.partitions.values():
+        assert len(p.get("deltas") or []) <= 1
+    assert eng.lake_table().equals(before)
+    for n, t in derived.items():
+        assert eng.derived_table(n).equals(t)
+    assert eng.fold_chains() == 0             # idempotent: nothing ≥2
+    # folded files are live; superseded segments collectable
+    eng.store.vacuum(keep_generations=1)
+    assert eng.lake_table().equals(before)
+    for p in eng.manifest.partitions.values():
+        for d in p.get("deltas") or []:
+            assert os.path.exists(os.path.join(root, d["path"]))
+
+
 def test_resume_mid_sidecar_schedule(inputs, tmp_path):
     """Kill after wave 4, resume in a FRESH engine: same final state as
     an uninterrupted run (the sidecar chain is part of the manifest, so
