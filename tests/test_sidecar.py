@@ -374,6 +374,14 @@ def test_schema_evolution_through_sidecar_chain(tmp_path):
     assert pre and post
     assert all(r["quality"] is None for r in pre)
     assert all(r["quality"] is not None for r in post)
+    # fold the mixed-vintage chain (waves 2+3 wrote different schemas):
+    # fold_chain must unify vintages exactly like the read side, and the
+    # folded lake must read identically
+    before = eng.lake_table()
+    assert eng.fold_chains() > 0
+    assert all(len(p.get("deltas") or []) <= 1
+               for p in eng.manifest.partitions.values())
+    assert eng.lake_table().equals(before)
 
 
 def test_cli_compact_preserves_partition_count(inputs, tmp_path, capsys):
