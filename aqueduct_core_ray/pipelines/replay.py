@@ -303,13 +303,25 @@ class CDCEngine:
         return units, union
 
     def apply_wave(self, log_path: str, hi: int,
-                   lo: int | None = None) -> dict[str, Any]:
+                   lo: int | None = None,
+                   _prefetched: dict | None = None) -> dict[str, Any]:
         lo = self.watermark if lo is None else lo
         if hi <= self.watermark:
+            if _prefetched is not None:
+                self._discard_prefetch(_prefetched)
             return {"skipped": True, "watermark": self.watermark}
         if self.merge_strategy == "exchange":
             # raw-task scan path: per-segment tasks read/filter/prep/
             # split without a Dataset plan (see scan_split_segment)
+            p = _prefetched
+            if (p is not None and p["log"] == log_path
+                    and p["lo"] == lo and p["hi"] == hi):
+                return self._apply(None, lo, hi, wave_id=p["wave_id"],
+                                   incoming_schema=p["union"],
+                                   scan_units=p["units"],
+                                   scan_refs=p["refs"])
+            if p is not None:        # bounds shifted (resume mid-window)
+                self._discard_prefetch(p)
             units, union = self._scan_plan(log_path, lo, hi)
             return self._apply(None, lo, hi, wave_id=f"wave-{hi:012d}",
                                incoming_schema=union, scan_units=units)
@@ -321,7 +333,8 @@ class CDCEngine:
     def _apply(self, ds: "ray.data.Dataset | None", lo: int, hi: int,
                wave_id: str,
                incoming_schema: pa.Schema | None = None,
-               scan_units: list | None = None) -> dict[str, Any]:
+               scan_units: list | None = None,
+               scan_refs: list | None = None) -> dict[str, Any]:
         t0 = time.perf_counter()
         self._phase_t = {}          # per-wave phase telemetry (exchange)
         cur = self.manifest
@@ -376,7 +389,8 @@ class CDCEngine:
         if self.merge_strategy == "exchange":
             stats = self._exchange_merge(prepped, wave_id, parts_map,
                                          lake_schema,
-                                         scan=(scan_units, lo, hi)
+                                         scan=(scan_units, lo, hi,
+                                               scan_refs)
                                          if scan_units is not None else None)
         else:
             src = prepped
@@ -759,27 +773,34 @@ class CDCEngine:
         all-to-all; the barrier between them is the wave semantics (every
         delta must exist before a partition merges).
 
-        ``scan`` = (units, lo, hi): the raw-task fast path — per-segment
-        scan tasks replace the Dataset read+prep+split stages, removing
-        ~0.4 s/wave of planner critical path (measured; see
-        scan_split_segment)."""
+        ``scan`` = (units, lo, hi, refs|None): the raw-task fast path —
+        per-segment scan tasks replace the Dataset read+prep+split
+        stages, removing ~0.4 s/wave of planner critical path (measured;
+        see scan_split_segment). When ``refs`` is non-None the fan was
+        PREFETCHED by ``replay()`` during the previous wave's merges
+        (the scan is pure w.r.t. lake state, so it overlaps them) — the
+        tasks are already in flight and the exchange dir was already
+        wiped+created at launch, so this side only collects."""
         import os
         import shutil as _shutil
 
         sdir = self._shuffle_dir(wave_id)
-        _shutil.rmtree(sdir, ignore_errors=True)   # stale partial attempt
-        os.makedirs(sdir, exist_ok=True)
+        prefetched = scan is not None and scan[3] is not None
+        if not prefetched:
+            _shutil.rmtree(sdir, ignore_errors=True)  # stale partial attempt
+            os.makedirs(sdir, exist_ok=True)
         import ray as _ray
         t_scan0 = time.perf_counter()
         touched_set: set[int] = set()
         self._wave_hour_max: dict[str, int] = {}
         if scan is not None:
-            units, lo, hi = scan
+            units, lo, hi, refs = scan
             if units:
-                refs = [_SCAN_TASK.remote(u, lo, hi, self.sources, sdir,
-                                         self.num_partitions, self.salt,
-                                         self.conflict)
-                        for u in units]
+                if refs is None:
+                    refs = [_SCAN_TASK.remote(u, lo, hi, self.sources,
+                                              sdir, self.num_partitions,
+                                              self.salt, self.conflict)
+                            for u in units]
                 plans: dict[int, list] = {}
                 for r in _ray.get(refs):
                     touched_set.update(r["pids"])
@@ -934,15 +955,78 @@ class CDCEngine:
         return out
 
     # ------------------------------------------------------------------ #
+    def _prefetch_scan(self, log_path: str, lo: int,
+                       hi: int) -> dict | None:
+        """Launch the NEXT wave's raw scan fan while the CURRENT wave's
+        merges run. The scan is pure w.r.t. lake state — it reads only
+        the immutable log window (lo, hi] and writes only the next
+        wave's own exchange dir — so overlapping it with the previous
+        wave's merge+commit is safe and hides the ~0.1 s/wave scan term
+        in the steady-state floor. ``apply_wave`` validates the handle's
+        (log, lo, hi) before using it and discards on mismatch (e.g. a
+        resume landing mid-window). Only ``replay()`` prefetches: its
+        contract is a static log for the whole schedule (``tail()``
+        polls a growing log and never prefetches)."""
+        if hi <= lo:
+            return None
+        import shutil as _shutil
+
+        units, union = self._scan_plan(log_path, lo, hi)
+        wave_id = f"wave-{hi:012d}"
+        sdir = self._shuffle_dir(wave_id)
+        _shutil.rmtree(sdir, ignore_errors=True)   # stale partial attempt
+        os.makedirs(sdir, exist_ok=True)
+        refs = [_SCAN_TASK.remote(u, lo, hi, self.sources, sdir,
+                                  self.num_partitions, self.salt,
+                                  self.conflict)
+                for u in units]
+        return {"log": log_path, "lo": lo, "hi": hi, "wave_id": wave_id,
+                "units": units, "union": union, "refs": refs,
+                "sdir": sdir}
+
+    def _discard_prefetch(self, p: dict) -> None:
+        """Drop an unused prefetch: wait out its in-flight tasks (so the
+        rmtree does not race their writes), then remove the dir."""
+        import shutil as _shutil
+
+        import ray as _ray
+
+        try:
+            _ray.get(p["refs"])
+        except Exception:
+            pass
+        _shutil.rmtree(p["sdir"], ignore_errors=True)
+
     def replay(self, log_path: str,
                wave_bounds: Iterable[tuple[int, int]]) -> list[dict[str, Any]]:
         """Apply every wave whose watermark is beyond CURRENT's — i.e.
-        resume-from-checkpoint is the same code path as a fresh run."""
+        resume-from-checkpoint is the same code path as a fresh run.
+        On the exchange path, wave N+1's scan fan is PREFETCHED while
+        wave N's merges run (see _prefetch_scan)."""
         if self.emit_changelog:
             self._publish_outbox_watermark()   # heal crash-before-marker
+        bounds = list(wave_bounds)
         out = []
-        for lo, hi in wave_bounds:
-            out.append(self.apply_wave(log_path, hi=hi, lo=max(lo, self.watermark)))
+        pre: dict | None = None
+        for i, (lo, hi) in enumerate(bounds):
+            cur_pre, pre = pre, None
+            nxt = bounds[i + 1] if i + 1 < len(bounds) else None
+            if (nxt is not None and self.merge_strategy == "exchange"
+                    and hi > self.watermark and nxt[1] > hi):
+                # this wave will run, so after it the watermark is hi —
+                # the next wave's effective lo is max(its lo, hi)
+                pre = self._prefetch_scan(log_path, max(nxt[0], hi),
+                                          nxt[1])
+            try:
+                out.append(self.apply_wave(log_path, hi=hi,
+                                           lo=max(lo, self.watermark),
+                                           _prefetched=cur_pre))
+            except BaseException:
+                if pre is not None:
+                    self._discard_prefetch(pre)
+                raise
+        if pre is not None:               # defensive: not consumed
+            self._discard_prefetch(pre)
         return out
 
     # ------------------------------------------------------------------ #
