@@ -228,11 +228,14 @@ def cmd_status(args) -> int:
     nbytes = sum(int(p["bytes"]) for p in man.partitions.values())
     pending = sum(int(d["rows"]) for p in man.partitions.values()
                   for d in (p.get("deltas") or []))
+    max_chain = max((len(p.get("deltas") or [])
+                     for p in man.partitions.values()), default=0)
     print(json.dumps({
         "ok": True, "generation": man.generation,
         "watermark": man.watermark, "wave_id": man.wave_id,
         "partitions": len(man.partitions), "rows": rows, "bytes": nbytes,
         "pending_sidecar_rows": pending,
+        "max_sidecar_chain": max_chain,   # compact --fold shortens this
         "last_waves": man.lineage[-3:],
         "consumers": eng.chain_status(stale_after_s=args.stale_after),
     }))
