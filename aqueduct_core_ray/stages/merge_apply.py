@@ -423,25 +423,29 @@ def merge_partition_files(
                 tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
     if not tabs:
         raise RuntimeError(f"no staged delta for partition {pid}")
-    if len({t.schema for t in tabs}) > 1:
-        # blocks may disagree on column order/presence when a wave spans
-        # source segments of different vintages (bootstrap vs regular
-        # outbox, mid-wave schema evolution): unify before concat
-        union = tabs[0].schema
-        for t in tabs[1:]:
-            union = evolve_schema(union, t.schema)
-        tabs = [reconcile_batch(t, union) for t in tabs]
-    delta = pa.concat_tables(tabs)
+    # blocks may disagree on column order/presence when a wave spans
+    # source segments of different vintages (bootstrap vs regular
+    # outbox, mid-wave schema evolution): unify before concat
+    delta = _unify_chain(tabs)
     base_rows = int(old_entry.get("file_rows", old_entry.get("rows", 0))) \
         if old_entry else 0
     existing = (old_entry.get("deltas") or []) if old_entry else []
     may_sidecar = (old_entry is not None and sidecar_frac > 0
                    and len(existing) < max_deltas and base_rows > 0)
-    if outbox_dir is not None or may_sidecar:
-        # the outbox/sidecar contracts need the COMPACTED applied delta;
-        # otherwise this pre-compaction is skipped — the merge's unified
-        # compaction resolves cross-block duplicates in the same single
-        # pass that resolves delta-vs-old (one fewer full token gather)
+    # chain tier candidacy: chain full (the only way may_sidecar is
+    # False while the rest hold) but pending may still be under the
+    # absorb threshold — see _compact_chain
+    may_chain = (chain_compact and not may_sidecar
+                 and old_entry is not None and sidecar_frac > 0
+                 and base_rows > 0 and bool(existing))
+    if outbox_dir is not None or may_sidecar or may_chain:
+        # the outbox/sidecar/chain-tier contracts need the COMPACTED
+        # applied delta (the tier THRESHOLD must count compacted rows,
+        # or an update-heavy wave overstates pending and falls through
+        # to an O(base) absorb); otherwise this pre-compaction is
+        # skipped — the merge's unified compaction resolves cross-block
+        # duplicates in the same single pass that resolves delta-vs-old
+        # (one fewer full token gather)
         delta = compact_lww(delta, policy=policy)
 
     if outbox_dir is not None:

@@ -409,3 +409,71 @@ def test_absorb_threshold_staggered():
     assert len(vals) > 16                      # thresholds actually differ
     assert all(0.25 <= v <= 0.375 + 1e-9 for v in vals)
     assert _staggered_frac(0.25, 7) == _staggered_frac(0.25, 7)
+
+def test_chain_tier_counts_compacted_pending(inputs, tmp_path):
+    """Update-heavy wave at chain-full state: the RAW delta (per-block
+    combiners can't dedup ACROSS blocks, so a hot key arrives once per
+    block) exceeds the absorb threshold while the COMPACTED delta is far
+    under it. The tier decision must count compacted rows — counting raw
+    rows would fall through to an O(base) absorb ~30x too early in the
+    steady-state regime."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from aqueduct_core_ray.partitioning import add_partition
+    from aqueduct_core_ray.sources.changelog import changelog_chunk
+    from aqueduct_core_ray.stages.merge_apply import (
+        _staggered_frac,
+        merge_partition_files,
+    )
+
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=1,
+                    sidecar_frac=0.4)
+    eng.bootstrap(seed)
+    eng.replay(log, wave_bounds(10)[:1])
+    # a partition whose sidecar chain is already at max_deltas
+    pid, entry = next((int(k), p) for k, p in eng.manifest.partitions.items()
+                      if len(p.get("deltas") or []) == 1)
+    base_rows = int(entry.get("file_rows", entry["rows"]))
+    thresh = _staggered_frac(0.4, pid) * base_rows
+    existing = int(entry["deltas"][0]["rows"])
+
+    # craft the raw delta: 30 of this partition's events tiled 12x under
+    # fresh lsns (the cross-block duplicate pattern of a hot-key wave)
+    ev = add_partition(changelog_chunk(SPEC, 0), 4)
+    mine = ev.filter(
+        pc.equal(ev.column("part"), pa.scalar(pid, pa.int32()))
+    ).slice(0, 30).combine_chunks()
+    li = mine.schema.get_field_index("lsn")
+    copies = []
+    for k in range(12):
+        lsn = pa.array(100_000 + k * 30 + np.arange(30, dtype=np.int64))
+        copies.append(mine.set_column(li, "lsn", lsn))
+    raw = pa.concat_tables(copies).combine_chunks()
+    n_unique = len(set(mine.column("doc_id").to_pylist()))
+    # the straddle that makes the test non-vacuous: raw pending would
+    # absorb, compacted pending must not (0.4 = the pre-jitter minimum)
+    assert existing + raw.num_rows > thresh
+    assert existing + n_unique < 0.4 * base_rows
+
+    sd = tmp_path / "shuffle"
+    sd.mkdir()
+    blk = str(sd / "block-00000.arrow")
+    with pa.OSFile(blk, "wb") as f:
+        with pa.ipc.new_file(f, raw.schema) as w:
+            w.write_table(raw)
+    common = dict(
+        old_entry=entry, lake_schema_b64=eng.manifest.schema_b64,
+        derivations=eng.derivations, sidecar_frac=0.4, max_deltas=1,
+        plan=[(blk, [0])],
+    )
+    res = merge_partition_files(pid, eng.store.root, "wchain", str(sd),
+                                **common)
+    assert res["mode"] == "chain"
+    # O(pending): the folded sidecar holds at most chain + unique keys
+    assert res["file_rows"] <= existing + n_unique
+    # contrast: without the chain tier the same wave pays the full rewrite
+    res_off = merge_partition_files(pid, eng.store.root, "wfull", str(sd),
+                                    chain_compact=False, **common)
+    assert res_off["mode"] == "full"
