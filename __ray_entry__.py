@@ -193,10 +193,123 @@ lww AS (
 """
 
 
+# String-space twin of the hash-space shingle scan (functions/dedup.py
+# _shingle_hashes): equal word 8-grams <=> equal shingle hashes
+# (collision odds ~1e-11 at this scale), so counting matching gram
+# POSITIONS per doc against the benchmark's (= doc 0's) DISTINCT grams
+# reproduces n_hits exactly. Short docs (<8 words) use a whole-text
+# gram; the 'G|'/'T|' prefixes keep the two constructions disjoint,
+# mirroring their disjoint hash spaces. Yields CTE `hits(doc_id, n)`.
+_GRAM_HITS_CTES = r"""
+bench AS (
+  SELECT regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'),
+           '\s+') AS w,
+         regexp_replace(text, '^\s+|\s+$', '', 'g') AS txt
+  FROM documents WHERE doc_id = 0),
+bgrams AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(CASE WHEN len(w) >= 8
+      THEN list_transform(range(1, len(w) - 6),
+           i -> 'G|' || array_to_string(w[i:i+7], ' '))
+      ELSE ['T|' || txt] END) AS g
+    FROM bench)),
+dg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 6),
+                   i -> 'G|' || array_to_string(w[i:i+7], ' '))
+              ELSE ['T|' || txt] END AS gl
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                 '\s+') AS w,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS txt
+        FROM documents)),
+hits AS (
+  SELECT u.doc_id, count(*) AS n
+  FROM (SELECT doc_id, unnest(gl) AS g FROM dg) u
+  JOIN bgrams b ON u.g = b.g
+  GROUP BY u.doc_id)
+"""
+
+
+def _lang_case() -> tuple[str, str]:
+    """(count-columns SQL, argmax CASE expr) GENERATED from the same
+    _MARKERS dict as functions.text.LangId so the two can never drift:
+    per-language RE2 match counts (`count_substring_regex` ==
+    `len(regexp_extract_all)`), then numpy's argmax-first tie-break
+    re-expressed as a >= cascade in sorted(langs) order; all-zero rows
+    -> 'und'."""
+    from aqueduct_core_ray.functions.text import _MARKERS
+    langs = sorted(_MARKERS)
+    counts = ",\n    ".join(
+        f"len(regexp_extract_all(text, '{_MARKERS[lang]}')) AS c_{lang}"
+        for lang in langs)
+    allc = ", ".join(f"c_{lang}" for lang in langs)
+    cascade = "\n       ".join(
+        "WHEN " + " AND ".join(f"c_{lang} >= c_{o}"
+                               for o in langs[i + 1:]) + f" THEN '{lang}'"
+        for i, lang in enumerate(langs[:-1]))
+    case = (f"CASE WHEN greatest({allc}) = 0 THEN 'und'\n       "
+            f"{cascade}\n       ELSE '{langs[-1]}' END")
+    return counts, case
+
+
+def _lang_id_sql() -> str:
+    counts, case = _lang_case()
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents)
+SELECT doc_id,
+  {case} AS lang_pred
+FROM c"""
+
+
+def _curate_sql(lang: str = "en", min_hits: int = 3) -> str:
+    """SQL twin of pipelines.curate.curate_corpus's attrition table:
+    every stage flag re-derived relationally — language argmax, the
+    integer quality rule, gram hits vs the doc-0 blocklist, md5
+    fingerprints (fp == DuckDB md5 by construction) — and the deduped
+    count as DISTINCT fp among keep=1 docs (survivor-per-fp cardinality,
+    exactly what the co-partitioned semi-join materializes)."""
+    counts, case = _lang_case()
+    return rf"""
+WITH {_GRAM_HITS_CTES},
+lc AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents),
+lp AS (SELECT doc_id, {case} AS lang_pred FROM lc),
+f AS (
+  SELECT d.doc_id,
+         CAST(lp.lang_pred = '{lang}' AS INT) AS lang_ok,
+         CAST(len(regexp_extract_all(d.text, '\S+')) >= 5
+              AND 2 * len(regexp_extract_all(d.text, '[A-Za-z]'))
+                  >= length(d.text) AS INT) AS qual_ok,
+         CAST(coalesce(h.n, 0) < {min_hits} AS INT) AS clean,
+         md5(d.text) AS fp
+  FROM documents d
+  JOIN lp ON d.doc_id = lp.doc_id
+  LEFT JOIN hits h ON d.doc_id = h.doc_id),
+k AS (SELECT *, lang_ok * qual_ok * clean AS keep FROM f)
+SELECT stage, n_docs FROM (
+  SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM k
+  UNION ALL SELECT 'lang', CAST(sum(lang_ok) AS BIGINT) FROM k
+  UNION ALL SELECT 'quality', CAST(sum(qual_ok) AS BIGINT) FROM k
+  UNION ALL SELECT 'decontaminated', CAST(sum(clean) AS BIGINT) FROM k
+  UNION ALL SELECT 'kept', CAST(sum(keep) AS BIGINT) FROM k
+  UNION ALL SELECT 'deduped', CAST(count(DISTINCT CASE WHEN keep = 1
+                                   THEN fp END) AS BIGINT) FROM k)"""
+
+
 def oracle_sql() -> dict[str, str]:
     n_words = r"len(regexp_split_to_array(trim(text), '\s+'))"
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
     return {
+        "lang_id": _lang_id_sql(),
         "cdc_replay_events": _LOG_CTE + """
             SELECT doc_id, value, props, source, last_lsn
             FROM lww WHERE op = 0""",
@@ -277,6 +390,12 @@ def oracle_sql() -> dict[str, str]:
                        '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}\b'))
                        AS BIGINT) AS n_phone
             FROM r2""",
+        "decontaminate": "WITH " + _GRAM_HITS_CTES + """
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n, 0) >= 1 AS TINYINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "curate_corpus": _curate_sql(),
         "derived_source_stats": _LOG_CTE + """
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    max(last_lsn) AS max_last_lsn
