@@ -99,6 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": partial(text.redact_pii),
         "embedding_cosine_dedup": partial(dedup.embedding_cosine_dedup),
         "knn_bruteforce": partial(ann.knn_bruteforce),
+        # flagship lake projected to its hash-free columns: proves the
+        # CDC replay preserved every doc row (the tokens column itself
+        # is siphash-derived, so only rows-only checkable)
+        "replay_documents_stats": _replay_documents_stats,
+        "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -114,7 +119,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": _export_shards,
         "curate_corpus": _curate,
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
-        "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
         "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),
         "knn_ivf": partial(ann.knn_ivf),
@@ -122,6 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": partial(multimodal.media_features),
         "frame_sample": partial(multimodal.frame_sample),
     }
+
+
+def _replay_documents_stats(sf_dir: str):
+    """Flagship lake minus the siphash-derived tokens column, streaming."""
+    from aqueduct_core_ray.pipelines.events_replay import replay_documents_lake
+
+    return replay_documents_lake(sf_dir).select_columns(
+        ["doc_id", "n_tok", "source"])
 
 
 def _curate(sf_dir: str):
@@ -305,6 +317,41 @@ SELECT stage, n_docs FROM (
                                    THEN fp END) AS BIGINT) FROM k)"""
 
 
+# String-space twin of functions/dedup.py ngram_jaccard_dedup: exact
+# word-3-gram Jaccard over ALL doc pairs, integer-floor percent,
+# filtered at the default min_jaccard_pct=80. The Ray side only scores
+# LSH candidate pairs, but at 16 bands × 4 rows a true >=80% pair
+# escapes every band with odds < 1e-3 — and the seeded MinHash is
+# deterministic, so equality verified once on the fixed testdata holds
+# on every driver run. Same 'G|'/'T|' gram construction (and the same
+# hash<=>string equivalence argument) as _GRAM_HITS_CTES above.
+_NGRAM_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w,
+         regexp_replace(text, '^\s+|\s+$', '', 'g') AS txt
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+           i -> 'G|' || array_to_string(w[i:i+2], ' '))
+      ELSE ['T|' || txt] END) AS g
+    FROM d)),
+card AS (SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       CAST((100 * i) // (ca.c + cb.c - i) AS BIGINT) AS jaccard_pct
+FROM inter
+JOIN card ca ON ida = ca.doc_id
+JOIN card cb ON idb = cb.doc_id
+WHERE (100 * i) // (ca.c + cb.c - i) >= 80"""
+
+
 def oracle_sql() -> dict[str, str]:
     n_words = r"len(regexp_split_to_array(trim(text), '\s+'))"
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
@@ -390,6 +437,15 @@ def oracle_sql() -> dict[str, str]:
                        '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{2,4}\b'))
                        AS BIGINT) AS n_phone
             FROM r2""",
+        "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        # the engine's replay must hand back exactly one lake row per
+        # input doc; n_tok re-derived as the relational word count
+        "replay_documents_stats": r"""
+            SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS INTEGER) AS n_tok,
+                   source
+            FROM documents""",
         "decontaminate": "WITH " + _GRAM_HITS_CTES + """
             SELECT d.doc_id,
                    CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
