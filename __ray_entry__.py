@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is siphash-derived, so only rows-only checkable)
         "replay_documents_stats": _replay_documents_stats,
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
+        "remove_boilerplate_lines": partial(dedup.remove_boilerplate_lines),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -438,6 +439,24 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_phone
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        # line-wise boilerplate dedup: DuckDB zips the two unnests, so
+        # (line, pos) pairs mirror the Arrow list layout exactly
+        "remove_boilerplate_lines": r"""
+WITH d AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM documents),
+l AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM d),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+kept AS (SELECT doc_id, line, pos FROM l
+         WHERE line NOT IN (SELECT line FROM freq WHERE nd >= 2)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(d.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # the engine's replay must hand back exactly one lake row per
         # input doc; n_tok re-derived as the relational word count
         "replay_documents_stats": r"""

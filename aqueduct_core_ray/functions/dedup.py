@@ -684,3 +684,89 @@ def decontaminate(sf_dir: str, benchmark: "list[str] | None" = None,
     from .text import read_documents
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# corpus-wide repeated-line (boilerplate) removal
+# --------------------------------------------------------------------- #
+def _split_lines(t: pa.Table, text_col: str, sep: str
+                 ) -> tuple[pa.ListArray, np.ndarray, np.ndarray]:
+    """(line lists, flat line hashes, per-row line counts) for a batch."""
+    lines = pc.split_pattern(t.column(text_col), sep).combine_chunks()
+    h = _hash_str_array(lines.flatten())
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    return lines, h, counts
+
+
+def remove_boilerplate_lines(sf_dir: str, min_docs: int = 2,
+                             sep: str = "\n") -> ray.data.Dataset:
+    """CCNet / RefinedWeb-style line-wise dedup: drop every line that
+    occurs in >= ``min_docs`` DISTINCT documents (navigation chrome,
+    cookie banners, footers), preserving the order of surviving lines.
+    Returns (doc_id, text, n_kept, n_removed); a fully-boilerplate doc
+    keeps its row with empty text.
+
+    Scale shape: pass 1 pre-aggregates per batch — per-doc DISTINCT line
+    hashes, then a batch-local doc count per hash — so the only shuffle
+    is a native ``groupby(line_h).sum`` over already-combined partials
+    (the 64-bit hash travels, never the line text). The common-line set
+    is bounded by the frequency threshold (boilerplate is heavy-hitter
+    by definition), so it is collected once and broadcast via
+    ``ray.put``; pass 2 streams the corpus through one vectorized
+    searchsorted + Arrow list rebuild per batch. At 100 TB the collected
+    set is the only driver traffic; if a corpus ever produced an
+    unbounded common set, raise ``min_docs`` or shard the blocklist by
+    hash range.
+    """
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def line_freq(t: pa.Table) -> pa.Table:
+        _, h, counts = _split_lines(t, "text", sep)
+        docidx = np.repeat(np.arange(len(counts)), counts)
+        order = np.lexsort((h, docidx))
+        h, docidx = h[order], docidx[order]
+        first = np.ones(len(h), bool)
+        first[1:] = (docidx[1:] != docidx[:-1]) | (h[1:] != h[:-1])
+        uh, nd = np.unique(h[first], return_counts=True)
+        return pa.table({"line_h": pa.array(uh.view(np.int64)),
+                         "nd": pa.array(nd.astype(np.int64))})
+
+    freq = ds.map_batches(line_freq, batch_format="pyarrow") \
+             .groupby("line_h").sum("nd")
+
+    def common_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("sum(nd)"), min_docs)
+        return pa.table({"line_h": t.filter(keep).column("line_h")})
+
+    common_df = freq.map_batches(common_only,
+                                 batch_format="pyarrow").to_pandas()
+    if len(common_df):           # empty Dataset.to_pandas() drops columns
+        common = np.sort(common_df["line_h"].to_numpy().view(np.uint64))
+    else:
+        common = np.empty(0, np.uint64)
+    ref = ray.put(common)
+
+    def strip(t: pa.Table) -> pa.Table:
+        lines, h, counts = _split_lines(t, "text", sep)
+        blocked = ray.get(ref)
+        if len(blocked):
+            idx = np.minimum(np.searchsorted(blocked, h),
+                             len(blocked) - 1)
+            keep = blocked[idx] != h
+        else:
+            keep = np.ones(len(h), bool)
+        docidx = np.repeat(np.arange(len(counts)), counts)
+        kept_counts = np.bincount(docidx[keep], minlength=t.num_rows)
+        offsets = np.zeros(t.num_rows + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        kept = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            lines.flatten().filter(pa.array(keep)))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.binary_join(kept, sep),
+            "n_kept": pa.array(kept_counts.astype(np.int64)),
+            "n_removed": pa.array((counts - kept_counts).astype(np.int64)),
+        })
+
+    return ds.map_batches(strip, batch_format="pyarrow")

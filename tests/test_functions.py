@@ -435,3 +435,54 @@ def test_decontaminate_flags_benchmark_overlap(corpus):
     auto = {r["doc_id"]: r["contaminated"]
             for r in dedup.decontaminate(corpus, min_hits=3).take_all()}
     assert auto[0] == 1 and auto[3] == 0
+
+
+# --------------------------------------------------------------------- #
+def test_remove_boilerplate_lines(tmp_path):
+    texts = [
+        "cookie banner\nunique zero\nfooter text",
+        "cookie banner\nunique one line\nfooter text",
+        "all original\nnothing shared here",
+        "cookie banner\nfooter text",      # fully boilerplate
+        "",                                # empty doc
+        "unique five\n\ntrailing blank\n", # blank lines shared -> removed
+        "x\n\ny\n",
+    ]
+    d = _mk_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in
+           dedup.remove_boilerplate_lines(d).take_all()}
+    # naive reference: drop lines present in >= 2 docs, order preserved
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        for ln in set(t.split("\n")):
+            c[ln] += 1
+    common = {ln for ln, n in c.items() if n >= 2}
+    for i, t in enumerate(texts):
+        kept = [ln for ln in t.split("\n") if ln not in common]
+        assert out[i]["text"] == "\n".join(kept)
+        assert out[i]["n_kept"] == len(kept)
+        assert out[i]["n_removed"] == len(t.split("\n")) - len(kept)
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[0]["text"] == "unique zero"
+
+
+def test_remove_boilerplate_lines_no_common(tmp_path):
+    # empty common set: every doc passes through byte-identical
+    texts = ["a\nb", "c\nd", "e"]
+    d = _mk_docs(tmp_path, texts)
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.remove_boilerplate_lines(d).take_all()}
+    assert [out[i] for i in range(3)] == texts
+
+
+def test_remove_boilerplate_threshold(tmp_path):
+    # min_docs=3: a line shared by only two docs survives
+    texts = ["shared\nown0", "shared\nown1", "own2"]
+    d = _mk_docs(tmp_path, texts)
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.remove_boilerplate_lines(d, min_docs=3).take_all()}
+    assert out[0] == "shared\nown0" and out[1] == "shared\nown1"
+    out2 = {r["doc_id"]: r["text"] for r in
+            dedup.remove_boilerplate_lines(d, min_docs=2).take_all()}
+    assert out2[0] == "own0" and out2[1] == "own1"
