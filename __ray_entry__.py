@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replay_documents_stats": _replay_documents_stats,
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "remove_boilerplate_lines": partial(dedup.remove_boilerplate_lines),
+        "repetition_score": partial(text.repetition_score),
+        "top_docs_per_source": partial(text.top_docs_per_source),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -439,6 +441,32 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_phone
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        # Gopher-style repetition metrics: every ratio is an integer
+        # floor-percent, so SQL reproduces the engine bit-exactly
+        "repetition_score": r"""
+WITH d AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+ws AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd FROM d),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1])) AS g
+       FROM d WHERE len(w) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bmax AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+         FROM bgc GROUP BY doc_id)
+SELECT ws.doc_id, CAST(ws.nw AS BIGINT) AS n_words,
+       CAST((100 * (ws.nw - ws.nd)) // greatest(ws.nw, 1)
+            AS BIGINT) AS dup_word_pct,
+       CAST(coalesce((100 * b.mx) // b.tot, 0)
+            AS BIGINT) AS top_bigram_pct
+FROM ws LEFT JOIN bmax b ON ws.doc_id = b.doc_id""",
+        # partitioned ranking window (deterministic doc_id tie-break)
+        "top_docs_per_source": r"""
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= 3""",
         # line-wise boilerplate dedup: DuckDB zips the two unnests, so
         # (line, pos) pairs mirror the Arrow list layout exactly
         "remove_boilerplate_lines": r"""

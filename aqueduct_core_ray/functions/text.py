@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -219,3 +220,119 @@ def redact_pii_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
 def redact_pii(sf_dir: str) -> ray.data.Dataset:
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(redact_pii_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# within-document repetition metrics (Gopher-style quality signals)
+# --------------------------------------------------------------------- #
+def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer repetition metrics per doc (all ratios floor-percent, so
+    the DuckDB oracle reproduces them bit-exactly):
+
+    - ``n_words``: whitespace token count
+    - ``dup_word_pct``: 100·(n_words − n_distinct_words) // n_words
+    - ``top_bigram_pct``: 100·(count of the most frequent word 2-gram)
+      // (total 2-grams); 0 for docs with < 2 words
+
+    One hash pass + two lexsorts per batch — no Python row loop. Word
+    identity via the same keyed siphash the dedup family uses (string
+    equality <=> hash equality at ~1e-11 collision odds)."""
+    txt = pc.utf8_trim_whitespace(t.column(text_col))
+    words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+    h = pd.util.hash_array(
+        np.asarray(words.flatten().to_numpy(zero_copy_only=False),
+                   dtype=object), categorize=False)
+    counts = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = t.num_rows
+    docidx = np.repeat(np.arange(n), counts)
+
+    # distinct words per doc
+    order = np.lexsort((h, docidx))
+    hs, ds_ = h[order], docidx[order]
+    first = np.ones(len(hs), bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    n_distinct = np.bincount(ds_[first], minlength=n)
+    dup_pct = (100 * (counts - n_distinct)) // np.maximum(counts, 1)
+
+    # most frequent 2-gram per doc
+    P1, P2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xBF58476D1CE4E5B9)
+    top_pct = np.zeros(n, np.int64)
+    if len(h) >= 2:
+        bg = (h[:-1] * P1) ^ (h[1:] * P2)
+        valid = docidx[:-1] == docidx[1:]
+        bg, bdoc = bg[valid], docidx[:-1][valid]
+        if len(bg):
+            order = np.lexsort((bg, bdoc))
+            bg, bdoc = bg[order], bdoc[order]
+            # run lengths of identical (doc, gram)
+            new_run = np.ones(len(bg), bool)
+            new_run[1:] = (bdoc[1:] != bdoc[:-1]) | (bg[1:] != bg[:-1])
+            run_id = np.cumsum(new_run) - 1
+            run_len = np.bincount(run_id)
+            run_doc = bdoc[new_run]
+            mx = np.zeros(n, np.int64)
+            np.maximum.at(mx, run_doc, run_len)
+            tot = np.bincount(bdoc, minlength=n)
+            has = tot > 0
+            top_pct[has] = (100 * mx[has]) // tot[has]
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "n_words": pa.array(counts),
+        "dup_word_pct": pa.array(dup_pct.astype(np.int64)),
+        "top_bigram_pct": pa.array(top_pct),
+    })
+
+
+def repetition_score(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filter signals, one row per doc."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# partitioned ranking: top-k documents per source
+# --------------------------------------------------------------------- #
+def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """row_number()-over-(PARTITION BY source ORDER BY n_chars DESC,
+    doc_id) <= k — the partitioned-ranking window capability.
+
+    Scale shape: each batch emits only its LOCAL top-k per source
+    (sort + segmented head — the candidate set shrinks to
+    k·sources·blocks rows before any exchange), then one map_groups
+    over the bounded #sources group count finalizes ranks. No global
+    sort, no full-table shuffle."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, src))
+        s = src[order]
+        seg_start = np.ones(len(s), bool)
+        seg_start[1:] = s[1:] != s[:-1]
+        # rank within source run
+        idx = np.arange(len(s))
+        run_begin = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        keep = (idx - run_begin) < k
+        sel = pa.array(order[keep])
+        return pa.table({"source": t.column("source").take(sel),
+                         "doc_id": t.column("doc_id").take(sel),
+                         "n_chars": t.column("n_chars").take(sel)})
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc))[:k]
+        sel = pa.array(order)
+        return pa.table({
+            "source": t.column("source").take(sel),
+            "doc_id": t.column("doc_id").take(sel),
+            "n_chars": t.column("n_chars").take(sel),
+            "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source", "n_chars"])
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return cand.groupby("source").map_groups(final_topk,
+                                             batch_format="pyarrow")

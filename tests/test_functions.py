@@ -486,3 +486,40 @@ def test_remove_boilerplate_threshold(tmp_path):
     out2 = {r["doc_id"]: r["text"] for r in
             dedup.remove_boilerplate_lines(d, min_docs=2).take_all()}
     assert out2[0] == "own0" and out2[1] == "own1"
+
+
+# --------------------------------------------------------------------- #
+def test_repetition_metrics(tmp_path):
+    texts = ["a b a b a",       # 5 words, 2 distinct; bigram max 2/4
+             "x",               # single word: no bigrams
+             "p q r",           # all unique
+             "z z z z"]         # total repetition
+    d = _mk_docs(tmp_path, texts)
+    rows = {r["doc_id"]: r for r in text.repetition_score(d).take_all()}
+    assert rows[0]["n_words"] == 5
+    assert rows[0]["dup_word_pct"] == 60          # (5-2)*100//5
+    assert rows[0]["top_bigram_pct"] == 50        # "a b" twice of 4
+    assert rows[1]["dup_word_pct"] == 0
+    assert rows[1]["top_bigram_pct"] == 0         # <2 words
+    assert rows[2]["dup_word_pct"] == 0 and rows[2]["top_bigram_pct"] == 50
+    assert rows[3]["dup_word_pct"] == 75 and rows[3]["top_bigram_pct"] == 100
+
+
+def test_top_docs_per_source_ranking(tmp_path):
+    # 9 docs, 3 sources (i % 3 in _mk_docs); lengths descend with doc_id
+    texts = ["w" * (40 - 3 * i) for i in range(9)]
+    d = _mk_docs(tmp_path, texts)
+    out = text.top_docs_per_source(d, k=2).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    # per source, the two LOWEST doc_ids are the longest docs
+    assert sorted(by_src["src0"]) == [(1, 0), (2, 3)]
+    assert sorted(by_src["src1"]) == [(1, 1), (2, 4)]
+    assert sorted(by_src["src2"]) == [(1, 2), (2, 5)]
+    # tie-break: equal n_chars ranks by ascending doc_id
+    (tmp_path / "ties").mkdir()
+    d2 = _mk_docs(tmp_path / "ties", ["same"] * 6)
+    out2 = text.top_docs_per_source(d2, k=2).take_all()
+    ranks = {(r["source"], r["rk"]): r["doc_id"] for r in out2}
+    assert ranks[("src0", 1)] == 0 and ranks[("src0", 2)] == 3
