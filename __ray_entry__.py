@@ -33,6 +33,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from aqueduct_core_ray.functions import (
         ann, dedup, multimodal, sampling, text)
+    from aqueduct_core_ray.pipelines import analytics as an
     from aqueduct_core_ray.pipelines import events_replay as er
     from aqueduct_core_ray.pipelines import log_queries as lq
     from aqueduct_core_ray.pipelines import temporal as tp
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate_lines": partial(dedup.remove_boilerplate_lines),
         "repetition_score": partial(text.repetition_score),
         "top_docs_per_source": partial(text.top_docs_per_source),
+        # --- warehouse analytics over the TPC-H-shaped tables ---
+        "pricing_summary": partial(an.pricing_summary),
+        "top_orders_by_revenue": partial(an.top_orders_by_revenue),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -441,6 +445,39 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_phone
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        # TPC-H Q1 flavor; money summed in integer cents with the shared
+        # floor(x*100+0.5) row convention (see pipelines/analytics.py)
+        "pricing_summary": r"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+         AS sum_base_c,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+         AS BIGINT) AS sum_disc_c,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         * 100 + 0.5)) AS BIGINT) AS sum_charge_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        # TPC-H Q3 flavor: broadcast segment dimension + co-partitioned
+        # orders join over pre-aggregated per-order revenue
+        "top_orders_by_revenue": r"""
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100
+           + 0.5)) AS BIGINT) AS revenue_c
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, r.revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+                 AND c.c_mktsegment = 'BUILDING'
+  JOIN rev r ON o.o_orderkey = r.o_orderkey)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_c,
+       CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue_c DESC, o_orderkey)
+            AS rk FROM j)
+WHERE rk <= 10""",
         # Gopher-style repetition metrics: every ratio is an integer
         # floor-percent, so SQL reproduces the engine bit-exactly
         "repetition_score": r"""

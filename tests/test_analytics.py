@@ -1,0 +1,82 @@
+"""Warehouse analytics over the TPC-H-shaped testdata tables:
+Ray pipelines vs DuckDB run inline on the same parquet (the same
+comparison the driver's correctness gate performs)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aqueduct_core_ray.pipelines import analytics
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    return con.execute(sql).df()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def test_pricing_summary_matches_duckdb():
+    ry = _canon(analytics.pricing_summary(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(floor(l_quantity*100+0.5)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(floor(l_extendedprice*100+0.5)) AS BIGINT) AS sum_base_c,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                    AS BIGINT) AS sum_disc_c,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100+0.5))
+                    AS BIGINT) AS sum_charge_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    assert len(ry) == 6                      # 3 flags x 2 statuses
+
+
+def test_top_orders_by_revenue_matches_duckdb():
+    ry = _canon(analytics.top_orders_by_revenue(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH rev AS (
+          SELECT l_orderkey AS o_orderkey,
+                 CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                      AS BIGINT) AS revenue_c
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (
+          SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, r.revenue_c
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+                         AND c.c_mktsegment = 'BUILDING'
+          JOIN rev r ON o.o_orderkey = r.o_orderkey)
+        SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_c,
+               CAST(rk AS BIGINT) AS rk FROM (
+          SELECT *, row_number() OVER (ORDER BY revenue_c DESC, o_orderkey)
+                    AS rk FROM j)
+        WHERE rk <= 10"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    assert len(ry) == 10
+    # ranks are a contiguous 1..10 with revenue non-increasing
+    byrk = ry.sort_values("rk")
+    assert list(byrk["rk"]) == list(range(1, 11))
+    assert (byrk["revenue_c"].diff().dropna() <= 0).all()
+
+
+def test_top_orders_partition_invariance():
+    a = _canon(analytics.top_orders_by_revenue(SF, num_partitions=4)
+               .to_pandas())
+    b = _canon(analytics.top_orders_by_revenue(SF, num_partitions=32)
+               .to_pandas())
+    assert a.equals(b)
+
+
+def test_top_orders_unknown_segment_is_empty():
+    out = analytics.top_orders_by_revenue(SF, segment="NOPE").take_all()
+    assert out == []
