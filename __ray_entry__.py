@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- warehouse analytics over the TPC-H-shaped tables ---
         "pricing_summary": partial(an.pricing_summary),
         "top_orders_by_revenue": partial(an.top_orders_by_revenue),
+        "revenue_by_nation": partial(an.revenue_by_nation),
+        "revenue_by_part_type": partial(an.revenue_by_part_type),
+        "supplier_balance_by_nation": partial(an.supplier_balance_by_nation),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -478,6 +481,33 @@ SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_c,
   SELECT *, row_number() OVER (ORDER BY revenue_c DESC, o_orderkey)
             AS rk FROM j)
 WHERE rk <= 10""",
+        # TPC-H Q5 flavor: star join rolled up to (region, nation)
+        "revenue_by_nation": r"""
+SELECT r.r_name, n.n_name,
+       CAST(sum(rev.revenue_c) AS BIGINT) AS revenue_c
+FROM (SELECT l_orderkey,
+             CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100
+               + 0.5)) AS BIGINT) AS revenue_c
+      FROM lineitem GROUP BY l_orderkey) rev
+JOIN orders o ON o.o_orderkey = rev.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name""",
+        # TPC-H Q14 flavor: part dimension broadcast
+        "revenue_by_part_type": r"""
+SELECT p.p_type,
+       CAST(sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+         + 0.5)) AS BIGINT) AS revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type""",
+        "supplier_balance_by_nation": r"""
+SELECT n.n_name,
+       CAST(sum(floor(s.s_acctbal * 100 + 0.5)) AS BIGINT)
+         AS sum_acctbal_c,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
         # Gopher-style repetition metrics: every ratio is an integer
         # floor-percent, so SQL reproduces the engine bit-exactly
         "repetition_score": r"""

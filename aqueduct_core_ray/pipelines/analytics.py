@@ -228,3 +228,211 @@ _TOPK_EMPTY = pa.table({
     "o_orderpriority": pa.array([], pa.string()),
     "rev_c": pa.array([], pa.int64()),
 })
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
+    """(sorted keys, vals aligned) pair for vectorized searchsorted maps."""
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+def _map_keys(sorted_keys: np.ndarray, vals: np.ndarray,
+              probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mapped values, hit mask) of ``probe`` against a sorted lookup."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, vals.dtype), np.zeros(len(probe), bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, probe),
+                     len(sorted_keys) - 1)
+    hit = sorted_keys[pos] == probe
+    return vals[pos], hit
+
+
+def revenue_by_nation(sf_dir: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q5-flavor star join: revenue (integer cents) rolled up to
+    (r_name, n_name). customer/nation/region are dimension sides —
+    joined driver-side into one custkey -> nation-index lookup and
+    broadcast once; the only exchange over fact data is the
+    co-partitioned rev⋈orders equi-join on hash(orderkey) % P, followed
+    by a ~25-row native sum."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet").to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    names = (dim[["n_name", "r_name"]].drop_duplicates()
+             .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+    name_idx = {(r, n): i for i, (n, r) in
+                enumerate(zip(names["n_name"], names["r_name"]))}
+    nidx = np.array([name_idx[(r, n)] for n, r in
+                     zip(dim["n_name"], dim["r_name"])], np.int64)
+    ck, nv = _sorted_lookup(dim["c_custkey"].to_numpy(), nidx)
+    ref = ray.put((ck, nv, names["n_name"].to_numpy(),
+                   names["r_name"].to_numpy()))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "rev_c": pa.array(np.floor(price * (1.0 - disc) * 100.0
+                                       + 0.5).astype(np.int64)),
+        })
+        return (g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
+                .rename_columns(["o_orderkey", "rev_c"]))
+
+    rev = (ray.data.read_parquet(
+               f"{sf_dir}/lineitem.parquet",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+           .map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("o_orderkey").sum("rev_c"))
+
+    def tag_rev(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(keys.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "o_orderkey": t.column("o_orderkey"),
+            "rev_c": t.column("sum(rev_c)"),
+            "nidx": pa.nulls(t.num_rows, pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ck_, nv_, _, _ = ray.get(ref)
+        cust_ = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(ck_, nv_, cust_)
+        t = t.filter(pa.array(hit))
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(keys.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "o_orderkey": t.column("o_orderkey"),
+            "rev_c": pa.nulls(t.num_rows, pa.int64()),
+            "nidx": pa.array(mapped[hit]),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    orders = (ray.data.read_parquet(
+                  f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+              .map_batches(tag_orders, batch_format="pyarrow"))
+
+    def join_agg(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        rv, od = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
+        rk = rv.column("o_orderkey").to_numpy(zero_copy_only=False)
+        rc = rv.column("rev_c").to_numpy(zero_copy_only=False)
+        order = np.argsort(rk)
+        rk, rc = rk[order], rc[order]
+        ok = od.column("o_orderkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(rk, rc, ok)
+        nidx = od.column("nidx").to_numpy(zero_copy_only=False)[hit]
+        rev_c = np.bincount(nidx, weights=mapped[hit].astype(np.float64))
+        nz = np.flatnonzero(rev_c)
+        return pa.table({"nidx": pa.array(nz.astype(np.int64)),
+                         "rev_c": pa.array(rev_c[nz].astype(np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        _, _, n_names, r_names = ray.get(ref)
+        ni = t.column("nidx").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(r_names[ni]),
+            "n_name": pa.array(n_names[ni]),
+            "revenue_c": t.column("sum(rev_c)"),
+        })
+
+    return (rev.map_batches(tag_rev, batch_format="pyarrow")
+            .union(orders)
+            .groupby("part").map_groups(join_agg, batch_format="pyarrow")
+            .groupby("nidx").sum("rev_c")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14-flavor: revenue (integer cents) per part type — the
+    ``part`` dimension broadcast as a sorted partkey -> type-index map;
+    no shuffle beyond the 6-row per-block partials."""
+    part_df = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    types = np.sort(part_df["p_type"].unique())
+    tmap = {t: i for i, t in enumerate(types)}
+    pk, tv = _sorted_lookup(
+        part_df["p_partkey"].to_numpy(),
+        part_df["p_type"].map(tmap).to_numpy().astype(np.int64))
+    ref = ray.put((pk, tv, types))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk_, tv_, _ = ray.get(ref)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(pk_, tv_, keys)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5)[hit]
+        rev_c = np.bincount(mapped[hit], weights=rev)
+        nz = np.flatnonzero(rev_c)
+        return pa.table({"tidx": pa.array(nz.astype(np.int64)),
+                         "rev_c": pa.array(rev_c[nz].astype(np.int64))})
+
+    def finish(t: pa.Table) -> pa.Table:
+        _, _, types_ = ray.get(ref)
+        ti = t.column("tidx").to_numpy(zero_copy_only=False)
+        return pa.table({"p_type": pa.array(types_[ti]),
+                         "revenue_c": t.column("sum(rev_c)")})
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_extendedprice", "l_discount"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("tidx").sum("rev_c")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Supplier account-balance rollup per nation (cents): nation is
+    broadcast; supplier streams through one partial-agg pass."""
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    nk, nv = _sorted_lookup(nat["n_nationkey"].to_numpy().astype(np.int64),
+                            np.arange(len(nat), dtype=np.int64))
+    ref = ray.put((nk, nv, nat["n_name"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk_, nv_, _ = ray.get(ref)
+        keys = t.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mapped, hit = _map_keys(nk_, nv_, keys)
+        bal = _cents(t.column("s_acctbal"))[hit]
+        idx = mapped[hit]
+        sums = np.bincount(idx, weights=bal.astype(np.float64))
+        cnts = np.bincount(idx)
+        nz = np.flatnonzero(cnts)
+        return pa.table({
+            "nidx": pa.array(nz.astype(np.int64)),
+            "bal_c": pa.array(sums[nz].astype(np.int64)),
+            "n_suppliers": pa.array(cnts[nz].astype(np.int64)),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        _, _, names = ray.get(ref)
+        ni = t.column("nidx").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(names[ni]),
+            "sum_acctbal_c": t.column("sum(bal_c)"),
+            "n_suppliers": t.column("sum(n_suppliers)"),
+        })
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/supplier.parquet",
+                columns=["s_nationkey", "s_acctbal"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("nidx").sum(["bal_c", "n_suppliers"])
+            .map_batches(finish, batch_format="pyarrow"))

@@ -80,3 +80,44 @@ def test_top_orders_partition_invariance():
 def test_top_orders_unknown_segment_is_empty():
     out = analytics.top_orders_by_revenue(SF, segment="NOPE").take_all()
     assert out == []
+
+
+def test_revenue_by_nation_matches_duckdb():
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT r.r_name, n.n_name,
+               CAST(sum(rev.revenue_c) AS BIGINT) AS revenue_c
+        FROM (SELECT l_orderkey,
+                     CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                          AS BIGINT) AS revenue_c
+              FROM lineitem GROUP BY l_orderkey) rev
+        JOIN orders o ON o.o_orderkey = rev.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name""").df())
+    ry = _canon(analytics.revenue_by_nation(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # partition invariance of the co-partitioned join
+    ry2 = _canon(analytics.revenue_by_nation(SF, num_partitions=5)
+                 .to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_revenue_by_part_type_covers_all_types():
+    ry = analytics.revenue_by_part_type(SF).to_pandas()
+    assert set(ry["p_type"]) == {"ECONOMY", "STANDARD", "LARGE",
+                                 "MEDIUM", "SMALL", "PROMO"}
+    assert (ry["revenue_c"] > 0).all()
+
+
+def test_supplier_balance_by_nation_totals():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW supplier AS SELECT * FROM "
+                f"read_parquet('{SF}/supplier.parquet')")
+    exp_n = con.execute("SELECT count(*) FROM supplier").fetchone()[0]
+    ry = analytics.supplier_balance_by_nation(SF).to_pandas()
+    assert int(ry["n_suppliers"].sum()) == exp_n
