@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_bands": partial(tp.range_join_value_bands),
         "asof_join_prior": partial(tp.asof_join_prior),
         "sessionize": partial(tp.sessionize),
+        "running_total": partial(tp.running_total),
         "value_histogram": partial(tp.value_histogram),
         "schema_evolution_lake": partial(er.schema_evolution_lake),
         "distinct_users": partial(tp.distinct_users_by_type),
@@ -481,6 +482,15 @@ SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_c,
   SELECT *, row_number() OVER (ORDER BY revenue_c DESC, o_orderkey)
             AS rk FROM j)
 WHERE rk <= 10""",
+        # ordered cumulative window (ROWS frame, total (ts, event_id)
+        # order); cents convention keeps distributed sums exact
+        "running_total": r"""
+SELECT event_id, user_id, ts,
+  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+     PARTITION BY user_id ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM events""",
         # TPC-H Q5 flavor: star join rolled up to (region, nation)
         "revenue_by_nation": r"""
 SELECT r.r_name, n.n_name,

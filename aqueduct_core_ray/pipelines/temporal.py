@@ -437,3 +437,53 @@ def approx_distinct_users_by_type(sf_dir: str, p_bits: int = 12
                              batch_size=None)
     return (partial.groupby("event_type")
             .map_groups(merge_estimate, batch_format="pyarrow"))
+
+
+def running_total(sf_dir: str, num_partitions: int = 16
+                  ) -> ray.data.Dataset:
+    """Ordered cumulative window: per-user running sum of ``value``
+    (integer cents, floor(v*100+0.5) per row) over (ts, event_id)
+    order — SQL's ``sum(...) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)``. Returns (event_id, user_id,
+    ts, value_c, running_c).
+
+    Scale shape: ONE hash shuffle on user_id into bounded partitions;
+    within a partition a single lexsort orders every user's stream and
+    one global cumsum minus per-segment bases yields all running sums —
+    no per-user Python loop, no global sort."""
+    import pandas as pd
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        v_c = np.floor(val[order] * 100.0 + 0.5).astype(np.int64)
+        cs = np.cumsum(v_c)
+        new_user = np.ones(len(uid), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        base = cs[starts] - v_c[starts]        # prefix before each segment
+        running = cs - base[seg_id]
+        sel = pa.array(order)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": t.column("ts").take(sel),
+            "value_c": pa.array(v_c),
+            "running_c": pa.array(running),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "value"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow"))

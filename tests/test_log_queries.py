@@ -230,3 +230,26 @@ def test_routing_override_remap_through_cache():
     remapped = routing_semijoin(SF, cache=cache).to_pandas()
     assert uout in set(remapped["user_id"])
     assert uin not in set(remapped["user_id"])
+
+
+def test_running_total_matches_duckdb_window():
+    from aqueduct_core_ray.pipelines.temporal import running_total
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        SELECT event_id, user_id, ts,
+          CAST(floor(value*100+0.5) AS BIGINT) AS value_c,
+          CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+        FROM events""").df()
+    ry = running_total(SF).to_pandas()
+    cols = sorted(sq.columns)
+    sq = sq[cols].sort_values(cols).reset_index(drop=True)
+    ry = ry[cols].sort_values(cols).reset_index(drop=True)
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # partition invariance of the user_id hash shuffle
+    ry2 = running_total(SF, num_partitions=3).to_pandas()
+    ry2 = ry2[cols].sort_values(cols).reset_index(drop=True)
+    assert ry.equals(ry2)
