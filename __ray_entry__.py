@@ -364,7 +364,7 @@ WHERE (100 * i) // (ca.c + cb.c - i) >= 80"""
 
 
 def oracle_sql() -> dict[str, str]:
-    n_words = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    n_words = r"len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))"
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
     return {
         "lang_id": _lang_id_sql(),
@@ -522,7 +522,7 @@ GROUP BY n.n_name""",
         # floor-percent, so SQL reproduces the engine bit-exactly
         "repetition_score": r"""
 WITH d AS (SELECT doc_id,
-                  regexp_split_to_array(trim(text), '\s+') AS w
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
            FROM documents),
 ws AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd FROM d),
 bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
@@ -566,7 +566,7 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # input doc; n_tok re-derived as the relational word count
         "replay_documents_stats": r"""
             SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                   CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                         AS INTEGER) AS n_tok,
                    source
             FROM documents""",
@@ -652,7 +652,7 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "top_tokens_by_source": r"""
             WITH w AS (
               SELECT source,
-                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                     unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                        AS token
               FROM documents),
             c AS (SELECT source, token,

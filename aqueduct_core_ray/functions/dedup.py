@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .text import fingerprint_batch, read_documents
+from .text import fingerprint_batch, hash_str_array, read_documents
 
 # fixed odd 64-bit mixing constants (splitmix64-flavored)
 _P1, _P2, _P3 = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
@@ -63,10 +63,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------- #
 # shingling + MinHash signatures (vectorized)
 # --------------------------------------------------------------------- #
-def _hash_str_array(arr: pa.Array) -> np.ndarray:
-    return pd.util.hash_array(
-        np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object),
-        categorize=False)
+_hash_str_array = hash_str_array     # canonical kernel lives in text.py
 
 
 def _shingle_hashes(t: pa.Table, text_col: str, shingle: int

@@ -26,6 +26,17 @@ def read_documents(sf_dir: str, columns: list[str] | None = None
                                  columns=columns)
 
 
+def hash_str_array(arr: pa.Array) -> np.ndarray:
+    """The canonical keyed-siphash string kernel (stable across
+    processes/nodes/runs): 'string equality <=> hash equality' at
+    ~1e-11 collision odds. The dedup family and the repetition metrics
+    MUST share this one definition — word/line/shingle identity across
+    operators de-synchronizes if any of them hashes differently."""
+    return pd.util.hash_array(
+        np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object),
+        categorize=False)
+
+
 # --------------------------------------------------------------------- #
 def token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """n_tok = number of whitespace-separated tokens (regex \\S+ matches)."""
@@ -239,9 +250,7 @@ def repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     equality <=> hash equality at ~1e-11 collision odds)."""
     txt = pc.utf8_trim_whitespace(t.column(text_col))
     words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
-    h = pd.util.hash_array(
-        np.asarray(words.flatten().to_numpy(zero_copy_only=False),
-                   dtype=object), categorize=False)
+    h = hash_str_array(words.flatten())
     counts = pc.list_value_length(words).to_numpy(
         zero_copy_only=False).astype(np.int64)
     n = t.num_rows

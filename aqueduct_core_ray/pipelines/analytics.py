@@ -41,6 +41,37 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
+def _rev_cents(t: pa.Table) -> np.ndarray:
+    """Per-line revenue in cents: floor(price·(1−disc)·100 + 0.5) — THE
+    load-bearing convention every revenue oracle replays; keep single."""
+    price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+    return np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+
+
+def _hash_part(keys: np.ndarray, num_partitions: int) -> pa.Array:
+    return pa.array((pd.util.hash_array(keys.copy(), categorize=False)
+                     % np.uint64(num_partitions)).astype(np.int32))
+
+
+def _per_order_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderkey, rev_c): lineitem revenue pre-aggregated per order
+    BEFORE any join — the shuffle moves (orderkey, cents) pairs only."""
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderkey": t.column("l_orderkey"),
+                      "rev_c": pa.array(_rev_cents(t))})
+        agg = g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
+        return pa.table({"o_orderkey": agg.column("o_orderkey"),
+                         "rev_c": agg.column("rev_c_sum")})
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+            .map_batches(rev_partial, batch_format="pyarrow")
+            .groupby("o_orderkey").sum("rev_c"))
+
+
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-style pricing summary: per (l_returnflag, l_linestatus)
     integer-cent sums of qty / base price / discounted price / charge
@@ -78,9 +109,15 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         agg = g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
              ("charge_c", "sum"), ("one", "sum")])
-        return agg.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
-             "sum_disc_c", "sum_charge_c", "n_lines"])
+        return pa.table({          # by-name: aggregate column order is
+            "l_returnflag": agg.column("l_returnflag"),   # version-dependent
+            "l_linestatus": agg.column("l_linestatus"),
+            "sum_qty_c": agg.column("qty_c_sum"),
+            "sum_base_c": agg.column("base_c_sum"),
+            "sum_disc_c": agg.column("disc_c_sum"),
+            "sum_charge_c": agg.column("charge_c_sum"),
+            "n_lines": agg.column("one_sum"),
+        })
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -114,29 +151,12 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
                                   "c_custkey"].to_numpy())
     ref = ray.put(seg_keys)
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        g = pa.table({
-            "o_orderkey": t.column("l_orderkey"),
-            "rev_c": pa.array(np.floor(price * (1.0 - disc) * 100.0
-                                       + 0.5).astype(np.int64)),
-        })
-        return (g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
-                .rename_columns(["o_orderkey", "rev_c"]))
-
-    rev = (ray.data.read_parquet(
-               f"{sf_dir}/lineitem.parquet",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
-           .map_batches(rev_partial, batch_format="pyarrow")
-           .groupby("o_orderkey").sum("rev_c"))
+    rev = _per_order_revenue(sf_dir)
 
     def tag_rev(t: pa.Table) -> pa.Table:
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        part = (pd.util.hash_array(keys.copy(), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
-            "part": pa.array(part),
+            "part": _hash_part(keys, num_partitions),
             "o_orderkey": t.column("o_orderkey"),
             "rev_c": t.column("sum(rev_c)"),
             "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
@@ -147,16 +167,11 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
     def tag_orders(t: pa.Table) -> pa.Table:
         cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
         want = ray.get(ref)
-        if len(want):
-            pos = np.minimum(np.searchsorted(want, cust), len(want) - 1)
-            t = t.filter(pa.array(want[pos] == cust))
-        else:
-            t = t.slice(0, 0)
+        _, hit = _map_keys(want, want, cust)
+        t = t.filter(pa.array(hit))
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        part = (pd.util.hash_array(keys.copy(), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
-            "part": pa.array(part),
+            "part": _hash_part(keys, num_partitions),
             "o_orderkey": t.column("o_orderkey"),
             "rev_c": pa.nulls(t.num_rows, pa.int64()),
             "o_orderdate": t.column("o_orderdate"),
@@ -238,13 +253,30 @@ def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
 
 def _map_keys(sorted_keys: np.ndarray, vals: np.ndarray,
               probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(mapped values, hit mask) of ``probe`` against a sorted lookup."""
+    """(mapped values, hit mask) of ``probe`` against a sorted lookup.
+    ``mapped`` always has len(probe) (arbitrary values where the mask is
+    False), so ``mapped[hit]`` is well-defined even for empty lookups."""
     if len(sorted_keys) == 0:
-        return np.empty(0, vals.dtype), np.zeros(len(probe), bool)
+        return np.zeros(len(probe), vals.dtype), np.zeros(len(probe), bool)
     pos = np.minimum(np.searchsorted(sorted_keys, probe),
                      len(sorted_keys) - 1)
     hit = sorted_keys[pos] == probe
     return vals[pos], hit
+
+
+def _int_sum_by(idx: np.ndarray, vals: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(group index, int64 sum, count) per distinct idx — an exact int64
+    accumulation (np.bincount's float64 weights would lose low bits past
+    2^53, breaking the module's bit-exact-sum guarantee)."""
+    if len(idx) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    acc = np.zeros(int(idx.max()) + 1, np.int64)
+    np.add.at(acc, idx, vals.astype(np.int64))
+    cnt = np.bincount(idx, minlength=len(acc))
+    nz = np.flatnonzero(cnt)
+    return nz.astype(np.int64), acc[nz], cnt[nz].astype(np.int64)
 
 
 def revenue_by_nation(sf_dir: str,
@@ -266,37 +298,19 @@ def revenue_by_nation(sf_dir: str,
               .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     names = (dim[["n_name", "r_name"]].drop_duplicates()
              .sort_values(["r_name", "n_name"]).reset_index(drop=True))
-    name_idx = {(r, n): i for i, (n, r) in
-                enumerate(zip(names["n_name"], names["r_name"]))}
-    nidx = np.array([name_idx[(r, n)] for n, r in
-                     zip(dim["n_name"], dim["r_name"])], np.int64)
-    ck, nv = _sorted_lookup(dim["c_custkey"].to_numpy(), nidx)
+    dim = dim.merge(names.assign(nidx=names.index.to_numpy(np.int64)),
+                    on=["n_name", "r_name"])   # vectorized index attach
+    ck, nv = _sorted_lookup(dim["c_custkey"].to_numpy(),
+                            dim["nidx"].to_numpy())
     ref = ray.put((ck, nv, names["n_name"].to_numpy(),
                    names["r_name"].to_numpy()))
 
-    def rev_partial(t: pa.Table) -> pa.Table:
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        g = pa.table({
-            "o_orderkey": t.column("l_orderkey"),
-            "rev_c": pa.array(np.floor(price * (1.0 - disc) * 100.0
-                                       + 0.5).astype(np.int64)),
-        })
-        return (g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
-                .rename_columns(["o_orderkey", "rev_c"]))
-
-    rev = (ray.data.read_parquet(
-               f"{sf_dir}/lineitem.parquet",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
-           .map_batches(rev_partial, batch_format="pyarrow")
-           .groupby("o_orderkey").sum("rev_c"))
+    rev = _per_order_revenue(sf_dir)
 
     def tag_rev(t: pa.Table) -> pa.Table:
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        part = (pd.util.hash_array(keys.copy(), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
-            "part": pa.array(part),
+            "part": _hash_part(keys, num_partitions),
             "o_orderkey": t.column("o_orderkey"),
             "rev_c": t.column("sum(rev_c)"),
             "nidx": pa.nulls(t.num_rows, pa.int64()),
@@ -309,10 +323,8 @@ def revenue_by_nation(sf_dir: str,
         mapped, hit = _map_keys(ck_, nv_, cust_)
         t = t.filter(pa.array(hit))
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        part = (pd.util.hash_array(keys.copy(), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)
         return pa.table({
-            "part": pa.array(part),
+            "part": _hash_part(keys, num_partitions),
             "o_orderkey": t.column("o_orderkey"),
             "rev_c": pa.nulls(t.num_rows, pa.int64()),
             "nidx": pa.array(mapped[hit]),
@@ -334,10 +346,9 @@ def revenue_by_nation(sf_dir: str,
         ok = od.column("o_orderkey").to_numpy(zero_copy_only=False)
         mapped, hit = _map_keys(rk, rc, ok)
         nidx = od.column("nidx").to_numpy(zero_copy_only=False)[hit]
-        rev_c = np.bincount(nidx, weights=mapped[hit].astype(np.float64))
-        nz = np.flatnonzero(rev_c)
-        return pa.table({"nidx": pa.array(nz.astype(np.int64)),
-                         "rev_c": pa.array(rev_c[nz].astype(np.int64))})
+        gi, sums, _ = _int_sum_by(nidx, mapped[hit])
+        return pa.table({"nidx": pa.array(gi),
+                         "rev_c": pa.array(sums)})
 
     def finish(t: pa.Table) -> pa.Table:
         _, _, n_names, r_names = ray.get(ref)
@@ -371,15 +382,10 @@ def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
 
     def partial(t: pa.Table) -> pa.Table:
         pk_, tv_, _ = ray.get(ref)
-        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
         keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
         mapped, hit = _map_keys(pk_, tv_, keys)
-        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5)[hit]
-        rev_c = np.bincount(mapped[hit], weights=rev)
-        nz = np.flatnonzero(rev_c)
-        return pa.table({"tidx": pa.array(nz.astype(np.int64)),
-                         "rev_c": pa.array(rev_c[nz].astype(np.int64))})
+        gi, sums, _ = _int_sum_by(mapped[hit], _rev_cents(t)[hit])
+        return pa.table({"tidx": pa.array(gi), "rev_c": pa.array(sums)})
 
     def finish(t: pa.Table) -> pa.Table:
         _, _, types_ = ray.get(ref)
@@ -410,15 +416,12 @@ def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
         keys = t.column("s_nationkey").to_numpy(
             zero_copy_only=False).astype(np.int64)
         mapped, hit = _map_keys(nk_, nv_, keys)
-        bal = _cents(t.column("s_acctbal"))[hit]
-        idx = mapped[hit]
-        sums = np.bincount(idx, weights=bal.astype(np.float64))
-        cnts = np.bincount(idx)
-        nz = np.flatnonzero(cnts)
+        gi, sums, cnts = _int_sum_by(mapped[hit],
+                                     _cents(t.column("s_acctbal"))[hit])
         return pa.table({
-            "nidx": pa.array(nz.astype(np.int64)),
-            "bal_c": pa.array(sums[nz].astype(np.int64)),
-            "n_suppliers": pa.array(cnts[nz].astype(np.int64)),
+            "nidx": pa.array(gi),
+            "bal_c": pa.array(sums),
+            "n_suppliers": pa.array(cnts),
         })
 
     def finish(t: pa.Table) -> pa.Table:
