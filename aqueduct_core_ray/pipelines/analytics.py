@@ -10,16 +10,18 @@ order across block counts).
 Scale shapes:
 
 - ``pricing_summary`` (Q1 flavor): per-block Arrow ``group_by`` partial
-  sums over the 6-key (returnflag, linestatus) space, then a native
-  distributed sum — the shuffle moves six rows per block.
-- ``top_orders_by_revenue`` (Q3 flavor): the customer segment is a
-  dimension side, broadcast once as a sorted key array (``ray.put``);
-  lineitem revenue is pre-aggregated per orderkey BEFORE any join
-  (shuffle moves (orderkey, cents) pairs, never line items); the
-  orders⋈revenue equi-join runs co-partitioned on hash(orderkey) % P
-  via the union-tag + ``groupby(part).map_groups`` pattern; the top-k
-  head collapses per partition first, so the final rank sees at most
-  k·P candidate rows.
+  sums over the 6-key (returnflag, linestatus) space, finished by a
+  DRIVER-SIDE fold of the O(6 x blocks) partial rows — zero exchanges
+  (Ray's sort-based Aggregate costs ~3 s of fixed overhead at any
+  scale, dwarfing a six-group fold). Same shape for the part-type and
+  supplier rollups.
+- ``top_orders_by_revenue`` (Q3 flavor) / ``revenue_by_nation`` (Q5):
+  dimension sides are read driver-side (plain pyarrow, no Ray job) and
+  broadcast once via ``ray.put``; lineitem revenue is pre-aggregated
+  per (block, orderkey) and tagged with hash(orderkey) % P so the ONE
+  co-partitioned union-tag ``groupby(part).map_groups`` exchange
+  finishes the per-order sum AND the equi-join; per-partition heads /
+  rollups leave at most k·P (Q3) or 25·P (Q5) rows for a driver fold.
 """
 
 from __future__ import annotations
@@ -54,22 +56,63 @@ def _hash_part(keys: np.ndarray, num_partitions: int) -> pa.Array:
                      % np.uint64(num_partitions)).astype(np.int32))
 
 
-def _per_order_revenue(sf_dir: str) -> ray.data.Dataset:
-    """(o_orderkey, rev_c): lineitem revenue pre-aggregated per order
-    BEFORE any join — the shuffle moves (orderkey, cents) pairs only."""
+def _concat_nonempty(ds: ray.data.Dataset,
+                     fallback: pa.Table) -> pa.Table:
+    """Collect a Dataset's blocks, dropping the zero-column empty blocks
+    Ray emits for groupless partitions (they break concat_tables)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    return pa.concat_tables(tables) if tables else fallback
+
+
+def _fold_partials(ds: ray.data.Dataset, keys: list[str],
+                   sums: list[str], fallback: pa.Table) -> pa.Table:
+    """Driver-side fold of BOUNDED-cardinality partial aggregates:
+    collects O(groups x blocks) tiny rows and finishes with one local
+    Arrow group_by. For single-digit group counts this replaces Ray's
+    sort-based Aggregate exchange, whose fixed cost (~3 s at any scale)
+    dwarfs the fold itself; apply only when groups x blocks stays
+    driver-sized (six-ish groups x even 10^6 blocks is fine)."""
+    pt = _concat_nonempty(ds, fallback)
+    agg = pt.group_by(keys).aggregate([(c, "sum") for c in sums])
+    return pa.table({**{k: agg.column(k) for k in keys},
+                     **{c: agg.column(f"{c}_sum") for c in sums}})
+
+
+def _per_order_revenue_parts(sf_dir: str,
+                             num_partitions: int) -> ray.data.Dataset:
+    """(part, o_orderkey, rev_c) PARTIAL per-order revenue, one row per
+    (block, orderkey): per-block Arrow group_by combines line items, and
+    the hash-part tag lets the downstream co-partitioned join finish the
+    per-order sum itself — ONE all-to-all for aggregate+join instead of
+    a global orderkey groupby followed by a second part shuffle."""
 
     def rev_partial(t: pa.Table) -> pa.Table:
         g = pa.table({"o_orderkey": t.column("l_orderkey"),
                       "rev_c": pa.array(_rev_cents(t))})
         agg = g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
-        return pa.table({"o_orderkey": agg.column("o_orderkey"),
+        keys = agg.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"part": _hash_part(keys, num_partitions),
+                         "o_orderkey": agg.column("o_orderkey"),
                          "rev_c": agg.column("rev_c_sum")})
 
     return (ray.data.read_parquet(
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
-            .map_batches(rev_partial, batch_format="pyarrow")
-            .groupby("o_orderkey").sum("rev_c"))
+            .map_batches(rev_partial, batch_format="pyarrow"))
+
+
+def _combine_per_order(rv: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Fold partial (o_orderkey, rev_c) rows into per-order totals:
+    (sorted unique orderkeys, int64 sums) via one sort + reduceat."""
+    rk = rv.column("o_orderkey").to_numpy(zero_copy_only=False)
+    rc = rv.column("rev_c").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(rk) == 0:
+        return rk, rc
+    order = np.argsort(rk, kind="stable")
+    rk, rc = rk[order], rc[order]
+    starts = np.flatnonzero(np.concatenate(
+        [[True], rk[1:] != rk[:-1]]))
+    return rk[starts], np.add.reduceat(rc, starts)
 
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -123,17 +166,20 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c",
-             "sum_disc_c", "sum_charge_c", "n_lines"])
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .sum(["sum_qty_c", "sum_base_c", "sum_disc_c",
-                  "sum_charge_c", "n_lines"])
-            .map_batches(rename, batch_format="pyarrow"))
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    empty = pa.table({
+        "l_returnflag": pa.array([], pa.string()),
+        "l_linestatus": pa.array([], pa.string()),
+        "sum_qty_c": pa.array([], pa.int64()),
+        "sum_base_c": pa.array([], pa.int64()),
+        "sum_disc_c": pa.array([], pa.int64()),
+        "sum_charge_c": pa.array([], pa.int64()),
+        "n_lines": pa.array([], pa.int64()),
+    })
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["l_returnflag", "l_linestatus"],
+        ["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_charge_c",
+         "n_lines"], empty))
 
 
 def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
@@ -144,25 +190,25 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
     Returns (o_orderkey, o_orderdate, o_orderpriority, revenue_c, rk)."""
     # customer is the dimension side: column-pruned read, filtered and
     # collected once on the driver, broadcast as a sorted key array
-    seg_df = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    import pyarrow.parquet as pq
+    seg_df = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
     seg_keys = np.sort(seg_df.loc[seg_df["c_mktsegment"] == segment,
                                   "c_custkey"].to_numpy())
     ref = ray.put(seg_keys)
 
-    rev = _per_order_revenue(sf_dir)
-
     def tag_rev(t: pa.Table) -> pa.Table:
-        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         return pa.table({
-            "part": _hash_part(keys, num_partitions),
+            "part": t.column("part"),
             "o_orderkey": t.column("o_orderkey"),
-            "rev_c": t.column("sum(rev_c)"),
+            "rev_c": t.column("rev_c"),
             "o_orderdate": pa.nulls(t.num_rows, pa.timestamp("us")),
             "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
             "side": pa.array(np.zeros(t.num_rows, np.int8)),
         })
+
+    rev = _per_order_revenue_parts(sf_dir, num_partitions) \
+        .map_batches(tag_rev, batch_format="pyarrow")
 
     def tag_orders(t: pa.Table) -> pa.Table:
         cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
@@ -189,10 +235,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
         side = g.column("side").to_numpy(zero_copy_only=False)
         rv = g.filter(pa.array(side == 0))
         od = g.filter(pa.array(side == 1))
-        rk_, rc = (rv.column("o_orderkey").to_numpy(zero_copy_only=False),
-                   rv.column("rev_c").to_numpy(zero_copy_only=False))
-        order = np.argsort(rk_)
-        rk_, rc = rk_[order], rc[order]
+        rk_, rc = _combine_per_order(rv)   # fold partials, sorted keys
         ok = od.column("o_orderkey").to_numpy(zero_copy_only=False)
         if len(rk_) == 0 or len(ok) == 0:
             return _TOPK_EMPTY
@@ -223,18 +266,13 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
             "rk": pa.array(np.arange(1, len(head) + 1, dtype=np.int64)),
         })
 
-    joined = (rev.map_batches(tag_rev, batch_format="pyarrow")
-              .union(orders)
+    joined = (rev.union(orders)
               .groupby("part")
               .map_groups(join_topk, batch_format="pyarrow"))
-    # k·P candidate rows -> one tiny final ranking group
-    return (joined
-            .map_batches(lambda t: t.append_column(
-                "g", pa.array(np.zeros(t.num_rows, np.int8))),
-                batch_format="pyarrow")
-            .groupby("g")
-            .map_groups(lambda t: final_topk(t.drop_columns(["g"])),
-                        batch_format="pyarrow"))
+    # k·P candidate rows: fold the final rank driver-side (a second
+    # exchange would cost seconds to sort a few dozen rows)
+    return ray.data.from_arrow(final_topk(
+        _concat_nonempty(joined, _TOPK_EMPTY)))
 
 
 _TOPK_EMPTY = pa.table({
@@ -287,13 +325,11 @@ def revenue_by_nation(sf_dir: str,
     broadcast once; the only exchange over fact data is the
     co-partitioned rev⋈orders equi-join on hash(orderkey) % P, followed
     by a ~25-row native sum."""
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nat = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet").to_pandas()
-    reg = ray.data.read_parquet(
-        f"{sf_dir}/region.parquet").to_pandas()
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
               .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     names = (dim[["n_name", "r_name"]].drop_duplicates()
@@ -305,17 +341,17 @@ def revenue_by_nation(sf_dir: str,
     ref = ray.put((ck, nv, names["n_name"].to_numpy(),
                    names["r_name"].to_numpy()))
 
-    rev = _per_order_revenue(sf_dir)
-
     def tag_rev(t: pa.Table) -> pa.Table:
-        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         return pa.table({
-            "part": _hash_part(keys, num_partitions),
+            "part": t.column("part"),
             "o_orderkey": t.column("o_orderkey"),
-            "rev_c": t.column("sum(rev_c)"),
+            "rev_c": t.column("rev_c"),
             "nidx": pa.nulls(t.num_rows, pa.int64()),
             "side": pa.array(np.zeros(t.num_rows, np.int8)),
         })
+
+    rev = _per_order_revenue_parts(sf_dir, num_partitions) \
+        .map_batches(tag_rev, batch_format="pyarrow")
 
     def tag_orders(t: pa.Table) -> pa.Table:
         ck_, nv_, _, _ = ray.get(ref)
@@ -339,10 +375,7 @@ def revenue_by_nation(sf_dir: str,
     def join_agg(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
         rv, od = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
-        rk = rv.column("o_orderkey").to_numpy(zero_copy_only=False)
-        rc = rv.column("rev_c").to_numpy(zero_copy_only=False)
-        order = np.argsort(rk)
-        rk, rc = rk[order], rc[order]
+        rk, rc = _combine_per_order(rv)    # fold partials, sorted keys
         ok = od.column("o_orderkey").to_numpy(zero_copy_only=False)
         mapped, hit = _map_keys(rk, rc, ok)
         nidx = od.column("nidx").to_numpy(zero_copy_only=False)[hit]
@@ -356,23 +389,26 @@ def revenue_by_nation(sf_dir: str,
         return pa.table({
             "r_name": pa.array(r_names[ni]),
             "n_name": pa.array(n_names[ni]),
-            "revenue_c": t.column("sum(rev_c)"),
+            "revenue_c": t.column("rev_c"),
         })
 
-    return (rev.map_batches(tag_rev, batch_format="pyarrow")
-            .union(orders)
-            .groupby("part").map_groups(join_agg, batch_format="pyarrow")
-            .groupby("nidx").sum("rev_c")
-            .map_batches(finish, batch_format="pyarrow"))
+    joined = (rev.union(orders)
+              .groupby("part").map_groups(join_agg,
+                                          batch_format="pyarrow"))
+    # <=25 rows per partition: fold the nation rollup driver-side
+    empty = pa.table({"nidx": pa.array([], pa.int64()),
+                      "rev_c": pa.array([], pa.int64())})
+    folded = _fold_partials(joined, ["nidx"], ["rev_c"], empty)
+    return ray.data.from_arrow(finish(folded))
 
 
 def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q14-flavor: revenue (integer cents) per part type — the
     ``part`` dimension broadcast as a sorted partkey -> type-index map;
     no shuffle beyond the 6-row per-block partials."""
-    part_df = ray.data.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
-    ).to_pandas()
+    import pyarrow.parquet as pq
+    part_df = pq.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"]).to_pandas()
     types = np.sort(part_df["p_type"].unique())
     tmap = {t: i for i, t in enumerate(types)}
     pk, tv = _sorted_lookup(
@@ -391,22 +427,24 @@ def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
         _, _, types_ = ray.get(ref)
         ti = t.column("tidx").to_numpy(zero_copy_only=False)
         return pa.table({"p_type": pa.array(types_[ti]),
-                         "revenue_c": t.column("sum(rev_c)")})
+                         "revenue_c": t.column("rev_c")})
 
-    return (ray.data.read_parquet(
-                f"{sf_dir}/lineitem.parquet",
-                columns=["l_partkey", "l_extendedprice", "l_discount"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("tidx").sum("rev_c")
-            .map_batches(finish, batch_format="pyarrow"))
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return ray.data.from_arrow(finish(
+        _fold_partials(parts, ["tidx"], ["rev_c"],
+                       pa.table({"tidx": pa.array([], pa.int64()),
+                                 "rev_c": pa.array([], pa.int64())}))))
 
 
 def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Supplier account-balance rollup per nation (cents): nation is
     broadcast; supplier streams through one partial-agg pass."""
-    nat = ray.data.read_parquet(
-        f"{sf_dir}/nation.parquet",
-        columns=["n_nationkey", "n_name"]).to_pandas()
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
     nk, nv = _sorted_lookup(nat["n_nationkey"].to_numpy().astype(np.int64),
                             np.arange(len(nat), dtype=np.int64))
     ref = ray.put((nk, nv, nat["n_name"].to_numpy()))
@@ -429,13 +467,16 @@ def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
         ni = t.column("nidx").to_numpy(zero_copy_only=False)
         return pa.table({
             "n_name": pa.array(names[ni]),
-            "sum_acctbal_c": t.column("sum(bal_c)"),
-            "n_suppliers": t.column("sum(n_suppliers)"),
+            "sum_acctbal_c": t.column("bal_c"),
+            "n_suppliers": t.column("n_suppliers"),
         })
 
-    return (ray.data.read_parquet(
-                f"{sf_dir}/supplier.parquet",
-                columns=["s_nationkey", "s_acctbal"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("nidx").sum(["bal_c", "n_suppliers"])
-            .map_batches(finish, batch_format="pyarrow"))
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_nationkey", "s_acctbal"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return ray.data.from_arrow(finish(
+        _fold_partials(parts, ["nidx"], ["bal_c", "n_suppliers"],
+                       pa.table({"nidx": pa.array([], pa.int64()),
+                                 "bal_c": pa.array([], pa.int64()),
+                                 "n_suppliers": pa.array([], pa.int64())}))))
