@@ -114,7 +114,11 @@ def top_tokens_by_source(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             "token": words.flatten(),
         })
         agg = g.group_by(["source", "token"]).aggregate([("token", "count")])
-        return agg.rename_columns(["source", "token", "cnt"])
+        return pa.table({          # by-name: aggregate column order is
+            "source": agg.column("source"),       # version-dependent
+            "token": agg.column("token"),
+            "cnt": agg.column("token_count"),
+        })
 
     def topk(t: pa.Table) -> pa.Table:
         cnt = t.column("sum(cnt)").to_numpy(zero_copy_only=False)

@@ -49,8 +49,12 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"
         # per-block combiner: partial counts/sums before the shuffle
         agg = g.group_by(["window_start", "event_type"]).aggregate(
             [("cents", "count"), ("cents", "sum")])
-        return agg.rename_columns(
-            ["window_start", "event_type", "n_rows", "sum_cents"])
+        return pa.table({          # by-name: aggregate column order is
+            "window_start": agg.column("window_start"),  # version-dependent
+            "event_type": agg.column("event_type"),
+            "n_rows": agg.column("cents_count"),
+            "sum_cents": agg.column("cents_sum"),
+        })
 
     from ray.data.aggregate import Sum
 
@@ -163,7 +167,11 @@ def hopping_window_counts(sf_dir: str, window_minutes: int = 60,
         })
         agg = g.group_by(["window_start", "event_type"]).aggregate(
             [("event_type", "count")])
-        return agg.rename_columns(["window_start", "event_type", "n_rows"])
+        return pa.table({
+            "window_start": agg.column("window_start"),
+            "event_type": agg.column("event_type"),
+            "n_rows": agg.column("event_type_count"),
+        })
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -203,7 +211,8 @@ def range_join_value_bands(sf_dir: str) -> ray.data.Dataset:
         lab = labels[np.clip(idx, 0, len(labels) - 1)]
         g = pa.table({"band": pa.array(lab[ok].astype(object))})
         agg = g.group_by(["band"]).aggregate([("band", "count")])
-        return agg.rename_columns(["band", "n_rows"])
+        return pa.table({"band": agg.column("band"),
+                         "n_rows": agg.column("band_count")})
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -280,7 +289,11 @@ def value_histogram(sf_dir: str, bucket_width_cents: int = 2500
                       "bucket": pa.array(b)})
         agg = g.group_by(["event_type", "bucket"]).aggregate(
             [("bucket", "count")])
-        return agg.rename_columns(["event_type", "bucket", "n_rows"])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "bucket": agg.column("bucket"),
+            "n_rows": agg.column("bucket_count"),
+        })
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({

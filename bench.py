@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "token_count", "dedup_exact", "minhash_lsh_dedup",
     "knn_bruteforce", "media_features", "sessionize",
     "chunk_dedup", "pack_sequences", "redact_pii", "decontaminate",
+    "pricing_summary", "revenue_by_nation", "running_total",
+    "remove_boilerplate_lines", "ngram_jaccard_dedup",
 ]
 
 
