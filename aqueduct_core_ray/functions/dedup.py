@@ -400,8 +400,14 @@ def ngram_jaccard_dedup(sf_dir: str, shingle: int = 3,
 
     cand = cand.map_batches(strip_est, batch_format="pyarrow")
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
-    shingles = docs.map_batches(_shingle_list_batch, batch_format="pyarrow",
-                                fn_kwargs={"shingle": shingle})
+    # materialize: BOTH join passes consume this table, and Ray
+    # re-executes lazy lineage per consumer — without the pin the
+    # corpus would be read and re-shingled twice (object store holds
+    # hash lists, ~8 B/word, and spills if needed)
+    shingles = docs.map_batches(_shingle_list_batch,
+                                batch_format="pyarrow",
+                                fn_kwargs={"shingle": shingle}
+                                ).materialize()
 
     # pass A: key = doc_id_a → sh_a
     with_a = _attach_shingles(cand, shingles, "doc_id_a",
