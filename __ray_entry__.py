@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": partial(an.revenue_by_nation),
         "revenue_by_part_type": partial(an.revenue_by_part_type),
         "supplier_balance_by_nation": partial(an.supplier_balance_by_nation),
+        "top_customers_by_return_revenue": partial(
+            an.top_customers_by_return_revenue),
+        "customers_without_orders": partial(an.customers_without_orders),
+        "inter_event_gaps": partial(tp.inter_event_gaps),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -518,6 +522,49 @@ SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS n_suppliers
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name""",
+        # TPC-H Q10 flavor: returned-line revenue per customer, top 20
+        # (two co-partitioned exchanges: orderkey join, custkey rollup)
+        "top_customers_by_return_revenue": r"""
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100
+           + 0.5)) AS BIGINT) AS rev_c
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+cu AS (
+  SELECT o.o_custkey, CAST(sum(r.rev_c) AS BIGINT) AS revenue_c
+  FROM orders o JOIN rev r ON o.o_orderkey = r.l_orderkey
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, n.n_name, t.revenue_c,
+       CAST(t.rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_c DESC, o_custkey)
+             AS rk FROM cu) t
+JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE t.rk <= 20""",
+        # distributed anti-join (lapsed customers): DISTINCT-custkey
+        # partials + one co-partitioned union-tag exchange, vectorized
+        # miss-test
+        "customers_without_orders": r"""
+SELECT c_custkey, c_name,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01')""",
+        # LAG-window gap statistics per user (microsecond gaps between
+        # consecutive events in (ts, event_id) order)
+        "inter_event_gaps": r"""
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(epoch_us(ts) - epoch_us(prev)), 0) AS BIGINT)
+         AS sum_gap_us,
+       CAST(coalesce(max(epoch_us(ts) - epoch_us(prev)), 0) AS BIGINT)
+         AS max_gap_us
+FROM o GROUP BY user_id""",
         # Gopher-style repetition metrics: every ratio is an integer
         # floor-percent, so SQL reproduces the engine bit-exactly
         "repetition_score": r"""

@@ -439,6 +439,204 @@ def revenue_by_part_type(sf_dir: str) -> ray.data.Dataset:
                                  "rev_c": pa.array([], pa.int64())}))))
 
 
+def top_customers_by_return_revenue(sf_dir: str, k: int = 20,
+                                    num_partitions: int = 16
+                                    ) -> ray.data.Dataset:
+    """TPC-H Q10-flavor: the ``k`` customers with the highest revenue
+    from RETURNED lines (l_returnflag = 'R'), with name and nation.
+    Returns (c_custkey, c_name, n_name, revenue_c, rk).
+
+    Scale shape — the one query in this module whose aggregate key
+    (custkey) differs from its join key (orderkey), so TWO bounded
+    co-partitioned exchanges are inherent:
+
+    1. hash(orderkey) %% P: per-(block, orderkey) returned-revenue
+       partials union-tagged with (o_orderkey, o_custkey) pairs; the
+       map_groups finishes the per-order sum AND the orders equi-join,
+       re-emitting (custkey, rev_c) partials already folded per
+       partition — at most one row per custkey per partition.
+    2. hash(custkey) %% P: fold per-customer totals and keep each
+       partition's local top-k — k·P candidate rows to the driver.
+
+    Customer/nation names are attached at the END, to the k winners
+    only (dimension reads are driver-side pyarrow like the other
+    star joins; only k rows ever need the name columns)."""
+    import pyarrow.parquet as pq
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        flag = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(flag == "R"))
+        g = pa.table({"o_orderkey": t.column("l_orderkey"),
+                      "rev_c": pa.array(_rev_cents(t))})
+        agg = g.group_by("o_orderkey").aggregate([("rev_c", "sum")])
+        keys = agg.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "o_orderkey": agg.column("o_orderkey"),
+            "rev_c": agg.column("rev_c_sum"),
+            "o_custkey": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    rev = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"]
+    ).map_batches(rev_partial, batch_format="pyarrow")
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "o_orderkey": t.column("o_orderkey"),
+            "rev_c": pa.nulls(n, pa.int64()),
+            "o_custkey": t.column("o_custkey"),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    orders = (ray.data.read_parquet(
+                  f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+              .map_batches(tag_orders, batch_format="pyarrow"))
+
+    cust_empty = pa.table({"part": pa.array([], pa.int32()),
+                           "o_custkey": pa.array([], pa.int64()),
+                           "rev_c": pa.array([], pa.int64())})
+
+    def join_to_cust(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        rv, od = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
+        rk, rc = _combine_per_order(rv)    # per-order totals, sorted keys
+        ok = od.column("o_orderkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(rk, rc, ok)
+        ck = od.column("o_custkey").to_numpy(zero_copy_only=False)[hit]
+        if len(ck) == 0:
+            return cust_empty
+        # fold to one row per custkey BEFORE the second exchange
+        order = np.argsort(ck, kind="stable")
+        cks, rcs = ck[order], mapped[hit][order].astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                cks[1:] != cks[:-1]]))
+        cu = cks[starts]
+        sums = np.add.reduceat(rcs, starts)
+        return pa.table({
+            "part": _hash_part(cu, num_partitions),
+            "o_custkey": pa.array(cu),
+            "rev_c": pa.array(sums),
+        })
+
+    per_cust = (rev.union(orders)
+                .groupby("part")
+                .map_groups(join_to_cust, batch_format="pyarrow"))
+
+    topk_empty = pa.table({"o_custkey": pa.array([], pa.int64()),
+                           "rev_c": pa.array([], pa.int64())})
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        ck = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        rc = g.column("rev_c").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        cks, rcs = ck[order], rc[order].astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                cks[1:] != cks[:-1]]))
+        cu, sums = cks[starts], np.add.reduceat(rcs, starts)
+        head = np.lexsort((cu, -sums))[:k]
+        return pa.table({"o_custkey": pa.array(cu[head]),
+                         "rev_c": pa.array(sums[head])})
+
+    cand = (per_cust.groupby("part")
+            .map_groups(local_topk, batch_format="pyarrow"))
+    t = _concat_nonempty(cand, topk_empty)
+    ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+    rc = t.column("rev_c").to_numpy(zero_copy_only=False)
+    head = np.lexsort((ck, -rc))[:k]
+    win_keys, win_rev = ck[head], rc[head].astype(np.int64)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name",
+                                  "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey",
+                     right_on="n_nationkey").set_index("c_custkey")
+    names = dim.loc[win_keys]
+    return ray.data.from_arrow(pa.table({
+        "c_custkey": pa.array(win_keys.astype(np.int64)),
+        "c_name": pa.array(names["c_name"].to_numpy()),
+        "n_name": pa.array(names["n_name"].to_numpy()),
+        "revenue_c": pa.array(win_rev),
+        "rk": pa.array(np.arange(1, len(win_keys) + 1, dtype=np.int64)),
+    }))
+
+
+def customers_without_orders(sf_dir: str, since: str = "2000-01-01",
+                             num_partitions: int = 16) -> ray.data.Dataset:
+    """Distributed ANTI-JOIN: customers with NO order on or after
+    ``since`` (lapsed customers). Returns (c_custkey, c_name,
+    acctbal_c) — one row per lapsed customer.
+
+    Scale shape: neither side is broadcast (at warehouse scale BOTH key
+    sets are large). The orders side is row-filtered at the read, then
+    shrinks to per-block DISTINCT custkey partials before the exchange;
+    one co-partitioned union-tag groupby on hash(custkey) %% P lands
+    every customer row with every order-key partial that could match
+    it, and the per-partition anti is a single vectorized searchsorted
+    miss-test. Output stays distributed (a Dataset) — the result can be
+    a large fraction of customer."""
+    cutoff = np.datetime64(since, "us")
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(od >= cutoff))
+        keys = np.unique(t.column("o_custkey").to_numpy(
+            zero_copy_only=False))
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "c_custkey": pa.array(keys.astype(np.int64)),
+            "c_name": pa.nulls(n, pa.string()),
+            "acctbal_c": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    probe = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+             .map_batches(order_keys, batch_format="pyarrow"))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "acctbal_c": pa.array(_cents(t.column("c_acctbal"))),
+            "side": pa.array(np.ones(len(keys), np.int8)),
+        })
+
+    cust = (ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_acctbal"])
+            .map_batches(tag_cust, batch_format="pyarrow"))
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        have = np.unique(g.filter(pa.array(side == 0))
+                         .column("c_custkey")
+                         .to_numpy(zero_copy_only=False))
+        c = g.filter(pa.array(side == 1))
+        keys = c.column("c_custkey").to_numpy(zero_copy_only=False)
+        _, hit = _map_keys(have, have, keys)
+        c = c.filter(pa.array(~hit))
+        return pa.table({"c_custkey": c.column("c_custkey"),
+                         "c_name": c.column("c_name"),
+                         "acctbal_c": c.column("acctbal_c")})
+
+    return (probe.union(cust)
+            .groupby("part").map_groups(anti, batch_format="pyarrow"))
+
+
 def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Supplier account-balance rollup per nation (cents): nation is
     broadcast; supplier streams through one partial-agg pass."""

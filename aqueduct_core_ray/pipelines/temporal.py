@@ -500,3 +500,52 @@ def running_total(sf_dir: str, num_partitions: int = 16
                                       "value"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
             .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+
+
+def inter_event_gaps(sf_dir: str, num_partitions: int = 16
+                     ) -> ray.data.Dataset:
+    """LAG-window gap statistics: per user, the count of events and the
+    sum / max of the microsecond gaps between CONSECUTIVE events in
+    (ts, event_id) order — SQL's ``ts - lag(ts) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`` aggregated per user. Returns
+    (user_id, n_events, sum_gap_us, max_gap_us); single-event users get
+    zero gaps.
+
+    Scale shape (same as running_total): ONE hash shuffle on user_id
+    into bounded partitions; within a partition one lexsort orders every
+    user's stream, per-position gaps come from a single shifted
+    difference (zeroed at segment starts, so a segment's first row
+    contributes nothing), and per-user sum/max are one ``reduceat``
+    each — no per-user Python loop, no global sort. Each user lives in
+    exactly one partition, so the output needs no driver fold."""
+    import pandas as pd
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.ones(len(uid), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(len(uid), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[new_user] = 0                  # first row of a user: no gap
+        starts = np.flatnonzero(new_user)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(np.diff(np.append(starts, len(uid)))
+                                 .astype(np.int64)),
+            "sum_gap_us": pa.array(np.add.reduceat(gap, starts)),
+            "max_gap_us": pa.array(np.maximum.reduceat(gap, starts)),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow"))

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "chunk_dedup", "pack_sequences", "redact_pii", "decontaminate",
     "pricing_summary", "revenue_by_nation", "running_total",
     "remove_boilerplate_lines", "ngram_jaccard_dedup",
+    "top_customers_by_return_revenue", "customers_without_orders",
+    "inter_event_gaps",
 ]
 
 

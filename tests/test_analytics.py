@@ -121,3 +121,63 @@ def test_supplier_balance_by_nation_totals():
     exp_n = con.execute("SELECT count(*) FROM supplier").fetchone()[0]
     ry = analytics.supplier_balance_by_nation(SF).to_pandas()
     assert int(ry["n_suppliers"].sum()) == exp_n
+
+
+def test_top_customers_by_return_revenue_matches_duckdb():
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        WITH rev AS (
+          SELECT l_orderkey,
+                 CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                      AS BIGINT) AS rev_c
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+        cu AS (
+          SELECT o.o_custkey, CAST(sum(r.rev_c) AS BIGINT) AS revenue_c
+          FROM orders o JOIN rev r ON o.o_orderkey = r.l_orderkey
+          GROUP BY o.o_custkey)
+        SELECT c.c_custkey, c.c_name, n.n_name, t.revenue_c,
+               CAST(t.rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY revenue_c DESC, o_custkey) AS rk FROM cu) t
+        JOIN customer c ON t.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE t.rk <= 20""").df())
+    ry = _canon(analytics.top_customers_by_return_revenue(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # the custkey->customer rollup must be partition-invariant (the
+    # second exchange re-keys; a custkey split across partitions would
+    # double-count)
+    ry2 = _canon(analytics.top_customers_by_return_revenue(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_customers_without_orders_anti_join():
+    con = duckdb.connect()
+    for tb in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT c_custkey, c_name,
+               CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS acctbal_c
+        FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01')""").df())
+    ry = _canon(analytics.customers_without_orders(SF).to_pandas())
+    assert len(ry) > 0                       # non-trivial on testdata
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    ry2 = _canon(analytics.customers_without_orders(
+        SF, num_partitions=5).to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_customers_without_orders_all_buyers_is_empty():
+    # with the cutoff at the data's start, every customer has an order:
+    # the anti side must be EXACTLY empty (no false survivors)
+    out = analytics.customers_without_orders(
+        SF, since="1995-01-01").take_all()
+    assert out == []

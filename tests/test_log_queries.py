@@ -253,3 +253,33 @@ def test_running_total_matches_duckdb_window():
     ry2 = running_total(SF, num_partitions=3).to_pandas()
     ry2 = ry2[cols].sort_values(cols).reset_index(drop=True)
     assert ry.equals(ry2)
+
+
+def test_inter_event_gaps_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import inter_event_gaps
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(coalesce(sum(epoch_us(ts) - epoch_us(prev)), 0)
+                    AS BIGINT) AS sum_gap_us,
+               CAST(coalesce(max(epoch_us(ts) - epoch_us(prev)), 0)
+                    AS BIGINT) AS max_gap_us
+        FROM o GROUP BY user_id""").df()
+    ry = inter_event_gaps(SF).to_pandas()
+    a = sq.sort_values("user_id").reset_index(drop=True)
+    b = ry.sort_values("user_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # partition invariance: each user's history must be co-located
+    ry2 = inter_event_gaps(SF, num_partitions=3).to_pandas()
+    b2 = ry2.sort_values("user_id").reset_index(drop=True)[a.columns]
+    assert b.equals(b2)
