@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             an.top_customers_by_return_revenue),
         "customers_without_orders": partial(an.customers_without_orders),
         "inter_event_gaps": partial(tp.inter_event_gaps),
+        # time travel: replay in two waves, diff generation 0 -> CURRENT
+        "generation_diff_events": partial(er.generation_diff_events),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     engine-internal); the driver records a weaker check ---
         "tokenize_docs": partial(er.tokenize_documents),
@@ -551,6 +553,32 @@ FROM customer
 WHERE c_custkey NOT IN (
   SELECT o_custkey FROM orders
   WHERE o_orderdate >= TIMESTAMP '2000-01-01')""",
+        # time-travel diff: the engine's generation-0 vs CURRENT lake
+        # states equal the LWW states of the two log PREFIXES (split at
+        # (max_lsn)//2 in integer arithmetic on both sides), outer-joined
+        "generation_diff_events": r"""
+WITH log AS (
+  SELECT event_id + 1 AS lsn,
+         'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS doc_id,
+         CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+              AS BIGINT) AS op
+  FROM events),
+half AS (SELECT (max(event_id) + 1) // 2 AS w FROM events),
+l1 AS (SELECT l.* FROM log l, half WHERE l.lsn <= half.w),
+t1 AS (SELECT doc_id, max(lsn) AS last_lsn FROM l1 GROUP BY doc_id),
+s1 AS (SELECT l.doc_id, t.last_lsn FROM l1 l JOIN t1 t
+       ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn WHERE l.op = 0),
+t2 AS (SELECT doc_id, max(lsn) AS last_lsn FROM log GROUP BY doc_id),
+s2 AS (SELECT l.doc_id, t.last_lsn FROM log l JOIN t2 t
+       ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn WHERE l.op = 0)
+SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+       CASE WHEN s1.doc_id IS NULL THEN 'added'
+            WHEN s2.doc_id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       s1.last_lsn AS lsn_old, s2.last_lsn AS lsn_new
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL
+   OR s1.last_lsn != s2.last_lsn""",
         # LAG-window gap statistics per user (microsecond gaps between
         # consecutive events in (ts, event_id) order)
         "inter_event_gaps": r"""

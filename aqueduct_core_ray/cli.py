@@ -214,6 +214,42 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """TIME-TRAVEL DIFF between two committed generations: per-change
+    counts plus a bounded sample of changed doc_ids (the CDC consumer's
+    "what changed since generation G" view; one raw task per CHANGED
+    partition, untouched partitions skipped by manifest-entry
+    identity)."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    try:
+        ds = eng.diff_generations(args.from_gen, args.to_gen)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    counts: dict[str, int] = {}
+    sample: list[dict] = []
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        for ch, n in zip(*_value_counts(batch.column("change"))):
+            counts[ch] = counts.get(ch, 0) + n
+        if len(sample) < args.sample:
+            sample.extend(batch.slice(
+                0, args.sample - len(sample)).to_pylist())
+    print(json.dumps({"ok": True, "from": args.from_gen,
+                      "to": (args.to_gen if args.to_gen is not None
+                             else eng.manifest.generation),
+                      "changed": counts, "sample": sample}))
+    return 0
+
+
+def _value_counts(col) -> tuple[list[str], list[int]]:
+    import pyarrow.compute as pc
+    vc = pc.value_counts(col)
+    return ([v.as_py() for v in vc.field("values")],
+            [c.as_py() for c in vc.field("counts")])
+
+
 def cmd_status(args) -> int:
     """Operator view of a lake: manifest summary, pipe state, registered
     consumers with lag (reference: the registry's node summary +
@@ -331,6 +367,17 @@ def main(argv: list[str] | None = None) -> int:
                          "(O(pending), base untouched) instead of "
                          "absorbing into the base")
     cp.set_defaults(fn=cmd_compact)
+
+    df = sub.add_parser("diff",
+                        help="time-travel diff between two generations")
+    df.add_argument("--lake", required=True)
+    df.add_argument("--from-gen", type=int, required=True,
+                    dest="from_gen")
+    df.add_argument("--to-gen", type=int, default=None, dest="to_gen",
+                    help="defaults to CURRENT")
+    df.add_argument("--sample", type=int, default=10,
+                    help="changed rows to include in the output")
+    df.set_defaults(fn=cmd_diff)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)

@@ -712,6 +712,57 @@ def partition_accounting(pid: int, lake_root: str, entry: dict,
             "partials_json": json.dumps(partials, default=_jsafe)}
 
 
+def diff_partition(pid: int, lake_root: str,
+                   old_entry: "dict[str, Any] | None",
+                   new_entry: "dict[str, Any] | None",
+                   old_schema_b64: str, new_schema_b64: str,
+                   policy: ConflictPolicy) -> pa.Table:
+    """TIME-TRAVEL DIFF of one partition between two generations:
+    (doc_id, change ∈ added|updated|deleted, lsn_old, lsn_new). Runs as
+    a raw Ray task from ``CDCEngine.diff_generations`` — one task per
+    CHANGED partition only (the driver skips partitions whose manifest
+    entry — base path + delta chain — is identical in both
+    generations, so a diff after a small wave costs O(touched), not
+    O(lake)). Narrow projection: only doc_id/last_lsn (+ fence) are
+    read, never the payload; the compare is one vectorized outer hash
+    join."""
+    import pandas as pd
+
+    def side(entry, b64):
+        if entry is None:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                 "lsn": pd.Series([], dtype=np.int64)})
+        schema = schema_from_b64(b64)
+        t = live_rows(load_partition_table(lake_root, entry, schema,
+                                           policy, columns=["doc_id"]))
+        return pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "lsn": t.column("last_lsn").to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+        })
+
+    a = side(old_entry, old_schema_b64).rename(columns={"lsn": "lsn_old"})
+    b = side(new_entry, new_schema_b64).rename(columns={"lsn": "lsn_new"})
+    m = a.merge(b, on="doc_id", how="outer", indicator=True)
+    change = np.where(
+        m["_merge"] == "right_only", "added",
+        np.where(m["_merge"] == "left_only", "deleted", "updated"))
+    keep = (m["_merge"] != "both") | (m["lsn_old"] != m["lsn_new"])
+    m = m[keep]
+    # outer-merge lsn columns are float64 with NaN for the absent side:
+    # fill before the int cast, null via the mask
+    return pa.table({
+        "doc_id": pa.array(m["doc_id"].to_numpy(), pa.string()),
+        "change": pa.array(change[keep.to_numpy()], pa.string()),
+        "lsn_old": pa.array(m["lsn_old"].fillna(0).to_numpy()
+                            .astype(np.int64),
+                            mask=m["lsn_old"].isna().to_numpy()),
+        "lsn_new": pa.array(m["lsn_new"].fillna(0).to_numpy()
+                            .astype(np.int64),
+                            mask=m["lsn_new"].isna().to_numpy()),
+    })
+
+
 def live_rows(t: pa.Table) -> pa.Table:
     """User-visible view: tombstone-fence rows excluded."""
     if FENCE_COL not in t.column_names:

@@ -178,6 +178,19 @@ class LakeStore:
                            manifest.to_json())
         self._atomic_write(self.current_path, name)
 
+    def manifest_at(self, generation: int) -> Manifest | None:
+        """TIME TRAVEL: load a historical manifest by generation.
+        Manifests are immutable and never vacuumed (tiny JSON); the
+        PART FILES a historical manifest references are only guaranteed
+        present within ``vacuum(keep_generations=...)``'s keep window —
+        reading past it raises FileNotFoundError at scan time."""
+        mp = os.path.join(self.manifests_dir,
+                          f"manifest-{generation:06d}.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return Manifest.from_json(f.read())
+
     def promote_staged(self, wave_id: str, pid: int, generation: int) -> str:
         """Step 2: move a staged partition file to its committed location.
         `os.replace` = atomic overwrite, so re-promotion after a crash is

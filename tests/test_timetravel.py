@@ -1,0 +1,100 @@
+"""Time travel + generation diff: historical reads are byte-stable,
+diffs match an independent pandas comparison of the two snapshots, and
+unchanged partitions are skipped (entry-identity fast path)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    write_changelog,
+    write_seed_lake,
+)
+
+SPEC = ChangelogSpec(n_docs=300, n_events=2_400, seed=7, chunk_size=600,
+                     n_waves=4)
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(SPEC,
+                           str(tmp_path_factory.mktemp("seed") / "s.parquet"))
+    eng = CDCEngine(str(tmp_path_factory.mktemp("lake") / "lake"),
+                    num_partitions=8, sidecar_frac=0.5)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    return eng
+
+
+def _snap(eng: CDCEngine, gen: int) -> pd.DataFrame:
+    df = (eng.read_lake(columns=["doc_id", "last_lsn"], generation=gen)
+          .to_pandas())
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_time_travel_read_matches_manifest_watermark(lake):
+    g_cur = lake.manifest.generation
+    assert g_cur >= 4                      # bootstrap + 4 waves
+    # generation 0 = the bootstrap snapshot: every doc present, lsn 0
+    df0 = _snap(lake, 0)
+    assert len(df0) == SPEC.n_docs
+    assert (df0["last_lsn"] == 0).all()
+    # historical watermarks are monotone in generation
+    wms = [lake.manifest_at(g).watermark for g in range(g_cur + 1)]
+    assert wms == sorted(wms)
+    # the generation-less read IS the current generation's read
+    cur = lake.read_lake(columns=["doc_id", "last_lsn"]).to_pandas()
+    cur = cur.sort_values("doc_id").reset_index(drop=True)
+    assert cur.equals(_snap(lake, g_cur))
+
+
+def test_diff_generations_matches_pandas(lake):
+    g_cur = lake.manifest.generation
+    for g_old in (0, g_cur - 2):
+        a, b = _snap(lake, g_old), _snap(lake, g_cur)
+        m = a.merge(b, on="doc_id", how="outer",
+                    suffixes=("_old", "_new"), indicator=True)
+        exp = m[(m["_merge"] != "both")
+                | (m["last_lsn_old"] != m["last_lsn_new"])]
+        got = (lake.diff_generations(g_old, g_cur).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(exp)
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        want_change = exp["_merge"].map(
+            {"right_only": "added", "left_only": "deleted",
+             "both": "updated"}).to_numpy()
+        assert (got["change"].to_numpy() == want_change).all()
+        upd = got[got["change"] == "updated"]
+        assert (upd["lsn_new"] > upd["lsn_old"]).all()
+        # lsn_old is null exactly for added docs, lsn_new for deleted
+        assert got["lsn_old"].isna().equals(got["change"] == "added")
+        assert got["lsn_new"].isna().equals(got["change"] == "deleted")
+
+
+def test_diff_same_generation_is_empty_and_skips_all(lake):
+    g = lake.manifest.generation
+    out = lake.diff_generations(g, g)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "change", "lsn_old", "lsn_new"]
+
+
+def test_diff_defaults_to_current(lake):
+    g_cur = lake.manifest.generation
+    a = (lake.diff_generations(g_cur - 1).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lake.diff_generations(g_cur - 1, g_cur).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    # a single wave touches a subset: the diff is O(touched), non-empty
+    assert 0 < len(a) <= SPEC.n_events
+
+
+def test_unknown_generation_raises(lake):
+    with pytest.raises(ValueError):
+        lake.manifest_at(9999)
+    with pytest.raises(ValueError):
+        lake.diff_generations(9999)
