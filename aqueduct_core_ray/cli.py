@@ -250,6 +250,24 @@ def _value_counts(col) -> tuple[list[str], list[int]]:
             [c.as_py() for c in vc.field("counts")])
 
 
+def cmd_clone(args) -> int:
+    """ZERO-COPY BRANCH: new lake root at this lake's state as of
+    --generation (default CURRENT); part files hardlinked, O(partitions)
+    metadata. The clone replays further waves independently."""
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    try:
+        dst = eng.clone_lake(args.dst, args.generation)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    m = dst.manifest
+    print(json.dumps({"ok": True, "dst": args.dst,
+                      "watermark": m.watermark,
+                      "partitions": len(m.partitions)}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Operator view of a lake: manifest summary, pipe state, registered
     consumers with lag (reference: the registry's node summary +
@@ -378,6 +396,14 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--sample", type=int, default=10,
                     help="changed rows to include in the output")
     df.set_defaults(fn=cmd_diff)
+
+    cl = sub.add_parser("clone",
+                        help="zero-copy branch of a lake (hardlinks)")
+    cl.add_argument("--lake", required=True)
+    cl.add_argument("--dst", required=True)
+    cl.add_argument("--generation", type=int, default=None,
+                    help="source generation (default CURRENT)")
+    cl.set_defaults(fn=cmd_clone)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)

@@ -1325,6 +1325,72 @@ class CDCEngine:
             }))
         return ray.data.from_arrow_refs(refs)
 
+    def clone_lake(self, dst_root: str,
+                   generation: int | None = None) -> "CDCEngine":
+        """ZERO-COPY BRANCH: materialize a new, independent lake root
+        whose generation 0 is this lake's state as of ``generation``
+        (default CURRENT). Part and sidecar files are HARDLINKED
+        (copy fallback across filesystems), so branching a huge lake
+        costs O(partitions) metadata, not O(bytes) — the lakehouse
+        branch/clone primitive (curate an experimental corpus variant
+        without duplicating the data). Hardlinks make the branches
+        fully independent: either side's ``vacuum`` unlinks only its
+        own directory entries, never the other branch's. On a shared
+        object store the same shape is "copy the manifest, reference
+        the immutable objects" — the path rewrite below is the only
+        local-fs concession. The clone's engine can replay further
+        waves immediately (generations continue from 0)."""
+        import shutil as _shutil
+
+        src = (self.manifest if generation is None
+               else self.manifest_at(generation))
+        if src is None:
+            raise ValueError("lake has no committed manifest")
+        if os.path.exists(os.path.join(dst_root, "CURRENT")):
+            raise ValueError(f"{dst_root} is already a committed lake")
+        dst = LakeStore(dst_root)
+
+        def adopt(rel: str, pid: int, tag: str) -> str:
+            src_p = self.store.abs(rel)
+            d = os.path.join(dst.parts_dir, f"p={pid:06d}")
+            os.makedirs(d, exist_ok=True)
+            dst_p = os.path.join(d, f"g000000-{tag}.parquet")
+            try:
+                os.link(src_p, dst_p)
+            except OSError:
+                _shutil.copy2(src_p, dst_p)
+            return dst.rel(dst_p)
+
+        new_parts: dict[str, dict[str, Any]] = {}
+        for pid_s, e in src.partitions.items():
+            pid = int(pid_s)
+            ne = dict(e)
+            ne["path"] = adopt(e["path"], pid, "base")
+            ne["deltas"] = [
+                {**d, "path": adopt(d["path"], pid, f"d{i:03d}")}
+                for i, d in enumerate(e.get("deltas") or [])]
+            new_parts[pid_s] = ne
+        man = Manifest(
+            generation=0, watermark=src.watermark,
+            wave_id=f"clone-{src.wave_id}", schema_b64=src.schema_b64,
+            num_partitions=src.num_partitions, partitions=new_parts,
+            partials={k: dict(v) for k, v in src.partials.items()},
+            lineage=[{"cloned_from": self.store.root,
+                      "source_generation": src.generation,
+                      "source_wave_id": src.wave_id}],
+            named_offsets=dict(src.named_offsets),
+            hour_max=dict(src.hour_max),
+        )
+        dst.commit(man)
+        return CDCEngine(dst_root, num_partitions=None,
+                         derivations=self.derivations, salt=self.salt,
+                         sources=self.sources,
+                         merge_strategy=self.merge_strategy,
+                         conflict=self.conflict,
+                         sidecar_frac=self.sidecar_frac,
+                         max_deltas=self.max_deltas,
+                         chain_compact=self.chain_compact)
+
     def compact_partitions(self, pids: list[int] | None = None) -> int:
         """Maintenance compaction: absorb delta sidecars into their base
         files (the LSM background-compaction analog), committed as one

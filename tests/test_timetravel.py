@@ -98,3 +98,51 @@ def test_unknown_generation_raises(lake):
         lake.manifest_at(9999)
     with pytest.raises(ValueError):
         lake.diff_generations(9999)
+
+
+def _table(eng, gen=None):
+    df = (eng.read_lake(columns=["doc_id", "last_lsn"], generation=gen)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return df
+
+
+def test_clone_historical_generation(lake, tmp_path):
+    snap = _table(lake, gen=1)
+    clone = lake.clone_lake(str(tmp_path / "hist"), generation=1)
+    assert clone.watermark == lake.manifest_at(1).watermark
+    assert _table(clone).equals(snap)
+
+
+def test_clone_refuses_existing_lake(lake, tmp_path):
+    lake.clone_lake(str(tmp_path / "c1"))
+    with pytest.raises(ValueError):
+        lake.clone_lake(str(tmp_path / "c1"))
+
+def test_clone_lake_branches_independently(lake, tmp_path):
+    import os
+
+    src_state = _table(lake)
+    g_src = lake.manifest.generation
+    clone = lake.clone_lake(str(tmp_path / "branch"))
+    assert clone.manifest.generation == 0
+    assert clone.watermark == lake.watermark
+    assert _table(clone).equals(src_state)
+    # branch is writable: replay one more synthetic wave into the CLONE
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec, write_changelog)
+    more = ChangelogSpec(n_docs=SPEC.n_docs,
+                         n_events=SPEC.n_events + 600, seed=7,
+                         chunk_size=600, n_waves=5)
+    log2 = write_changelog(more, str(tmp_path / "log2"))
+    clone.replay(log2, [more.wave_bounds[-1]])
+    assert clone.watermark > lake.watermark
+    # ...the SOURCE is untouched...
+    assert lake.manifest.generation == g_src
+    assert _table(lake).equals(src_state)
+    # ...and vacuuming the source does not break the clone (hardlinks:
+    # each branch owns its directory entries)
+    lake.store.vacuum(keep_generations=1)
+    diff = clone.diff_generations(0)
+    assert diff.count() > 0                 # the extra wave changed docs
+    assert _table(clone, gen=0).equals(src_state)
+    assert os.path.exists(os.path.join(str(tmp_path / "branch"), "CURRENT"))
