@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": partial(tp.distinct_users_by_type),
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
         "approx_quantiles": partial(tp.approx_quantiles_by_type),
+        "exact_quantiles": partial(tp.exact_quantiles_by_type),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "top_tokens_by_source": partial(text.top_tokens_by_source),
@@ -721,6 +722,16 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                         THEN props END AS props,
                    source, last_lsn
             FROM lww WHERE op = 0""",
+        # exact grouped quantiles over the bounded integer-cent domain
+        # (histogram partials -> one native Sum exchange -> driver
+        # cumsum readout; quantile_disc rank = ceil(q*n), verified)
+        "exact_quantiles": """
+            SELECT event_type,
+                   unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+                   unnest(quantile_disc(
+                       CAST(floor(value * 100 + 0.5) AS BIGINT),
+                       [0.25, 0.5, 0.9, 0.99])) AS value_c
+            FROM events GROUP BY event_type""",
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
             FROM documents""",

@@ -283,3 +283,35 @@ def test_inter_event_gaps_matches_duckdb():
     ry2 = inter_event_gaps(SF, num_partitions=3).to_pandas()
     b2 = ry2.sort_values("user_id").reset_index(drop=True)[a.columns]
     assert b.equals(b2)
+
+
+def test_exact_quantiles_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import exact_quantiles_by_type
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        SELECT event_type,
+               unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+               unnest(quantile_disc(
+                   CAST(floor(value * 100 + 0.5) AS BIGINT),
+                   [0.25, 0.5, 0.9, 0.99])) AS value_c
+        FROM events GROUP BY event_type""").df()
+    ry = exact_quantiles_by_type(SF).to_pandas()
+    key = ["event_type", "q"]
+    a = sq.sort_values(key).reset_index(drop=True)
+    b = ry.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # exact-vs-approx sanity: the log-binned sketch's p50 (dollars)
+    # must sit within a 5% band of the exact answer
+    from aqueduct_core_ray.pipelines.temporal import (
+        approx_quantiles_by_type)
+    ap = approx_quantiles_by_type(SF).to_pandas()
+    m = b[b["q"] == 0.5].merge(ap[ap["q"] == 0.5], on="event_type")
+    assert len(m) > 0
+    exact_dollars = m["value_c"] / 100.0
+    rel = (m["value"] - exact_dollars).abs() / exact_dollars.clip(lower=0.01)
+    assert (rel <= 0.05).all()
