@@ -269,18 +269,15 @@ def generation_diff_events(sf_dir: str, num_partitions: int = 16):
     arithmetic, so the oracle can reproduce the schedule bit-exactly),
     then diff generation 0 (after wave 1) against generation 1
     (CURRENT) — the relational twin is the outer join of the two
-    prefix-LWW states. Returns (doc_id, change, lsn_old, lsn_new)."""
-    work = _scratch("aqr-gdiff-")
-    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "cloud")
-    os.makedirs(log_dir, exist_ok=True)
-    (read_events(sf_dir)
-     .map_batches(events_to_changelog, batch_format="pyarrow")
-     .write_parquet(log_dir))
-    max_lsn = int(read_events(sf_dir, columns=["event_id"])
-                  .max("event_id")) + 1
-    eng = CDCEngine(lake_dir, num_partitions=num_partitions,
-                    derivations=())
-    eng.replay(log_dir, [(0, max_lsn // 2), (max_lsn // 2, max_lsn)])
+    prefix-LWW states. Returns (doc_id, change, lsn_old, lsn_new).
+
+    ``_wave_bounds(max_lsn, 2)`` yields exactly ``[(0, max_lsn // 2),
+    (max_lsn // 2, max_lsn)]`` (linspace's midpoint m/2 is an exact
+    double for any int64 m, truncating to m // 2), so the oracle's
+    ``(max(event_id) + 1) // 2`` split reproduces the schedule."""
+    eng, _ = replay_events_engine(sf_dir, n_waves=2,
+                                  num_partitions=num_partitions,
+                                  derivations=())
     out = eng.diff_generations(0, 1).to_pandas()
-    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
     return out.sort_values("doc_id").reset_index(drop=True)

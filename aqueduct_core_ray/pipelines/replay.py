@@ -1150,14 +1150,11 @@ class CDCEngine:
 
     # ------------------------------------------------------------------ #
     def lake_files(self) -> list[str]:
-        m = self.manifest
-        if not m:
-            return []
-        return [self.store.abs(p["path"]) for _, p in
-                sorted(m.partitions.items(), key=lambda kv: int(kv[0]))]
+        return [self.store.abs(p["path"]) for p in self._sorted_entries()]
 
-    def _sorted_entries(self) -> list[dict[str, Any]]:
-        m = self.manifest
+    def _sorted_entries(self, m: "Manifest | None" = None
+                        ) -> list[dict[str, Any]]:
+        m = self.manifest if m is None else m
         if not m:
             return []
         return [p for _, p in sorted(m.partitions.items(),
@@ -1189,9 +1186,7 @@ class CDCEngine:
         plain multi-file parquet scan."""
         m = (self.manifest if generation is None
              else self.manifest_at(generation))
-        entries = ([p for _, p in sorted(m.partitions.items(),
-                                         key=lambda kv: int(kv[0]))]
-                   if m else [])
+        entries = self._sorted_entries(m)
         if not entries:
             return ray.data.from_arrow(default_lake_schema().empty_table())
         fenced = "last_op" in m.schema.names
@@ -1293,8 +1288,6 @@ class CDCEngine:
         (doc_id, last_lsn) projection of both versions and outer-joins
         them vectorized; results stay in the object store
         (``from_arrow_refs``), never gathered on the driver."""
-        import ray as _ray
-
         m_old = self.manifest_at(g_old)
         m_new = (self.manifest if g_new is None
                  else self.manifest_at(g_new))
@@ -1387,6 +1380,7 @@ class CDCEngine:
                          sources=self.sources,
                          merge_strategy=self.merge_strategy,
                          conflict=self.conflict,
+                         emit_changelog=self.emit_changelog,
                          sidecar_frac=self.sidecar_frac,
                          max_deltas=self.max_deltas,
                          chain_compact=self.chain_compact)

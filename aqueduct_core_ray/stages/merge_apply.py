@@ -729,16 +729,19 @@ def diff_partition(pid: int, lake_root: str,
     import pandas as pd
 
     def side(entry, b64):
+        # NULLABLE Int64, not numpy int64: a plain-int64 column would be
+        # upcast to float64 by the outer merge's NaN fill, collapsing
+        # lsn values past 2^53 (same hazard _int_sum_by guards against)
         if entry is None:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
-                                 "lsn": pd.Series([], dtype=np.int64)})
+                                 "lsn": pd.Series([], dtype="Int64")})
         schema = schema_from_b64(b64)
         t = live_rows(load_partition_table(lake_root, entry, schema,
                                            policy, columns=["doc_id"]))
         return pd.DataFrame({
             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
-            "lsn": t.column("last_lsn").to_numpy(zero_copy_only=False)
-                    .astype(np.int64),
+            "lsn": pd.array(t.column("last_lsn").to_numpy(
+                zero_copy_only=False).astype(np.int64), dtype="Int64"),
         })
 
     a = side(old_entry, old_schema_b64).rename(columns={"lsn": "lsn_old"})
@@ -747,18 +750,18 @@ def diff_partition(pid: int, lake_root: str,
     change = np.where(
         m["_merge"] == "right_only", "added",
         np.where(m["_merge"] == "left_only", "deleted", "updated"))
-    keep = (m["_merge"] != "both") | (m["lsn_old"] != m["lsn_new"])
+    # Kleene OR: non-'both' rows are True regardless of the NA side
+    keep = ((m["_merge"] != "both")
+            | (m["lsn_old"] != m["lsn_new"])).fillna(False).astype(bool)
     m = m[keep]
-    # outer-merge lsn columns are float64 with NaN for the absent side:
-    # fill before the int cast, null via the mask
     return pa.table({
         "doc_id": pa.array(m["doc_id"].to_numpy(), pa.string()),
         "change": pa.array(change[keep.to_numpy()], pa.string()),
-        "lsn_old": pa.array(m["lsn_old"].fillna(0).to_numpy()
-                            .astype(np.int64),
+        "lsn_old": pa.array(m["lsn_old"].to_numpy(dtype="int64",
+                                                  na_value=0),
                             mask=m["lsn_old"].isna().to_numpy()),
-        "lsn_new": pa.array(m["lsn_new"].fillna(0).to_numpy()
-                            .astype(np.int64),
+        "lsn_new": pa.array(m["lsn_new"].to_numpy(dtype="int64",
+                                                  na_value=0),
                             mask=m["lsn_new"].isna().to_numpy()),
     })
 

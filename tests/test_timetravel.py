@@ -146,3 +146,25 @@ def test_clone_lake_branches_independently(lake, tmp_path):
     assert diff.count() > 0                 # the extra wave changed docs
     assert _table(clone, gen=0).equals(src_state)
     assert os.path.exists(os.path.join(str(tmp_path / "branch"), "CURRENT"))
+
+
+def test_time_travel_past_vacuum_window_fails_loudly(tmp_path):
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec, write_changelog, write_seed_lake)
+
+    spec = ChangelogSpec(n_docs=120, n_events=600, seed=3,
+                         chunk_size=300, n_waves=2)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4,
+                    sidecar_frac=0.0)
+    eng.bootstrap(seed)
+    eng.replay(log, spec.wave_bounds)
+    eng.store.vacuum(keep_generations=1)
+    # the manifest itself is still loadable (tiny JSON, never vacuumed)
+    assert eng.manifest_at(0).generation == 0
+    # ...but reading generation 0's data fails loudly, not silently
+    with pytest.raises(Exception):
+        eng.read_lake(generation=0).to_pandas()
+    # CURRENT stays fully readable
+    assert eng.read_lake().count() > 0
