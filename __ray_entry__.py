@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": partial(ann.knn_ivf_recall),
         "media_features": partial(multimodal.media_features),
         "frame_sample": partial(multimodal.frame_sample),
+        "resize_media": partial(multimodal.resize_media),
     }
 
 

@@ -206,6 +206,111 @@ def frame_sample(sf_dir: str, n_frames: int = 4,
                          max_restarts=0))
 
 
+class ImageResizer:
+    """Actor-pool resize stage: binary image payload -> fixed
+    (out_h × out_w) grayscale thumbnail re-encoded as raw PGM — the
+    decode→resize→re-encode shape of a real image-normalization stage.
+
+    REAL path: raw PGM/PPM payloads (and PIL-decodable images when PIL
+    is importable) are actually decoded and resampled. Opaque payloads
+    fall back to the deterministic fake (bytes reshaped into the
+    largest square) so the plumbing — batch sizing for decoded-pixel
+    memory, 1:1 schema, per-actor setup — is exercised on any corpus.
+
+    The resample is NEAREST-NEIGHBOR with the standard pixel-center
+    convention src = floor((dst + 0.5) · in/out): one precomputed index
+    pair per output axis, one vectorized fancy-index gather per image —
+    no per-pixel Python."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        try:                            # pragma: no cover - env-dependent
+            from PIL import Image
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        """payload -> 2-D uint8 grayscale array (REAL for PGM/PPM/PIL,
+        deterministic square fake otherwise)."""
+        import io
+        import re
+
+        if self._pil is not None:       # pragma: no cover - env-dependent
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("L")
+                return np.asarray(img, dtype=np.uint8)
+            except Exception:
+                pass
+        m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+\d+\s", payload)
+        if m is not None:
+            w, h = int(m.group(2)), int(m.group(3))
+            ch = 3 if m.group(1) == b"P6" else 1
+            px = np.frombuffer(payload[m.end():], np.uint8)
+            if len(px) >= w * h * ch:
+                px = px[:w * h * ch].reshape(h, w, ch)
+                return px.mean(axis=2).astype(np.uint8) if ch == 3 \
+                    else px[:, :, 0]
+        # opaque payload: deterministic fake — largest square of bytes
+        side = max(1, int(np.sqrt(len(payload))))
+        px = np.frombuffer(payload, np.uint8)[:side * side]
+        if len(px) < side * side:
+            px = np.pad(px, (0, side * side - len(px)))
+        return px.reshape(side, side)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        ih, iw = img.shape
+        ri = np.minimum(((np.arange(self.out_h) + 0.5) * ih
+                         / self.out_h).astype(np.int64), ih - 1)
+        ci = np.minimum(((np.arange(self.out_w) + 0.5) * iw
+                         / self.out_w).astype(np.int64), iw - 1)
+        return img[np.ix_(ri, ci)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        header = f"P5 {self.out_w} {self.out_h} 255\n".encode()
+        in_w, in_h, out_pay, csum = [], [], [], []
+        for p in t.column("payload").to_pylist():
+            img = self._decode(p)
+            thumb = self._resize(img)
+            in_h.append(img.shape[0])
+            in_w.append(img.shape[1])
+            out_pay.append(header + thumb.tobytes())
+            csum.append(int(thumb.astype(np.uint64).sum()))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "in_w": pa.array(in_w, pa.int32()),
+            "in_h": pa.array(in_h, pa.int32()),
+            "out_w": pa.array(np.full(t.num_rows, self.out_w, np.int32)),
+            "out_h": pa.array(np.full(t.num_rows, self.out_h, np.int32)),
+            "thumb": pa.array(out_pay, pa.binary()),
+            "pixel_sum": pa.array(csum, pa.int64()),
+        })
+
+
+def resize_media(sf_dir: str, out_w: int = 16, out_h: int = 16,
+                 concurrency: "int | tuple[int, int] | None" = None,
+                 batch_size: int = 512) -> ray.data.Dataset:
+    """documents.text bytes as the opaque image payload -> fixed-size
+    PGM thumbnails. ``batch_size`` is sized for DECODED-pixel memory
+    (batch_size × in_w × in_h bytes resident per batch), the binding
+    constraint with real images, not the payload bytes."""
+    from .text import actor_pool_size
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": t.column("text").cast(pa.binary())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (ds.map_batches(to_payload, batch_format="pyarrow")
+            .map_batches(ImageResizer, batch_format="pyarrow",
+                         batch_size=batch_size,
+                         fn_constructor_kwargs={"out_w": out_w,
+                                                "out_h": out_h},
+                         concurrency=concurrency or actor_pool_size(),
+                         max_restarts=0))   # see frame_sample note
+
+
 def media_features(sf_dir: str,
                    concurrency: "int | tuple[int, int] | None" = None,
                    batch_size: int = 1024,

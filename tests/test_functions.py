@@ -523,3 +523,47 @@ def test_top_docs_per_source_ranking(tmp_path):
     out2 = text.top_docs_per_source(d2, k=2).take_all()
     ranks = {(r["source"], r["rk"]): r["doc_id"] for r in out2}
     assert ranks[("src0", 1)] == 0 and ranks[("src0", 2)] == 3
+
+
+def test_image_resizer_nearest_on_real_pgm():
+    # 4x4 gradient PGM, resized to 2x2: nearest with the pixel-center
+    # convention src = floor((dst + 0.5) * 4 / 2) picks rows/cols 1,3
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    payload = b"P5 4 4 255\n" + img.tobytes()
+    rz = multimodal.ImageResizer(out_w=2, out_h=2)
+    out = rz(pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "payload": pa.array([payload], pa.binary())}))
+    want = img[np.ix_([1, 3], [1, 3])]
+    assert out.column("in_w")[0].as_py() == 4
+    assert out.column("in_h")[0].as_py() == 4
+    assert out.column("pixel_sum")[0].as_py() == int(want.sum())
+    thumb = out.column("thumb")[0].as_py()
+    assert thumb.startswith(b"P5 2 2 255\n")
+    got = np.frombuffer(thumb.split(b"\n", 1)[1], np.uint8).reshape(2, 2)
+    assert (got == want).all()
+    # a resized thumbnail re-decodes through the SAME stage (PGM out =
+    # PGM in): idempotent at the target size
+    out2 = rz(pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "payload": out.column("thumb")}))
+    assert out2.column("pixel_sum")[0].as_py() == int(want.sum())
+    # P6 color PPM: channel-mean then resize
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (30, 60, 90)                      # mean 60
+    ppm = b"P6 2 2 255\n" + rgb.tobytes()
+    out3 = multimodal.ImageResizer(out_w=1, out_h=1)(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([ppm], pa.binary())}))
+    assert out3.column("pixel_sum")[0].as_py() == 0  # nearest picks (1,1)
+
+
+def test_resize_media_plumbing(corpus):
+    rows = sorted(multimodal.resize_media(corpus, out_w=8, out_h=8)
+                  .take_all(), key=lambda r: r["doc_id"])
+    t = pq.read_table(f"{corpus}/documents.parquet")
+    assert len(rows) == t.num_rows                  # 1:1, no explosion
+    for r in rows:
+        assert (r["out_w"], r["out_h"]) == (8, 8)
+        assert len(r["thumb"]) == len(b"P5 8 8 255\n") + 64
+    # deterministic: identical payloads -> identical thumbnails
+    assert rows[0]["thumb"] == rows[1]["thumb"]
+    assert rows[0]["pixel_sum"] == rows[1]["pixel_sum"]
