@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": partial(tp.exact_quantiles_by_type),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
+        "bpe_token_count": partial(text.bpe_token_count),
         "top_tokens_by_source": partial(text.top_tokens_by_source),
         "quality_score": partial(text.quality_score),
         "fingerprint": partial(text.fingerprint),
@@ -735,6 +736,16 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             FROM events GROUP BY event_type""",
         "token_count": f"""
             SELECT doc_id, CAST({n_words} AS BIGINT) AS n_tok
+            FROM documents""",
+        # GPT-2-flavor pretokenizer counts: both engines run RE2 with
+        # leftmost-first alternation (see functions/text.py BPE_PATTERN)
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+'))
+                        AS BIGINT) AS n_tok_ws,
+                   CAST(len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+                        AS BIGINT) AS n_tok_bpe
             FROM documents""",
         "top_tokens_by_source": r"""
             WITH w AS (

@@ -49,6 +49,36 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+# GPT-2-flavor pretokenizer, RE2-compatible: contractions, letter runs,
+# digit runs, punctuation runs — each optionally preceded by ONE space.
+# Two deliberate deviations from the original GPT-2 pattern, both
+# count-preserving: the lookahead arm `\s+(?!\S)` is unsupported by RE2,
+# and the residual `\s+` arm is DROPPED entirely — an unmatched
+# whitespace run is simply skipped by the scan, and whether a single
+# space is absorbed as a token's leading " " or skipped changes token
+# CONTENT, never the token COUNT. Arrow's count_substring_regex and
+# DuckDB's regexp_extract_all both execute RE2 with leftmost-first
+# alternation, so the SQL oracle reproduces counts bit-exactly.
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace vs BPE-ish token counts per doc: ``n_tok_ws`` (\\S+
+    runs) and ``n_tok_bpe`` (GPT-2-flavor pretokenizer matches). One
+    RE2 pass per pattern over the whole batch, no Python row loop."""
+    txt = t.column(text_col)
+    ws = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+    bpe = pc.count_substring_regex(txt, BPE_PATTERN).cast(pa.int64())
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "n_tok_ws": ws, "n_tok_bpe": bpe})
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------- #
 def quality_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer-valued quality metrics (floats avoided so results are

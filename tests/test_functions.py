@@ -567,3 +567,33 @@ def test_resize_media_plumbing(corpus):
     # deterministic: identical payloads -> identical thumbnails
     assert rows[0]["thumb"] == rows[1]["thumb"]
     assert rows[0]["pixel_sum"] == rows[1]["pixel_sum"]
+
+
+def test_bpe_token_count_matches_python_re():
+    import re
+
+    from aqueduct_core_ray.functions.text import (
+        BPE_PATTERN, bpe_token_count_batch)
+
+    docs = [
+        "it's Dave's 2nd run, isn't it?",
+        "hello   world",          # multi-space run carries no token
+        "  leading and trailing  ",
+        "a1b2 x-y_z 3.14 ... don't we'll I'm",
+        "", "   ",                # empty / whitespace-only -> 0
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = bpe_token_count_batch(t)
+    # Python re implements the same leftmost-first alternation as RE2
+    # for this lookahead-free pattern
+    want_bpe = [len(re.findall(BPE_PATTERN, d)) for d in docs]
+    want_ws = [len(re.findall(r"\S+", d)) for d in docs]
+    assert out.column("n_tok_bpe").to_pylist() == want_bpe
+    assert out.column("n_tok_ws").to_pylist() == want_ws
+    # contractions split: "it's" -> "it" + "'s"
+    one = bpe_token_count_batch(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["it's"])}))
+    assert one.column("n_tok_bpe")[0].as_py() == 2
+    assert one.column("n_tok_ws")[0].as_py() == 1
