@@ -197,5 +197,30 @@ def test_lazy_accounting_matches_full_engine(rows, cuts, frac, md):
         assert set(fresh) == set(side.dirty_pids())
         for name in ("source_stats", "corpus_rollup"):
             assert side.derived_table(name).equals(full.derived_table(name))
+
+        # time-travel diff property: diff(gen 0 -> CURRENT) must equal
+        # the dict-oracle diff of the two prefix-LWW live states, for
+        # ANY stream / wave split / sidecar configuration
+        def live(upto):
+            best = {}
+            for r in rows:
+                if r["lsn"] <= upto:
+                    cur = best.get(r["doc_id"])
+                    if cur is None or r["lsn"] > cur["lsn"]:
+                        best[r["doc_id"]] = r
+            return {k: v["lsn"] for k, v in best.items() if v["op"] == 0}
+
+        a, b = live(bounds[0][1]), live(hi)
+        exp = {}
+        for k in set(a) | set(b):
+            if k not in a:
+                exp[k] = ("added", None, b[k])
+            elif k not in b:
+                exp[k] = ("deleted", a[k], None)
+            elif a[k] != b[k]:
+                exp[k] = ("updated", a[k], b[k])
+        got = {r["doc_id"]: (r["change"], r["lsn_old"], r["lsn_new"])
+               for r in side.diff_generations(0).take_all()}
+        assert got == exp
     finally:
         shutil.rmtree(d, ignore_errors=True)
