@@ -554,9 +554,14 @@ def top_customers_by_return_revenue(sf_dir: str, k: int = 20,
     head = np.lexsort((ck, -rc))[:k]
     win_keys, win_rev = ck[head], rc[head].astype(np.int64)
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name",
-                                  "c_nationkey"]).to_pandas()
+    # name lookup for the k WINNERS only: a predicate-pushdown point
+    # read (row-group statistics prune), never a full customer scan —
+    # at warehouse scale customer is a fact-sized table and only k=20
+    # rows need names
+    import pyarrow.dataset as pads
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(win_keys.tolist())).to_pandas()
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nat, left_on="c_nationkey",
