@@ -250,6 +250,21 @@ def _value_counts(col) -> tuple[list[str], list[int]]:
             [c.as_py() for c in vc.field("counts")])
 
 
+def cmd_vacuum(args) -> int:
+    """Garbage-collect part files outside the newest --keep generations
+    (every kept manifest stays fully readable — the time-travel
+    retention window; see LakeStore.vacuum)."""
+    from .state.manifest import LakeStore
+    store = LakeStore(args.lake)
+    if store.current_manifest() is None:
+        print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
+        return 1
+    removed = store.vacuum(keep_generations=args.keep)
+    print(json.dumps({"ok": True, "removed_files": removed,
+                      "keep_generations": args.keep}))
+    return 0
+
+
 def cmd_clone(args) -> int:
     """ZERO-COPY BRANCH: new lake root at this lake's state as of
     --generation (default CURRENT); part files hardlinked, O(partitions)
@@ -396,6 +411,13 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--sample", type=int, default=10,
                     help="changed rows to include in the output")
     df.set_defaults(fn=cmd_diff)
+
+    vc = sub.add_parser("vacuum",
+                        help="GC part files outside the keep window")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument("--keep", type=int, default=2,
+                    help="generations kept fully readable (default 2)")
+    vc.set_defaults(fn=cmd_vacuum)
 
     cl = sub.add_parser("clone",
                         help="zero-copy branch of a lake (hardlinks)")

@@ -142,3 +142,34 @@ def test_status_and_prune_outbox(inputs, tmp_path, capsys):
     rc, out = run(["prune-outbox", "--lake", lake,
                    "--below-lsn", "100"], capsys)
     assert rc == 1 and "consumers" in out[0]["error"]
+
+
+def test_vacuum_diff_clone_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+
+    # diff: bootstrap (gen 0) -> CURRENT, counts + bounded sample
+    rc, out = run(["diff", "--lake", lake, "--from-gen", "0",
+                   "--sample", "3"], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    assert sum(out[-1]["changed"].values()) > 0
+    assert len(out[-1]["sample"]) <= 3
+
+    # clone: branch, then verify the branch is a committed, equal lake
+    dst = str(tmp_path / "branch")
+    rc, out = run(["clone", "--lake", lake, "--dst", dst], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    rc, out = run(["verify", "--lake", dst], capsys)
+    assert rc == 0 and out[-1]["ok"]
+
+    # vacuum: shrink to the newest generation; CURRENT stays readable
+    rc, out = run(["vacuum", "--lake", lake, "--keep", "1"], capsys)
+    assert rc == 0 and out[-1]["ok"] and out[-1]["removed_files"] > 0
+    rc, out = run(["verify", "--lake", lake], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    # unknown lake fails loudly
+    rc, out = run(["vacuum", "--lake", str(tmp_path / "nope")], capsys)
+    assert rc == 1 and not out[-1]["ok"]
