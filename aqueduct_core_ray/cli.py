@@ -250,6 +250,19 @@ def _value_counts(col) -> tuple[list[str], list[int]]:
             [c.as_py() for c in vc.field("counts")])
 
 
+def cmd_get(args) -> int:
+    """Point reads: live rows for the given doc_ids, touching only the
+    hash partitions those keys map to (CDCEngine.get_docs) — the
+    key-addressed read the doc_id partitioning exists for."""
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    cols = args.columns.split(",") if args.columns else None
+    t = eng.get_docs(args.ids.split(","), columns=cols)
+    print(json.dumps({"ok": True, "rows": t.num_rows,
+                      "docs": t.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Garbage-collect part files outside the newest --keep generations
     (every kept manifest stays fully readable — the time-travel
@@ -411,6 +424,14 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--sample", type=int, default=10,
                     help="changed rows to include in the output")
     df.set_defaults(fn=cmd_diff)
+
+    g = sub.add_parser("get", help="point-read live rows by doc_id")
+    g.add_argument("--lake", required=True)
+    g.add_argument("--ids", required=True,
+                   help="comma-separated doc_ids")
+    g.add_argument("--columns", default=None,
+                   help="comma-separated column subset")
+    g.set_defaults(fn=cmd_get)
 
     vc = sub.add_parser("vacuum",
                         help="GC part files outside the keep window")

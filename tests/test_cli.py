@@ -173,3 +173,19 @@ def test_vacuum_diff_clone_cli(inputs, tmp_path, capsys):
     # unknown lake fails loudly
     rc, out = run(["vacuum", "--lake", str(tmp_path / "nope")], capsys)
     assert rc == 1 and not out[-1]["ok"]
+
+
+def test_get_point_read_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+    rc, out = run(["get", "--lake", lake,
+                   "--ids", "doc00000001,doc00000002,missing",
+                   "--columns", "doc_id,n_tok,last_lsn"], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    docs = {d["doc_id"]: d for d in out[-1]["docs"]}
+    assert "missing" not in docs
+    for d in docs.values():
+        assert set(d) == {"doc_id", "n_tok", "last_lsn"}
