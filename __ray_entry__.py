@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_return_revenue": partial(
             an.top_customers_by_return_revenue),
         "customers_without_orders": partial(an.customers_without_orders),
+        "small_quantity_revenue": partial(an.small_quantity_revenue),
         "inter_event_gaps": partial(tp.inter_event_gaps),
         # time travel: replay in two waves, diff generation 0 -> CURRENT
         "generation_diff_events": partial(er.generation_diff_events),
@@ -582,6 +583,19 @@ SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
 FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
 WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL
    OR s1.last_lsn != s2.last_lsn""",
+        # TPC-H Q17 flavor: aggregate self-join on the fact table; the
+        # 20%-of-average test is integer-exact (5*qty_c*n < sum_qty_c)
+        "small_quantity_revenue": r"""
+WITH a AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_c
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(coalesce(sum(floor(l.l_extendedprice * 100 + 0.5)), 0)
+            AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+WHERE 5 * CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) * a.n
+      < a.sum_qty_c""",
         # LAG-window gap statistics per user (microsecond gaps between
         # consecutive events in (ts, event_id) order)
         "inter_event_gaps": r"""

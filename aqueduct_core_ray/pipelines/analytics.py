@@ -683,3 +683,92 @@ def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
                        pa.table({"nidx": pa.array([], pa.int64()),
                                  "bal_c": pa.array([], pa.int64()),
                                  "n_suppliers": pa.array([], pa.int64())}))))
+
+
+def small_quantity_revenue(sf_dir: str,
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q17-flavor AGGREGATE SELF-JOIN on the fact table: total
+    revenue (and line count) from lineitems whose quantity is below 20%
+    of their own part's average quantity. Returns one row
+    (revenue_c, n_lines).
+
+    Scale shape: the per-part average and the rows it filters live in
+    the SAME table, so the fact data must meet its own aggregate — one
+    union-tag exchange on hash(partkey) %% P carrying (a) per-(block,
+    partkey) quantity partials (sum_qty_c, n) and (b) the narrow
+    (partkey, qty_c, price_c) line triples; each partition folds its
+    partials and filters its lines in one vectorized pass, emitting a
+    single (revenue_c, n_lines) partial — the driver folds ≤P rows.
+    The 20%%-of-average test is INTEGER-EXACT: qty < 0.2·(sum/n) ⇔
+    5·qty_c·n < sum_qty_c (no float division on either side, so the
+    SQL oracle reproduces the row set bit-exactly)."""
+
+    def tag_lines(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty_c = _cents(t.column("l_quantity"))
+        price_c = _cents(t.column("l_extendedprice"))
+        g = pa.table({"pk": t.column("l_partkey"),
+                      "q": pa.array(qty_c),
+                      "one": pa.array(np.ones(len(pk), np.int64))})
+        agg = g.group_by("pk").aggregate([("q", "sum"), ("one", "sum")])
+        apk = agg.column("pk").to_numpy(zero_copy_only=False)
+        n_a, n_l = len(apk), len(pk)
+        return pa.table({
+            "part": pa.concat_arrays([
+                _hash_part(apk, num_partitions),
+                _hash_part(pk, num_partitions)]),
+            "l_partkey": pa.concat_arrays(
+                [agg.column("pk").combine_chunks(),
+                 t.column("l_partkey").combine_chunks()]),
+            "sum_qty_c": pa.concat_arrays([
+                agg.column("q_sum").combine_chunks(),
+                pa.nulls(n_l, pa.int64())]),
+            "n": pa.concat_arrays([
+                agg.column("one_sum").combine_chunks(),
+                pa.nulls(n_l, pa.int64())]),
+            "qty_c": pa.concat_arrays([pa.nulls(n_a, pa.int64()),
+                                       pa.array(qty_c)]),
+            "price_c": pa.concat_arrays([pa.nulls(n_a, pa.int64()),
+                                         pa.array(price_c)]),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n_a, np.int8), np.ones(n_l, np.int8)])),
+        })
+
+    def fold_filter(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ag, ln = g.filter(pa.array(side == 0)), g.filter(pa.array(side == 1))
+        apk = ag.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(apk, kind="stable")
+        apk = apk[order]
+        sq = ag.column("sum_qty_c").to_numpy(zero_copy_only=False)[order]
+        nn = ag.column("n").to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                apk[1:] != apk[:-1]]))
+        keys = apk[starts]
+        sums = np.add.reduceat(sq.astype(np.int64), starts)
+        cnts = np.add.reduceat(nn.astype(np.int64), starts)
+        lpk = ln.column("l_partkey").to_numpy(zero_copy_only=False)
+        s_m, hit = _map_keys(keys, sums, lpk)
+        c_m, _ = _map_keys(keys, cnts, lpk)
+        qty = ln.column("qty_c").to_numpy(zero_copy_only=False)
+        price = ln.column("price_c").to_numpy(zero_copy_only=False)
+        keep = hit & (5 * qty * c_m < s_m)
+        return pa.table({
+            "revenue_c": pa.array([int(price[keep].sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    ds = (ray.data.read_parquet(
+              f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+          .map_batches(tag_lines, batch_format="pyarrow")
+          .groupby("part").map_groups(fold_filter, batch_format="pyarrow"))
+    empty = pa.table({"revenue_c": pa.array([], pa.int64()),
+                      "n_lines": pa.array([], pa.int64())})
+    t = _concat_nonempty(ds, empty)
+    return ray.data.from_arrow(pa.table({
+        "revenue_c": pa.array([int(t.column("revenue_c").to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+        "n_lines": pa.array([int(t.column("n_lines").to_numpy(
+            zero_copy_only=False).sum())], pa.int64()),
+    }))

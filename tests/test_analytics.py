@@ -181,3 +181,27 @@ def test_customers_without_orders_all_buyers_is_empty():
     out = analytics.customers_without_orders(
         SF, since="1995-01-01").take_all()
     assert out == []
+
+
+def test_small_quantity_revenue_matches_duckdb():
+    sq = _duck("""
+        WITH a AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(floor(l_quantity*100+0.5)) AS BIGINT)
+                   AS sum_qty_c
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(coalesce(sum(floor(l.l_extendedprice*100+0.5)), 0)
+                    AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE 5 * CAST(floor(l.l_quantity*100+0.5) AS BIGINT) * a.n
+              < a.sum_qty_c""")
+    ry = analytics.small_quantity_revenue(SF).to_pandas()
+    assert len(ry) == 1
+    assert int(ry["revenue_c"][0]) == int(sq["revenue_c"][0])
+    assert int(ry["n_lines"][0]) == int(sq["n_lines"][0])
+    assert int(ry["n_lines"][0]) > 0           # non-trivial on testdata
+    # partition invariance: a partkey split across partitions would see
+    # a partial average and mis-filter
+    ry2 = analytics.small_quantity_revenue(SF, num_partitions=3).to_pandas()
+    assert ry.equals(ry2)
