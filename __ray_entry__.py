@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
         "approx_quantiles": partial(tp.approx_quantiles_by_type),
         "exact_quantiles": partial(tp.exact_quantiles_by_type),
+        "user_type_sets": partial(tp.user_type_sets),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "bpe_token_count": partial(text.bpe_token_count),
@@ -738,6 +739,21 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                         THEN props END AS props,
                    source, last_lsn
             FROM lww WHERE op = 0""",
+        # distributed set ops: INTERSECT / EXCEPT over two event
+        # populations (distinct-bit partials, one hash exchange)
+        "user_type_sets": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id, 'both' AS status FROM
+              (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'click_only' FROM
+              (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'purchase_only' FROM
+              (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)""",
         # exact grouped quantiles over the bounded integer-cent domain
         # (histogram partials -> one native Sum exchange -> driver
         # cumsum readout; quantile_disc rank = ceil(q*n), verified)

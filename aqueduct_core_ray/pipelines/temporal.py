@@ -608,3 +608,55 @@ def exact_quantiles_by_type(sf_dir: str,
         "q": pa.array(out_q, pa.float64()),
         "value_c": pa.array(out_v, pa.int64()),
     }))
+
+
+def user_type_sets(sf_dir: str, type_a: str = "click",
+                   type_b: str = "purchase",
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Distributed SET OPERATIONS between two event populations: each
+    user that emitted ``type_a`` or ``type_b`` is classified
+    ``both`` (INTERSECT), ``click_only`` (A EXCEPT B) or
+    ``purchase_only`` (B EXCEPT A) — returns (user_id, status).
+
+    Scale shape: per-block DISTINCT (user, membership-bit) partials
+    shrink the stream to ≤ 2·users-per-block rows before the ONE
+    hash(user) exchange; each partition folds bits with a segmented
+    bitwise-OR (sort + reduceat) and classifies every user in one
+    vectorized pass. Neither side is broadcast; output stays
+    distributed."""
+    import pandas as pd
+
+    bit_of = {type_a: np.int64(1), type_b: np.int64(2)}
+    status_of = {3: "both", 1: "click_only", 2: "purchase_only"}
+
+    def partial(t: pa.Table) -> pa.Table:
+        typ = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        bits = np.where(typ == type_a, 1, np.where(typ == type_b, 2, 0))
+        m = bits > 0
+        uid, bits = uid[m], bits[m].astype(np.int64)
+        pairs = np.unique(np.stack([uid, bits], axis=1), axis=0)
+        part = (pd.util.hash_array(pairs[:, 0].copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "user_id": pa.array(pairs[:, 0]),
+                         "bit": pa.array(pairs[:, 1])})
+
+    def classify(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        bit = g.column("bit").to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        uid, bit = uid[order], bit[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                uid[1:] != uid[:-1]]))
+        masks = np.bitwise_or.reduceat(bit, starts)
+        users = uid[starts]
+        out_status = np.empty(len(users), object)
+        for m, s in status_of.items():
+            out_status[masks == m] = s
+        return pa.table({"user_id": pa.array(users),
+                         "status": pa.array(out_status, pa.string())})
+
+    ds = read_events(sf_dir, columns=["user_id", "event_type"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(classify, batch_format="pyarrow"))

@@ -315,3 +315,36 @@ def test_exact_quantiles_matches_duckdb():
     exact_dollars = m["value_c"] / 100.0
     rel = (m["value"] - exact_dollars).abs() / exact_dollars.clip(lower=0.01)
     assert (rel <= 0.05).all()
+
+
+def test_user_type_sets_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import user_type_sets
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+             p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase')
+        SELECT user_id, 'both' AS status FROM
+          (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'click_only' FROM
+          (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        UNION ALL
+        SELECT user_id, 'purchase_only' FROM
+          (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)""").df()
+    ry = user_type_sets(SF).to_pandas()
+    a = sq.sort_values("user_id").reset_index(drop=True)
+    b = ry.sort_values("user_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert set(b["status"]) <= {"both", "click_only", "purchase_only"}
+    # partition invariance: a user split across partitions would see a
+    # partial bitmask and misclassify
+    ry2 = user_type_sets(SF, num_partitions=3).to_pandas()
+    b2 = ry2.sort_values("user_id").reset_index(drop=True)[a.columns]
+    assert b.equals(b2)
