@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": partial(text.top_docs_per_source),
         # --- warehouse analytics over the TPC-H-shaped tables ---
         "pricing_summary": partial(an.pricing_summary),
+        "pricing_rollup": partial(an.pricing_rollup),
         "top_orders_by_revenue": partial(an.top_orders_by_revenue),
         "revenue_by_nation": partial(an.revenue_by_nation),
         "revenue_by_part_type": partial(an.revenue_by_part_type),
@@ -474,6 +475,22 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus""",
+        # GROUPING SETS: same aggregates at leaf / per-flag / grand
+        # levels, rolled-up keys as the 'ALL' sentinel (deterministic
+        # across engines, unlike NULL group markers)
+        "pricing_rollup": r"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+         AS sum_base_c,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+         AS BIGINT) AS sum_disc_c,
+       CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+         * 100 + 0.5)) AS BIGINT) AS sum_charge_c,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
         # TPC-H Q3 flavor: broadcast segment dimension + co-partitioned
         # orders join over pre-aggregated per-order revenue
         "top_orders_by_revenue": r"""

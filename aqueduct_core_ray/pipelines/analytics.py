@@ -772,3 +772,28 @@ def small_quantity_revenue(sf_dir: str,
         "n_lines": pa.array([int(t.column("n_lines").to_numpy(
             zero_copy_only=False).sum())], pa.int64()),
     }))
+
+
+def pricing_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over the Q1 pricing
+    summary: leaf rows plus per-flag subtotals plus the grand total,
+    rolled-up keys shown as the sentinel 'ALL' (deterministic across
+    engines, unlike NULL group markers). The rollup is computed FROM
+    the six leaf rows — distributed cost identical to
+    ``pricing_summary`` (per-block partials, zero exchanges); the
+    super-aggregate levels are pure driver arithmetic over ≤6 rows."""
+    import pandas as pd
+
+    leaf = pricing_summary(sf_dir).to_pandas()
+    sums = ["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_charge_c",
+            "n_lines"]
+    lvl1 = (leaf.groupby("l_returnflag", as_index=False)[sums].sum()
+            .assign(l_linestatus="ALL"))
+    lvl0 = pd.DataFrame([{**{c: int(leaf[c].sum()) for c in sums},
+                          "l_returnflag": "ALL", "l_linestatus": "ALL"}])
+    cols = ["l_returnflag", "l_linestatus"] + sums
+    out = pd.concat([leaf[cols], lvl1[cols], lvl0[cols]],
+                    ignore_index=True)
+    for c in sums:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)

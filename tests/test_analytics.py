@@ -205,3 +205,23 @@ def test_small_quantity_revenue_matches_duckdb():
     # a partial average and mis-filter
     ry2 = analytics.small_quantity_revenue(SF, num_partitions=3).to_pandas()
     assert ry.equals(ry2)
+
+
+def test_pricing_rollup_matches_duckdb():
+    sq = _canon(_duck("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(sum(floor(l_quantity*100+0.5)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(floor(l_extendedprice*100+0.5)) AS BIGINT)
+                 AS sum_base_c,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                 AS BIGINT) AS sum_disc_c,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*(1+l_tax)
+                 *100+0.5)) AS BIGINT) AS sum_charge_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+    ry = _canon(analytics.pricing_rollup(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # 6 leaf + 3 per-flag + 1 grand total
+    assert len(ry) == 10
