@@ -225,3 +225,76 @@ def test_pricing_rollup_matches_duckdb():
     assert sq.equals(ry.astype(sq.dtypes.to_dict()))
     # 6 leaf + 3 per-flag + 1 grand total
     assert len(ry) == 10
+
+
+def test_cents_convention_matches_duckdb_property():
+    """The load-bearing cross-engine convention: numpy's
+    floor(x*100+0.5) must equal DuckDB's for ARBITRARY float64 money
+    values — including binary-float edge cases like 0.285 (which is
+    really 0.2849999...) — because every money oracle replays this
+    exact expression."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aqueduct_core_ray.pipelines.analytics import _cents
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.one_of(
+        st.floats(min_value=0.0, max_value=1e7, allow_nan=False),
+        st.decimals(min_value=0, max_value=100000, places=3)
+        .map(float)), min_size=1, max_size=50))
+    def check(vals):
+        import pandas as pd
+        con = duckdb.connect()
+        df = pd.DataFrame({"x": np.asarray(vals, np.float64)})
+        want = con.execute(
+            "SELECT CAST(floor(x*100+0.5) AS BIGINT) AS c FROM df"
+        ).df()["c"].to_numpy()
+        got = _cents(pa.array(np.asarray(vals, np.float64)))
+        assert (got == want).all(), (vals, got, want)
+
+    check()
+
+
+def test_small_quantity_revenue_random_property(tmp_path):
+    """Randomized e2e: tiny random lineitem tables (duplicate parts,
+    single-line parts, rounding-edge quantities) through the real Ray
+    pipeline vs DuckDB, at a partition count that forces co-location."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        n = int(rng.integers(1, 60))
+        t = pa.table({
+            "l_partkey": pa.array(rng.integers(1, 8, n), pa.int64()),
+            "l_quantity": pa.array(
+                np.round(rng.uniform(0.0, 50.0, n), 3)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(1.0, 9999.0, n), 2)),
+        })
+        d = tmp_path / f"sf{trial}"
+        d.mkdir()
+        pq.write_table(t, str(d / "lineitem.parquet"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"read_parquet('{d}/lineitem.parquet')")
+        sq = con.execute("""
+            WITH a AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(floor(l_quantity*100+0.5)) AS BIGINT)
+                       AS sum_qty_c
+              FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(coalesce(sum(floor(l.l_extendedprice*100+0.5)),
+                        0) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE 5 * CAST(floor(l.l_quantity*100+0.5) AS BIGINT) * a.n
+                  < a.sum_qty_c""").df()
+        ry = analytics.small_quantity_revenue(
+            str(d), num_partitions=3).to_pandas()
+        assert int(ry["revenue_c"][0]) == int(sq["revenue_c"][0]), trial
+        assert int(ry["n_lines"][0]) == int(sq["n_lines"][0]), trial
