@@ -37,6 +37,7 @@ import ray.data
 from ..schema import CHANGE_EVENT, evolve_schema
 from ..stages.compact import LWW, ConflictPolicy
 from ..stages.merge_apply import (
+    absorb_partition,
     diff_partition,
     make_delta_splitter,
     make_wave_merger,
@@ -56,6 +57,7 @@ _SCAN_TASK = ray.remote(num_cpus=1)(scan_split_segment)
 _MERGE_TASK = ray.remote(num_cpus=1)(merge_partition_files)
 _ACCT_TASK = ray.remote(num_cpus=1)(partition_accounting)
 _DIFF_TASK = ray.remote(num_cpus=1)(diff_partition)
+_ABSORB_TASK = ray.remote(num_cpus=1)(absorb_partition)
 
 
 def default_lake_schema() -> pa.Schema:
@@ -94,6 +96,17 @@ class CDCEngine:
                                                   # the base (O(base)); False
                                                   # = pre-tiering behavior
                                                   # (A/B + escape hatch)
+        bg_absorb: bool = False,                  # BACKGROUND absorbs: waves
+                                                  # never pay the O(base)
+                                                  # rewrite in-line — over-
+                                                  # threshold partitions keep
+                                                  # staging sidecars and the
+                                                  # absorbing rewrite runs as
+                                                  # an async task adopted by
+                                                  # a later wave's commit
+                                                  # (LSM background
+                                                  # compaction); exchange
+                                                  # strategy only
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -115,6 +128,14 @@ class CDCEngine:
         self.sidecar_frac = sidecar_frac
         self.max_deltas = max_deltas
         self.chain_compact = chain_compact
+        if bg_absorb and merge_strategy != "exchange":
+            raise ValueError("bg_absorb requires the exchange strategy")
+        self.bg_absorb = bg_absorb
+        # pid -> {"ref", "wid", "basis_path", "absorbed"} for absorbs in
+        # flight; in-memory only — a crash just discards the async work
+        # (staged orphans are dropped on discard, committed state is
+        # never affected)
+        self._bg: dict[int, dict[str, Any]] = {}
         self._cached_manifest: Manifest | None = None
         # last watermark seen on the parent/log this engine consumes —
         # basis of the UP_TO_DATE / OUT_OF_DATE pipe state (reference:
@@ -376,6 +397,25 @@ class CDCEngine:
                 base, pa.schema(list(incoming_pay) + extra))
 
         parts_map = dict(cur.partitions) if cur else {}
+        # adopt finished BACKGROUND absorbs into this wave's read view:
+        # merge tasks see the absorbed base (still under _staged/, rel
+        # paths resolve) with the post-basis delta suffix; the commit
+        # below promotes the file and publishes the adopted entry —
+        # atomicity rides the wave's own manifest commit
+        adopted = (self._collect_ready_absorbs(cur)
+                   if self.bg_absorb else {})
+        for pid, r in adopted.items():
+            prev = parts_map[str(pid)]
+            rem = (prev.get("deltas") or [])[len(r["absorbed"]):]
+            entry = dict(prev)
+            entry["path"] = os.path.join("_staged", r["wid"],
+                                         f"p={pid:06d}.parquet")
+            entry["deltas"] = rem
+            entry["file_rows"] = int(r["file_rows"])
+            entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
+                                                   for d in rem)
+            entry["rows"] = int(r["rows"])
+            parts_map[str(pid)] = entry
         # Two stages on purpose (Dataset path): a map_batches directly
         # fused onto the parquet read is invoked once per READ CHUNK
         # (~row-group), not once per block — measured 16 splitter
@@ -420,6 +460,12 @@ class CDCEngine:
         new_partials = ({k: dict(v) for k, v in cur.partials.items()}
                         if cur else {})
         import json as _json
+        # publish adopted absorbs FIRST (promote the staged base, rewrite
+        # the entry) so a touched partition's stats row below builds on
+        # the adopted entry — its sidecar append/chain fold already ran
+        # against the adopted read view
+        if adopted:
+            self._adopt_into(adopted, new_parts, new_partials, gen)
         for r in stats:
             pid = int(r["pid"])
             dst = self.store.promote_staged(wave_id, pid, gen)
@@ -543,6 +589,7 @@ class CDCEngine:
         _shutil.rmtree(self._shuffle_dir(wave_id), ignore_errors=True)
         if self.emit_changelog:
             self._publish_outbox_watermark()
+        bg_launched = self._launch_absorbs(man) if self.bg_absorb else 0
         n_delta = sum(1 for r in stats if r.get("mode") == "delta")
         n_chain = sum(1 for r in stats if r.get("mode") == "chain")
         self.store.append_metrics({
@@ -552,6 +599,7 @@ class CDCEngine:
             "events_per_s": round(n_events / wall, 1) if wall > 0 else None,
             "sidecar_parts": n_delta, "chain_parts": n_chain,
             "full_parts": len(stats) - n_delta - n_chain,
+            "bg_absorbed": len(adopted), "bg_launched": bg_launched,
             **getattr(self, "_phase_t", {}),
         })
         return {"wave_id": wave_id, "generation": gen, "watermark": hi,
@@ -841,7 +889,8 @@ class CDCEngine:
                                   self.derivations, self.conflict, outbox,
                                   self.sidecar_frac, self.max_deltas,
                                   plans.get(p),
-                                  chain_compact=self.chain_compact)
+                                  chain_compact=self.chain_compact,
+                                  allow_absorb=not self.bg_absorb)
                 for p in touched]
         out = _ray.get(refs)
         self._phase_t["merge_s"] = round(time.perf_counter() - t_merge0, 4)
@@ -1385,6 +1434,129 @@ class CDCEngine:
                          max_deltas=self.max_deltas,
                          chain_compact=self.chain_compact)
 
+    # -------------------------------------------------- background absorbs
+    def _collect_ready_absorbs(self, cur: "Manifest | None"
+                               ) -> dict[int, dict[str, Any]]:
+        """Non-blocking: pop finished background absorbs whose basis is
+        still intact (base path unchanged AND the absorbed chain is
+        still a prefix of the entry's chain — a chain fold or another
+        absorb invalidates it); invalid results are discarded and their
+        staged files dropped. A discard only wastes the async work —
+        committed state is never affected."""
+        if not self._bg or cur is None:
+            return {}
+        import ray as _ray
+        ready, _ = _ray.wait([v["ref"] for v in self._bg.values()],
+                             num_returns=len(self._bg), timeout=0)
+        ready_set = set(ready)
+        out: dict[int, dict[str, Any]] = {}
+        for pid in list(self._bg):
+            v = self._bg[pid]
+            if v["ref"] not in ready_set:
+                continue
+            del self._bg[pid]
+            r = _ray.get(v["ref"])
+            e = cur.partitions.get(str(pid))
+            chain = ([d["path"] for d in (e.get("deltas") or [])]
+                     if e else [])
+            if (e is None or e["path"] != r["basis_path"]
+                    or chain[:len(r["absorbed"])] != r["absorbed"]):
+                self.store.drop_staged(v["wid"])
+                continue
+            out[pid] = {**r, "wid": v["wid"]}
+        return out
+
+    def _adopt_into(self, adopted: dict[int, dict[str, Any]],
+                    new_parts: dict[str, dict],
+                    new_partials: dict[str, dict], gen: int) -> None:
+        """Publish adopted absorbs into a manifest under construction:
+        promote the staged base file under ``gen`` and rewrite the
+        entry (chain = the post-basis suffix; rows/partials = the
+        absorb's exact as-of-basis accounting — the documented
+        'exact as of the last absorb' manifest contract)."""
+        import json as _json
+        for pid, r in adopted.items():
+            dst = self.store.promote_staged(r["wid"], pid, gen)
+            self.store.drop_staged(r["wid"])
+            prev = new_parts[str(pid)]
+            rem = (prev.get("deltas") or [])[len(r["absorbed"]):]
+            entry = dict(prev)
+            entry["path"] = self.store.rel(dst)
+            entry["deltas"] = rem
+            entry["file_rows"] = int(r["file_rows"])
+            entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
+                                                   for d in rem)
+            entry["rows"] = int(r["rows"])
+            new_parts[str(pid)] = entry
+            if r["partials_json"]:
+                for dname, recs in _json.loads(r["partials_json"]).items():
+                    new_partials.setdefault(dname, {})[str(pid)] = recs
+
+    def _launch_absorbs(self, man: Manifest) -> int:
+        """Post-commit: start one background absorb per partition whose
+        pending sidecar rows crossed the (staggered) absorb threshold —
+        the O(base) rewrite the wave itself skipped under
+        ``bg_absorb=True``. One in flight per partition."""
+        from ..stages.merge_apply import _staggered_frac
+        n = 0
+        for pid_s, e in man.partitions.items():
+            pid = int(pid_s)
+            if pid in self._bg or not e.get("deltas"):
+                continue
+            base_rows = int(e.get("file_rows", e.get("rows", 0)))
+            pending = sum(int(d["rows"]) for d in e["deltas"])
+            if base_rows <= 0 or pending <= _staggered_frac(
+                    self.sidecar_frac, pid) * base_rows:
+                continue
+            wid = f"absorb-g{man.generation:06d}-p{pid:06d}"
+            self._bg[pid] = {
+                "wid": wid,
+                "ref": _ABSORB_TASK.remote(
+                    pid, self.store.root, wid, e, man.schema_b64,
+                    self.derivations, self.conflict),
+            }
+            n += 1
+        return n
+
+    def settle_absorbs(self) -> int:
+        """Block for every in-flight background absorb and commit the
+        adoptions as ONE maintenance generation at the same watermark
+        (the synchronous tail of ``bg_absorb`` mode — call between
+        replays or before handing the lake to a reader that wants
+        chains short). Returns partitions adopted."""
+        import ray as _ray
+        if not self._bg:
+            return 0
+        _ray.wait([v["ref"] for v in self._bg.values()],
+                  num_returns=len(self._bg))
+        cur = self.manifest
+        adopted = self._collect_ready_absorbs(cur)
+        if not adopted:
+            return 0
+        gen = cur.generation + 1
+        new_parts = dict(cur.partitions)
+        new_partials = {k: dict(v) for k, v in cur.partials.items()}
+        self._adopt_into(adopted, new_parts, new_partials, gen)
+        lineage = list(cur.lineage) + [{
+            "wave_id": f"absorb-settle-g{gen:06d}", "generation": gen,
+            "compaction": True, "parts_touched": len(adopted),
+        }]
+        man = Manifest(
+            generation=gen, watermark=cur.watermark,
+            wave_id=f"absorb-settle-g{gen:06d}",
+            schema_b64=cur.schema_b64,
+            num_partitions=cur.num_partitions,
+            partitions=new_parts, partials=new_partials,
+            lineage=lineage[-200:],
+            named_offsets=dict(cur.named_offsets),
+            hour_max=dict(cur.hour_max),
+        )
+        self.store.commit(man)
+        self._cached_manifest = man
+        if self.bg_absorb:
+            self._launch_absorbs(man)     # thresholds may still trip
+        return len(adopted)
+
     def compact_partitions(self, pids: list[int] | None = None) -> int:
         """Maintenance compaction: absorb delta sidecars into their base
         files (the LSM background-compaction analog), committed as one
@@ -1392,11 +1564,6 @@ class CDCEngine:
         number of partitions rewritten. Partition-parallel raw tasks;
         partitions without sidecars are untouched."""
         import ray as _ray
-
-        from ..stages.merge_apply import (
-            _merge_and_stage as _mas,
-            load_partition_table as _lpt,
-        )
 
         cur = self.manifest
         if cur is None:
@@ -1407,35 +1574,14 @@ class CDCEngine:
             return 0
         gen = cur.generation + 1
         wave_id = f"compact-g{gen:06d}"
-        b64 = cur.schema_b64
-        root = self.store.root
-        der, pol = self.derivations, self.conflict
-
-        def absorb(pid: int, entry: dict) -> dict:
-            from ..stages.merge_apply import live_rows as _live
-            from ..state.manifest import schema_from_b64 as _sfb
-            schema = _sfb(b64)
-            merged = _lpt(root, entry, schema, pol)
-            # re-stage the materialized table (fence rows INCLUDED — they
-            # must keep blocking) as the new base; an empty delta cannot
-            # drive _merge_and_stage, so write directly
-            staged_dir = os.path.join(root, "_staged", wave_id)
-            os.makedirs(staged_dir, exist_ok=True)
-            path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
-            pq.write_table(merged, path, compression="zstd")
-            live = _live(merged)        # stats/partials exclude fences
-            partials = {d.name: d.partial_records(live)
-                        for d in der if d.upstream == "lake"}
-            import json as _j
-            from ..stages.merge_apply import _jsafe
-            return {"pid": pid, "rows": live.num_rows,
-                    "file_rows": merged.num_rows,
-                    "bytes": os.path.getsize(path),
-                    "partials_json": _j.dumps(partials, default=_jsafe)}
-
-        task = _ray.remote(num_cpus=1)(absorb)
-        stats = _ray.get([task.remote(p, cur.partitions[str(p)])
-                          for p in todo])
+        # same worker as the BACKGROUND absorbs (merge_apply
+        # .absorb_partition): materialize base+chain (fence rows kept),
+        # stage as the new base, return exact stats/partials
+        stats = _ray.get([
+            _ABSORB_TASK.remote(p, self.store.root, wave_id,
+                                cur.partitions[str(p)], cur.schema_b64,
+                                self.derivations, self.conflict)
+            for p in todo])
         import json as _json
         new_parts = dict(cur.partitions)
         new_partials = {k: dict(v) for k, v in cur.partials.items()}

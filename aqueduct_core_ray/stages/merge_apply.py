@@ -366,6 +366,7 @@ def merge_partition_files(
     max_deltas: int = 8,
     plan: "list[tuple[str, list[int]]] | None" = None,
     chain_compact: bool = True,
+    allow_absorb: bool = True,
 ) -> dict[str, Any]:
     """File-exchange shuffle, read side: merge ONE partition.
 
@@ -462,12 +463,20 @@ def merge_partition_files(
                        seg + ".tmp", compression="zstd")
         os.replace(seg + ".tmp", seg)
     pending = sum(int(d["rows"]) for d in existing) + delta.num_rows
-    if pending <= _staggered_frac(sidecar_frac, pid) * base_rows:
+    if pending <= _staggered_frac(sidecar_frac, pid) * base_rows \
+            or (not allow_absorb and old_entry is not None
+                and sidecar_frac > 0 and base_rows > 0):
+        # allow_absorb=False (the engine's BACKGROUND-absorb mode):
+        # the wave never pays the O(base) rewrite — over-threshold
+        # partitions stage sidecars / fold chains as usual and the
+        # driver launches the absorbing rewrite asynchronously after
+        # the commit (adopted by a later wave's commit)
         if may_sidecar:
             return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
                                   lake_schema, derivations, policy)
-        if (chain_compact and old_entry is not None and sidecar_frac > 0
-                and base_rows > 0 and existing):
+        if (old_entry is not None and sidecar_frac > 0
+                and base_rows > 0 and existing
+                and (chain_compact or not allow_absorb)):
             # chain full (max_deltas) but pending rows are still far
             # under the absorb threshold: TIERED compaction — fold the
             # chain + this delta into ONE sidecar without reading the
@@ -710,6 +719,37 @@ def partition_accounting(pid: int, lake_root: str, entry: dict,
     }
     return {"pid": pid, "rows": live.num_rows,
             "partials_json": json.dumps(partials, default=_jsafe)}
+
+
+def absorb_partition(pid: int, lake_root: str, wave_id: str,
+                     entry: dict, schema_b64: str,
+                     derivations: tuple[Any, ...],
+                     policy: ConflictPolicy) -> dict[str, Any]:
+    """ABSORB one partition's sidecar chain into a new base file, staged
+    under ``wave_id`` — the worker behind both the synchronous
+    ``compact_partitions`` maintenance op and the engine's BACKGROUND
+    absorbs (``bg_absorb=True``: the O(base) rewrite runs off the wave
+    critical path and the next wave's commit adopts the result).
+    Returns exact stats plus the basis identity (base path + absorbed
+    delta paths) so the adopter can verify the entry is unchanged."""
+    schema = schema_from_b64(schema_b64)
+    merged = load_partition_table(lake_root, entry, schema, policy)
+    # fence rows INCLUDED in the staged base (they must keep blocking);
+    # stats/partials exclude them
+    staged_dir = os.path.join(lake_root, "_staged", wave_id)
+    os.makedirs(staged_dir, exist_ok=True)
+    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
+    pq.write_table(merged, path, compression="zstd")
+    live = live_rows(merged)
+    partials = {d.name: d.partial_records(live)
+                for d in derivations if getattr(d, "upstream",
+                                                "lake") == "lake"}
+    return {"pid": pid, "rows": live.num_rows,
+            "file_rows": merged.num_rows,
+            "bytes": os.path.getsize(path),
+            "partials_json": json.dumps(partials, default=_jsafe),
+            "basis_path": entry["path"],
+            "absorbed": [d["path"] for d in (entry.get("deltas") or [])]}
 
 
 def diff_partition(pid: int, lake_root: str,

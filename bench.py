@@ -119,11 +119,15 @@ def ensure_input() -> None:
                 pass
 
 
-def run_replay(trials: int = 2, n_waves: int = 1) -> dict:
+def run_replay(trials: int = 2, n_waves: int = 1,
+               bg_absorb: bool = False) -> dict:
     """Headline: replay-to-convergence of the 16M-event log.
 
     n_waves=1 = max-throughput convergence; n_waves>1 = incremental-
-    ingest steady state (each wave pays the watermark/commit round)."""
+    ingest steady state (each wave pays the watermark/commit round).
+    bg_absorb=True moves the O(base) absorbing rewrites off the wave
+    critical path (LSM background compaction); its wall INCLUDES the
+    final settle drain, so the rate is conservative."""
     from aqueduct_core_ray.pipelines.replay import CDCEngine
     import numpy as np
     edges = np.linspace(0, N_EVENTS, n_waves + 1).astype(int)
@@ -131,12 +135,16 @@ def run_replay(trials: int = 2, n_waves: int = 1) -> dict:
     best = None
     for _ in range(trials):
         shutil.rmtree(LAKE_ROOT, ignore_errors=True)
-        eng = CDCEngine(LAKE_ROOT, num_partitions=P)
+        eng = CDCEngine(LAKE_ROOT, num_partitions=P, bg_absorb=bg_absorb)
         eng.bootstrap(SEED_PATH)
         t0 = time.perf_counter()
         eng.replay(LOG_DIR, bounds)
+        while bg_absorb:                    # drain the async tail
+            if eng.settle_absorbs() == 0 and not eng._bg:
+                break
         dt = time.perf_counter() - t0
-        rows = sum(int(v["rows"]) for v in eng.manifest.partitions.values())
+        rows = (eng.logical_rows() if bg_absorb else
+                sum(int(v["rows"]) for v in eng.manifest.partitions.values()))
         if best is None or dt < best["replay_wall_s"]:
             best = {"replay_wall_s": round(dt, 2),
                     "events_per_s": round(N_EVENTS / dt),
@@ -229,6 +237,10 @@ def main() -> None:
     # steady-state CDC: 32 small waves over a converged-size lake —
     # the regime where delta sidecars replace O(partition) rewrites
     rep32 = run_replay(trials=2, n_waves=32)
+    # same steady-state shape with BACKGROUND absorbs (bg_absorb=True):
+    # the O(base) rewrites run off the wave critical path; wall includes
+    # the final settle drain (scripts/bg_absorb_bench.py has the full A/B)
+    rep32bg = run_replay(trials=2, n_waves=32, bg_absorb=True)
     queries = run_queries()
     print(json.dumps({
         "metric": "cdc_replay_16M_events_wall",
@@ -238,6 +250,7 @@ def main() -> None:
         "events_per_s": rep["events_per_s"],
         "events_per_s_8waves": rep8["events_per_s"],
         "events_per_s_32waves": rep32["events_per_s"],
+        "events_per_s_32waves_bg": rep32bg["events_per_s"],
         "lake_rows": rep["lake_rows"],
         "n_events": N_EVENTS,
     }))

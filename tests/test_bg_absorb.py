@@ -1,0 +1,141 @@
+"""Background absorbs (bg_absorb=True): waves never pay the O(base)
+rewrite inline — over-threshold partitions keep staging sidecars and
+the absorbing rewrite runs as an async task adopted by a later wave's
+commit. State must equal the synchronous engine's on any schedule;
+discarded/orphaned absorbs must never corrupt anything."""
+
+import pyarrow as pa
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    write_changelog,
+    write_seed_lake,
+)
+
+SPEC = ChangelogSpec(n_docs=400, n_events=4_000, seed=21, chunk_size=500,
+                     n_waves=8)
+
+
+@pytest.fixture(scope="module")
+def inputs(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("s") / "seed.parquet"))
+    return log, seed
+
+
+def _table(eng):
+    return eng.lake_table().sort_by("doc_id")
+
+
+def test_bg_absorb_state_equals_sync_engine(inputs, tmp_path):
+    log, seed = inputs
+    sync = CDCEngine(str(tmp_path / "sync"), num_partitions=6,
+                     sidecar_frac=0.4)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+
+    bg = CDCEngine(str(tmp_path / "bg"), num_partitions=6,
+                   sidecar_frac=0.4, bg_absorb=True)
+    bg.bootstrap(seed)
+    bg.replay(log, SPEC.wave_bounds)
+    # logical state identical regardless of adoption timing
+    assert _table(bg).equals(_table(sync))
+    assert bg.consistency_sum() == sync.consistency_sum()
+    # waves never paid an inline absorb: no full rewrites after
+    # bootstrap (bootstraps and empty-base merges are the only 'full')
+    import json
+    import os
+    fulls = 0
+    with open(os.path.join(bg.store.root, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("generation", 0) > 0:
+                fulls += r.get("full_parts", 0)
+    assert fulls == 0
+    # settle: adopt whatever is still in flight; state unchanged,
+    # chains shortened where adopted
+    before = _table(bg)
+    n = bg.settle_absorbs()
+    assert _table(bg).equals(before)
+    assert bg._bg == {} or n >= 0
+    # lazy accounting still agrees with the sync engine
+    assert bg.logical_rows() == sync.logical_rows()
+
+
+def test_bg_absorb_adoption_happens(inputs, tmp_path):
+    """With waves well above the absorb threshold, at least one absorb
+    must launch and at least one must be adopted across the replay (or
+    by settle) — the mode must not silently degrade to sidecars-only
+    with ever-growing chains."""
+    import json
+    import os
+
+    log, seed = inputs
+    bg = CDCEngine(str(tmp_path / "bg2"), num_partitions=4,
+                   sidecar_frac=0.2, max_deltas=64, bg_absorb=True)
+    bg.bootstrap(seed)
+    bg.replay(log, SPEC.wave_bounds)
+    launched = absorbed = 0
+    with open(os.path.join(bg.store.root, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            launched += r.get("bg_launched", 0)
+            absorbed += r.get("bg_absorbed", 0)
+    # settle may re-launch for partitions still over threshold after
+    # adoption (new sidecars landed post-basis): iterate to quiescence
+    for _ in range(6):
+        n = bg.settle_absorbs()
+        absorbed += n
+        if n == 0 and not bg._bg:
+            break
+    assert launched > 0
+    assert absorbed > 0
+    # at quiescence some partition's chain was fully absorbed and its
+    # entry carries exact as-of-absorb accounting
+    m = bg.manifest
+    assert any(not p.get("deltas") and int(p["rows"]) >= 0
+               for p in m.partitions.values())
+
+
+def test_bg_absorb_crash_discards_async_work(inputs, tmp_path):
+    """A crash between waves loses the in-memory absorb handles: the
+    resumed engine must replay to the exact same state (orphaned staged
+    absorb files are inert)."""
+    log, seed = inputs
+    root = str(tmp_path / "bgc")
+    eng = CDCEngine(root, num_partitions=4, sidecar_frac=0.3,
+                    bg_absorb=True)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds[:4])     # stop mid-schedule
+    # simulate crash: new engine instance, empty _bg
+    eng2 = CDCEngine(root, num_partitions=4, sidecar_frac=0.3,
+                     bg_absorb=True)
+    assert eng2._bg == {}
+    eng2.replay(log, SPEC.wave_bounds)        # resume: skips + continues
+    sync = CDCEngine(str(tmp_path / "syncc"), num_partitions=4,
+                     sidecar_frac=0.0)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+    assert _table(eng2).equals(_table(sync))
+    assert eng2.consistency_sum() == sync.consistency_sum()
+
+
+def test_bg_absorb_chain_fold_conflict_discards(inputs, tmp_path):
+    """A tiny max_deltas forces chain folds WHILE absorbs are in
+    flight: the fold rewrites the chain, so the absorb's basis check
+    fails and it must be discarded — never double-applied."""
+    log, seed = inputs
+    bg = CDCEngine(str(tmp_path / "bg3"), num_partitions=4,
+                   sidecar_frac=0.2, max_deltas=2, bg_absorb=True)
+    bg.bootstrap(seed)
+    bg.replay(log, SPEC.wave_bounds)
+    bg.settle_absorbs()
+    sync = CDCEngine(str(tmp_path / "sync3"), num_partitions=4,
+                     sidecar_frac=0.0)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+    assert _table(bg).equals(_table(sync))
+    assert bg.consistency_sum() == sync.consistency_sum()
