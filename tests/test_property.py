@@ -190,6 +190,17 @@ def test_lazy_accounting_matches_full_engine(rows, cuts, frac, md):
                          sidecar_frac=0.0)
         full.replay(log, bounds)
         assert side.lake_table().equals(full.lake_table())
+        # BACKGROUND absorbs: same stream/split/thresholds with the
+        # async absorb path (adoption, basis discards, settle) must
+        # also converge to the identical lake
+        bg = CDCEngine(os.path.join(d, "bg"), num_partitions=2,
+                       sidecar_frac=frac, max_deltas=md, bg_absorb=True)
+        bg.replay(log, bounds)
+        for _ in range(6):
+            if bg.settle_absorbs() == 0 and not bg._bg:
+                break
+        assert bg.lake_table().equals(full.lake_table())
+        assert bg.logical_rows() == full.logical_rows()
         want_rows = sum(int(p["rows"])
                         for p in full.manifest.partitions.values())
         assert side.logical_rows() == want_rows
