@@ -139,3 +139,24 @@ def test_bg_absorb_chain_fold_conflict_discards(inputs, tmp_path):
     sync.replay(log, SPEC.wave_bounds)
     assert _table(bg).equals(_table(sync))
     assert bg.consistency_sum() == sync.consistency_sum()
+
+
+def test_bg_absorb_with_outbox_children_converge(inputs, tmp_path):
+    """Absorbs emit NO change events: a child tailing the parent's
+    outbox must converge to the same LWW state whether the parent
+    absorbs inline or in the background."""
+    log, _ = inputs
+    parent = CDCEngine(str(tmp_path / "parent"), num_partitions=4,
+                       sidecar_frac=0.3, bg_absorb=True,
+                       emit_changelog=True, derivations=())
+    parent.replay(log, SPEC.wave_bounds)          # no seed: log-only
+    child = CDCEngine(str(tmp_path / "child"), num_partitions=2,
+                      derivations=())
+    child.tail(parent.outbox_dir,
+               wave_size=max(1, SPEC.n_events // 4),
+               poll_interval_s=0.05, max_idle_polls=1)
+    cols = ["doc_id", "last_lsn", "n_tok"]
+    a = parent.lake_table().select(cols).sort_by("doc_id")
+    b = child.lake_table().select(cols).sort_by("doc_id")
+    assert a.equals(b)
+    assert parent.consistency_sum() == child.consistency_sum()
