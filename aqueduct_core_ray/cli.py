@@ -50,7 +50,8 @@ def cmd_replay(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=args.partitions,
-                    merge_strategy=args.strategy)
+                    merge_strategy=args.strategy,
+                    bg_absorb=args.bg_absorb)
     if args.seed:
         print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
     hi = args.watermark
@@ -67,19 +68,32 @@ def cmd_replay(args) -> int:
     bounds = [(int(edges[i]), int(edges[i + 1])) for i in range(args.waves)]
     for r in eng.replay(args.log, bounds):
         print(json.dumps(r))
+    while args.bg_absorb:                  # drain the async absorb tail
+        n = eng.settle_absorbs()
+        if n:
+            print(json.dumps({"settled_absorbs": n}))
+        if n == 0 and not eng._bg:
+            break
     return 0
 
 
 def cmd_tail(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
-    eng = CDCEngine(args.lake, num_partitions=args.partitions)
+    eng = CDCEngine(args.lake, num_partitions=args.partitions,
+                    bg_absorb=args.bg_absorb)
     if args.seed:
         print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
     for r in eng.tail(args.log, wave_size=args.wave_size,
                       poll_interval_s=args.poll_interval,
                       max_idle_polls=args.max_idle_polls):
         print(json.dumps(r))
+    while args.bg_absorb:                  # drain the async absorb tail
+        n = eng.settle_absorbs()
+        if n:
+            print(json.dumps({"settled_absorbs": n}))
+        if n == 0 and not eng._bg:
+            break
     return 0
 
 
@@ -362,6 +376,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--waves", type=int, default=4)
     r.add_argument("--watermark", type=int,
                    help="highest lsn to apply (default: max in log)")
+    r.add_argument("--bg-absorb", action="store_true", dest="bg_absorb",
+                   help="absorbing rewrites run off the wave critical "
+                        "path (LSM background compaction)")
     r.add_argument("--strategy", choices=("exchange", "groupby"),
                    default="exchange")
     r.set_defaults(fn=cmd_replay)
@@ -374,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--wave-size", type=int, default=1_000_000)
     tl.add_argument("--poll-interval", type=float, default=0.5)
     tl.add_argument("--max-idle-polls", type=int, default=3)
+    tl.add_argument("--bg-absorb", action="store_true", dest="bg_absorb")
     tl.set_defaults(fn=cmd_tail)
 
     v = sub.add_parser("verify", help="integrity-check a committed lake")
