@@ -49,6 +49,10 @@ def _init_ray() -> None:
 def cmd_replay(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
+    if args.bg_absorb and args.strategy != "exchange":
+        print(json.dumps({"ok": False, "error":
+                          "--bg-absorb requires --strategy exchange"}))
+        return 2
     eng = CDCEngine(args.lake, num_partitions=args.partitions,
                     merge_strategy=args.strategy,
                     bg_absorb=args.bg_absorb)
@@ -68,12 +72,10 @@ def cmd_replay(args) -> int:
     bounds = [(int(edges[i]), int(edges[i + 1])) for i in range(args.waves)]
     for r in eng.replay(args.log, bounds):
         print(json.dumps(r))
-    while args.bg_absorb:                  # drain the async absorb tail
-        n = eng.settle_absorbs()
+    if args.bg_absorb:
+        n = eng.drain_absorbs()            # quiesce the async tail
         if n:
             print(json.dumps({"settled_absorbs": n}))
-        if n == 0 and not eng._bg:
-            break
     return 0
 
 
@@ -88,12 +90,10 @@ def cmd_tail(args) -> int:
                       poll_interval_s=args.poll_interval,
                       max_idle_polls=args.max_idle_polls):
         print(json.dumps(r))
-    while args.bg_absorb:                  # drain the async absorb tail
-        n = eng.settle_absorbs()
+    if args.bg_absorb:
+        n = eng.drain_absorbs()            # quiesce the async tail
         if n:
             print(json.dumps({"settled_absorbs": n}))
-        if n == 0 and not eng._bg:
-            break
     return 0
 
 
@@ -391,7 +391,9 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--wave-size", type=int, default=1_000_000)
     tl.add_argument("--poll-interval", type=float, default=0.5)
     tl.add_argument("--max-idle-polls", type=int, default=3)
-    tl.add_argument("--bg-absorb", action="store_true", dest="bg_absorb")
+    tl.add_argument("--bg-absorb", action="store_true", dest="bg_absorb",
+                    help="absorbing rewrites run off the wave critical "
+                         "path (LSM background compaction)")
     tl.set_defaults(fn=cmd_tail)
 
     v = sub.add_parser("verify", help="integrity-check a committed lake")

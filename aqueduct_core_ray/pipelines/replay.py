@@ -1557,6 +1557,21 @@ class CDCEngine:
             self._launch_absorbs(man)     # thresholds may still trip
         return len(adopted)
 
+    def drain_absorbs(self, max_rounds: int = 8) -> int:
+        """Settle background absorbs to QUIESCENCE: each settle round
+        may re-launch absorbs for partitions still over threshold after
+        adoption, so iterate until a round adopts nothing and none are
+        in flight. Returns total partitions adopted. The public drain
+        every caller (CLI, bench, tests) should use — never poke
+        ``_bg`` directly."""
+        total = 0
+        for _ in range(max_rounds):
+            n = self.settle_absorbs()
+            total += n
+            if n == 0 and not self._bg:
+                break
+        return total
+
     def compact_partitions(self, pids: list[int] | None = None) -> int:
         """Maintenance compaction: absorb delta sidecars into their base
         files (the LSM background-compaction analog), committed as one

@@ -139,9 +139,8 @@ def run_replay(trials: int = 2, n_waves: int = 1,
         eng.bootstrap(SEED_PATH)
         t0 = time.perf_counter()
         eng.replay(LOG_DIR, bounds)
-        while bg_absorb:                    # drain the async tail
-            if eng.settle_absorbs() == 0 and not eng._bg:
-                break
+        if bg_absorb:
+            eng.drain_absorbs()             # quiesce the async tail
         dt = time.perf_counter() - t0
         rows = (eng.logical_rows() if bg_absorb else
                 sum(int(v["rows"]) for v in eng.manifest.partitions.values()))

@@ -31,12 +31,7 @@ def run(n_waves: int, bg: bool) -> dict:
     eng.replay(bench.LOG_DIR, bounds)
     replay_s = time.perf_counter() - t0
     t1 = time.perf_counter()
-    settled = 0
-    while True:                      # quiesce the async tail
-        n = eng.settle_absorbs()
-        settled += n
-        if n == 0 and not eng._bg:
-            break
+    settled = eng.drain_absorbs()    # quiesce the async tail
     settle_s = time.perf_counter() - t1
     merge_s = []
     bg_abs = bg_l = 0

@@ -85,12 +85,8 @@ def test_bg_absorb_adoption_happens(inputs, tmp_path):
             launched += r.get("bg_launched", 0)
             absorbed += r.get("bg_absorbed", 0)
     # settle may re-launch for partitions still over threshold after
-    # adoption (new sidecars landed post-basis): iterate to quiescence
-    for _ in range(6):
-        n = bg.settle_absorbs()
-        absorbed += n
-        if n == 0 and not bg._bg:
-            break
+    # adoption (new sidecars landed post-basis): drain to quiescence
+    absorbed += bg.drain_absorbs()
     assert launched > 0
     assert absorbed > 0
     # at quiescence some partition's chain was fully absorbed and its

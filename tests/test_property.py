@@ -196,9 +196,7 @@ def test_lazy_accounting_matches_full_engine(rows, cuts, frac, md):
         bg = CDCEngine(os.path.join(d, "bg"), num_partitions=2,
                        sidecar_frac=frac, max_deltas=md, bg_absorb=True)
         bg.replay(log, bounds)
-        for _ in range(6):
-            if bg.settle_absorbs() == 0 and not bg._bg:
-                break
+        bg.drain_absorbs()
         assert bg.lake_table().equals(full.lake_table())
         assert bg.logical_rows() == full.logical_rows()
         want_rows = sum(int(p["rows"])
