@@ -1455,7 +1455,15 @@ class CDCEngine:
             if v["ref"] not in ready_set:
                 continue
             del self._bg[pid]
-            r = _ray.get(v["ref"])
+            try:
+                r = _ray.get(v["ref"])
+            except Exception:
+                # a failed absorb (e.g. a concurrent vacuum collected
+                # its superseded inputs, or a transient I/O error) only
+                # discards the async work — it must never fail the
+                # adopting WAVE; the threshold re-launches next commit
+                self.store.drop_staged(v["wid"])
+                continue
             e = cur.partitions.get(str(pid))
             chain = ([d["path"] for d in (e.get("deltas") or [])]
                      if e else [])

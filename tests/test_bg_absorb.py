@@ -156,3 +156,36 @@ def test_bg_absorb_with_outbox_children_converge(inputs, tmp_path):
     b = child.lake_table().select(cols).sort_by("doc_id")
     assert a.equals(b)
     assert parent.consistency_sum() == child.consistency_sum()
+
+
+def test_failed_absorb_task_never_fails_the_wave(inputs, tmp_path):
+    """A crashed absorb task (vacuumed inputs, transient I/O) must be
+    discarded by the adopting wave, not crash it."""
+    import os
+
+    import ray as _ray
+
+    log, seed = inputs
+    eng = CDCEngine(str(tmp_path / "bgf"), num_partitions=4,
+                    sidecar_frac=0.3, bg_absorb=True)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds[:2])
+
+    @_ray.remote(num_cpus=1)
+    def boom():
+        raise RuntimeError("absorb input vanished")
+
+    # inject a poisoned in-flight absorb handle for a real partition
+    eng._bg[0] = {"wid": "absorb-poison", "ref": boom.remote()}
+    os.makedirs(os.path.join(eng.store.root, "_staged", "absorb-poison"),
+                exist_ok=True)
+    eng.replay(log, SPEC.wave_bounds)          # must not raise
+    eng.drain_absorbs()
+    sync = CDCEngine(str(tmp_path / "syncf"), num_partitions=4,
+                     sidecar_frac=0.0)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+    assert _table(eng).equals(_table(sync))
+    # poisoned staged dir was reclaimed
+    assert not os.path.exists(
+        os.path.join(eng.store.root, "_staged", "absorb-poison"))
