@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": partial(text.lang_id),
         "chunk_dedup": _chunk_dedup,
         "stratified_sample": partial(sampling.stratified_sample),
+        "weighted_sample": partial(sampling.weighted_sample),
         "pack_sequences": _pack_sequences,
         "mixture_resample": partial(
             sampling.mixture_resample,

@@ -157,3 +157,82 @@ def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
           "columns": sorted(cols)}
     return write_shards(read_documents(sf_dir, columns=cols), out_dir,
                         n_shards, seed, fp)
+
+
+def weighted_sample(sf_dir: str, k: int = 20, seed: int = 7,
+                    weight_col: str = "n_chars") -> "ray.data.Dataset":
+    """WEIGHTED sampling without replacement, ``k`` docs per source
+    (Efraimidis–Spirakis A-ES): each doc draws a deterministic uniform
+    ``u`` from its keyed hash and ranks by ``u^(1/w)`` — the classic
+    one-pass weighted reservoir, so inclusion probability scales with
+    the weight column (quality-weighted corpus subsampling). Returns
+    (source, doc_id, weight, rank).
+
+    Scale shape: the A-ES key is row-local, so each block keeps only
+    its local top-k per source (bounded combiner) and the driver folds
+    k·sources·blocks candidate rows — no shuffle, no sort of the
+    corpus, deterministic for a fixed seed (u is a keyed hash of
+    (doc_id, seed), not an RNG stream, so the sample is reproducible
+    under any partitioning). Comparisons happen in log space
+    (log(u)/w) for numerical stability at large weights."""
+    import pandas as pd
+
+    import ray.data
+
+    def keys_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(ids.copy(), categorize=False)
+        # splitmix-style seed mix: hash_array's hash_key only applies
+        # to object dtypes, so fold the seed in explicitly (pure numpy,
+        # deterministic across processes/nodes)
+        h = (h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64))
+        h = (h * np.uint64(0xBF58476D1CE4E5B9)) ^ (h >> np.uint64(31))
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64   # u in (0, 1]
+        w = np.maximum(t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64), 1e-12)
+        return np.log(u) / w, w          # maximize log(u)/w
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        key, w = keys_of(t)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key, src))     # per-source, key desc
+        src_s, key_s = src[order], key[order]
+        new = np.ones(len(src_s), bool)
+        new[1:] = src_s[1:] != src_s[:-1]
+        pos = np.arange(len(src_s)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(src_s)), 0))
+        keep = pa.array(order[pos < k])
+        return pa.table({
+            "source": t.column("source").take(keep),
+            "doc_id": t.column("doc_id").take(keep),
+            "weight": pa.array(w[order[pos < k]]),
+            "key": pa.array(key_s[pos < k]),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", weight_col])
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    tables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "weight": pa.array([], pa.float64()),
+                      "key": pa.array([], pa.float64())})
+    t = pa.concat_tables(tables) if tables else empty
+    src = t.column("source").to_numpy(zero_copy_only=False)
+    key = t.column("key").to_numpy(zero_copy_only=False)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key, src))
+    src_s = src[order]
+    new = np.ones(len(src_s), bool)
+    new[1:] = src_s[1:] != src_s[:-1]
+    pos = np.arange(len(src_s)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(src_s)), 0))
+    keep = order[pos < k]
+    sel = pa.array(keep)
+    return ray.data.from_arrow(pa.table({
+        "source": t.column("source").take(sel),
+        "doc_id": t.column("doc_id").take(sel),
+        "weight": t.column("weight").take(sel),
+        "rank": pa.array((pos[pos < k] + 1).astype(np.int64)),
+    }))

@@ -100,3 +100,71 @@ def test_export_training_shards(tmp_path):
     assert redo["skipped"] == 0
     t3 = pads.dataset(out, partitioning="hive").to_table()
     assert key(t3) == key(t2)
+
+
+def _aes_reference(sf_dir, k, seed, weight_col="n_chars"):
+    """Whole-corpus A-ES reference: identical formula, no blocking."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source", weight_col]).to_pandas()
+    h = pd.util.hash_array(t["doc_id"].to_numpy().copy(), categorize=False)
+    h = (h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64))
+    h = (h * np.uint64(0xBF58476D1CE4E5B9)) ^ (h >> np.uint64(31))
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    w = np.maximum(t[weight_col].to_numpy().astype(np.float64), 1e-12)
+    t["key"] = np.log(u) / w
+    out = {}
+    for src, g in t.groupby("source"):
+        g = g.sort_values(["key", "doc_id"],
+                          ascending=[False, True]).head(k)
+        out[src] = list(g["doc_id"])
+    return out
+
+
+def test_weighted_sample_matches_reference_and_is_deterministic():
+    from aqueduct_core_ray.functions.sampling import weighted_sample
+
+    got = weighted_sample(SF, k=5, seed=7).to_pandas()
+    want = _aes_reference(SF, k=5, seed=7)
+    for src, g in got.groupby("source"):
+        g = g.sort_values("rank")
+        assert list(g["doc_id"]) == want[src], src
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    # deterministic: a second run is identical
+    again = weighted_sample(SF, k=5, seed=7).to_pandas()
+    key = ["source", "rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
+    # the seed genuinely changes the sample
+    other = weighted_sample(SF, k=5, seed=8).to_pandas()
+    assert set(map(tuple, other[["source", "doc_id"]].values)) != \
+        set(map(tuple, got[["source", "doc_id"]].values))
+
+
+def test_weighted_sample_weight_monotonicity(tmp_path):
+    """A doc with 50x the weight must be sampled far more often than a
+    light one across seeds (the A-ES inclusion-probability property)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.functions.sampling import weighted_sample
+
+    n = 40
+    w = np.full(n, 10, np.int64)
+    w[0] = 500                               # heavy doc 0
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "source": pa.array(["s"] * n),
+                  "n_chars": pa.array(w)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    heavy = light = 0
+    for seed in range(40):
+        picked = {r["doc_id"] for r in
+                  weighted_sample(str(d), k=1, seed=seed).take_all()}
+        heavy += 0 in picked
+        light += 1 in picked
+    assert heavy > light
+    assert heavy >= 15          # P(pick heavy) = 500/890 ≈ 0.56
