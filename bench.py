@@ -50,7 +50,9 @@ BENCH_QUERIES = [
     "pricing_summary", "revenue_by_nation", "running_total",
     "remove_boilerplate_lines", "ngram_jaccard_dedup",
     "top_customers_by_return_revenue", "customers_without_orders",
-    "inter_event_gaps",
+    "inter_event_gaps", "small_quantity_revenue", "exact_quantiles",
+    "user_type_sets", "pricing_rollup", "generation_diff_events",
+    "bpe_token_count", "weighted_sample", "resize_media",
 ]
 
 
