@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": partial(dedup.decontaminate),
         "export_shards": _export_shards,
         "curate_corpus": _curate,
+        "approx_top_tokens": partial(text.approx_top_tokens),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
         "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),

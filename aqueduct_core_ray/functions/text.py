@@ -379,3 +379,79 @@ def top_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return cand.groupby("source").map_groups(final_topk,
                                              batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+def approx_top_tokens(sf_dir: str, k: int = 20,
+                      capacity: int = 4096) -> "ray.data.Dataset":
+    """APPROXIMATE corpus-wide heavy hitters with CERTIFIED bounds — the
+    Misra–Gries/Space-Saving companion to the exact
+    ``top_tokens_by_source``. Returns (token, count_lower, count_upper,
+    rk): ``count_lower ≤ true count ≤ count_upper`` is a hard
+    guarantee, and every token whose true count exceeds the summed
+    truncation error is guaranteed present.
+
+    Scale shape: each block builds an EXACT local count and truncates
+    to its top-``capacity`` tokens, recording the largest dropped count
+    as that block's error ε_b — a mergeable bounded summary, the same
+    pattern as the HLL and the log-binned quantile sketches. The
+    exchange moves ≤ capacity rows per block (the exact operator moves
+    every distinct (source, token) pair — unbounded vocabulary at
+    corpus scale); the driver folds counts and adds Σε_b of the blocks
+    that did NOT report a token to its upper bound."""
+    import ray
+    import ray.data
+
+    def summary(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        flat = words.flatten()
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [("token", "count")])
+        cnt = g.column("token_count").to_numpy(zero_copy_only=False)
+        tok = g.column("token")
+        order = np.lexsort((tok.to_numpy(zero_copy_only=False), -cnt))
+        kept = order[:capacity]
+        eps = int(cnt[order[capacity]]) if len(order) > capacity else 0
+        n = len(kept)
+        return pa.table({
+            "token": tok.take(pa.array(kept)),
+            "cnt": pa.array(cnt[kept].astype(np.int64)),
+            "eps": pa.array(np.full(n, eps, np.int64)),
+            "block": pa.array(np.zeros(n, np.int64)),  # filled driver-side
+        })
+
+    ds = read_documents(sf_dir, columns=["text"])
+    parts = ds.map_batches(summary, batch_format="pyarrow")
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "count_lower": pa.array([], pa.int64()),
+            "count_upper": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64())}))
+    # driver fold over ≤ capacity × blocks rows: per-token lower =
+    # Σ reported counts; upper adds ε_b for every block that truncated
+    # the token away
+    import pandas as pd
+    frames = []
+    total_eps = 0
+    for i, t in enumerate(tables):
+        df = t.to_pandas()
+        df["block"] = i
+        frames.append(df)
+        total_eps += int(df["eps"].iloc[0])
+    all_df = pd.concat(frames, ignore_index=True)
+    agg = all_df.groupby("token").agg(
+        count_lower=("cnt", "sum"), seen_eps=("eps", "sum"))
+    agg["count_upper"] = agg["count_lower"] + (total_eps - agg["seen_eps"])
+    agg = agg.sort_values(["count_lower", "token"],
+                          ascending=[False, True]).head(k).reset_index()
+    return ray.data.from_arrow(pa.table({
+        "token": pa.array(agg["token"].to_numpy(), pa.string()),
+        "count_lower": pa.array(agg["count_lower"].to_numpy()
+                                .astype(np.int64)),
+        "count_upper": pa.array(agg["count_upper"].to_numpy()
+                                .astype(np.int64)),
+        "rk": pa.array(np.arange(1, len(agg) + 1, dtype=np.int64)),
+    }))

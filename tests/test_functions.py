@@ -597,3 +597,56 @@ def test_bpe_token_count_matches_python_re():
         "text": pa.array(["it's"])}))
     assert one.column("n_tok_bpe")[0].as_py() == 2
     assert one.column("n_tok_ws")[0].as_py() == 1
+
+
+def test_approx_top_tokens_bounds_and_recall(tmp_path):
+    """Misra-Gries guarantees under REAL truncation: a crafted corpus
+    with a 500-word vocabulary and injected heavy hitters, capacity 32
+    per block — (a) count_lower <= true <= count_upper for every
+    reported token; (b) the true heavy hitters lead the ranking with
+    intervals containing the truth; (c) a generous capacity degrades
+    to exact counts."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from aqueduct_core_ray.functions.text import approx_top_tokens
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    docs = []
+    for i in range(300):
+        words = list(rng.choice(vocab, size=40))
+        if i % 2 == 0:
+            words += ["HEAVY"] * 20            # ~3000 occurrences
+        if i % 3 == 0:
+            words += ["WARM"] * 10             # ~1000 occurrences
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq2.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+        "source": pa.array(["s"] * len(docs)),
+    }), str(d / "documents.parquet"))
+    true = collections.Counter()
+    for s in docs:
+        true.update(s.split())
+
+    got = approx_top_tokens(str(d), k=20, capacity=32).to_pandas()
+    assert len(got) == 20
+    assert (got["count_lower"] <= got["count_upper"]).all()
+    # truncation genuinely happened: some interval is non-degenerate
+    assert (got["count_upper"] > got["count_lower"]).any()
+    for _, r in got.iterrows():
+        assert r["count_lower"] <= true[r["token"]] <= r["count_upper"], \
+            (r["token"], true[r["token"]], r["count_lower"],
+             r["count_upper"])
+    assert list(got["token"][:2]) == ["HEAVY", "WARM"]
+
+    # generous capacity -> exact (interval collapses to the truth)
+    exact = approx_top_tokens(str(d), k=20, capacity=10_000).to_pandas()
+    for _, r in exact.iterrows():
+        assert r["count_lower"] == r["count_upper"] == true[r["token"]]
