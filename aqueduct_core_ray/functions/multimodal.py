@@ -247,7 +247,10 @@ class ImageResizer:
             w, h = int(m.group(2)), int(m.group(3))
             ch = 3 if m.group(1) == b"P6" else 1
             px = np.frombuffer(payload[m.end():], np.uint8)
-            if len(px) >= w * h * ch:
+            # zero-dim headers (w or h = 0) fall through to the opaque
+            # fake below — resampling an empty axis would IndexError
+            # and, with max_restarts=0, kill the pool on one bad doc
+            if w > 0 and h > 0 and len(px) >= w * h * ch:
                 px = px[:w * h * ch].reshape(h, w, ch)
                 return px.mean(axis=2).astype(np.uint8) if ch == 3 \
                     else px[:, :, 0]

@@ -159,6 +159,22 @@ def export_training_shards(sf_dir: str, out_dir: str, n_shards: int = 16,
                         n_shards, seed, fp)
 
 
+def _grouped_topk_idx(src: np.ndarray, key: np.ndarray, ids: np.ndarray,
+                      k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices of each group's top-``k`` by ``key`` desc (ties by
+    ``ids`` asc) plus each kept row's 0-based within-group position —
+    the one grouped-top-k kernel weighted_sample's block combiner and
+    driver fold both use (a drifting copy would desynchronize them)."""
+    order = np.lexsort((ids, -key, src))
+    src_s = src[order]
+    new = np.ones(len(src_s), bool)
+    new[1:] = src_s[1:] != src_s[:-1]
+    pos = np.arange(len(src_s)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(src_s)), 0))
+    keep = pos < k
+    return order[keep], pos[keep]
+
+
 def weighted_sample(sf_dir: str, k: int = 20, seed: int = 7,
                     weight_col: str = "n_chars") -> "ray.data.Dataset":
     """WEIGHTED sampling without replacement, ``k`` docs per source
@@ -196,18 +212,13 @@ def weighted_sample(sf_dir: str, k: int = 20, seed: int = 7,
         key, w = keys_of(t)
         src = t.column("source").to_numpy(zero_copy_only=False)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -key, src))     # per-source, key desc
-        src_s, key_s = src[order], key[order]
-        new = np.ones(len(src_s), bool)
-        new[1:] = src_s[1:] != src_s[:-1]
-        pos = np.arange(len(src_s)) - np.maximum.accumulate(
-            np.where(new, np.arange(len(src_s)), 0))
-        keep = pa.array(order[pos < k])
+        kept, _ = _grouped_topk_idx(src, key, ids, k)
+        sel = pa.array(kept)
         return pa.table({
-            "source": t.column("source").take(keep),
-            "doc_id": t.column("doc_id").take(keep),
-            "weight": pa.array(w[order[pos < k]]),
-            "key": pa.array(key_s[pos < k]),
+            "source": t.column("source").take(sel),
+            "doc_id": t.column("doc_id").take(sel),
+            "weight": pa.array(w[kept]),
+            "key": pa.array(key[kept]),
         })
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -222,17 +233,11 @@ def weighted_sample(sf_dir: str, k: int = 20, seed: int = 7,
     src = t.column("source").to_numpy(zero_copy_only=False)
     key = t.column("key").to_numpy(zero_copy_only=False)
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, -key, src))
-    src_s = src[order]
-    new = np.ones(len(src_s), bool)
-    new[1:] = src_s[1:] != src_s[:-1]
-    pos = np.arange(len(src_s)) - np.maximum.accumulate(
-        np.where(new, np.arange(len(src_s)), 0))
-    keep = order[pos < k]
-    sel = pa.array(keep)
+    kept, pos = _grouped_topk_idx(src, key, ids, k)
+    sel = pa.array(kept)
     return ray.data.from_arrow(pa.table({
         "source": t.column("source").take(sel),
         "doc_id": t.column("doc_id").take(sel),
         "weight": t.column("weight").take(sel),
-        "rank": pa.array((pos[pos < k] + 1).astype(np.int64)),
+        "rank": pa.array((pos + 1).astype(np.int64)),
     }))

@@ -51,12 +51,13 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
 
 # GPT-2-flavor pretokenizer, RE2-compatible: contractions, letter runs,
 # digit runs, punctuation runs — each optionally preceded by ONE space.
-# Two deliberate deviations from the original GPT-2 pattern, both
-# count-preserving: the lookahead arm `\s+(?!\S)` is unsupported by RE2,
-# and the residual `\s+` arm is DROPPED entirely — an unmatched
-# whitespace run is simply skipped by the scan, and whether a single
-# space is absorbed as a token's leading " " or skipped changes token
-# CONTENT, never the token COUNT. Arrow's count_substring_regex and
+# Deliberate deviation from the original GPT-2 pattern: the whitespace
+# arms (`\s+(?!\S)` needs lookahead RE2 lacks; residual `\s+`) are
+# DROPPED, so this counts the NON-WHITESPACE tokens of the
+# pretokenization — GPT-2 itself would additionally emit one
+# whitespace token per run of 2+ spaces (code / indented text), which
+# this metric intentionally excludes. For single-space-separated prose
+# the counts coincide exactly. Arrow's count_substring_regex and
 # DuckDB's regexp_extract_all both execute RE2 with leftmost-first
 # alternation, so the SQL oracle reproduces counts bit-exactly.
 BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
@@ -403,6 +404,8 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
     import ray.data
 
     def summary(t: pa.Table) -> pa.Table:
+        import uuid
+
         txt = pc.utf8_trim_whitespace(t.column("text"))
         words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
         flat = words.flatten()
@@ -414,11 +417,18 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
         kept = order[:capacity]
         eps = int(cnt[order[capacity]]) if len(order) > capacity else 0
         n = len(kept)
+        # each summary() CALL is one sketch unit and must be accounted
+        # as such — map_batches fused onto a parquet read runs once per
+        # READ CHUNK, so one output block can hold several summaries
+        # concatenated; a unique sid keys the eps bookkeeping (relying
+        # on block identity undercounted total_eps and could push
+        # count_upper below the true count)
+        sid = uuid.uuid4().hex
         return pa.table({
             "token": tok.take(pa.array(kept)),
             "cnt": pa.array(cnt[kept].astype(np.int64)),
             "eps": pa.array(np.full(n, eps, np.int64)),
-            "block": pa.array(np.zeros(n, np.int64)),  # filled driver-side
+            "sid": pa.array(np.repeat(sid, n)),
         })
 
     ds = read_documents(sf_dir, columns=["text"])
@@ -430,18 +440,11 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
             "count_lower": pa.array([], pa.int64()),
             "count_upper": pa.array([], pa.int64()),
             "rk": pa.array([], pa.int64())}))
-    # driver fold over ≤ capacity × blocks rows: per-token lower =
-    # Σ reported counts; upper adds ε_b for every block that truncated
-    # the token away
-    import pandas as pd
-    frames = []
-    total_eps = 0
-    for i, t in enumerate(tables):
-        df = t.to_pandas()
-        df["block"] = i
-        frames.append(df)
-        total_eps += int(df["eps"].iloc[0])
-    all_df = pd.concat(frames, ignore_index=True)
+    # driver fold over ≤ capacity × summaries rows: per-token lower =
+    # Σ reported counts; upper adds ε_s for every SUMMARY (sid) that
+    # truncated the token away
+    all_df = pa.concat_tables(tables).to_pandas()
+    total_eps = int(all_df.groupby("sid")["eps"].first().sum())
     agg = all_df.groupby("token").agg(
         count_lower=("cnt", "sum"), seen_eps=("eps", "sum"))
     agg["count_upper"] = agg["count_lower"] + (total_eps - agg["seen_eps"])

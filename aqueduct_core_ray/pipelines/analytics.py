@@ -748,8 +748,13 @@ def small_quantity_revenue(sf_dir: str,
         sums = np.add.reduceat(sq.astype(np.int64), starts)
         cnts = np.add.reduceat(nn.astype(np.int64), starts)
         lpk = ln.column("l_partkey").to_numpy(zero_copy_only=False)
-        s_m, hit = _map_keys(keys, sums, lpk)
-        c_m, _ = _map_keys(keys, cnts, lpk)
+        # ONE binary-search pass: sums and cnts share the key array
+        if len(keys) == 0:
+            return pa.table({"revenue_c": pa.array([0], pa.int64()),
+                             "n_lines": pa.array([0], pa.int64())})
+        pos = np.minimum(np.searchsorted(keys, lpk), len(keys) - 1)
+        hit = keys[pos] == lpk
+        s_m, c_m = sums[pos], cnts[pos]
         qty = ln.column("qty_c").to_numpy(zero_copy_only=False)
         price = ln.column("price_c").to_numpy(zero_copy_only=False)
         keep = hit & (5 * qty * c_m < s_m)
@@ -787,6 +792,18 @@ def pricing_rollup(sf_dir: str) -> ray.data.Dataset:
     leaf = pricing_summary(sf_dir).to_pandas()
     sums = ["sum_qty_c", "sum_base_c", "sum_disc_c", "sum_charge_c",
             "n_lines"]
+    if leaf.empty:
+        # SQL ROLLUP over zero rows still emits ONE grand-total row:
+        # count 0, sums NULL (sum() over nothing is NULL, not 0)
+        return ray.data.from_arrow(pa.table({
+            "l_returnflag": pa.array(["ALL"]),
+            "l_linestatus": pa.array(["ALL"]),
+            "sum_qty_c": pa.nulls(1, pa.int64()),
+            "sum_base_c": pa.nulls(1, pa.int64()),
+            "sum_disc_c": pa.nulls(1, pa.int64()),
+            "sum_charge_c": pa.nulls(1, pa.int64()),
+            "n_lines": pa.array([0], pa.int64()),
+        }))
     lvl1 = (leaf.groupby("l_returnflag", as_index=False)[sums].sum()
             .assign(l_linestatus="ALL"))
     lvl0 = pd.DataFrame([{**{c: int(leaf[c].sum()) for c in sums},

@@ -1235,7 +1235,7 @@ class CDCEngine:
         plain multi-file parquet scan."""
         m = (self.manifest if generation is None
              else self.manifest_at(generation))
-        entries = self._sorted_entries(m)
+        entries = self._sorted_entries(m) if m is not None else []
         if not entries:
             return ray.data.from_arrow(default_lake_schema().empty_table())
         fenced = "last_op" in m.schema.names
@@ -1430,6 +1430,7 @@ class CDCEngine:
                          merge_strategy=self.merge_strategy,
                          conflict=self.conflict,
                          emit_changelog=self.emit_changelog,
+                         bg_absorb=self.bg_absorb,
                          sidecar_frac=self.sidecar_frac,
                          max_deltas=self.max_deltas,
                          chain_compact=self.chain_compact)
@@ -1540,6 +1541,11 @@ class CDCEngine:
         cur = self.manifest
         adopted = self._collect_ready_absorbs(cur)
         if not adopted:
+            # every collected absorb was discarded (failed task or
+            # invalidated basis): re-launch for partitions still over
+            # threshold so drain_absorbs' quiescence contract holds
+            if cur is not None:
+                self._launch_absorbs(cur)
             return 0
         gen = cur.generation + 1
         new_parts = dict(cur.partitions)

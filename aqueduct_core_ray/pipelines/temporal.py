@@ -627,7 +627,9 @@ def user_type_sets(sf_dir: str, type_a: str = "click",
     import pandas as pd
 
     bit_of = {type_a: np.int64(1), type_b: np.int64(2)}
-    status_of = {3: "both", 1: "click_only", 2: "purchase_only"}
+    # labels derive from the parameters (defaults keep the oracle's
+    # click_only / purchase_only names)
+    status_of = {3: "both", 1: f"{type_a}_only", 2: f"{type_b}_only"}
 
     def partial(t: pa.Table) -> pa.Table:
         typ = t.column("event_type").to_numpy(zero_copy_only=False)

@@ -298,3 +298,40 @@ def test_small_quantity_revenue_random_property(tmp_path):
             str(d), num_partitions=3).to_pandas()
         assert int(ry["revenue_c"][0]) == int(sq["revenue_c"][0]), trial
         assert int(ry["n_lines"][0]) == int(sq["n_lines"][0]), trial
+
+
+def test_pricing_rollup_empty_input_matches_rollup_semantics(tmp_path):
+    """All lines outside the date window: SQL ROLLUP still emits ONE
+    grand-total row with NULL sums and count 0 — so must we."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "l_returnflag": pa.array(["N"]),
+        "l_linestatus": pa.array(["O"]),
+        "l_quantity": pa.array([1.0]),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0]),
+        "l_tax": pa.array([0.0]),
+        "l_shipdate": pa.array([np.datetime64("1999-01-01", "us")]),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    sq = con.execute("""
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(sum(floor(l_quantity*100+0.5)) AS BIGINT) AS sum_qty_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""").df()
+    ry = analytics.pricing_rollup(str(d)).to_pandas()
+    assert len(ry) == len(sq) == 1
+    assert ry["l_returnflag"][0] == "ALL"
+    assert int(ry["n_lines"][0]) == 0
+    import pandas as pd
+    assert pd.isna(ry["sum_qty_c"][0]) and pd.isna(sq["sum_qty_c"][0])

@@ -650,3 +650,15 @@ def test_approx_top_tokens_bounds_and_recall(tmp_path):
     exact = approx_top_tokens(str(d), k=20, capacity=10_000).to_pandas()
     for _, r in exact.iterrows():
         assert r["count_lower"] == r["count_upper"] == true[r["token"]]
+
+
+def test_image_resizer_zero_dim_header_falls_back():
+    # a payload claiming 0x0 dimensions must take the opaque-fake path,
+    # not IndexError inside the actor
+    rz = multimodal.ImageResizer(out_w=2, out_h=2)
+    out = rz(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([b"P5 0 0 255\nabcdef",
+                             b"P6 3 0 255\nxyz"], pa.binary())}))
+    assert out.num_rows == 2
+    assert (np.array(out.column("in_w")) > 0).all()
