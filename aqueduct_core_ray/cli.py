@@ -3,12 +3,23 @@
 Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
 
   replay     apply a change log to a lake (bootstrap + waves); running it
-             again after a kill IS the resume path (same watermark fence)
+             again after a kill IS the resume path (same watermark fence);
+             --bg-absorb runs absorbing rewrites off the critical path
+  tail       continuously apply a growing log (child of an outbox)
   verify     integrity check of a committed lake: per-partition row
              counts + consistency sum vs the manifest (reference analog:
              PRAGMA integrity_check, SQLiteStorage.java:204-234)
+  rebuild    re-derive flagged/corrupt partitions from log+seed
   retention  compact the log + GC old tombstones into a new log dir
              (reference D2, PostgresqlStorage.java:365-436)
+  compact    absorb sidecar chains (--fold: chain-only, O(pending))
+  diff       time-travel diff between two generations
+  clone      zero-copy branch of a lake (hardlinked part files)
+  vacuum     GC part files outside the keep window
+  get        partition-pruned point reads by doc_id
+  status     manifest + consumer-lag summary
+  prune-outbox
+             GC outbox segments below the slowest child's watermark
   bootstrap-wipe
              drop a lake entirely (reference S5 deleteAll,
              SQLiteStorage.java:253-264)
