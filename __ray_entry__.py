@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": partial(tp.approx_quantiles_by_type),
         "exact_quantiles": partial(tp.exact_quantiles_by_type),
         "user_type_sets": partial(tp.user_type_sets),
+        "percentile_rank": partial(tp.percentile_rank),
         # --- training-data operators ---
         "token_count": partial(text.token_count),
         "bpe_token_count": partial(text.bpe_token_count),
@@ -773,6 +774,19 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             UNION ALL
             SELECT user_id, 'purchase_only' FROM
               (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)""",
+        # per-event percentile rank within its type: SQL rank() ties,
+        # integer permille arithmetic on both sides (bit-exact)
+        "percentile_rank": """
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   CAST((1000 * (rank() OVER (
+                          PARTITION BY event_type
+                          ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        - 1))
+                        // greatest(count(*) OVER (
+                          PARTITION BY event_type) - 1, 1) AS BIGINT)
+                     AS pct_rank
+            FROM events""",
         # exact grouped quantiles over the bounded integer-cent domain
         # (histogram partials -> one native Sum exchange -> driver
         # cumsum readout; quantile_disc rank = ceil(q*n), verified)

@@ -662,3 +662,73 @@ def user_type_sets(sf_dir: str, type_a: str = "click",
     ds = read_events(sf_dir, columns=["user_id", "event_type"])
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("part").map_groups(classify, batch_format="pyarrow"))
+
+
+def percentile_rank(sf_dir: str) -> ray.data.Dataset:
+    """Per-event PERCENTILE RANK of ``value`` within its event type, in
+    integer permille: ``(1000 * (rank - 1)) // (n - 1)`` with SQL
+    ``rank()`` tie semantics (ties share the minimal rank) — pure
+    integer arithmetic, so the oracle reproduces it bit-exactly.
+    Returns (event_id, event_type, value_c, pct_rank).
+
+    Scale shape: the same bounded-domain trick as
+    ``exact_quantiles_by_type`` — ONE native Sum exchange folds the
+    (type, value_c) histogram (bounded by domain × types), the driver
+    turns it into per-type cumulative-count lookup tables broadcast via
+    ``ray.put``, and a second streaming pass ranks every event with one
+    vectorized searchsorted per (block, type). Events are never
+    sorted globally and never leave their blocks."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "value_c": pa.array(np.floor(v * 100.0 + 0.5)
+                                .astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        agg = g.group_by(["event_type", "value_c"]).aggregate(
+            [("n", "sum")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "value_c": agg.column("value_c"),
+            "n": agg.column("n_sum"),
+        })
+
+    hist = (read_events(sf_dir, columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "value_c"]).aggregate(Sum("n"))
+            .to_pandas().rename(columns={"sum(n)": "n"}))
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value_c")
+        vals = g["value_c"].to_numpy()
+        cnt = g["n"].to_numpy()
+        below = np.concatenate([[0], cnt.cumsum()[:-1]])  # rows < v
+        lut[et] = (vals, below.astype(np.int64), int(cnt.sum()))
+    ref = ray.put(lut)
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        tables = ray.get(ref)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v_c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        pct = np.zeros(t.num_rows, np.int64)
+        for typ in np.unique(et):
+            m = et == typ
+            vals, below, n = tables[typ]
+            pos = np.searchsorted(vals, v_c[m])
+            r = below[pos] + 1                   # SQL rank(): ties -> min
+            pct[m] = (1000 * (r - 1)) // max(n - 1, 1)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value_c": pa.array(v_c),
+            "pct_rank": pa.array(pct),
+        })
+
+    return (read_events(sf_dir, columns=["event_id", "event_type",
+                                         "value"])
+            .map_batches(rank_rows, batch_format="pyarrow"))

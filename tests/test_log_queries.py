@@ -348,3 +348,31 @@ def test_user_type_sets_matches_duckdb():
     ry2 = user_type_sets(SF, num_partitions=3).to_pandas()
     b2 = ry2.sort_values("user_id").reset_index(drop=True)[a.columns]
     assert b.equals(b2)
+
+
+def test_percentile_rank_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import percentile_rank
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+               CAST((1000 * (rank() OVER (
+                      PARTITION BY event_type
+                      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    - 1))
+                    // greatest(count(*) OVER (
+                      PARTITION BY event_type) - 1, 1) AS BIGINT)
+                 AS pct_rank
+        FROM events""").df()
+    ry = percentile_rank(SF).to_pandas()
+    a = sq.sort_values("event_id").reset_index(drop=True)
+    b = ry.sort_values("event_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # extremes: minima rank 0‰, maxima ≤1000‰ and = 1000 when untied
+    assert b["pct_rank"].min() == 0
+    assert b["pct_rank"].max() <= 1000
