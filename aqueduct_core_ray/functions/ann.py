@@ -152,24 +152,36 @@ def _train_centroids(sf_dir: str, n_cells: int, sample: int = 2048,
 
 def _default_index_root(sf_dir: str) -> str:
     """Where IVF indexes live. Priority: explicit ``index_root`` param >
-    ``$AQR_IVF_ROOT`` > a ``_ivf`` directory BESIDE the data (the
-    cluster-correct default: workers and driver share the data store, so
-    they share the index) > ``/tmp/aqr_ivf`` only when the data
-    directory is read-only (single-node fallback — NOT cluster-safe, as
-    every node would see a different /tmp)."""
-    env = os.environ.get("AQR_IVF_ROOT")
-    if env:
-        return env
-    if os.access(sf_dir, os.W_OK):
-        return os.path.join(sf_dir, "_ivf")
-    return "/tmp/aqr_ivf"
+    ``$AQR_IVF_ROOT`` > ``/tmp/aqr_ivf``. The index is NEVER written
+    inside (or beside) the dataset directory: a read-style query
+    (knn_ivf, embedding_ann_dedup) mutating its input as a side effect
+    breaks anything that snapshots, checksums, or syncs the dataset.
+    The /tmp default is single-node only — on a cluster set
+    ``AQR_IVF_ROOT`` (or pass ``index_root``) to a path on the SHARED
+    store, since every worker must read the same index."""
+    return os.environ.get("AQR_IVF_ROOT") or "/tmp/aqr_ivf"
 
 
 def _ivf_index_dir(sf_dir: str, n_cells: int, seed: int,
                    index_root: str | None = None) -> str:
+    """Index directory for (dataset, n_cells, seed). Because the index
+    lives OUTSIDE the dataset directory (see _default_index_root), the
+    name must carry the dataset's identity — abspath plus the
+    embeddings file's (size, mtime_ns) — so same-basename datasets
+    never collide and a regenerated dataset never reuses a stale
+    index."""
+    import hashlib
+
     root = index_root or _default_index_root(sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(root, f"{tag}-c{n_cells}-s{seed}")
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb)
+        ident = f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    h = hashlib.sha256(ident.encode()).hexdigest()[:12]
+    return os.path.join(root, f"{tag}-{h}-c{n_cells}-s{seed}")
 
 
 def build_ivf_index(sf_dir: str, n_cells: int = 16, seed: int = 7,

@@ -159,9 +159,18 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
         # count) — and a matching _EXPORTED marker skips it entirely
         from ..functions.sampling import write_shards
 
+        # fingerprint the SOURCE alongside the params (mirrors
+        # export_training_shards): params alone would let a re-run
+        # after the corpus (or the flag-affecting benchmark list)
+        # changed silently skip the export and report stale counts
+        import os
+
+        stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
         payload = {"pipeline": "curate", "lang": lang,
                    "shingle": int(shingle), "min_hits": int(min_hits),
-                   "n_shards": int(n_shards)}
+                   "n_shards": int(n_shards),
+                   "size": stat.st_size, "mtime_ns": stat.st_mtime_ns,
+                   "benchmark": sorted(benchmark) if benchmark else None}
         st = write_shards(deduped, out_dir, n_shards, 17, payload)
         n_dedup = int(st["docs"])
     else:

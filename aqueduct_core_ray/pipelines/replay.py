@@ -746,6 +746,22 @@ class CDCEngine:
         if not os.path.exists(p):
             return False
         import shutil as _shutil
+        # Drop in-flight BACKGROUND absorbs before the wipe: re-replay
+        # is deterministic, so a pre-wipe absorb finishing AFTER the
+        # wipe could present a basis the re-derived manifest validates
+        # — and its staged file is gone, crashing the adopting wave's
+        # promote. Wait the tasks out (so their late writes land before
+        # the wipe deletes _staged/), then forget them.
+        if self._bg:
+            import ray as _ray
+            try:
+                _ray.wait([v["ref"] for v in self._bg.values()],
+                          num_returns=len(self._bg))
+            except Exception:
+                pass
+            for v in self._bg.values():
+                self.store.drop_staged(v["wid"])
+            self._bg.clear()
         root = self.store.root
         if os.path.isdir(root):
             for name in os.listdir(root):
