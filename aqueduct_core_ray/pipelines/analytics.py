@@ -182,21 +182,37 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
          "n_lines"], empty))
 
 
+# rows above which a "dimension" table stops being broadcastable and
+# the star joins below fall back to their co-partitioned exchange path:
+# 4M (custkey, payload) int64 pairs ≈ 64 MB in the object store — a
+# comfortable one-time ray.put; past that, a driver-side read of the
+# build side is the 100-TB scale killer (customer scales WITH the fact
+# table at ~1:40 vs lineitem, it is not a true dimension)
+BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def _table_rows(path: str) -> int:
+    """Row count from the parquet footer — the broadcast gate's probe
+    (metadata only, no column read)."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(path).num_rows
+
+
 def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
-                          k: int = 10,
-                          num_partitions: int = 16) -> ray.data.Dataset:
+                          k: int = 10, num_partitions: int = 16,
+                          broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                          ) -> ray.data.Dataset:
     """TPC-H Q3-style: the ``k`` highest-revenue orders from customers
     in ``segment`` (revenue in integer cents; ties rank by orderkey).
-    Returns (o_orderkey, o_orderdate, o_orderpriority, revenue_c, rk)."""
-    # customer is the dimension side: column-pruned read, filtered and
-    # collected once on the driver, broadcast as a sorted key array
-    import pyarrow.parquet as pq
-    seg_df = pq.read_table(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_keys = np.sort(seg_df.loc[seg_df["c_mktsegment"] == segment,
-                                  "c_custkey"].to_numpy())
-    ref = ray.put(seg_keys)
+    Returns (o_orderkey, o_orderdate, o_orderpriority, revenue_c, rk).
 
+    The customer side is SIZE-GATED: under ``broadcast_threshold`` rows
+    it is read driver-side and broadcast once (one exchange total);
+    above, it is never materialized anywhere — a co-partitioned
+    union-tag semi-join on hash(custkey) %% P filters orders in a
+    second bounded exchange (same machinery as
+    ``top_customers_by_return_revenue``). Both paths are value-
+    identical (pinned by tests/test_analytics.py)."""
     def tag_rev(t: pa.Table) -> pa.Table:
         return pa.table({
             "part": t.column("part"),
@@ -210,26 +226,94 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
     rev = _per_order_revenue_parts(sf_dir, num_partitions) \
         .map_batches(tag_rev, batch_format="pyarrow")
 
-    def tag_orders(t: pa.Table) -> pa.Table:
-        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        want = ray.get(ref)
-        _, hit = _map_keys(want, want, cust)
-        t = t.filter(pa.array(hit))
-        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "part": _hash_part(keys, num_partitions),
-            "o_orderkey": t.column("o_orderkey"),
-            "rev_c": pa.nulls(t.num_rows, pa.int64()),
-            "o_orderdate": t.column("o_orderdate"),
-            "o_orderpriority": t.column("o_orderpriority"),
-            "side": pa.array(np.ones(t.num_rows, np.int8)),
-        })
+    ord_cols = ["o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority"]
+    if _table_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        # broadcast path: filtered custkeys collected once on the driver
+        import pyarrow.parquet as pq
+        seg_df = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"]).to_pandas()
+        seg_keys = np.sort(seg_df.loc[seg_df["c_mktsegment"] == segment,
+                                      "c_custkey"].to_numpy())
+        ref = ray.put(seg_keys)
 
-    orders = (ray.data.read_parquet(
-                  f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_custkey", "o_orderdate",
-                           "o_orderpriority"])
-              .map_batches(tag_orders, batch_format="pyarrow"))
+        def tag_orders(t: pa.Table) -> pa.Table:
+            cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            want = ray.get(ref)
+            _, hit = _map_keys(want, want, cust)
+            t = t.filter(pa.array(hit))
+            keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": t.column("o_orderkey"),
+                "rev_c": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        orders = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                        columns=ord_cols)
+                  .map_batches(tag_orders, batch_format="pyarrow"))
+    else:
+        # exchange path: hash(custkey) % P union-tag semi-join — the
+        # unbounded-build-side shape; customer rows shrink to filtered
+        # distinct keys per block before the shuffle
+        def cust_side(t: pa.Table) -> pa.Table:
+            seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(seg == segment))
+            keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            n = len(keys)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_custkey": t.column("c_custkey"),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            })
+
+        def ord_side(t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def semi(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            want = np.unique(
+                g.filter(pa.array(side == 0)).column("o_custkey")
+                .to_numpy(zero_copy_only=False))
+            od = g.filter(pa.array(side == 1))
+            ck = od.column("o_custkey").to_numpy(zero_copy_only=False)
+            _, hit = _map_keys(want, want, ck)
+            od = od.filter(pa.array(hit))
+            keys = od.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": od.column("o_orderkey"),
+                "rev_c": pa.nulls(od.num_rows, pa.int64()),
+                "o_orderdate": od.column("o_orderdate"),
+                "o_orderpriority": od.column("o_orderpriority"),
+                "side": pa.array(np.ones(od.num_rows, np.int8)),
+            })
+
+        cust_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_mktsegment"])
+                   .map_batches(cust_side, batch_format="pyarrow"))
+        ord_ds = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                        columns=ord_cols)
+                  .map_batches(ord_side, batch_format="pyarrow"))
+        orders = (cust_ds.union(ord_ds)
+                  .groupby("part")
+                  .map_groups(semi, batch_format="pyarrow"))
 
     def join_topk(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -317,29 +401,31 @@ def _int_sum_by(idx: np.ndarray, vals: np.ndarray
     return nz.astype(np.int64), acc[nz], cnt[nz].astype(np.int64)
 
 
-def revenue_by_nation(sf_dir: str,
-                      num_partitions: int = 16) -> ray.data.Dataset:
+def revenue_by_nation(sf_dir: str, num_partitions: int = 16,
+                      broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                      ) -> ray.data.Dataset:
     """TPC-H Q5-flavor star join: revenue (integer cents) rolled up to
-    (r_name, n_name). customer/nation/region are dimension sides —
-    joined driver-side into one custkey -> nation-index lookup and
-    broadcast once; the only exchange over fact data is the
-    co-partitioned rev⋈orders equi-join on hash(orderkey) % P, followed
-    by a ~25-row native sum."""
+    (r_name, n_name). nation/region are TRUE dimensions (bounded: ≤25
+    rows) and always live driver-side as a nationkey -> nation-index
+    map. The customer side is SIZE-GATED: under ``broadcast_threshold``
+    rows it joins driver-side into one broadcast custkey -> nidx
+    lookup (one fact exchange total); above, customers never leave the
+    cluster — a co-partitioned union-tag exchange on hash(custkey) %% P
+    attaches nidx to orders first (customer scales with the fact table
+    at warehouse scale, ~1:40 vs lineitem). Either way the final
+    exchange is the co-partitioned rev⋈orders equi-join on
+    hash(orderkey) %% P followed by a ~25-row native sum. Both paths
+    are value-identical (pinned by tests/test_analytics.py)."""
     import pyarrow.parquet as pq
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
-              .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
-    names = (dim[["n_name", "r_name"]].drop_duplicates()
+    ndim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    names = (ndim[["n_name", "r_name"]].drop_duplicates()
              .sort_values(["r_name", "n_name"]).reset_index(drop=True))
-    dim = dim.merge(names.assign(nidx=names.index.to_numpy(np.int64)),
-                    on=["n_name", "r_name"])   # vectorized index attach
-    ck, nv = _sorted_lookup(dim["c_custkey"].to_numpy(),
-                            dim["nidx"].to_numpy())
-    ref = ray.put((ck, nv, names["n_name"].to_numpy(),
-                   names["r_name"].to_numpy()))
+    ndim = ndim.merge(names.assign(nidx=names.index.to_numpy(np.int64)),
+                      on=["n_name", "r_name"])   # vectorized index attach
+    name_ref = ray.put((names["n_name"].to_numpy(),
+                        names["r_name"].to_numpy()))
 
     def tag_rev(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -353,24 +439,96 @@ def revenue_by_nation(sf_dir: str,
     rev = _per_order_revenue_parts(sf_dir, num_partitions) \
         .map_batches(tag_rev, batch_format="pyarrow")
 
-    def tag_orders(t: pa.Table) -> pa.Table:
-        ck_, nv_, _, _ = ray.get(ref)
-        cust_ = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        mapped, hit = _map_keys(ck_, nv_, cust_)
-        t = t.filter(pa.array(hit))
+    def _orders_out(t: pa.Table, nidx: np.ndarray) -> pa.Table:
+        """(part=hash(orderkey), o_orderkey, rev_c=null, nidx, side=1) —
+        the shape the rev⋈orders exchange consumes, shared by both
+        customer-side paths."""
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         return pa.table({
             "part": _hash_part(keys, num_partitions),
             "o_orderkey": t.column("o_orderkey"),
             "rev_c": pa.nulls(t.num_rows, pa.int64()),
-            "nidx": pa.array(mapped[hit]),
+            "nidx": pa.array(nidx.astype(np.int64)),
             "side": pa.array(np.ones(t.num_rows, np.int8)),
         })
 
-    orders = (ray.data.read_parquet(
-                  f"{sf_dir}/orders.parquet",
-                  columns=["o_orderkey", "o_custkey"])
-              .map_batches(tag_orders, batch_format="pyarrow"))
+    if _table_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        # broadcast path: custkey -> nidx joined once on the driver
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"]).to_pandas()
+        dim = cust.merge(ndim[["n_nationkey", "nidx"]],
+                         left_on="c_nationkey", right_on="n_nationkey")
+        ck, nv = _sorted_lookup(dim["c_custkey"].to_numpy(),
+                                dim["nidx"].to_numpy())
+        lk_ref = ray.put((ck, nv))
+
+        def tag_orders(t: pa.Table) -> pa.Table:
+            ck_, nv_ = ray.get(lk_ref)
+            cust_ = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(ck_, nv_, cust_)
+            return _orders_out(t.filter(pa.array(hit)), mapped[hit])
+
+        orders = (ray.data.read_parquet(
+                      f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+                  .map_batches(tag_orders, batch_format="pyarrow"))
+    else:
+        # exchange path: hash(custkey) % P union-tag join attaches nidx
+        # to orders without materializing customer anywhere — only the
+        # tiny nationkey -> nidx map is broadcast
+        nk, nval = _sorted_lookup(
+            ndim["n_nationkey"].to_numpy().astype(np.int64),
+            ndim["nidx"].to_numpy())
+        nk_ref = ray.put((nk, nval))
+
+        def cust_side(t: pa.Table) -> pa.Table:
+            nk_, nv_ = ray.get(nk_ref)
+            nkey = t.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            mapped, hit = _map_keys(nk_, nv_, nkey)
+            t = t.filter(pa.array(hit))
+            keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": pa.nulls(len(keys), pa.int64()),
+                "o_custkey": t.column("c_custkey"),
+                "nidx": pa.array(mapped[hit].astype(np.int64)),
+                "side": pa.array(np.zeros(len(keys), np.int8)),
+            })
+
+        def ord_side(t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "nidx": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def attach_nidx(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            cu = g.filter(pa.array(side == 0))
+            ck_, nv_ = _sorted_lookup(
+                cu.column("o_custkey").to_numpy(zero_copy_only=False),
+                cu.column("nidx").to_numpy(zero_copy_only=False))
+            od = g.filter(pa.array(side == 1))
+            probe = od.column("o_custkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(ck_, nv_, probe)
+            return _orders_out(od.filter(pa.array(hit)), mapped[hit])
+
+        cust_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+                   .map_batches(cust_side, batch_format="pyarrow"))
+        ord_ds = (ray.data.read_parquet(
+                      f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+                  .map_batches(ord_side, batch_format="pyarrow"))
+        orders = (cust_ds.union(ord_ds)
+                  .groupby("part")
+                  .map_groups(attach_nidx, batch_format="pyarrow"))
 
     def join_agg(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -384,7 +542,7 @@ def revenue_by_nation(sf_dir: str,
                          "rev_c": pa.array(sums)})
 
     def finish(t: pa.Table) -> pa.Table:
-        _, _, n_names, r_names = ray.get(ref)
+        n_names, r_names = ray.get(name_ref)
         ni = t.column("nidx").to_numpy(zero_copy_only=False)
         return pa.table({
             "r_name": pa.array(r_names[ni]),

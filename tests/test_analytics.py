@@ -335,3 +335,15 @@ def test_pricing_rollup_empty_input_matches_rollup_semantics(tmp_path):
     assert int(ry["n_lines"][0]) == 0
     import pandas as pd
     assert pd.isna(ry["sum_qty_c"][0]) and pd.isna(sq["sum_qty_c"][0])
+
+
+def test_broadcast_gate_path_equivalence():
+    """The size gate's two customer-side plans (driver broadcast vs
+    co-partitioned exchange) must produce identical tables: force the
+    gate both ways on the same input by setting the threshold to 'always
+    broadcast' (huge) and 'never broadcast' (0)."""
+    for fn in (analytics.top_orders_by_revenue,
+               analytics.revenue_by_nation):
+        bc = _canon(fn(SF, broadcast_threshold=1 << 60).to_pandas())
+        ex = _canon(fn(SF, broadcast_threshold=0).to_pandas())
+        assert bc.equals(ex), fn.__name__
