@@ -83,7 +83,7 @@ def cmd_replay(args) -> int:
     bounds = [(int(edges[i]), int(edges[i + 1])) for i in range(args.waves)]
     for r in eng.replay(args.log, bounds):
         print(json.dumps(r))
-    if args.bg_absorb:
+    if eng.bg_absorb:
         n = eng.drain_absorbs()            # quiesce the async tail
         if n:
             print(json.dumps({"settled_absorbs": n}))
@@ -101,7 +101,7 @@ def cmd_tail(args) -> int:
                       poll_interval_s=args.poll_interval,
                       max_idle_polls=args.max_idle_polls):
         print(json.dumps(r))
-    if args.bg_absorb:
+    if eng.bg_absorb:
         n = eng.drain_absorbs()            # quiesce the async tail
         if n:
             print(json.dumps({"settled_absorbs": n}))
@@ -387,9 +387,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--waves", type=int, default=4)
     r.add_argument("--watermark", type=int,
                    help="highest lsn to apply (default: max in log)")
-    r.add_argument("--bg-absorb", action="store_true", dest="bg_absorb",
+    r.add_argument("--bg-absorb", action=argparse.BooleanOptionalAction,
+                   dest="bg_absorb", default=None,
                    help="absorbing rewrites run off the wave critical "
-                        "path (LSM background compaction)")
+                        "path (LSM background compaction); default ON "
+                        "for the exchange strategy — --no-bg-absorb for "
+                        "strictly synchronous waves")
     r.add_argument("--strategy", choices=("exchange", "groupby"),
                    default="exchange")
     r.set_defaults(fn=cmd_replay)
@@ -402,9 +405,12 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--wave-size", type=int, default=1_000_000)
     tl.add_argument("--poll-interval", type=float, default=0.5)
     tl.add_argument("--max-idle-polls", type=int, default=3)
-    tl.add_argument("--bg-absorb", action="store_true", dest="bg_absorb",
+    tl.add_argument("--bg-absorb", action=argparse.BooleanOptionalAction,
+                    dest="bg_absorb", default=None,
                     help="absorbing rewrites run off the wave critical "
-                         "path (LSM background compaction)")
+                         "path (LSM background compaction); default ON "
+                         "— --no-bg-absorb for strictly synchronous "
+                         "waves")
     tl.set_defaults(fn=cmd_tail)
 
     v = sub.add_parser("verify", help="integrity-check a committed lake")

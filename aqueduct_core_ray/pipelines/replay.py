@@ -96,7 +96,7 @@ class CDCEngine:
                                                   # the base (O(base)); False
                                                   # = pre-tiering behavior
                                                   # (A/B + escape hatch)
-        bg_absorb: bool = False,                  # BACKGROUND absorbs: waves
+        bg_absorb: "bool | None" = None,          # BACKGROUND absorbs: waves
                                                   # never pay the O(base)
                                                   # rewrite in-line — over-
                                                   # threshold partitions keep
@@ -105,8 +105,20 @@ class CDCEngine:
                                                   # an async task adopted by
                                                   # a later wave's commit
                                                   # (LSM background
-                                                  # compaction); exchange
-                                                  # strategy only
+                                                  # compaction). DEFAULT ON
+                                                  # (None = auto: True on the
+                                                  # exchange strategy, False
+                                                  # on groupby which lacks
+                                                  # the sidecar machinery):
+                                                  # +23-37% steady-state
+                                                  # throughput measured in
+                                                  # the 32-wave bench, with
+                                                  # the lazy-accounting
+                                                  # staleness contract
+                                                  # already covering the
+                                                  # cost. Pass False for the
+                                                  # strictly-synchronous
+                                                  # wave behavior.
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -128,6 +140,8 @@ class CDCEngine:
         self.sidecar_frac = sidecar_frac
         self.max_deltas = max_deltas
         self.chain_compact = chain_compact
+        if bg_absorb is None:
+            bg_absorb = merge_strategy == "exchange"
         if bg_absorb and merge_strategy != "exchange":
             raise ValueError("bg_absorb requires the exchange strategy")
         self.bg_absorb = bg_absorb

@@ -465,12 +465,17 @@ def merge_partition_files(
     pending = sum(int(d["rows"]) for d in existing) + delta.num_rows
     if pending <= _staggered_frac(sidecar_frac, pid) * base_rows \
             or (not allow_absorb and old_entry is not None
-                and sidecar_frac > 0 and base_rows > 0):
+                and sidecar_frac > 0 and base_rows > 0
+                and pending < base_rows):
         # allow_absorb=False (the engine's BACKGROUND-absorb mode):
         # the wave never pays the O(base) rewrite — over-threshold
         # partitions stage sidecars / fold chains as usual and the
         # driver launches the absorbing rewrite asynchronously after
-        # the commit (adopted by a later wave's commit)
+        # the commit (adopted by a later wave's commit). EXCEPT when
+        # pending has reached the base's own size: deferring then is
+        # strictly worse (the sidecar write is already O(base)-sized
+        # and the background absorb rewrites everything again), so a
+        # convergence-style wave merges inline even in bg mode.
         if may_sidecar:
             return _stage_sidecar(pid, delta, lake_root, wave_id, old_entry,
                                   lake_schema, derivations, policy)

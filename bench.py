@@ -122,14 +122,16 @@ def ensure_input() -> None:
 
 
 def run_replay(trials: int = 2, n_waves: int = 1,
-               bg_absorb: bool = False) -> dict:
+               bg_absorb: "bool | None" = None) -> dict:
     """Headline: replay-to-convergence of the 16M-event log.
 
     n_waves=1 = max-throughput convergence; n_waves>1 = incremental-
     ingest steady state (each wave pays the watermark/commit round).
-    bg_absorb=True moves the O(base) absorbing rewrites off the wave
-    critical path (LSM background compaction); its wall INCLUDES the
-    final settle drain, so the rate is conservative."""
+    bg_absorb=None is the ENGINE DEFAULT (background absorbs ON since
+    round 4 — O(base) absorbing rewrites run off the wave critical
+    path, LSM background compaction); the wall always INCLUDES a final
+    settle drain, so the rate is conservative. bg_absorb=False is the
+    strictly-synchronous A/B."""
     from aqueduct_core_ray.pipelines.replay import CDCEngine
     import numpy as np
     edges = np.linspace(0, N_EVENTS, n_waves + 1).astype(int)
@@ -141,10 +143,10 @@ def run_replay(trials: int = 2, n_waves: int = 1,
         eng.bootstrap(SEED_PATH)
         t0 = time.perf_counter()
         eng.replay(LOG_DIR, bounds)
-        if bg_absorb:
+        if eng.bg_absorb:
             eng.drain_absorbs()             # quiesce the async tail
         dt = time.perf_counter() - t0
-        rows = (eng.logical_rows() if bg_absorb else
+        rows = (eng.logical_rows() if eng.bg_absorb else
                 sum(int(v["rows"]) for v in eng.manifest.partitions.values()))
         if best is None or dt < best["replay_wall_s"]:
             best = {"replay_wall_s": round(dt, 2),
@@ -236,12 +238,12 @@ def main() -> None:
     # regularly lands in one
     rep8 = run_replay(trials=2, n_waves=8)     # incremental-ingest mode
     # steady-state CDC: 32 small waves over a converged-size lake —
-    # the regime where delta sidecars replace O(partition) rewrites
+    # the regime where delta sidecars replace O(partition) rewrites.
+    # DEFAULT engine mode (background absorbs ON since round 4 —
+    # BENCH-HISTORY DISCONTINUITY: this key measured the synchronous
+    # engine through round 3; the sync A/B is the _sync key below)
     rep32 = run_replay(trials=2, n_waves=32)
-    # same steady-state shape with BACKGROUND absorbs (bg_absorb=True):
-    # the O(base) rewrites run off the wave critical path; wall includes
-    # the final settle drain (scripts/bg_absorb_bench.py has the full A/B)
-    rep32bg = run_replay(trials=2, n_waves=32, bg_absorb=True)
+    rep32sync = run_replay(trials=2, n_waves=32, bg_absorb=False)
     queries = run_queries()
     print(json.dumps({
         "metric": "cdc_replay_16M_events_wall",
@@ -251,7 +253,7 @@ def main() -> None:
         "events_per_s": rep["events_per_s"],
         "events_per_s_8waves": rep8["events_per_s"],
         "events_per_s_32waves": rep32["events_per_s"],
-        "events_per_s_32waves_bg": rep32bg["events_per_s"],
+        "events_per_s_32waves_sync": rep32sync["events_per_s"],
         "lake_rows": rep["lake_rows"],
         "n_events": N_EVENTS,
     }))

@@ -1,5 +1,6 @@
 """A/B: 32x500k-event steady-state waves with synchronous absorbs
-(default) vs BACKGROUND absorbs (bg_absorb=True). Interleaved best-of-2
+(bg_absorb=False) vs BACKGROUND absorbs (bg_absorb=True — the engine
+default since round 4). Interleaved best-of-2
 per mode (VM noise); reports replay wall, settle tail, per-wave
 merge_s, and cross-checks the consistency sum between modes.
 

@@ -30,17 +30,24 @@ def _table(eng):
     return eng.lake_table().sort_by("doc_id")
 
 
-def test_bg_absorb_state_equals_sync_engine(inputs, tmp_path):
-    log, seed = inputs
+def test_bg_absorb_state_equals_sync_engine(tmp_path):
+    # deferral-regime fixture: per-partition wave deltas stay well
+    # under the base size (12k docs vs <=4k touched), so bg mode must
+    # NEVER absorb inline — sidecar_frac=0.1 guarantees waves do cross
+    # the absorb threshold (the sync engine absorbs; bg defers)
+    spec = ChangelogSpec(n_docs=12_000, n_events=4_000, seed=21,
+                         chunk_size=500, n_waves=8)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "seed.parquet"))
     sync = CDCEngine(str(tmp_path / "sync"), num_partitions=6,
-                     sidecar_frac=0.4)
+                     sidecar_frac=0.1, bg_absorb=False)
     sync.bootstrap(seed)
-    sync.replay(log, SPEC.wave_bounds)
+    sync.replay(log, spec.wave_bounds)
 
     bg = CDCEngine(str(tmp_path / "bg"), num_partitions=6,
-                   sidecar_frac=0.4, bg_absorb=True)
+                   sidecar_frac=0.1, bg_absorb=True)
     bg.bootstrap(seed)
-    bg.replay(log, SPEC.wave_bounds)
+    bg.replay(log, spec.wave_bounds)
     # logical state identical regardless of adoption timing
     assert _table(bg).equals(_table(sync))
     assert bg.consistency_sum() == sync.consistency_sum()
@@ -63,6 +70,34 @@ def test_bg_absorb_state_equals_sync_engine(inputs, tmp_path):
     assert bg._bg == {} or n >= 0
     # lazy accounting still agrees with the sync engine
     assert bg.logical_rows() == sync.logical_rows()
+
+
+def test_bg_absorb_convergence_wave_merges_inline(inputs, tmp_path):
+    """The deferral exception: once a wave's pending delta reaches the
+    base's own size, the sidecar write is already O(base)-sized and a
+    background absorb would rewrite everything AGAIN — so a
+    convergence-style wave (all 4k events in one wave over a 400-doc
+    base) merges inline even under bg_absorb=True, and state still
+    equals the sync engine's."""
+    log, seed = inputs
+    bg = CDCEngine(str(tmp_path / "bgconv"), num_partitions=6,
+                   sidecar_frac=0.4, bg_absorb=True)
+    bg.bootstrap(seed)
+    bg.replay(log, [(0, SPEC.n_events)])      # one giant wave
+    import json
+    import os
+    fulls = 0
+    with open(os.path.join(bg.store.root, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("generation", 0) > 0:
+                fulls += r.get("full_parts", 0)
+    assert fulls > 0                  # paid the inline merge, by design
+    sync = CDCEngine(str(tmp_path / "syncconv"), num_partitions=6,
+                     sidecar_frac=0.4, bg_absorb=False)
+    sync.bootstrap(seed)
+    sync.replay(log, [(0, SPEC.n_events)])
+    assert _table(bg).equals(_table(sync))
 
 
 def test_bg_absorb_adoption_happens(inputs, tmp_path):

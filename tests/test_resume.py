@@ -175,6 +175,10 @@ def test_concurrent_committer_fenced(log_dir, seed_path, tmp_path,
     stale_manifest = b.manifest                    # CURRENT at bootstrap gen
 
     a.apply_wave(log_dir, hi=bounds[0][1])         # winner commits first
+    # quiesce the winner's background absorbs so _staged/ holds ONLY
+    # what the loser might leak (in-flight absorb staging is legitimate
+    # winner state, not scratch)
+    a.drain_absorbs()
     winner_files = {p: hashlib.md5(open(a.store.abs(v["path"]), "rb")
                                    .read()).hexdigest()
                     for p, v in a.manifest.partitions.items()}

@@ -233,7 +233,10 @@ def test_verify_vacuum_rebuild_with_sidecars(inputs, tmp_path, capsys):
     import json as _json
     log, seed = inputs
     root = str(tmp_path / "lake")
-    eng = CDCEngine(root, num_partitions=4)
+    # sync mode: this test pins the verify/vacuum/rebuild interplay with
+    # INLINE absorbs (vacuum must find superseded bases inside the keep
+    # window); under bg_absorb the deferral can leave nothing superseded
+    eng = CDCEngine(root, num_partitions=4, bg_absorb=False)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10))
     assert any(p.get("deltas") for p in eng.manifest.partitions.values())
