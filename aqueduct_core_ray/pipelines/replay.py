@@ -553,6 +553,15 @@ class CDCEngine:
                 hour_max[h] = m
         named = dict(cur.named_offsets) if cur else {}
         named["GLOBAL_LATEST"] = hi
+        # MAX_OFFSET_CONSUMERS (OffsetName.java:3-5): the per-type max
+        # lsn, folded from the scan tasks' partials and stored as
+        # MAX_OFFSET_CONSUMERS:<type> keys — the consumer-max answer is
+        # then a checkpoint read, never a log scan
+        # (SQLiteQueries.java:114-124 is the scan it replaces)
+        for s, m in getattr(self, "_wave_source_max", {}).items():
+            k = f"MAX_OFFSET_CONSUMERS:{s}"
+            if m > named.get(k, -1):
+                named[k] = m
         if hour_max:
             latest = max(int(h) for h in hour_max)
             before = [m for h, m in hour_max.items() if int(h) < latest]
@@ -873,6 +882,7 @@ class CDCEngine:
         t_scan0 = time.perf_counter()
         touched_set: set[int] = set()
         self._wave_hour_max: dict[str, int] = {}
+        self._wave_source_max: dict[str, int] = {}
         if scan is not None:
             units, lo, hi, refs = scan
             if units:
@@ -887,6 +897,9 @@ class CDCEngine:
                     for h, m in r["hour_max"].items():
                         if m > self._wave_hour_max.get(h, -1):
                             self._wave_hour_max[h] = m
+                    for s, m in r.get("source_max", {}).items():
+                        if m > self._wave_source_max.get(s, -1):
+                            self._wave_source_max[s] = m
                     if r["block"] is not None:
                         for pid_s, bids in r["idx"].items():
                             plans.setdefault(int(pid_s), []).append(
@@ -1858,7 +1871,30 @@ class CDCEngine:
             return -1
         if name == "GLOBAL_LATEST":
             return m.watermark
+        if name == "MAX_OFFSET_CONSUMERS":
+            # this engine's own subscription fold (all types when
+            # unfiltered) — the checkpoint the reference stores under
+            # the same name
+            vals = [v for k, v in m.named_offsets.items()
+                    if k.startswith("MAX_OFFSET_CONSUMERS:")
+                    and (self.sources is None
+                         or k.split(":", 1)[1] in self.sources)]
+            return max((int(v) for v in vals), default=-1)
         return int(m.named_offsets.get(name, -1))
+
+    def max_offset_for_consumers(self, types: "Iterable[str]") -> int:
+        """Max lsn among events of the given types, answered from the
+        maintained MAX_OFFSET_CONSUMERS:<type> checkpoints — no log
+        scan. Reference: DistributedStorage.getMaxOffsetForConsumers
+        (SQLiteStorage.java:237-251; semantics pinned by
+        SQLiteStorageIntegrationSpec.groovy:1222-1260): empty type list
+        and unknown types return 0."""
+        m = self.manifest
+        types = list(types)
+        if m is None or not types:
+            return 0
+        return max((int(m.named_offsets.get(
+            f"MAX_OFFSET_CONSUMERS:{t}", 0)) for t in types), default=0)
 
     def consistency_sum(self) -> int:
         """Σ last_lsn over live docs — the reference's convergence checksum

@@ -291,11 +291,13 @@ def scan_split_segment(
     target regardless of segment size.
 
     Returns {"pids": touched partition ids, "hour_max": {hour_epoch_us
-    (str) -> max lsn}, "block": exchange file path, "idx": pid ->
-    batch indices within it} — hour maxima feed the maintained named
-    offsets (OffsetName.java:3-5) and the idx map feeds the merge
-    tasks' explicit read plans, both folded driver-side from results
-    the task already had, no extra I/O."""
+    (str) -> max lsn}, "source_max": {source -> max lsn}, "block":
+    exchange file path, "idx": pid -> batch indices within it} — hour
+    and per-type maxima feed the maintained named offsets
+    (OffsetName.java:3-5: MAX_OFFSET_PREVIOUS_HOUR and
+    MAX_OFFSET_CONSUMERS) and the idx map feeds the merge tasks'
+    explicit read plans, all folded driver-side from results the task
+    already had, no extra I/O."""
     tabs = []
     for path, rgs in units:
         f = pq.ParquetFile(path)
@@ -320,13 +322,15 @@ def scan_split_segment(
         tabs = [reconcile_batch(t, union) for t in tabs]
     block = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
     if block.num_rows == 0:
-        return {"pids": [], "hour_max": {}, "block": None, "idx": {}}
+        return {"pids": [], "hour_max": {}, "source_max": {},
+                "block": None, "idx": {}}
     hour_max = _hour_max_lsn(block)
+    source_max = _source_max_lsn(block)
     block = prep_wave_batch(block, num_partitions=num_partitions,
                             salt=salt, policy=policy)
     uniq, _, data_path, idx = write_split_block(block, shuffle_dir)
     return {"pids": [int(p) for p in uniq], "hour_max": hour_max,
-            "block": data_path, "idx": idx}
+            "source_max": source_max, "block": data_path, "idx": idx}
 
 
 _HOUR_US = 3_600_000_000
@@ -350,6 +354,27 @@ def _hour_max_lsn(block: pa.Table) -> dict[str, int]:
     h, start = np.unique(hours[order], return_index=True)
     mx = np.maximum.reduceat(ls[order], start)
     return {str(int(hh)): int(m) for hh, m in zip(h, mx)}
+
+
+def _source_max_lsn(block: pa.Table) -> dict[str, int]:
+    """Per-type max lsn of a scanned window (null-source rows skipped)
+    — the per-commit partial behind the maintained MAX_OFFSET_CONSUMERS
+    checkpoint (SQLiteQueries.java:114-124 computes max(msg_offset)
+    per type set by scan; here the maxima are folded incrementally so
+    the answer never needs a log scan). A handful of entries per wave:
+    the type registry is bounded by design."""
+    if "source" not in block.column_names:
+        return {}
+    col = block.column("source").combine_chunks()
+    ok = col.is_valid().to_numpy(zero_copy_only=False)
+    if not ok.any():
+        return {}
+    src = col.to_numpy(zero_copy_only=False)[ok]
+    lsn = block.column("lsn").to_numpy(zero_copy_only=False)[ok]
+    order = np.argsort(src, kind="stable")
+    s, start = np.unique(src[order], return_index=True)
+    mx = np.maximum.reduceat(lsn[order], start)
+    return {str(ss): int(m) for ss, m in zip(s, mx)}
 
 
 def merge_partition_files(

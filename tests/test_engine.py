@@ -220,3 +220,46 @@ def test_named_offsets_maintained_across_waves(tmp_path):
     # finishing the stream doesn't regress the checkpoint
     eng2.replay(str(log), [(250, 300)])
     assert eng2.named_offset("MAX_OFFSET_PREVIOUS_HOUR") == 200
+
+
+def test_max_offset_for_consumers_maintained(tmp_path):
+    """MAX_OFFSET_CONSUMERS is maintained per commit from the scan
+    tasks' per-type maxima — answered from the manifest checkpoint,
+    never a log scan. Type/offset layout and expectations mirror the
+    reference's integration spec
+    (SQLiteStorageIntegrationSpec.groovy:1222-1260)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.schema import CHANGE_EVENT
+
+    types = {1: "type1", 2: "type1", 3: "type2", 4: "type2", 5: "type1",
+             6: "type1", 7: "type1", 8: "type3", 9: "type1"}
+    rows = [{"lsn": lsn, "op": 0, "doc_id": f"d{lsn:03d}",
+             "tokens": [lsn], "n_tok": 1, "source": ty,
+             "ts": 1_700_000_000_000_000 + lsn}
+            for lsn, ty in types.items()]
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=CHANGE_EVENT),
+                   str(log / "seg-1.parquet"))
+
+    root = str(tmp_path / "lake")
+    eng = CDCEngine(root, num_partitions=2, derivations=())
+    # two waves: the checkpoint must FOLD across commits
+    eng.replay(str(log), [(0, 5), (5, 9)])
+    assert eng.max_offset_for_consumers(["type1"]) == 9
+    assert eng.max_offset_for_consumers(["type2"]) == 4
+    assert eng.max_offset_for_consumers(["type3"]) == 8
+    assert eng.max_offset_for_consumers(["type2", "type3"]) == 8
+    assert eng.max_offset_for_consumers([]) == 0
+    assert eng.max_offset_for_consumers(["no_such_type"]) == 0
+    assert eng.named_offset("MAX_OFFSET_CONSUMERS") == 9
+    # persisted: a fresh engine answers from the manifest alone
+    eng2 = CDCEngine(root, num_partitions=None, derivations=())
+    assert eng2.max_offset_for_consumers(["type2", "type3"]) == 8
+    # a SUBSCRIBED engine's own checkpoint covers only its types
+    sub = CDCEngine(str(tmp_path / "sub"), num_partitions=2,
+                    derivations=(), sources=("type2", "type3"))
+    sub.replay(str(log), [(0, 9)])
+    assert sub.named_offset("MAX_OFFSET_CONSUMERS") == 8
