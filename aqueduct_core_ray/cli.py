@@ -97,9 +97,14 @@ def cmd_tail(args) -> int:
                     bg_absorb=args.bg_absorb)
     if args.seed:
         print(json.dumps({"bootstrap": eng.bootstrap(args.seed)}))
-    for r in eng.tail(args.log, wave_size=args.wave_size,
+    logs = args.log if isinstance(args.log, list) else [args.log]
+    for r in eng.tail(logs if len(logs) > 1 else logs[0],
+                      wave_size=args.wave_size,
                       poll_interval_s=args.poll_interval,
-                      max_idle_polls=args.max_idle_polls):
+                      max_idle_polls=args.max_idle_polls,
+                      poll_max_s=args.poll_max,
+                      dead_after_s=args.dead_after,
+                      failover_after=args.failover_after):
         print(json.dumps(r))
     if eng.bg_absorb:
         n = eng.drain_absorbs()            # quiesce the async tail
@@ -398,13 +403,23 @@ def main(argv: list[str] | None = None) -> int:
     r.set_defaults(fn=cmd_replay)
 
     tl = sub.add_parser("tail", help="continuously apply a growing log")
-    tl.add_argument("--log", required=True)
+    tl.add_argument("--log", required=True, nargs="+",
+                    help="parent log/outbox; several paths form the "
+                         "ordered FOLLOW LIST (failover walks it when "
+                         "the current parent's heartbeat goes stale)")
     tl.add_argument("--lake", required=True)
     tl.add_argument("--seed")
     tl.add_argument("--partitions", type=int, default=None)
     tl.add_argument("--wave-size", type=int, default=1_000_000)
     tl.add_argument("--poll-interval", type=float, default=0.5)
+    tl.add_argument("--poll-max", type=float, default=8.0,
+                    help="idle backoff cap (exponential from "
+                         "--poll-interval)")
     tl.add_argument("--max-idle-polls", type=int, default=3)
+    tl.add_argument("--dead-after", type=float, default=30.0,
+                    help="parent heartbeat age that counts as dead")
+    tl.add_argument("--failover-after", type=int, default=2,
+                    help="consecutive dead idle polls before re-pointing")
     tl.add_argument("--bg-absorb", action=argparse.BooleanOptionalAction,
                     dest="bg_absorb", default=None,
                     help="absorbing rewrites run off the wave critical "

@@ -661,9 +661,13 @@ class CDCEngine:
         replay()/tail() entry to heal a crash between commit and marker
         write.
 
-        A `_STATE` sidecar carries this engine's own pipe state, so a
-        child tailing the outbox can tell "parent caught up + I reached
-        its watermark" = chain-wide convergence without extra probes."""
+        A `_STATE` sidecar carries this engine's own pipe state plus a
+        wall-clock HEARTBEAT (refreshed on every commit AND every idle
+        tail poll), so a child tailing the outbox can tell both "parent
+        caught up + I reached its watermark" = chain-wide convergence
+        AND "parent is alive" — the liveness signal behind follower
+        failover (reference: ServiceList.java:80-110 persisted follow
+        list + last-seen registry heartbeats)."""
         import json as _json
         os.makedirs(self.outbox_dir, exist_ok=True)
         self.store._atomic_write(
@@ -672,7 +676,8 @@ class CDCEngine:
         self.store._atomic_write(
             os.path.join(self.outbox_dir, "_STATE"),
             _json.dumps({"state": self.pipe_state(),
-                         "watermark": self.watermark}))
+                         "watermark": self.watermark,
+                         "wall_ts": time.time()}))
 
     def register_consumer_hwm(self, log_path: str, consumer_id: str,
                               hwm: int) -> None:
@@ -1007,9 +1012,35 @@ class CDCEngine:
             wm = max(wm, mx)
         return wm
 
-    def tail(self, log_path: str, wave_size: int = 1_000_000,
+    def _parent_alive(self, log_path: str, dead_after_s: float) -> bool:
+        """Liveness probe for a tailed parent: a missing directory is
+        dead; an engine outbox (carries ``_STATE``) is dead once its
+        heartbeat is older than ``dead_after_s``; a plain log (no
+        ``_STATE``, no liveness protocol) is always alive — failover
+        only ever applies between engine outboxes."""
+        import json as _json
+        if not os.path.isdir(log_path):
+            return False
+        sp = os.path.join(log_path, "_STATE")
+        if not os.path.exists(sp):
+            return True
+        try:
+            with open(sp) as f:
+                rec = _json.load(f)
+        except (OSError, ValueError):
+            return True                    # racing writer: assume alive
+        ts = rec.get("wall_ts")
+        if ts is None:
+            return True                    # pre-heartbeat publisher
+        return (time.time() - float(ts)) < dead_after_s
+
+    def tail(self, log_path: "str | list[str]",
+             wave_size: int = 1_000_000,
              poll_interval_s: float = 0.5, max_idle_polls: int = 3,
-             consumer_id: str | None = None) -> list[dict[str, Any]]:
+             consumer_id: str | None = None,
+             poll_max_s: float = 8.0,
+             failover_after: int = 2,
+             dead_after_s: float = 30.0) -> list[dict[str, Any]]:
         """The till sync loop (reference §3.2: poll parent for the next
         batch, apply transactionally, sleep when caught up): discover the
         published watermark from footer stats, apply (hwm, hwm+wave_size]
@@ -1017,33 +1048,87 @@ class CDCEngine:
         consecutive polls with no new data. A killed tail resumes exactly
         like replay() — the manifest watermark is the only cursor.
 
+        ADAPTIVE PACING (reference: server-driven Retry-After,
+        PostgresqlStorage.java:229-251; bootstrap fast-path
+        PipeReadController.java:112-147): while behind the watermark the
+        loop never sleeps (waves apply back-to-back and the next poll is
+        immediate); while idle the delay backs off exponentially from
+        ``poll_interval_s`` to the ``poll_max_s`` cap. Every poll
+        appends a lag record to metrics.jsonl.
+
+        FOLLOWER FAILOVER (reference: PipeLoadBalancer.java:28-40
+        re-points down the requestedToFollow list;
+        ServiceList.java:80-110 persists it, :151-153 defaults to
+        cloud): ``log_path`` may be an ORDERED list of parent
+        logs/outboxes — typically [parent till outbox, ..., root
+        outbox]. When the current parent is DEAD (directory gone, or
+        its outbox ``_STATE`` heartbeat older than ``dead_after_s``)
+        for ``failover_after`` consecutive idle polls, the tail
+        re-points to the next entry and keeps consuming from its own
+        watermark — lsns are global across the chain (every outbox
+        re-serves the original offsets), so the cursor carries over
+        exactly. Plain logs (no ``_STATE``) are never declared dead.
+
         ``consumer_id``: when set, the applied HWM is registered next to
         the tailed log after every wave (and every idle poll) — the
         publisher's lag monitor + automatic prune guard input."""
+        paths = [log_path] if isinstance(log_path, str) else list(log_path)
+        if not paths:
+            raise ValueError("tail() needs at least one parent path")
         out: list[dict[str, Any]] = []
         if self.emit_changelog:
             self._publish_outbox_watermark()   # heal crash-before-marker
-        idle = 0
+        idle = stale = 0
+        pi = 0                                 # current follow-list index
         while idle < max_idle_polls:
+            parent = paths[pi]
             if consumer_id and self._consume_bootstrap_request(
-                    log_path, consumer_id):
+                    parent, consumer_id):
                 idle = 0                  # wiped: re-tail from scratch
-            wm = self.discover_watermark(log_path)
+            try:
+                wm = self.discover_watermark(parent)
+            except OSError:
+                if pi + 1 >= len(paths):
+                    raise                 # sole/last parent: surface it
+                wm = -1                   # vanished parent: idle + dead
             self._last_parent_wm = max(wm, self._last_parent_wm or -1)
             if wm <= self.watermark:
                 if consumer_id:
-                    self.register_consumer_hwm(log_path, consumer_id,
+                    self.register_consumer_hwm(parent, consumer_id,
                                                self.watermark)
+                if (pi + 1 < len(paths)
+                        and not self._parent_alive(parent, dead_after_s)):
+                    stale += 1
+                    if stale >= failover_after:
+                        self.store.append_metrics({
+                            "failover_from": parent,
+                            "failover_to": paths[pi + 1],
+                            "hwm": self.watermark})
+                        pi += 1
+                        stale = idle = 0  # fresh chance on the new parent
+                        continue
                 idle += 1
-                time.sleep(poll_interval_s)
+                delay = min(poll_interval_s * (2 ** (idle - 1)),
+                            poll_max_s)
+                if self.emit_changelog:
+                    # heartbeat for OUR children even while idle
+                    self._publish_outbox_watermark()
+                self.store.append_metrics({
+                    "poll": 1, "parent": parent, "lag_events": 0,
+                    "sleep_s": round(delay, 4), "idle_polls": idle})
+                time.sleep(delay)
                 continue
-            idle = 0
+            idle = stale = 0
+            self.store.append_metrics({
+                "poll": 1, "parent": parent,
+                "lag_events": int(wm - self.watermark),
+                "sleep_s": 0.0, "idle_polls": 0})
             while self.watermark < wm:
                 hi = min(self.watermark + wave_size, wm)
-                r = self.apply_wave(log_path, hi=hi)
+                r = self.apply_wave(parent, hi=hi)
                 r["pipe_state"] = self.pipe_state()
                 if consumer_id:
-                    self.register_consumer_hwm(log_path, consumer_id,
+                    self.register_consumer_hwm(parent, consumer_id,
                                                self.watermark)
                 out.append(r)
         return out

@@ -119,3 +119,111 @@ def test_prune_outbox_guard(tmp_path):
     assert removed > 0
     # remaining segments still cover (min_child_hwm, n_events]
     assert eng.discover_watermark(eng.outbox_dir) == SPEC.n_events
+
+
+def test_adaptive_backoff_schedule(tmp_path, monkeypatch):
+    """Idle polls back off exponentially from poll_interval_s to the
+    poll_max_s cap; catching-up polls never sleep. Pin the schedule by
+    intercepting time.sleep."""
+    import json
+
+    from aqueduct_core_ray.pipelines import replay as replay_mod
+
+    log = tmp_path / "log"
+    log.mkdir()
+    publish(log, 1)
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    delays = []
+    monkeypatch.setattr(replay_mod.time, "sleep",
+                        lambda s: delays.append(round(s, 4)))
+    eng.tail(str(log), wave_size=200, poll_interval_s=0.1,
+             max_idle_polls=5, poll_max_s=0.4)
+    # caught up after the catch-up waves, then 5 idle polls: 0.1, 0.2,
+    # 0.4, capped at 0.4 thereafter
+    assert delays == [0.1, 0.2, 0.4, 0.4, 0.4]
+    assert eng.watermark == SPEC.chunk_size
+    # per-poll lag records landed in metrics.jsonl
+    recs = [json.loads(line) for line in
+            open(tmp_path / "lake" / "metrics.jsonl")]
+    polls = [r for r in recs if r.get("poll")]
+    assert any(r["lag_events"] > 0 and r["sleep_s"] == 0 for r in polls)
+    assert [r["sleep_s"] for r in polls if r["idle_polls"]] == delays
+
+
+def test_follower_failover_three_level_chain(tmp_path):
+    """Kill the middle till of a 3-level chain mid-stream: the leaf,
+    tailing the ordered follow list [mid outbox, root outbox], must
+    detect the dead parent via the stale _STATE heartbeat, re-point to
+    the root (the reference's requestedToFollow walk, cloud default)
+    and converge to the root's exact state."""
+    import json
+
+    log = tmp_path / "log"
+    log.mkdir()
+    publish(log, 2)                              # first half of the stream
+
+    root = CDCEngine(str(tmp_path / "root"), num_partitions=4,
+                     emit_changelog=True, derivations=())
+    root.tail(str(log), wave_size=400, poll_interval_s=0.01,
+              max_idle_polls=1)
+    mid = CDCEngine(str(tmp_path / "mid"), num_partitions=3,
+                    emit_changelog=True, derivations=())
+    mid.tail(root.outbox_dir, wave_size=400, poll_interval_s=0.01,
+             max_idle_polls=1, consumer_id="mid")
+    leaf = CDCEngine(str(tmp_path / "leaf"), num_partitions=2,
+                     derivations=())
+    follow = [mid.outbox_dir, root.outbox_dir]
+    leaf.tail(follow, wave_size=400, poll_interval_s=0.01,
+              max_idle_polls=1, consumer_id="leaf")
+    assert leaf.watermark == 2 * SPEC.chunk_size
+    assert leaf.consistency_sum() == mid.consistency_sum()
+
+    # stream continues; the MID TILL IS DEAD (its tail loop never runs
+    # again, so its outbox heartbeat goes stale) while root keeps up
+    publish(log, N_CHUNKS)
+    root.tail(str(log), wave_size=400, poll_interval_s=0.01,
+              max_idle_polls=1)
+    assert root.watermark == SPEC.n_events
+    time.sleep(0.35)                             # heartbeat goes stale
+
+    leaf.tail(follow, wave_size=400, poll_interval_s=0.02,
+              max_idle_polls=4, consumer_id="leaf",
+              dead_after_s=0.3, failover_after=2)
+    assert leaf.watermark == SPEC.n_events
+    assert leaf.consistency_sum() == root.consistency_sum()
+    cols = ["doc_id", "last_lsn", "n_tok"]
+    assert leaf.lake_table().select(cols).equals(
+        root.lake_table().select(cols))
+    # the failover event is on record
+    recs = [json.loads(line) for line in
+            open(tmp_path / "leaf" / "metrics.jsonl")]
+    fo = [r for r in recs if "failover_from" in r]
+    assert fo and fo[0]["failover_from"] == mid.outbox_dir
+    assert fo[0]["failover_to"] == root.outbox_dir
+
+
+def test_failover_skips_vanished_parent_dir(tmp_path):
+    """A parent whose outbox directory disappears entirely (machine
+    gone) is immediately eligible for failover; a single-parent tail
+    still surfaces the error."""
+    import pytest as _pytest
+    import shutil
+
+    log = tmp_path / "log"
+    log.mkdir()
+    publish(log, 2)
+    root = CDCEngine(str(tmp_path / "root"), num_partitions=4,
+                     emit_changelog=True, derivations=())
+    root.tail(str(log), wave_size=500, poll_interval_s=0.01,
+              max_idle_polls=1)
+    gone = str(tmp_path / "vanished_outbox")
+    leaf = CDCEngine(str(tmp_path / "leaf"), num_partitions=2,
+                     derivations=())
+    leaf.tail([gone, root.outbox_dir], wave_size=500,
+              poll_interval_s=0.01, max_idle_polls=2,
+              dead_after_s=0.1, failover_after=1)
+    assert leaf.watermark == root.watermark
+    solo = CDCEngine(str(tmp_path / "solo"), num_partitions=2,
+                     derivations=())
+    with _pytest.raises(OSError):
+        solo.tail(gone, poll_interval_s=0.01, max_idle_polls=1)
