@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
         "export_shards": _export_shards,
+        # trained-BPE vocabulary (iterative greedy algorithm — not
+        # SQL-expressible; pinned against an independent naive BPE in
+        # tests/test_bpe.py) + token counts under the trained merges
+        "bpe_vocab": _bpe_vocab,
+        "bpe_trained_token_count": _bpe_trained_token_count,
         "approx_top_tokens": partial(text.approx_top_tokens),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
@@ -215,6 +220,18 @@ def _pack_sequences(sf_dir: str):
     from aqueduct_core_ray.functions.packing import pack_sequences
 
     return pack_sequences(sf_dir)
+
+
+def _bpe_vocab(sf_dir: str):
+    from aqueduct_core_ray.functions.bpe import bpe_vocab
+
+    return bpe_vocab(sf_dir)
+
+
+def _bpe_trained_token_count(sf_dir: str):
+    from aqueduct_core_ray.functions.bpe import trained_token_count
+
+    return trained_token_count(sf_dir, num_merges=120)
 
 
 def _chunk_dedup(sf_dir: str):

@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "top_customers_by_return_revenue", "customers_without_orders",
     "inter_event_gaps", "small_quantity_revenue", "exact_quantiles",
     "user_type_sets", "pricing_rollup", "generation_diff_events",
-    "bpe_token_count", "weighted_sample", "resize_media",
+    "bpe_token_count", "weighted_sample", "resize_media", "bpe_vocab",
 ]
 
 
