@@ -42,6 +42,7 @@ from ..stages.merge_apply import (
     make_delta_splitter,
     make_wave_merger,
     merge_partition_files,
+    merge_partition_files_batch,
     partition_accounting,
     payload_schema,
     prep_wave_batch,
@@ -55,6 +56,7 @@ from .dag import DEFAULT_DAG, Derivation, topo_check
 # a ~0.4 s/wave fixed scan cost in the 32-wave steady state
 _SCAN_TASK = ray.remote(num_cpus=1)(scan_split_segment)
 _MERGE_TASK = ray.remote(num_cpus=1)(merge_partition_files)
+_MERGE_BATCH_TASK = ray.remote(num_cpus=1)(merge_partition_files_batch)
 _ACCT_TASK = ray.remote(num_cpus=1)(partition_accounting)
 _DIFF_TASK = ray.remote(num_cpus=1)(diff_partition)
 _ABSORB_TASK = ray.remote(num_cpus=1)(absorb_partition)
@@ -77,16 +79,24 @@ class CDCEngine:
         merge_strategy: str = "exchange",         # "exchange" | "groupby"
         conflict: "ConflictPolicy | None" = None, # default LWW-by-lsn
         emit_changelog: bool = False,             # write outbox/ segments
-        sidecar_frac: float = 0.5,                # pending-delta/base row
+        sidecar_frac: float = 1.0,                # pending-delta/base row
                                                   # ratio under which a wave
                                                   # stages a sidecar instead
                                                   # of rewriting the
-                                                  # partition (0.5 ≈ 2 base
-                                                  # rows rewritten per event
+                                                  # partition. 1.0 ≈ 1 base
+                                                  # row rewritten per event
                                                   # amortized — measured
                                                   # best steady-state
-                                                  # throughput; 0.25 paid
-                                                  # ~2x the absorb cost)
+                                                  # throughput under the
+                                                  # round-4 bg_absorb
+                                                  # default (+20-30% vs the
+                                                  # round-3 sync-era 0.5:
+                                                  # fewer background
+                                                  # rewrites stealing wave
+                                                  # cores); read amp stays
+                                                  # bounded at ≤2x rows per
+                                                  # partition read, chains
+                                                  # fold via the tier
         max_deltas: int = 16,                     # sidecars per partition
                                                   # before a forced rewrite
         chain_compact: bool = True,               # tiered compaction: fold a
@@ -932,15 +942,38 @@ class CDCEngine:
         # saved sidecar reads — fall back to the glob discovery path
         if len(touched) and sum(len(v) for v in plans.values()) > 2_000_000:
             plans = {}
-        refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
-                                  parts_map.get(str(p)), b64,
-                                  self.derivations, self.conflict, outbox,
-                                  self.sidecar_frac, self.max_deltas,
-                                  plans.get(p),
-                                  chain_compact=self.chain_compact,
-                                  allow_absorb=not self.bg_absorb)
-                for p in touched]
-        out = _ray.get(refs)
+        cpus = (int(_ray.cluster_resources().get("CPU", 32))
+                if _ray.is_initialized() else 32)
+        n_tasks = max(1, min(len(touched), 2 * cpus))
+        if n_tasks >= len(touched):
+            refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
+                                      parts_map.get(str(p)), b64,
+                                      self.derivations, self.conflict,
+                                      outbox,
+                                      self.sidecar_frac, self.max_deltas,
+                                      plans.get(p),
+                                      chain_compact=self.chain_compact,
+                                      allow_absorb=not self.bg_absorb)
+                    for p in touched]
+            out = _ray.get(refs)
+        else:
+            # BATCHED merge fan: round-robin the touched partitions
+            # into ~2 tasks per CPU — the per-task dispatch overhead of
+            # P single-partition tasks is a fixed floor on small-wave
+            # walls (merge work per task is milliseconds there), while
+            # round-robin keeps the work balanced (partition deltas are
+            # hash-uniform)
+            groups = [touched[i::n_tasks] for i in range(n_tasks)]
+            refs = [_MERGE_BATCH_TASK.remote(
+                        g, self.store.root, wave_id, sdir,
+                        [parts_map.get(str(p)) for p in g], b64,
+                        self.derivations, self.conflict, outbox,
+                        self.sidecar_frac, self.max_deltas,
+                        [plans.get(p) for p in g] if plans else None,
+                        chain_compact=self.chain_compact,
+                        allow_absorb=not self.bg_absorb)
+                    for g in groups]
+            out = [r for chunk in _ray.get(refs) for r in chunk]
         self._phase_t["merge_s"] = round(time.perf_counter() - t_merge0, 4)
         return out
 
@@ -1629,13 +1662,31 @@ class CDCEngine:
                 for dname, recs in _json.loads(r["partials_json"]).items():
                     new_partials.setdefault(dname, {})[str(pid)] = recs
 
+    def _bg_absorb_cap(self) -> int:
+        """Max background absorbs in flight: ~1/4 of the cluster's CPUs
+        (floor 2). Uncapped launches burst O(base) rewrites across
+        every over-threshold partition at once, stealing the wave
+        tasks' cores — the absorbs' whole point is to stay OFF the
+        critical path. Capped launches smooth the rewrite work across
+        commits; the chain-fold tier bounds read amplification while a
+        partition waits its turn."""
+        import ray as _ray
+        cpus = (int(_ray.cluster_resources().get("CPU", 32))
+                if _ray.is_initialized() else 32)
+        return max(2, cpus // 4)
+
     def _launch_absorbs(self, man: Manifest) -> int:
         """Post-commit: start one background absorb per partition whose
         pending sidecar rows crossed the (staggered) absorb threshold —
         the O(base) rewrite the wave itself skipped under
-        ``bg_absorb=True``. One in flight per partition."""
+        ``bg_absorb=True``. One in flight per partition, at most
+        ``_bg_absorb_cap()`` in flight total (most-pending first when
+        rationing)."""
         from ..stages.merge_apply import _staggered_frac
-        n = 0
+        budget = self._bg_absorb_cap() - len(self._bg)
+        if budget <= 0:
+            return 0
+        ready: list[tuple[int, int, dict]] = []
         for pid_s, e in man.partitions.items():
             pid = int(pid_s)
             if pid in self._bg or not e.get("deltas"):
@@ -1645,6 +1696,9 @@ class CDCEngine:
             if base_rows <= 0 or pending <= _staggered_frac(
                     self.sidecar_frac, pid) * base_rows:
                 continue
+            ready.append((pending, pid, e))
+        n = 0
+        for pending, pid, e in sorted(ready, reverse=True)[:budget]:
             wid = f"absorb-g{man.generation:06d}-p{pid:06d}"
             self._bg[pid] = {
                 "wid": wid,
@@ -1699,7 +1753,7 @@ class CDCEngine:
             self._launch_absorbs(man)     # thresholds may still trip
         return len(adopted)
 
-    def drain_absorbs(self, max_rounds: int = 8) -> int:
+    def drain_absorbs(self, max_rounds: int = 64) -> int:
         """Settle background absorbs to QUIESCENCE: each settle round
         may re-launch absorbs for partitions still over threshold after
         adoption, so iterate until a round adopts nothing and none are

@@ -233,10 +233,12 @@ def test_verify_vacuum_rebuild_with_sidecars(inputs, tmp_path, capsys):
     import json as _json
     log, seed = inputs
     root = str(tmp_path / "lake")
-    # sync mode: this test pins the verify/vacuum/rebuild interplay with
-    # INLINE absorbs (vacuum must find superseded bases inside the keep
-    # window); under bg_absorb the deferral can leave nothing superseded
-    eng = CDCEngine(root, num_partitions=4, bg_absorb=False)
+    # sync mode, round-3-era threshold: this test pins the verify/
+    # vacuum/rebuild interplay with INLINE absorbs (vacuum must find
+    # superseded bases inside the keep window); the bg_absorb deferral
+    # or a high absorb threshold can leave nothing superseded
+    eng = CDCEngine(root, num_partitions=4, bg_absorb=False,
+                    sidecar_frac=0.5)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10))
     assert any(p.get("deltas") for p in eng.manifest.partitions.values())
