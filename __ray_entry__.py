@@ -94,10 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_prior": partial(tp.asof_join_prior),
         "sessionize": partial(tp.sessionize),
         "running_total": partial(tp.running_total),
-        "value_histogram": partial(tp.value_histogram),
         "distinct_users": partial(tp.distinct_users_by_type),
         "exact_quantiles": partial(tp.exact_quantiles_by_type),
-        "user_type_sets": partial(tp.user_type_sets),
         "percentile_rank": partial(tp.percentile_rank),
         "inter_event_gaps": partial(tp.inter_event_gaps),
         # --- training-data operators — oracle-backed ---
@@ -111,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": partial(dedup.decontaminate),
         "curate_corpus": _curate,
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
+        "duplicate_clusters": partial(dedup.duplicate_clusters),
+        "near_dedup_keep": partial(dedup.near_dedup_keep),
         "remove_boilerplate_lines": partial(dedup.remove_boilerplate_lines),
         "repetition_score": partial(text.repetition_score),
         "top_docs_per_source": partial(text.top_docs_per_source),
@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routing_semijoin_override": partial(
             lq.routing_semijoin,
             overrides={10: 1, 17: 2, 33: 5, 50: 0}),
+        "value_histogram": partial(tp.value_histogram),
+        "user_type_sets": partial(tp.user_type_sets),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -408,6 +410,33 @@ JOIN card cb ON idb = cb.doc_id
 WHERE (100 * i) // (ca.c + cb.c - i) >= 80"""
 
 
+# Transitive closure of the verified pair graph: DuckDB's recursive CTE
+# propagates every label along (symmetric) edges until fixpoint —
+# min(reachable id) == component minimum, the exact contract of
+# functions/dedup.py _cc_min_label's pointer-jumping propagation.
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach AS (SELECT s AS n, s AS l FROM edges
+          UNION
+          SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.n)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+FROM reach GROUP BY n"""
+
+
+_NEAR_KEEP_SQL = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+edges AS (SELECT doc_id_a AS s, doc_id_b AS t FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach AS (SELECT s AS n, s AS l FROM edges
+          UNION
+          SELECT e.t, r.l FROM reach r JOIN edges e ON e.s = r.n),
+clusters AS (SELECT n, min(l) AS c FROM reach GROUP BY n)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT n FROM clusters WHERE n <> c)"""
+
+
 def oracle_sql() -> dict[str, str]:
     n_words = r"len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))"
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
@@ -494,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_phone
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
+        "duplicate_clusters": _DUP_CLUSTERS_SQL,
+        "near_dedup_keep": _NEAR_KEEP_SQL,
         # TPC-H Q1 flavor; money summed in integer cents with the shared
         # floor(x*100+0.5) row convention (see pipelines/analytics.py)
         "pricing_summary": r"""

@@ -773,3 +773,192 @@ def remove_boilerplate_lines(sf_dir: str, min_docs: int = 2,
         })
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# duplicate clusters: distributed connected components over the
+# verified near-dup pair graph
+# --------------------------------------------------------------------- #
+def _cc_min_label(edges: ray.data.Dataset, num_partitions: int = 16,
+                  max_iters: int = 16) -> ray.data.Dataset:
+    """Connected components by min-label propagation WITH pointer
+    jumping: ``(node, cluster_id)`` where ``cluster_id`` is the minimum
+    node id in the component.
+
+    ``edges`` must be symmetric ``(src, dst)``. Each round augments the
+    edge set with the current label pointers ``(lab -> node)`` so a node
+    reads its label's label too (pointer doubling, Rastogi et al.,
+    "Finding Connected Components in MapReduce", ICDE 2013) — rounds are
+    O(log diameter), not O(diameter). Per round: one co-partitioned
+    union-tag hash join (edges keyed by src meet labels keyed by node)
+    plus one native ``groupby(node).min``. Convergence is detected by
+    the label sum — labels are non-negative and only ever decrease, so
+    an unchanged sum IS the fixpoint; the driver sees one scalar per
+    round, never a row."""
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(src),
+                         "lab": pa.array(np.minimum(src, dst))})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").min("lab")
+              .map_batches(lambda t: pa.table(
+                  {"node": t.column("node"),
+                   "lab": t.column("min(lab)")}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({"part": _int_part(src, P),
+                         "role": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "key": t.column("src"),
+                         "val": t.column("dst")})
+
+    def jump_edges(t: pa.Table) -> pa.Table:
+        """label pointers as extra edges lab -> node (skip self-labels:
+        they would only echo the node's own label back)."""
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        lab = t.column("lab").to_numpy(zero_copy_only=False)
+        m = lab != node
+        return pa.table({"part": _int_part(lab[m], P),
+                         "role": pa.array(np.zeros(int(m.sum()), np.int8)),
+                         "key": pa.array(lab[m]),
+                         "val": pa.array(node[m])})
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"part": _int_part(node, P),
+                         "role": pa.array(np.ones(t.num_rows, np.int8)),
+                         "key": t.column("node"),
+                         "val": t.column("lab")})
+
+    def send(g: pa.Table) -> pa.Table:
+        """per hash partition: msg (node=dst, lab=label(src)) for every
+        edge whose src lives here."""
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        val = g.column("val").to_numpy(zero_copy_only=False)
+        is_lab = role == 1
+        lk, lv = key[is_lab], val[is_lab]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        ek, ev = key[~is_lab], val[~is_lab]
+        if len(ek) == 0 or len(lk) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())})
+        pos = np.clip(np.searchsorted(lk, ek), 0, len(lk) - 1)
+        if not (lk[pos] == ek).all():
+            raise ValueError("edge src absent from label table — "
+                             "labels must cover every edge endpoint")
+        return pa.table({"node": pa.array(ev),
+                         "lab": pa.array(lv[pos])})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                  .union(labels.map_batches(jump_edges,
+                                            batch_format="pyarrow"))
+                  .union(labels.map_batches(tag_labels,
+                                            batch_format="pyarrow")))
+        msgs = tagged.groupby("part").map_groups(
+            send, batch_format="pyarrow")
+        labels = (msgs.union(labels)
+                  .groupby("node").min("lab")
+                  .map_batches(lambda t: pa.table(
+                      {"node": t.column("node"),
+                       "lab": t.column("min(lab)")}),
+                      batch_format="pyarrow")
+                  .materialize())
+        s = labels.aggregate(Sum("lab"))["sum(lab)"]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+    raise RuntimeError(f"connected components did not converge in "
+                       f"{max_iters} pointer-jumping rounds")
+
+
+def duplicate_clusters(sf_dir: str, shingle: int = 3,
+                       min_jaccard_pct: int = 80,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """``(doc_id, cluster_id)`` for every document that belongs to a
+    near-duplicate cluster — the transitive closure of the VERIFIED
+    exact-Jaccard pair graph from :func:`ngram_jaccard_dedup`, labeled
+    with the minimum member doc_id. Singletons (docs in no pair) are
+    excluded: at corpus scale they are the overwhelming majority and
+    carrying a trivial self-cluster row per doc would dwarf the result.
+
+    Pair detection is LSH-candidate + exact verify (no all-pairs stage);
+    the component computation touches only the pair graph, which is a
+    small fraction of the corpus by construction."""
+    pairs = ngram_jaccard_dedup(sf_dir, shingle=shingle,
+                                min_jaccard_pct=min_jaccard_pct,
+                                num_partitions=num_partitions)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pyarrow").materialize()
+    labels = _cc_min_label(edges, num_partitions=num_partitions)
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "cluster_id": t.column("lab")}),
+        batch_format="pyarrow")
+
+
+def near_dedup_keep(sf_dir: str, shingle: int = 3,
+                    min_jaccard_pct: int = 80,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Surviving ``doc_id`` set after near-dedup: drop every cluster
+    member except the representative (minimum doc_id); docs in no
+    cluster survive untouched.
+
+    The removal set (non-representative members) is cluster-graph-sized
+    but unbounded in theory, so it is anti-joined against the corpus via
+    the same co-partitioned union-tag exchange as
+    pipelines/curate.py — never broadcast, never on the driver."""
+    clusters = duplicate_clusters(sf_dir, shingle=shingle,
+                                  min_jaccard_pct=min_jaccard_pct,
+                                  num_partitions=num_partitions)
+
+    def drops_only(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(doc[doc != cl])})
+
+    drops = clusters.map_batches(drops_only, batch_format="pyarrow")
+    docs = read_documents(sf_dir, columns=["doc_id"])
+    P = num_partitions
+
+    def tag(role: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _int_part(ids, P),
+                "role": pa.array(np.full(t.num_rows, role, np.int8)),
+                "doc_id": t.column("doc_id")})
+        return f
+
+    def anti(g: pa.Table) -> pa.Table:
+        role = g.column("role").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        gone = np.unique(ids[role == 1])
+        keep_ids = ids[role == 0]
+        if len(gone):
+            pos = np.clip(np.searchsorted(gone, keep_ids), 0,
+                          len(gone) - 1)
+            keep_ids = keep_ids[gone[pos] != keep_ids]
+        return pa.table({"doc_id": pa.array(keep_ids)})
+
+    return (docs.map_batches(tag(0), batch_format="pyarrow")
+            .union(drops.map_batches(tag(1), batch_format="pyarrow"))
+            .groupby("part").map_groups(anti, batch_format="pyarrow"))

@@ -125,6 +125,37 @@ def test_ngram_jaccard_verifies(corpus):
     assert (3, 4) not in pairs
 
 
+def test_cc_min_label_transitive():
+    """Path graph 0-1-2-3-4-5 plus {10,11}: one propagation hop per
+    round would need 5 rounds; pointer jumping must label the whole
+    path with 0 regardless, and never merge the two components."""
+    import ray
+    import ray.data
+
+    a = np.array([0, 1, 2, 3, 4, 10], np.int64)
+    b = np.array([1, 2, 3, 4, 5, 11], np.int64)
+    edges = pa.table({"src": pa.array(np.concatenate([a, b])),
+                      "dst": pa.array(np.concatenate([b, a]))})
+    lab = {r["node"]: r["lab"]
+           for r in dedup._cc_min_label(
+               ray.data.from_arrow(edges)).take_all()}
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_and_keep(corpus):
+    """corpus: {0,1,2} one near-dup cluster, {3,5} another, 4 singleton.
+    Clusters carry the min member id; keep = representatives +
+    singletons; keep ∪ dropped partitions the corpus."""
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in dedup.duplicate_clusters(
+              corpus, min_jaccard_pct=50).take_all()}
+    assert cl == {0: 0, 1: 0, 2: 0, 3: 3, 5: 3}
+    kept = sorted(r["doc_id"]
+                  for r in dedup.near_dedup_keep(
+                      corpus, min_jaccard_pct=50).take_all())
+    assert kept == [0, 3, 4]
+
+
 def test_simhash_near_dups(corpus):
     pairs = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"]
              for r in dedup.simhash_dedup(corpus, max_hamming=6).take_all()}
