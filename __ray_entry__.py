@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             overrides={10: 1, 17: 2, 33: 5, 50: 0}),
         "value_histogram": partial(tp.value_histogram),
         "user_type_sets": partial(tp.user_type_sets),
+        "priority_wait_orders": partial(an.priority_wait_orders),
+        "ship_delay_priority": partial(an.ship_delay_priority),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -525,6 +527,38 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "duplicate_clusters": _DUP_CLUSTERS_SQL,
         "near_dedup_keep": _NEAR_KEEP_SQL,
+        # TPC-H Q4 flavor: lateness vs o_orderdate (no commit/receipt
+        # dates in this corpus), EXISTS == max(l_shipdate) test
+        "priority_wait_orders": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate >=
+                                o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority""",
+        # TPC-H Q12 flavor: delay bands stand in for l_shipmode
+        "ship_delay_priority": """
+            SELECT CASE WHEN d < 30 THEN 'FAST'
+                        WHEN d < 60 THEN 'NORMAL'
+                        ELSE 'SLOW' END AS delay_band,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM (SELECT date_diff('day', o_orderdate, l_shipdate) AS d,
+                         o_orderpriority
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01')
+            GROUP BY 1""",
         # TPC-H Q1 flavor; money summed in integer cents with the shared
         # floor(x*100+0.5) row convention (see pipelines/analytics.py)
         "pricing_summary": r"""

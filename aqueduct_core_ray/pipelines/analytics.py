@@ -972,3 +972,194 @@ def pricing_rollup(sf_dir: str) -> ray.data.Dataset:
     for c in sums:
         out[c] = out[c].astype("int64")
     return ray.data.from_pandas(out)
+
+
+def priority_wait_orders(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-07-01",
+                         late_days: int = 90,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q4-flavor EXISTS semi-join: per order priority, how many
+    orders in the window have at least one LATE line item — a shipment
+    ``late_days`` or more after the order date (this corpus's lineitem
+    carries no commit/receipt dates, so lateness is defined against
+    o_orderdate). Returns (o_orderpriority, order_count).
+
+    Scale shape: EXISTS(l_shipdate >= o_orderdate + D) ==
+    max(l_shipdate) >= o_orderdate + D, so the fact side shrinks to
+    per-block per-order max-shipdate partials BEFORE the exchange; the
+    orders side is date-filtered at the batch level. One co-partitioned
+    union-tag groupby on hash(orderkey) %% P finishes the max and tests
+    lateness per order; only (priority, count) partials leave each
+    partition and the driver folds O(5 x P) rows."""
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+    late = np.timedelta64(late_days, "D")
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": t.column("l_orderkey"),
+                      "s": t.column("l_shipdate")})
+        agg = g.group_by("k").aggregate([("s", "max")])
+        keys = agg.column("k").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": agg.column("k"),
+            "maxship": agg.column("s_max"),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "odate": pa.nulls(n, pa.timestamp("us")),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_partial, batch_format="pyarrow")
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((od >= lo) & (od < hi)))
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": t.column("o_orderkey"),
+            "maxship": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "odate": t.column("o_orderdate"),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def late_partial(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lp = g.filter(pa.array(side == 0))
+        o = g.filter(pa.array(side == 1))
+        if o.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "order_count": pa.array([], pa.int64())})
+        lk = lp.column("okey").to_numpy(zero_copy_only=False)
+        ls = lp.column("maxship").to_numpy(zero_copy_only=False)
+        # finish the per-order max over the block partials
+        order = np.argsort(lk, kind="stable")
+        lk, ls = lk[order], ls[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                lk[1:] != lk[:-1]]))
+        uk = lk[starts]
+        umax = np.maximum.reduceat(ls, starts) if len(ls) else ls
+        ok = o.column("okey").to_numpy(zero_copy_only=False)
+        od = o.column("odate").to_numpy(zero_copy_only=False)
+        ms, hit = _map_keys(uk, umax, ok)
+        is_late = hit & (ms >= od + late)
+        prio = o.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        up, pi = np.unique(prio[is_late], return_inverse=True)
+        return pa.table({
+            "o_orderpriority": pa.array(up),
+            "order_count": pa.array(np.bincount(
+                pi, minlength=len(up)).astype(np.int64)),
+        })
+
+    parts = (lines.union(orders)
+             .groupby("part").map_groups(late_partial,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["o_orderpriority"], ["order_count"],
+        pa.table({"o_orderpriority": pa.array([], pa.string()),
+                  "order_count": pa.array([], pa.int64())})))
+
+
+def ship_delay_priority(sf_dir: str, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01",
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q12-flavor: line items SHIPPED in the window, banded by
+    ship delay (days from order date: <30 FAST, <60 NORMAL, else SLOW
+    — this corpus has no l_shipmode, so the delay band plays its role),
+    counting high-priority (1-URGENT / 2-HIGH) vs lower-priority lines
+    per band. Returns (delay_band, high_line_count, low_line_count).
+
+    Scale shape: the fact side is date-filtered and projected to
+    (orderkey, shipdate) at the read; ONE co-partitioned union-tag
+    exchange on hash(orderkey) %% P meets it with the orders dimension
+    rows; the per-partition finish is a vectorized searchsorted +
+    bincount over band x priority, and only (band, 2 counts) partials
+    reach the driver fold."""
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+    bands = np.array(["FAST", "NORMAL", "SLOW"])
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": t.column("l_orderkey"),
+            "ship": t.column("l_shipdate"),
+            "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+            "odate": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": t.column("o_orderkey"),
+            "ship": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "odate": t.column("o_orderdate"),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+
+    def band_partial(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ln = g.filter(pa.array(side == 0))
+        o = g.filter(pa.array(side == 1))
+        if ln.num_rows == 0:
+            return pa.table({"delay_band": pa.array([], pa.string()),
+                             "high_line_count": pa.array([], pa.int64()),
+                             "low_line_count": pa.array([], pa.int64())})
+        ok = o.column("okey").to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="stable")
+        ok = ok[order]
+        od = o.column("odate").to_numpy(zero_copy_only=False)[order]
+        prio = o.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)[order]
+        is_high = (prio == "1-URGENT") | (prio == "2-HIGH")
+        lk = ln.column("okey").to_numpy(zero_copy_only=False)
+        ls = ln.column("ship").to_numpy(zero_copy_only=False)
+        pos, hit = _map_keys(ok, np.arange(len(ok)), lk)
+        if not hit.all():
+            raise ValueError("lineitem orderkey absent from orders — "
+                             "mismatched inputs")
+        delay = ((ls - od[pos]) // np.timedelta64(1, "D")).astype(np.int64)
+        band = np.digitize(delay, [30, 60])          # 0/1/2
+        cell = band * 2 + is_high[pos].astype(np.int64)
+        counts = np.bincount(cell, minlength=6)
+        present = np.flatnonzero(counts[0::2] + counts[1::2])
+        return pa.table({
+            "delay_band": pa.array(bands[present]),
+            "high_line_count": pa.array(counts[1::2][present]),
+            "low_line_count": pa.array(counts[0::2][present]),
+        })
+
+    parts = (lines.union(orders)
+             .groupby("part").map_groups(band_partial,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["delay_band"], ["high_line_count", "low_line_count"],
+        pa.table({"delay_band": pa.array([], pa.string()),
+                  "high_line_count": pa.array([], pa.int64()),
+                  "low_line_count": pa.array([], pa.int64())})))

@@ -347,3 +347,52 @@ def test_broadcast_gate_path_equivalence():
         bc = _canon(fn(SF, broadcast_threshold=1 << 60).to_pandas())
         ex = _canon(fn(SF, broadcast_threshold=0).to_pandas())
         assert bc.equals(ex), fn.__name__
+
+
+def test_priority_wait_orders_matches_duckdb():
+    sq = _canon(_duck("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >=
+                            o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority"""))
+    ry = _canon(analytics.priority_wait_orders(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # partition invariance of the union-tag exchange
+    ry2 = _canon(analytics.priority_wait_orders(SF, num_partitions=3)
+                 .to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_ship_delay_priority_matches_duckdb():
+    sq = _canon(_duck("""
+        SELECT CASE WHEN d < 30 THEN 'FAST'
+                    WHEN d < 60 THEN 'NORMAL'
+                    ELSE 'SLOW' END AS delay_band,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_line_count
+        FROM (SELECT date_diff('day', o_orderdate, l_shipdate) AS d,
+                     o_orderpriority
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01')
+        GROUP BY 1"""))
+    ry = _canon(analytics.ship_delay_priority(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # band totals conserve the windowed line count
+    n = _duck("""SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+                 JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'""")["n"][0]
+    assert int((ry["high_line_count"] + ry["low_line_count"]).sum()) == n
+    ry2 = _canon(analytics.ship_delay_priority(SF, num_partitions=3)
+                 .to_pandas())
+    assert ry.equals(ry2)
