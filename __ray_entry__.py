@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_sets": partial(tp.user_type_sets),
         "priority_wait_orders": partial(an.priority_wait_orders),
         "ship_delay_priority": partial(an.ship_delay_priority),
+        "volume_shipping": partial(an.volume_shipping),
+        "brand_revenue_by_year": partial(an.brand_revenue_by_year),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -559,6 +561,30 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # TPC-H Q7 flavor: revenue between supplier/customer nation
+        # pairs per ship year (both dimension attaches size-gated)
+        "volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                        AS BIGINT) AS revenue_c
+            FROM lineitem
+            JOIN supplier s ON l_suppkey = s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN orders o ON l_orderkey = o_orderkey
+            JOIN customer c ON o_custkey = c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3""",
+        # TPC-H Q9 flavor: revenue per (brand, ship year); the part
+        # dimension attach is size-gated (broadcast map vs exchange)
+        "brand_revenue_by_year": """
+            SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                        AS BIGINT) AS revenue_c
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2""",
         # TPC-H Q1 flavor; money summed in integer cents with the shared
         # floor(x*100+0.5) row convention (see pipelines/analytics.py)
         "pricing_summary": r"""

@@ -1163,3 +1163,372 @@ def ship_delay_priority(sf_dir: str, date_from: str = "1996-01-01",
         pa.table({"delay_band": pa.array([], pa.string()),
                   "high_line_count": pa.array([], pa.int64()),
                   "low_line_count": pa.array([], pa.int64())})))
+
+
+def _ship_years(t: pa.Table) -> np.ndarray:
+    """Calendar year of l_shipdate as int64 (vectorized datetime64 math)."""
+    sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+    return sd.astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+def volume_shipping(sf_dir: str, year_from: int = 1995,
+                    year_to: int = 1997, num_partitions: int = 16,
+                    broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                    ) -> ray.data.Dataset:
+    """TPC-H Q7-flavor volume shipping: revenue (integer cents) between
+    every (supplier nation, customer nation) pair per ship year in
+    [year_from, year_to). Returns (supp_nation, cust_nation, l_year,
+    revenue_c) — bounded at 25 x 25 x years rows.
+
+    Scale shape: nation (<=25 rows) is always a driver-side broadcast
+    map. supplier and customer both scale with the fact table, so each
+    attach is SIZE-GATED like revenue_by_nation's: under
+    ``broadcast_threshold`` rows the (key -> nationkey) lookup is one
+    ``ray.put`` broadcast; above it the dimension never leaves the
+    cluster — a co-partitioned union-tag exchange on hash(key) %% P
+    (suppkey for lineitem, custkey for orders) attaches the nationkey.
+    Either way the FINAL exchange is one co-partitioned union-tag
+    groupby on hash(orderkey) %% P where per-order customer nation
+    meets the per-(order, supp-nation, year) revenue partials; only
+    encoded (cell, rev_c) partials — <=1250 rows per partition — reach
+    the driver fold. Both gate paths are value-identical (pinned by
+    tests/test_analytics.py)."""
+    import pyarrow.parquet as pq
+    lo = np.datetime64(f"{year_from}-01-01", "us")
+    hi = np.datetime64(f"{year_to}-01-01", "us")
+    n_years = year_to - year_from
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nn = int(nat["n_nationkey"].max()) + 1
+    names = np.empty(nn, object)
+    names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+
+    def line_project(t: pa.Table) -> pa.Table:
+        """Window-filter lineitem and project to the join-ready shape
+        (l_suppkey, l_orderkey, yidx, rev_c) shared by both gate paths."""
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "l_orderkey": t.column("l_orderkey"),
+            "yidx": pa.array(_ship_years(t) - year_from),
+            "rev_c": pa.array(_rev_cents(t)),
+        })
+
+    def line_partial(t: pa.Table, snat: np.ndarray) -> pa.Table:
+        """Per-block combine of (orderkey, supp-nation, year) revenue —
+        the partials the final orderkey exchange consumes (side=0)."""
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        yi = t.column("yidx").to_numpy(zero_copy_only=False)
+        rv = t.column("rev_c").to_numpy(zero_copy_only=False)
+        cell = (ok * nn + snat) * n_years + yi
+        order = np.argsort(cell, kind="stable")
+        cell, rv = cell[order], rv[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], cell[1:] != cell[:-1]]))
+        ucell = cell[starts]
+        sums = np.add.reduceat(rv, starts) if len(rv) else rv
+        uok = ucell // (nn * n_years)
+        return pa.table({
+            "part": _hash_part(uok, num_partitions),
+            "o_orderkey": pa.array(uok),
+            "scell": pa.array(ucell % (nn * n_years)),
+            "rev_c": pa.array(sums.astype(np.int64)),
+            "cnat": pa.nulls(len(uok), pa.int64()),
+            "side": pa.array(np.zeros(len(uok), np.int8)),
+        })
+
+    lines_proj = (ray.data.read_parquet(
+                      f"{sf_dir}/lineitem.parquet",
+                      columns=["l_suppkey", "l_orderkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+                  .map_batches(line_project, batch_format="pyarrow"))
+
+    if _table_rows(f"{sf_dir}/supplier.parquet") <= broadcast_threshold:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"]
+                             ).to_pandas()
+        sk, sv = _sorted_lookup(
+            supp["s_suppkey"].to_numpy(),
+            supp["s_nationkey"].to_numpy().astype(np.int64))
+        supp_ref = ray.put((sk, sv))
+
+        def attach_snat_bc(t: pa.Table) -> pa.Table:
+            sk_, sv_ = ray.get(supp_ref)
+            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(sk_, sv_, keys)
+            return line_partial(t.filter(pa.array(hit)), mapped[hit])
+
+        lines = lines_proj.map_batches(attach_snat_bc,
+                                       batch_format="pyarrow")
+    else:
+        # union-tag exchange on hash(suppkey) % P — supplier stays
+        # distributed; only its (suppkey, nationkey) pairs move
+        def supp_side(t: pa.Table) -> pa.Table:
+            keys = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "spart": _hash_part(keys, num_partitions),
+                "l_suppkey": t.column("s_suppkey"),
+                "l_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "yidx": pa.array(
+                    t.column("s_nationkey").to_numpy(
+                        zero_copy_only=False).astype(np.int64)),
+                "rev_c": pa.nulls(t.num_rows, pa.int64()),
+                "sside": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        def line_side(t: pa.Table) -> pa.Table:
+            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "spart": _hash_part(keys, num_partitions),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_orderkey": t.column("l_orderkey"),
+                "yidx": t.column("yidx"),
+                "rev_c": t.column("rev_c"),
+                "sside": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def attach_snat_ex(g: pa.Table) -> pa.Table:
+            sside = g.column("sside").to_numpy(zero_copy_only=False)
+            su = g.filter(pa.array(sside == 0))
+            ln = g.filter(pa.array(sside == 1))
+            sk_, sv_ = _sorted_lookup(
+                su.column("l_suppkey").to_numpy(zero_copy_only=False),
+                su.column("yidx").to_numpy(zero_copy_only=False))
+            keys = ln.column("l_suppkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(sk_, sv_, keys)
+            return line_partial(ln.filter(pa.array(hit)), mapped[hit])
+
+        supp_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+                   .map_batches(supp_side, batch_format="pyarrow"))
+        lines = (supp_ds.union(
+                     lines_proj.map_batches(line_side,
+                                            batch_format="pyarrow"))
+                 .groupby("spart")
+                 .map_groups(attach_snat_ex, batch_format="pyarrow"))
+
+    def orders_out(t: pa.Table, cnat: np.ndarray) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "o_orderkey": t.column("o_orderkey"),
+            "scell": pa.nulls(t.num_rows, pa.int64()),
+            "rev_c": pa.nulls(t.num_rows, pa.int64()),
+            "cnat": pa.array(cnat.astype(np.int64)),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    if _table_rows(f"{sf_dir}/customer.parquet") <= broadcast_threshold:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"]
+                             ).to_pandas()
+        ck, cv = _sorted_lookup(
+            cust["c_custkey"].to_numpy(),
+            cust["c_nationkey"].to_numpy().astype(np.int64))
+        cust_ref = ray.put((ck, cv))
+
+        def tag_orders(t: pa.Table) -> pa.Table:
+            ck_, cv_ = ray.get(cust_ref)
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(ck_, cv_, keys)
+            return orders_out(t.filter(pa.array(hit)), mapped[hit])
+
+        orders = (ray.data.read_parquet(
+                      f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+                  .map_batches(tag_orders, batch_format="pyarrow"))
+    else:
+        # union-tag exchange on hash(custkey) % P, as in revenue_by_nation
+        def cust_side(t: pa.Table) -> pa.Table:
+            keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cpart": _hash_part(keys, num_partitions),
+                "o_custkey": t.column("c_custkey"),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                "cnat": pa.array(
+                    t.column("c_nationkey").to_numpy(
+                        zero_copy_only=False).astype(np.int64)),
+                "cside": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        def ord_side(t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "cpart": _hash_part(keys, num_partitions),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cnat": pa.nulls(t.num_rows, pa.int64()),
+                "cside": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def attach_cnat(g: pa.Table) -> pa.Table:
+            cside = g.column("cside").to_numpy(zero_copy_only=False)
+            cu = g.filter(pa.array(cside == 0))
+            od = g.filter(pa.array(cside == 1))
+            ck_, cv_ = _sorted_lookup(
+                cu.column("o_custkey").to_numpy(zero_copy_only=False),
+                cu.column("cnat").to_numpy(zero_copy_only=False))
+            keys = od.column("o_custkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(ck_, cv_, keys)
+            return orders_out(od.filter(pa.array(hit)), mapped[hit])
+
+        cust_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/customer.parquet",
+                       columns=["c_custkey", "c_nationkey"])
+                   .map_batches(cust_side, batch_format="pyarrow"))
+        ord_ds = (ray.data.read_parquet(
+                      f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+                  .map_batches(ord_side, batch_format="pyarrow"))
+        orders = (cust_ds.union(ord_ds)
+                  .groupby("cpart")
+                  .map_groups(attach_cnat, batch_format="pyarrow"))
+
+    def join_agg(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ln = g.filter(pa.array(side == 0))
+        od = g.filter(pa.array(side == 1))
+        ok, cn = _sorted_lookup(
+            od.column("o_orderkey").to_numpy(zero_copy_only=False),
+            od.column("cnat").to_numpy(zero_copy_only=False))
+        probe = ln.column("o_orderkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(ok, cn, probe)
+        scell = ln.column("scell").to_numpy(zero_copy_only=False)[hit]
+        rv = ln.column("rev_c").to_numpy(zero_copy_only=False)[hit]
+        # (snat, yidx) from scell + cnat -> one dense cell id
+        cell = (scell // n_years) * (nn * n_years) \
+            + mapped[hit] * n_years + scell % n_years
+        gi, sums, _ = _int_sum_by(cell, rv)
+        return pa.table({"cell": pa.array(gi), "rev_c": pa.array(sums)})
+
+    joined = (lines.union(orders)
+              .groupby("part").map_groups(join_agg,
+                                          batch_format="pyarrow"))
+    empty = pa.table({"cell": pa.array([], pa.int64()),
+                      "rev_c": pa.array([], pa.int64())})
+    folded = _fold_partials(joined, ["cell"], ["rev_c"], empty)
+    cell = folded.column("cell").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "supp_nation": pa.array(names[cell // (nn * n_years)]
+                                .astype(str)),
+        "cust_nation": pa.array(names[(cell // n_years) % nn]
+                                .astype(str)),
+        "l_year": pa.array((cell % n_years) + year_from),
+        "revenue_c": folded.column("rev_c"),
+    }))
+
+
+def brand_revenue_by_year(sf_dir: str, num_partitions: int = 16,
+                          broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                          ) -> ray.data.Dataset:
+    """TPC-H Q9-flavor product profit rollup: revenue (integer cents)
+    per (p_brand, ship year). Returns (p_brand, l_year, revenue_c) —
+    bounded at brands x years rows.
+
+    Scale shape: ``part`` scales with the fact table, so the brand
+    attach is SIZE-GATED. Under ``broadcast_threshold`` rows the
+    (partkey -> brand) lookup broadcasts once and the whole query is
+    ZERO exchanges (per-block partials + driver fold of O(brands x
+    years x blocks) rows). Above, ONE co-partitioned union-tag
+    exchange on hash(partkey) %% P attaches the brand string to
+    per-(partkey, year) revenue partials; only (brand, year, rev_c)
+    rows leave each partition. Both paths value-identical (pinned by
+    tests/test_analytics.py)."""
+    import pyarrow.parquet as pq
+
+    def brand_year_partial(brands: np.ndarray, years: np.ndarray,
+                           rev: np.ndarray) -> pa.Table:
+        """Combine (brand, year, rev) rows into one partial table."""
+        ub, bi = np.unique(brands, return_inverse=True)
+        cell = bi.astype(np.int64) * 4096 + (years - 1970)
+        gi, sums, _ = _int_sum_by(cell, rev)
+        return pa.table({
+            "p_brand": pa.array(ub[gi // 4096].astype(str)),
+            "l_year": pa.array((gi % 4096) + 1970),
+            "revenue_c": pa.array(sums),
+        })
+
+    if _table_rows(f"{sf_dir}/part.parquet") <= broadcast_threshold:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"]).to_pandas()
+        brands = np.sort(part["p_brand"].unique())
+        bmap = {b: i for i, b in enumerate(brands)}
+        pk, bv = _sorted_lookup(
+            part["p_partkey"].to_numpy(),
+            part["p_brand"].map(bmap).to_numpy().astype(np.int64))
+        ref = ray.put((pk, bv, brands))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk_, bv_, brands_ = ray.get(ref)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, bv_, keys)
+            return brand_year_partial(brands_[mapped[hit]],
+                                      _ship_years(t)[hit],
+                                      _rev_cents(t)[hit])
+
+        parts = (ray.data.read_parquet(
+                     f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"])
+                 .map_batches(partial, batch_format="pyarrow"))
+    else:
+        def part_side(t: pa.Table) -> pa.Table:
+            keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "pkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "l_year": pa.nulls(t.num_rows, pa.int64()),
+                "revenue_c": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        def line_side(t: pa.Table) -> pa.Table:
+            """Per-block (partkey, year) revenue partials, exchange-tagged."""
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            cell = pk * 4096 + (_ship_years(t) - 1970)
+            gi, sums, _ = _int_sum_by(cell, _rev_cents(t))
+            upk = gi // 4096
+            return pa.table({
+                "part": _hash_part(upk, num_partitions),
+                "pkey": pa.array(upk),
+                "p_brand": pa.nulls(len(upk), pa.string()),
+                "l_year": pa.array((gi % 4096) + 1970),
+                "revenue_c": pa.array(sums),
+                "side": pa.array(np.ones(len(upk), np.int8)),
+            })
+
+        def attach_brand(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            pt = g.filter(pa.array(side == 0))
+            ln = g.filter(pa.array(side == 1))
+            pk_, bv_ = _sorted_lookup(
+                pt.column("pkey").to_numpy(zero_copy_only=False),
+                pt.column("p_brand").to_numpy(zero_copy_only=False))
+            keys = ln.column("pkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, bv_, keys)
+            return brand_year_partial(
+                mapped[hit],
+                ln.column("l_year").to_numpy(zero_copy_only=False)[hit],
+                ln.column("revenue_c").to_numpy(zero_copy_only=False)[hit])
+
+        part_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+                   .map_batches(part_side, batch_format="pyarrow"))
+        line_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_shipdate",
+                                "l_extendedprice", "l_discount"])
+                   .map_batches(line_side, batch_format="pyarrow"))
+        parts = (part_ds.union(line_ds)
+                 .groupby("part")
+                 .map_groups(attach_brand, batch_format="pyarrow"))
+
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["p_brand", "l_year"], ["revenue_c"],
+        pa.table({"p_brand": pa.array([], pa.string()),
+                  "l_year": pa.array([], pa.int64()),
+                  "revenue_c": pa.array([], pa.int64())})))

@@ -396,3 +396,54 @@ def test_ship_delay_priority_matches_duckdb():
     ry2 = _canon(analytics.ship_delay_priority(SF, num_partitions=3)
                  .to_pandas())
     assert ry.equals(ry2)
+
+
+def test_volume_shipping_matches_duckdb_both_paths():
+    con = duckdb.connect()
+    for tb in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                    AS BIGINT) AS revenue_c
+        FROM lineitem
+        JOIN supplier s ON l_suppkey = s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l_orderkey = o_orderkey
+        JOIN customer c ON o_custkey = c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3""").df())
+    # both gate paths (driver broadcast vs co-partitioned exchange)
+    bc = _canon(analytics.volume_shipping(
+        SF, broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.volume_shipping(
+        SF, broadcast_threshold=0).to_pandas())
+    assert sq.equals(bc.astype(sq.dtypes.to_dict()))
+    assert bc.equals(ex)
+    # partition invariance
+    p5 = _canon(analytics.volume_shipping(SF, num_partitions=5)
+                .to_pandas())
+    assert bc.equals(p5)
+
+
+def test_brand_revenue_by_year_matches_duckdb_both_paths():
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                    AS BIGINT) AS revenue_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2""").df())
+    bc = _canon(analytics.brand_revenue_by_year(
+        SF, broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.brand_revenue_by_year(
+        SF, broadcast_threshold=0).to_pandas())
+    assert sq.equals(bc.astype(sq.dtypes.to_dict()))
+    assert bc.equals(ex)
