@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_delay_priority": partial(an.ship_delay_priority),
         "volume_shipping": partial(an.volume_shipping),
         "brand_revenue_by_year": partial(an.brand_revenue_by_year),
+        "doc_frequency": partial(text.doc_frequency),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -561,6 +562,22 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # corpus document-frequency heavy hitters (stopword discovery):
+        # df = docs containing the token, ties by token asc
+        "doc_frequency": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+')) AS token
+              FROM documents),
+            d AS (SELECT token,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM w GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (ORDER BY df DESC, token)
+                     AS rk FROM d)
+            SELECT token, df, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 20""",
         # TPC-H Q7 flavor: revenue between supplier/customer nation
         # pairs per ship year (both dimension attaches size-gated)
         "volume_shipping": """

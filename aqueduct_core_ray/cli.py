@@ -253,11 +253,18 @@ def cmd_diff(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=None)
+    cols = ([c for c in args.columns.split(",") if c]
+            if args.columns else None)
     try:
-        ds = eng.diff_generations(args.from_gen, args.to_gen)
+        ds = eng.diff_generations(args.from_gen, args.to_gen,
+                                  payload_columns=cols)
     except ValueError as e:
         print(json.dumps({"ok": False, "error": str(e)}))
         return 1
+    if args.out:
+        # changefeed export: stream the diff (with payload) to parquet
+        ds = ds.materialize()
+        ds.write_parquet(args.out)
     counts: dict[str, int] = {}
     sample: list[dict] = []
     for batch in ds.iter_batches(batch_format="pyarrow"):
@@ -475,6 +482,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="defaults to CURRENT")
     df.add_argument("--sample", type=int, default=10,
                     help="changed rows to include in the output")
+    df.add_argument("--columns", default=None,
+                    help="comma-separated lake columns to attach as "
+                         "changefeed payload (new-generation values; "
+                         "null for deleted docs)")
+    df.add_argument("--out", default=None,
+                    help="write the (payload-carrying) changefeed to "
+                         "this parquet directory")
     df.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser("get", help="point-read live rows by doc_id")

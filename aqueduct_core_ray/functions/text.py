@@ -458,3 +458,65 @@ def approx_top_tokens(sf_dir: str, k: int = 20,
                                 .astype(np.int64)),
         "rk": pa.array(np.arange(1, len(agg) + 1, dtype=np.int64)),
     }))
+
+
+def doc_frequency(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Corpus DOCUMENT-FREQUENCY heavy hitters: the ``k`` whitespace
+    tokens present in the most documents (df = number of docs
+    containing the token at least once) — the stopword-discovery /
+    vocabulary-pruning staple. Ties break by token asc; returns
+    (token, df, rk). EXACT (reference semantics: aqueduct-core's
+    derived-table rollups, DerivedTableSync re-aggregation).
+
+    Scale shape: per-block the (doc, token) pairs are DISTINCT-ed with
+    one Arrow group_by (no per-row loops) and collapsed to (token,
+    partial df) — the shuffle moves distinct tokens per block, never
+    word instances. A native distributed ``groupby(token).sum``
+    finishes the counts; each token then lives in exactly ONE output
+    block, so a per-block local top-k bounds the driver fold at
+    k x blocks rows — exact, no second exchange."""
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "d": pa.array(np.repeat(np.arange(len(counts), dtype=np.int64),
+                                    counts)),
+            "token": words.flatten(),
+        })
+        distinct = pairs.group_by(["d", "token"]).aggregate([])
+        agg = distinct.group_by("token").aggregate([("d", "count")])
+        return pa.table({"token": agg.column("token"),
+                         "df": agg.column("d_count")})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cnt = t.column("sum(df)").to_numpy(zero_copy_only=False)
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -cnt))[:k]
+        return pa.table({
+            "token": t.column("token").take(pa.array(order)),
+            "df": pa.array(cnt[order].astype(np.int64)),
+        })
+
+    total = (read_documents(sf_dir, columns=["text"])
+             .map_batches(df_partial, batch_format="pyarrow")
+             .groupby("token").sum("df")
+             .map_batches(local_topk, batch_format="pyarrow"))
+    # driver fold of <= k x blocks candidate rows: exact global top-k
+    tables = [t for t in ray.get(total.to_arrow_refs()) if t.num_rows]
+    cand = (pa.concat_tables(tables, promote_options="default")
+            if tables else None)
+    if cand is None or cand.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64())}))
+    cnt = cand.column("df").to_numpy(zero_copy_only=False)
+    tok = cand.column("token").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -cnt))[:k]
+    return ray.data.from_arrow(pa.table({
+        "token": cand.column("token").take(pa.array(order)),
+        "df": pa.array(cnt[order].astype(np.int64)),
+        "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }))

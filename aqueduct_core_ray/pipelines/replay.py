@@ -1484,25 +1484,33 @@ class CDCEngine:
         return out.sort_by("doc_id") if "doc_id" in out.column_names else out
 
     def diff_generations(self, g_old: int,
-                         g_new: int | None = None) -> ray.data.Dataset:
+                         g_new: int | None = None,
+                         payload_columns: list[str] | None = None
+                         ) -> ray.data.Dataset:
         """TIME-TRAVEL DIFF: which docs changed between two committed
         generations — (doc_id, change ∈ added|updated|deleted, lsn_old,
         lsn_new), ``g_new`` defaulting to CURRENT. The CDC consumer's
         "what did I miss" query, answered from the lake alone (no log
-        re-scan).
+        re-scan). ``payload_columns`` upgrades the diff to a CHANGEFEED
+        (the Delta-CDF read shape): each named lake column is appended
+        carrying the NEW-generation value for added/updated docs, null
+        for deleted — so a downstream consumer can apply the changes
+        without a second lake read.
 
         Scale shape: the driver compares MANIFEST ENTRIES (base path +
         delta chain) per partition and fans out one raw diff task per
         CHANGED partition only — after a small wave the diff costs
         O(touched partitions), not O(lake). Each task reads the narrow
-        (doc_id, last_lsn) projection of both versions and outer-joins
-        them vectorized; results stay in the object store
-        (``from_arrow_refs``), never gathered on the driver."""
+        (doc_id, last_lsn [+ payload]) projection of both versions ONCE
+        and outer-joins them vectorized; results stay in the object
+        store (``from_arrow_refs``), never gathered on the driver."""
         m_old = self.manifest_at(g_old)
         m_new = (self.manifest if g_new is None
                  else self.manifest_at(g_new))
         if m_new is None:
             raise ValueError("lake has no committed manifest")
+        pay = [c for c in (payload_columns or [])
+               if c in m_new.schema.names and c != "doc_id"]
 
         def ident(e: "dict[str, Any] | None"):
             if e is None:
@@ -1518,14 +1526,19 @@ class CDCEngine:
                 continue                    # untouched partition: skip
             refs.append(_DIFF_TASK.remote(
                 int(pid), self.store.root, a, b,
-                m_old.schema_b64, m_new.schema_b64, self.conflict))
+                m_old.schema_b64, m_new.schema_b64, self.conflict,
+                pay or None))
         if not refs:
-            return ray.data.from_arrow(pa.table({
+            empty = pa.table({
                 "doc_id": pa.array([], pa.string()),
                 "change": pa.array([], pa.string()),
                 "lsn_old": pa.array([], pa.int64()),
                 "lsn_new": pa.array([], pa.int64()),
-            }))
+            })
+            for c in pay:
+                empty = empty.append_column(
+                    c, pa.nulls(0, m_new.schema.field(c).type))
+            return ray.data.from_arrow(empty)
         return ray.data.from_arrow_refs(refs)
 
     def clone_lake(self, dst_root: str,

@@ -828,7 +828,8 @@ def diff_partition(pid: int, lake_root: str,
                    old_entry: "dict[str, Any] | None",
                    new_entry: "dict[str, Any] | None",
                    old_schema_b64: str, new_schema_b64: str,
-                   policy: ConflictPolicy) -> pa.Table:
+                   policy: ConflictPolicy,
+                   payload_columns: "list[str] | None" = None) -> pa.Table:
     """TIME-TRAVEL DIFF of one partition between two generations:
     (doc_id, change ∈ added|updated|deleted, lsn_old, lsn_new). Runs as
     a raw Ray task from ``CDCEngine.diff_generations`` — one task per
@@ -837,27 +838,42 @@ def diff_partition(pid: int, lake_root: str,
     generations, so a diff after a small wave costs O(touched), not
     O(lake)). Narrow projection: only doc_id/last_lsn (+ fence) are
     read, never the payload; the compare is one vectorized outer hash
-    join."""
+    join.
+
+    ``payload_columns`` turns the diff into a CHANGEFEED row (the
+    Delta-CDF shape): each named lake column is appended with the
+    NEW-generation value for added/updated docs and null for deleted —
+    the new side is read ONCE with the extra columns, there is no
+    second pass."""
     import pandas as pd
 
-    def side(entry, b64):
+    new_schema = schema_from_b64(new_schema_b64)
+    pay_cols = [c for c in (payload_columns or [])
+                if c in new_schema.names and c != "doc_id"]
+    new_payload: "pa.Table | None" = None
+
+    def side(entry, b64, extra_cols=()):
         # NULLABLE Int64, not numpy int64: a plain-int64 column would be
         # upcast to float64 by the outer merge's NaN fill, collapsing
         # lsn values past 2^53 (same hazard _int_sum_by guards against)
         if entry is None:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
-                                 "lsn": pd.Series([], dtype="Int64")})
+            return (pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                  "lsn": pd.Series([], dtype="Int64")}),
+                    None)
         schema = schema_from_b64(b64)
-        t = live_rows(load_partition_table(lake_root, entry, schema,
-                                           policy, columns=["doc_id"]))
-        return pd.DataFrame({
+        t = live_rows(load_partition_table(
+            lake_root, entry, schema, policy,
+            columns=["doc_id", *extra_cols]))
+        return (pd.DataFrame({
             "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
             "lsn": pd.array(t.column("last_lsn").to_numpy(
                 zero_copy_only=False).astype(np.int64), dtype="Int64"),
-        })
+        }), t)
 
-    a = side(old_entry, old_schema_b64).rename(columns={"lsn": "lsn_old"})
-    b = side(new_entry, new_schema_b64).rename(columns={"lsn": "lsn_new"})
+    a, _ = side(old_entry, old_schema_b64)
+    a = a.rename(columns={"lsn": "lsn_old"})
+    b, new_payload = side(new_entry, new_schema_b64, pay_cols)
+    b = b.rename(columns={"lsn": "lsn_new"})
     m = a.merge(b, on="doc_id", how="outer", indicator=True)
     change = np.where(
         m["_merge"] == "right_only", "added",
@@ -866,7 +882,7 @@ def diff_partition(pid: int, lake_root: str,
     keep = ((m["_merge"] != "both")
             | (m["lsn_old"] != m["lsn_new"])).fillna(False).astype(bool)
     m = m[keep]
-    return pa.table({
+    out = pa.table({
         "doc_id": pa.array(m["doc_id"].to_numpy(), pa.string()),
         "change": pa.array(change[keep.to_numpy()], pa.string()),
         "lsn_old": pa.array(m["lsn_old"].to_numpy(dtype="int64",
@@ -876,6 +892,20 @@ def diff_partition(pid: int, lake_root: str,
                                                   na_value=0),
                             mask=m["lsn_new"].isna().to_numpy()),
     })
+    for c in pay_cols:
+        typ = new_schema.field(c).type
+        if new_payload is None or new_payload.num_rows == 0:
+            col: "pa.Array | pa.ChunkedArray" = pa.nulls(out.num_rows, typ)
+        else:
+            idx = pd.Index(new_payload.column("doc_id")
+                           .to_numpy(zero_copy_only=False))
+            pos = idx.get_indexer(m["doc_id"].to_numpy())
+            col = new_payload.column(c).combine_chunks().take(
+                pa.array(pos.astype(np.int64), mask=pos < 0))
+            if col.type != typ:
+                col = col.cast(typ)
+        out = out.append_column(c, col)
+    return out
 
 
 def live_rows(t: pa.Table) -> pa.Table:

@@ -192,3 +192,26 @@ def test_get_point_read_cli(inputs, tmp_path, capsys):
     assert "missing" not in docs
     for d in docs.values():
         assert set(d) == {"doc_id", "n_tok", "last_lsn"}
+
+
+def test_diff_changefeed_export_cli(inputs, tmp_path, capsys):
+    import pyarrow.parquet as pq
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+    out_dir = str(tmp_path / "feed")
+    rc, out = run(["diff", "--lake", lake, "--from-gen", "0",
+                   "--columns", "tokens,n_tok", "--out", out_dir,
+                   "--sample", "2"], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    feed = pq.read_table(out_dir)
+    assert {"doc_id", "change", "lsn_old", "lsn_new",
+            "tokens", "n_tok"} <= set(feed.column_names)
+    assert feed.num_rows == sum(out[-1]["changed"].values())
+    df = feed.to_pandas()
+    dead = df[df["change"] == "deleted"]
+    assert dead["n_tok"].isna().all()
+    live = df[df["change"] != "deleted"]
+    assert live["n_tok"].notna().all()

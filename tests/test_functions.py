@@ -693,3 +693,37 @@ def test_image_resizer_zero_dim_header_falls_back():
                              b"P6 3 0 255\nxyz"], pa.binary())}))
     assert out.num_rows == 2
     assert (np.array(out.column("in_w")) > 0).all()
+
+
+def test_doc_frequency_matches_duckdb():
+    import duckdb
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sq = con.execute(r"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                     '\s+')) AS token
+          FROM documents),
+        d AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM w GROUP BY 1),
+        r AS (SELECT *, row_number() OVER (ORDER BY df DESC, token)
+                 AS rk FROM d)
+        SELECT token, df, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 20""").df()
+    ry = text.doc_frequency(SF, k=20).to_pandas()
+    assert sq.sort_values("rk").reset_index(drop=True).equals(
+        ry.sort_values("rk").reset_index(drop=True)
+        .astype(sq.dtypes.to_dict()))
+
+
+def test_doc_frequency_counts_docs_not_occurrences(tmp_path):
+    # "dog" appears 3x in one doc but df must count the DOC once
+    sf = _mk_docs(tmp_path, ["dog dog dog cat", "dog bird", "fish"])
+    ry = text.doc_frequency(sf, k=10).to_pandas().set_index("token")
+    assert int(ry.loc["dog", "df"]) == 2
+    assert int(ry.loc["cat", "df"]) == 1
+    assert list(ry.sort_values("rk").index)[0] == "dog"

@@ -168,3 +168,64 @@ def test_time_travel_past_vacuum_window_fails_loudly(tmp_path):
         eng.read_lake(generation=0).to_pandas()
     # CURRENT stays fully readable
     assert eng.read_lake().count() > 0
+
+
+@pytest.fixture(scope="module")
+def feed_lake(tmp_path_factory):
+    """Own lake for the changefeed tests: the shared ``lake`` fixture is
+    vacuumed by the clone test above, dropping its generation-0 files."""
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("flog")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("fseed") / "s.parquet"))
+    eng = CDCEngine(str(tmp_path_factory.mktemp("flake") / "lake"),
+                    num_partitions=8, sidecar_frac=0.5)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    return eng
+
+
+def test_diff_payload_columns_changefeed(feed_lake):
+    """payload_columns upgrades the diff to a changefeed: added/updated
+    rows carry the NEW generation's values, deleted rows carry null."""
+    import ray as _ray
+    lake = feed_lake
+    g_cur = lake.manifest.generation
+    # consume as Arrow: Ray's pandas block build would try (and fail)
+    # to tensor-cast the ragged tokens lists with nulls
+    tabs = [t for t in _ray.get(
+        lake.diff_generations(0, payload_columns=["tokens", "n_tok",
+                                                  "source"])
+        .to_arrow_refs()) if t.num_rows]
+    feed = pa.concat_tables(tabs, promote_options="default").to_pandas()
+    plain = lake.diff_generations(0).to_pandas()
+    # same change set as the narrow diff, plus the payload columns
+    key = ["doc_id", "change", "lsn_old", "lsn_new"]
+    assert (feed[key].sort_values("doc_id").reset_index(drop=True)
+            .equals(plain[key].sort_values("doc_id")
+                    .reset_index(drop=True)))
+    cur = (lake.read_lake(columns=["doc_id", "tokens", "n_tok", "source"],
+                          generation=g_cur)
+           .to_pandas().set_index("doc_id"))
+    feed = feed.set_index("doc_id")
+    live = feed[feed["change"] != "deleted"]
+    assert len(live) > 0 and (feed["change"] == "deleted").any()
+    for did, row in live.iterrows():
+        assert list(row["tokens"]) == list(cur.loc[did, "tokens"])
+        assert int(row["n_tok"]) == int(cur.loc[did, "n_tok"])
+        assert row["source"] == cur.loc[did, "source"]
+    dead = feed[feed["change"] == "deleted"]
+    assert dead["tokens"].isna().all()
+    assert dead["n_tok"].isna().all()
+    assert dead["source"].isna().all()
+
+
+def test_diff_payload_unknown_column_ignored_and_empty_diff_schema(
+        feed_lake):
+    lake = feed_lake
+    g_cur = lake.manifest.generation
+    # unknown columns are dropped, not an error
+    d = lake.diff_generations(0, payload_columns=["nope", "n_tok"])
+    assert "nope" not in d.schema().names and "n_tok" in d.schema().names
+    # g -> g empty diff still carries the payload columns in its schema
+    e = lake.diff_generations(g_cur, g_cur, payload_columns=["n_tok"])
+    assert e.count() == 0 and "n_tok" in e.schema().names
