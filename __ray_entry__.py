@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_shipping": partial(an.volume_shipping),
         "brand_revenue_by_year": partial(an.brand_revenue_by_year),
         "doc_frequency": partial(text.doc_frequency),
+        "discount_revenue_delta": partial(an.discount_revenue_delta),
+        "top_supplier_by_revenue": partial(an.top_supplier_by_revenue),
+        "large_orders": partial(an.large_orders),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -562,6 +565,42 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # TPC-H Q6 flavor: pure filter-aggregate forecast delta
+        "discount_revenue_delta": """
+            SELECT CAST(sum(floor(l_extendedprice*l_discount*100+0.5))
+                        AS BIGINT) AS promo_revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        # TPC-H Q15 flavor: max-revenue supplier(s) in the window,
+        # all ties returned (view + subquery-max semantics)
+        "top_supplier_by_revenue": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(floor(l_extendedprice*(1-l_discount)
+                                    *100+0.5)) AS BIGINT)
+                         AS total_revenue_c
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+            FROM supplier s JOIN r USING (s_suppkey)
+            WHERE r.total_revenue_c =
+                  (SELECT max(total_revenue_c) FROM r)""",
+        # TPC-H Q18 flavor: orders whose total line quantity (cents)
+        # exceeds the threshold; HAVING runs distributed
+        "large_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(q AS BIGINT) AS sum_qty_c
+            FROM (SELECT l_orderkey,
+                         sum(floor(l_quantity*100+0.5)) AS q
+                  FROM lineitem GROUP BY 1) l
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE q > 25000""",
         # corpus document-frequency heavy hitters (stopword discovery):
         # df = docs containing the token, ties by token asc
         "doc_frequency": r"""

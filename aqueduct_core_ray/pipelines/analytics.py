@@ -1532,3 +1532,204 @@ def brand_revenue_by_year(sf_dir: str, num_partitions: int = 16,
         pa.table({"p_brand": pa.array([], pa.string()),
                   "l_year": pa.array([], pa.int64()),
                   "revenue_c": pa.array([], pa.int64())})))
+
+
+def discount_revenue_delta(sf_dir: str, date_from: str = "1996-01-01",
+                           date_to: str = "1997-01-01",
+                           disc_lo: float = 0.05, disc_hi: float = 0.07,
+                           qty_below: float = 24.0) -> ray.data.Dataset:
+    """TPC-H Q6-flavor forecasting filter-aggregate: the revenue delta
+    (integer cents of price x discount) that dropping the discount band
+    would have yielded on small-quantity lines shipped in the window.
+    Returns ONE row (promo_revenue_c, n_lines).
+
+    Scale shape: ZERO exchanges — a pure per-block filter + two int64
+    partial sums over the column-pruned read; the driver folds
+    O(blocks) two-int rows. The float band tests (>=, <=, <) compare
+    raw parquet float64 values identically in numpy and the SQL
+    oracle; money is rounded per row with the shared floor(x*100+0.5)
+    convention before summing, so partials are order-insensitive."""
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = ((sd >= lo) & (sd < hi) & (disc >= disc_lo)
+                & (disc <= disc_hi) & (qty < qty_below))
+        price = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)[keep]
+        rev = np.floor(price * disc[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "promo_revenue_c": pa.array([int(rev.sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_shipdate", "l_discount", "l_quantity",
+                          "l_extendedprice"])
+             .map_batches(partial, batch_format="pyarrow"))
+    pt = _concat_nonempty(parts, pa.table({
+        "promo_revenue_c": pa.array([], pa.int64()),
+        "n_lines": pa.array([], pa.int64())}))
+    n = int(pt.column("n_lines").to_numpy().sum())
+    # SQL sum() over zero rows is NULL, not 0 — mirror the oracle
+    rev = [int(pt.column("promo_revenue_c").to_numpy().sum())] \
+        if n else [None]
+    return ray.data.from_arrow(pa.table({
+        "promo_revenue_c": pa.array(rev, pa.int64()),
+        "n_lines": pa.array([n], pa.int64()),
+    }))
+
+
+def top_supplier_by_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                            date_to: str = "1996-04-01"
+                            ) -> ray.data.Dataset:
+    """TPC-H Q15-flavor top supplier: the supplier(s) with MAX revenue
+    (integer cents) from lineitems shipped in the window — ALL ties
+    returned, reference semantics of the Q15 view + subquery max.
+    Returns (s_suppkey, s_name, total_revenue_c).
+
+    Scale shape: per-block (suppkey, rev_c) partials (Arrow group_by
+    combiner), ONE native distributed ``groupby(suppkey).sum`` — after
+    which every supplier total lives in exactly one block, so a
+    per-block (max, ties) shrink bounds the driver fold at
+    2 x blocks rows; winner names attach via a predicate-pushdown
+    point read of the <=#winners supplier rows, never a broadcast of
+    the supplier table."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        g = pa.table({"s_suppkey": t.column("l_suppkey"),
+                      "rev_c": pa.array(_rev_cents(t))})
+        agg = g.group_by("s_suppkey").aggregate([("rev_c", "sum")])
+        return pa.table({"s_suppkey": agg.column("s_suppkey"),
+                         "rev_c": agg.column("rev_c_sum")})
+
+    def local_winners(t: pa.Table) -> pa.Table:
+        rv = t.column("sum(rev_c)").to_numpy(zero_copy_only=False)
+        if len(rv) == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "total_revenue_c": pa.array([], pa.int64())})
+        keep = rv == rv.max()
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey").filter(pa.array(keep)),
+            "total_revenue_c": pa.array(rv[keep].astype(np.int64)),
+        })
+
+    total = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_suppkey", "l_shipdate",
+                          "l_extendedprice", "l_discount"])
+             .map_batches(rev_partial, batch_format="pyarrow")
+             .groupby("s_suppkey").sum("rev_c")
+             .map_batches(local_winners, batch_format="pyarrow"))
+    cand = _concat_nonempty(total, pa.table({
+        "s_suppkey": pa.array([], pa.int64()),
+        "total_revenue_c": pa.array([], pa.int64())}))
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_revenue_c": pa.array([], pa.int64())})
+    if cand.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    rv = cand.column("total_revenue_c").to_numpy(zero_copy_only=False)
+    winners = cand.filter(pa.array(rv == rv.max()))
+    keys = winners.column("s_suppkey").to_numpy(zero_copy_only=False)
+    names = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(keys.tolist()))
+    nk, nv = _sorted_lookup(
+        names.column("s_suppkey").to_numpy(zero_copy_only=False),
+        names.column("s_name").to_numpy(zero_copy_only=False))
+    mapped, hit = _map_keys(nk, nv, keys)
+    order = np.argsort(keys[hit])
+    return ray.data.from_arrow(pa.table({
+        "s_suppkey": pa.array(keys[hit][order]),
+        "s_name": pa.array(mapped[hit][order].astype(str)),
+        "total_revenue_c": pa.array(
+            winners.column("total_revenue_c").to_numpy(
+                zero_copy_only=False)[hit][order]),
+    }))
+
+
+def large_orders(sf_dir: str, min_qty_c: int = 25_000,
+                 num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q18-flavor large-volume orders: orders whose TOTAL line
+    quantity (integer cents, shared floor(x*100+0.5) row convention)
+    exceeds ``min_qty_c``. Returns (o_orderkey, o_orderdate,
+    o_orderpriority, sum_qty_c).
+
+    Scale shape: per-block per-order quantity partials shrink the fact
+    side before the ONE co-partitioned union-tag exchange on
+    hash(orderkey) %% P, where the order's attributes meet its finished
+    quantity sum; each partition emits only its over-threshold rows
+    (the HAVING filter runs distributed, the driver never folds)."""
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": t.column("l_orderkey"),
+                      "q": pa.array(_cents(t.column("l_quantity")))})
+        agg = g.group_by("k").aggregate([("q", "sum")])
+        keys = agg.column("k").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": agg.column("k"),
+            "qty_c": agg.column("q_sum"),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "okey": t.column("o_orderkey"),
+            "qty_c": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        lp = g.filter(pa.array(side == 0))
+        od = g.filter(pa.array(side == 1))
+        lk = lp.column("okey").to_numpy(zero_copy_only=False)
+        lq = lp.column("qty_c").to_numpy(zero_copy_only=False)
+        order = np.argsort(lk, kind="stable")
+        lk, lq = lk[order], lq[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                lk[1:] != lk[:-1]]))
+        uk = lk[starts]
+        sums = (np.add.reduceat(lq.astype(np.int64), starts)
+                if len(lq) else lq.astype(np.int64))
+        big = sums > min_qty_c
+        ok = od.column("okey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(uk[big], sums[big], ok)
+        sel = od.filter(pa.array(hit))
+        return pa.table({
+            "o_orderkey": sel.column("okey"),
+            "o_orderdate": sel.column("o_orderdate"),
+            "o_orderpriority": sel.column("o_orderpriority"),
+            "sum_qty_c": pa.array(mapped[hit]),
+        })
+
+    lines = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_quantity"])
+             .map_batches(qty_partial, batch_format="pyarrow"))
+    orders = (ray.data.read_parquet(
+                  f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderdate",
+                           "o_orderpriority"])
+              .map_batches(order_rows, batch_format="pyarrow"))
+    return (lines.union(orders)
+            .groupby("part").map_groups(finish, batch_format="pyarrow"))

@@ -447,3 +447,81 @@ def test_brand_revenue_by_year_matches_duckdb_both_paths():
         SF, broadcast_threshold=0).to_pandas())
     assert sq.equals(bc.astype(sq.dtypes.to_dict()))
     assert bc.equals(ex)
+
+
+def test_discount_revenue_delta_matches_duckdb():
+    sq = _duck("""
+        SELECT CAST(sum(floor(l_extendedprice*l_discount*100+0.5))
+                    AS BIGINT) AS promo_revenue_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    ry = analytics.discount_revenue_delta(SF).to_pandas()
+    assert int(ry["promo_revenue_c"][0]) == int(sq["promo_revenue_c"][0])
+    assert int(ry["n_lines"][0]) == int(sq["n_lines"][0])
+    # empty window: SQL sum() is NULL over zero rows — engine mirrors
+    import pandas as pd
+    e = analytics.discount_revenue_delta(
+        SF, date_from="2050-01-01", date_to="2051-01-01").to_pandas()
+    assert int(e["n_lines"][0]) == 0 and pd.isna(e["promo_revenue_c"][0])
+
+
+def test_top_supplier_by_revenue_matches_duckdb():
+    con = duckdb.connect()
+    for tb in ("lineitem", "supplier"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        WITH r AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                      AS BIGINT) AS total_revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+        FROM supplier s JOIN r USING (s_suppkey)
+        WHERE r.total_revenue_c =
+              (SELECT max(total_revenue_c) FROM r)""").df())
+    ry = _canon(analytics.top_supplier_by_revenue(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_top_supplier_returns_all_ties(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir()
+    ship = np.datetime64("1996-02-01", "us")
+    # suppliers 1 and 2 tie at 20.00, supplier 3 trails
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([ship] * 4),
+        "l_extendedprice": pa.array([10.0, 10.0, 20.0, 5.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["a", "b", "c"]),
+    }), str(d / "supplier.parquet"))
+    ry = analytics.top_supplier_by_revenue(str(d)).to_pandas()
+    assert sorted(ry["s_suppkey"]) == [1, 2]
+    assert (ry["total_revenue_c"] == 2000).all()
+
+
+def test_large_orders_matches_duckdb():
+    sq = _canon(_duck("""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(q AS BIGINT) AS sum_qty_c
+        FROM (SELECT l_orderkey, sum(floor(l_quantity*100+0.5)) AS q
+              FROM lineitem GROUP BY 1) l
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE q > 25000"""))
+    ry = _canon(analytics.large_orders(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    ry2 = _canon(analytics.large_orders(SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry2)
