@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_revenue_delta": partial(an.discount_revenue_delta),
         "top_supplier_by_revenue": partial(an.top_supplier_by_revenue),
         "large_orders": partial(an.large_orders),
+        "tfidf_top_terms": partial(text.tfidf_top_terms),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -565,6 +566,33 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # per-doc tf-idf keyword extraction; integer-permille score
+        # floor(tf*ln((N+1)/(df+1))*1000+0.5) — both engines evaluate
+        # the identical float64 expression (shared rounding convention)
+        "tfidf_top_terms": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM w GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM w GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT doc_id, token, tf,
+                         CAST(floor(tf * ln((n+1.0)/(df+1.0)) * 1000
+                                    + 0.5) AS BIGINT) AS score_permille
+                  FROM tf JOIN df USING (token) CROSS JOIN nn),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score_permille DESC, token) AS rk
+                  FROM s)
+            SELECT doc_id, token, tf, score_permille,
+                   CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5""",
         # TPC-H Q6 flavor: pure filter-aggregate forecast delta
         "discount_revenue_delta": """
             SELECT CAST(sum(floor(l_extendedprice*l_discount*100+0.5))

@@ -520,3 +520,97 @@ def doc_frequency(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         "df": pa.array(cnt[order].astype(np.int64)),
         "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5,
+                    num_partitions: int = 32) -> ray.data.Dataset:
+    """Per-document KEYWORD EXTRACTION: the ``k`` whitespace tokens with
+    the highest tf-idf in each document. Score is the INTEGER PERMILLE
+    ``floor(tf * ln((N+1)/(df+1)) * 1000 + 0.5)`` (smoothed idf, same
+    row-rounding convention as the money pipelines — both engines
+    evaluate the identical float64 expression, so the SQL oracle
+    matches bit-exactly). Ties rank by token asc; returns
+    (doc_id, token, tf, score_permille, rk).
+
+    Scale shape: two co-partitioned exchanges, no broadcast of the
+    (unbounded) vocabulary. (1) per-block (doc, token, tf) counts via
+    one Arrow group_by — each doc lives in exactly one block, so the
+    counts are final — tagged hash(token) %% P; the token partition
+    owns every row of its tokens, computes df as its row count per
+    token and scores in place. (2) re-tag hash(doc) %% P; the doc
+    partition does ONE vectorized lexsort for all its docs' top-k
+    (no per-doc loops). Output is O(k x docs), streamed, never folded
+    on the driver."""
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "doc_id": pa.array(np.repeat(dids, counts)),
+            "token": words.flatten(),
+        })
+        agg = pairs.group_by(["doc_id", "token"]).aggregate(
+            [("token", "count")])
+        tok = agg.column("token").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tpart": pa.array((pd.util.hash_array(
+                tok.astype(object, copy=False), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)),
+            "doc_id": agg.column("doc_id"),
+            "token": agg.column("token"),
+            "tf": agg.column("token_count"),
+        })
+
+    def score_rows(g: pa.Table) -> pa.Table:
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tok, kind="stable")
+        tok_s = tok[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                tok_s[1:] != tok_s[:-1]]))
+        sizes = np.diff(np.append(starts, len(tok_s)))
+        df = np.empty(len(tok_s), np.int64)
+        df[order] = np.repeat(sizes, sizes)
+        idf = np.log((n_docs + 1.0) / (df + 1.0))
+        score = np.floor(tf * idf * 1000.0 + 0.5).astype(np.int64)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dpart": pa.array((pd.util.hash_array(
+                dids.astype(object, copy=False), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)),
+            "doc_id": g.column("doc_id"),
+            "token": g.column("token"),
+            "tf": pa.array(tf),
+            "score_permille": pa.array(score),
+        })
+
+    def topk_rows(g: pa.Table) -> pa.Table:
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        sc = g.column("score_permille").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -sc, doc))
+        d_s = doc[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                d_s[1:] != d_s[:-1]]))
+        sizes = np.diff(np.append(starts, len(d_s)))
+        pos = np.arange(len(d_s)) - np.repeat(starts, sizes)
+        keep = order[pos < k]
+        return pa.table({
+            "doc_id": g.column("doc_id").take(pa.array(keep)),
+            "token": g.column("token").take(pa.array(keep)),
+            "tf": g.column("tf").take(pa.array(keep)),
+            "score_permille": g.column("score_permille")
+            .take(pa.array(keep)),
+            "rk": pa.array((pos[pos < k] + 1).astype(np.int64)),
+        })
+
+    return (read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("tpart").map_groups(score_rows,
+                                         batch_format="pyarrow")
+            .groupby("dpart").map_groups(topk_rows,
+                                         batch_format="pyarrow"))

@@ -727,3 +727,35 @@ def test_doc_frequency_counts_docs_not_occurrences(tmp_path):
     assert int(ry.loc["dog", "df"]) == 2
     assert int(ry.loc["cat", "df"]) == 1
     assert list(ry.sort_values("rk").index)[0] == "dog"
+
+
+def test_tfidf_top_terms_matches_reference(tmp_path):
+    """Pin tf-idf against a pure-Python reference on a crafted corpus
+    (shared token in all docs scores 0-ish; rare tokens win)."""
+    import math
+    texts = ["common alpha alpha beta", "common gamma",
+             "common alpha delta delta delta"]
+    sf = _mk_docs(tmp_path, texts)
+    out = (text.tfidf_top_terms(sf, k=2).to_pandas()
+           .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    # python reference
+    from collections import Counter
+    docs = [t.split() for t in texts]
+    n = len(docs)
+    df = Counter(tok for d in docs for tok in set(d))
+    exp = []
+    for i, d in enumerate(docs):
+        tf = Counter(d)
+        scored = sorted(
+            ((math.floor(c * math.log((n + 1) / (df[t] + 1)) * 1000
+                         + 0.5), t, c) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        for rk, (s, t, c) in enumerate(scored, 1):
+            exp.append((i, t, c, s, rk))
+    got = list(out[["doc_id", "token", "tf", "score_permille", "rk"]]
+               .itertuples(index=False, name=None))
+    assert sorted(got) == sorted(exp)
+    # partition invariance of the two-exchange plan
+    out2 = (text.tfidf_top_terms(sf, k=2, num_partitions=3).to_pandas()
+            .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    assert out.equals(out2)
