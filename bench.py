@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "inter_event_gaps", "small_quantity_revenue", "exact_quantiles",
     "user_type_sets", "pricing_rollup", "generation_diff_events",
     "bpe_token_count", "weighted_sample", "resize_media", "bpe_vocab",
+    "volume_shipping", "large_orders", "doc_frequency", "tfidf_top_terms",
 ]
 
 
