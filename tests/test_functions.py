@@ -759,3 +759,42 @@ def test_tfidf_top_terms_matches_reference(tmp_path):
     out2 = (text.tfidf_top_terms(sf, k=2, num_partitions=3).to_pandas()
             .sort_values(["doc_id", "rk"]).reset_index(drop=True))
     assert out.equals(out2)
+
+
+def test_doc_frequency_and_tfidf_random_corpora(tmp_path):
+    """Seeded randomized cross-check of the distributed text statistics
+    against brute-force Python on small corpora (duplicate-heavy vocab
+    to exercise ties and the per-block distinct path)."""
+    import math
+    from collections import Counter
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(1, 12)).tolist())
+                 for _ in range(rng.integers(3, 10))]
+        (tmp_path / f"t{trial}").mkdir()
+        sf = _mk_docs(tmp_path / f"t{trial}", texts)
+        docs = [t.split() for t in texts]
+        n = len(docs)
+        df = Counter(tok for d in docs for tok in set(d))
+        # doc_frequency: full ranking (k > vocab)
+        ry = (text.doc_frequency(sf, k=50).to_pandas()
+              .sort_values("rk").reset_index(drop=True))
+        exp = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [(r.token, r.df) for r in ry.itertuples()] == exp
+        assert list(ry["rk"]) == list(range(1, len(exp) + 1))
+        # tfidf: every doc's top-2 matches brute force
+        out = text.tfidf_top_terms(sf, k=2, num_partitions=3).to_pandas()
+        got = sorted(out[["doc_id", "token", "tf", "score_permille",
+                          "rk"]].itertuples(index=False, name=None))
+        exp2 = []
+        for i, d in enumerate(docs):
+            tf = Counter(d)
+            scored = sorted(
+                ((math.floor(c * math.log((n + 1) / (df[t] + 1)) * 1000
+                             + 0.5), t, c) for t, c in tf.items()),
+                key=lambda x: (-x[0], x[1]))[:2]
+            for rk, (s, t, c) in enumerate(scored, 1):
+                exp2.append((i, t, c, s, rk))
+        assert got == sorted(exp2)
