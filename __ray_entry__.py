@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_by_revenue": partial(an.top_supplier_by_revenue),
         "large_orders": partial(an.large_orders),
         "tfidf_top_terms": partial(text.tfidf_top_terms),
+        "nation_market_share": partial(an.nation_market_share),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -565,6 +566,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
+            GROUP BY 1""",
+        # TPC-H Q8 flavor: target-nation vs total revenue per ship year
+        # (integer cents; the share division is left to the consumer)
+        "nation_market_share": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CASE WHEN n_name = 'NATION_0'
+                            THEN floor(l_extendedprice*(1-l_discount)
+                                       *100+0.5) ELSE 0 END) AS BIGINT)
+                       AS nation_revenue_c,
+                   CAST(sum(floor(l_extendedprice*(1-l_discount)
+                                  *100+0.5)) AS BIGINT)
+                       AS total_revenue_c
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
             GROUP BY 1""",
         # per-doc tf-idf keyword extraction; integer-permille score
         # floor(tf*ln((N+1)/(df+1))*1000+0.5) — both engines evaluate

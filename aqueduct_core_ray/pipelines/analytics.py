@@ -1171,6 +1171,93 @@ def _ship_years(t: pa.Table) -> np.ndarray:
     return sd.astype("datetime64[Y]").astype(np.int64) + 1970
 
 
+def _lines_with_supp_nation(sf_dir: str, lines_proj: ray.data.Dataset,
+                            proj_fields: "list[tuple[str, pa.DataType]]",
+                            line_partial, num_partitions: int,
+                            broadcast_threshold: int
+                            ) -> ray.data.Dataset:
+    """Run ``line_partial(batch, s_nationkey_per_row)`` over projected
+    lineitem batches with the supplier's nationkey attached — the
+    SIZE-GATED dimension attach shared by the Q7/Q8-flavor queries.
+    ``lines_proj`` batches must carry ``l_suppkey`` plus exactly
+    ``proj_fields``; rows without a supplier match are dropped.
+
+    Under ``broadcast_threshold`` supplier rows, the sorted
+    (suppkey -> nationkey) lookup is ONE ``ray.put`` broadcast and the
+    attach is a per-batch searchsorted (zero exchanges added). Above,
+    supplier never leaves the cluster: a co-partitioned union-tag
+    exchange on hash(suppkey) %% P meets the projected fact rows with
+    the (suppkey, nationkey) pairs — one exchange added, O(supplier +
+    projected-fact) rows moved."""
+    import pyarrow.parquet as pq
+
+    if _table_rows(f"{sf_dir}/supplier.parquet") <= broadcast_threshold:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"]
+                             ).to_pandas()
+        sk, sv = _sorted_lookup(
+            supp["s_suppkey"].to_numpy(),
+            supp["s_nationkey"].to_numpy().astype(np.int64))
+        supp_ref = ray.put((sk, sv))
+
+        def attach_snat_bc(t: pa.Table) -> pa.Table:
+            sk_, sv_ = ray.get(supp_ref)
+            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(sk_, sv_, keys)
+            return line_partial(t.filter(pa.array(hit)), mapped[hit])
+
+        return lines_proj.map_batches(attach_snat_bc,
+                                      batch_format="pyarrow")
+
+    # union-tag exchange on hash(suppkey) % P — supplier stays
+    # distributed; only its (suppkey, nationkey) pairs move
+    def supp_side(t: pa.Table) -> pa.Table:
+        keys = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        cols = {
+            "spart": _hash_part(keys, num_partitions),
+            "l_suppkey": t.column("s_suppkey"),
+            "snat": pa.array(t.column("s_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+        }
+        for name, typ in proj_fields:
+            cols[name] = pa.nulls(t.num_rows, typ)
+        cols["sside"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def line_side(t: pa.Table) -> pa.Table:
+        keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cols = {
+            "spart": _hash_part(keys, num_partitions),
+            "l_suppkey": t.column("l_suppkey"),
+            "snat": pa.nulls(t.num_rows, pa.int64()),
+        }
+        for name, _ in proj_fields:
+            cols[name] = t.column(name)
+        cols["sside"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def attach_snat_ex(g: pa.Table) -> pa.Table:
+        sside = g.column("sside").to_numpy(zero_copy_only=False)
+        su = g.filter(pa.array(sside == 0))
+        ln = g.filter(pa.array(sside == 1))
+        sk_, sv_ = _sorted_lookup(
+            su.column("l_suppkey").to_numpy(zero_copy_only=False),
+            su.column("snat").to_numpy(zero_copy_only=False))
+        keys = ln.column("l_suppkey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(sk_, sv_, keys)
+        return line_partial(ln.filter(pa.array(hit)), mapped[hit])
+
+    supp_ds = (ray.data.read_parquet(
+                   f"{sf_dir}/supplier.parquet",
+                   columns=["s_suppkey", "s_nationkey"])
+               .map_batches(supp_side, batch_format="pyarrow"))
+    return (supp_ds.union(
+                lines_proj.map_batches(line_side,
+                                       batch_format="pyarrow"))
+            .groupby("spart")
+            .map_groups(attach_snat_ex, batch_format="pyarrow"))
+
+
 def volume_shipping(sf_dir: str, year_from: int = 1995,
                     year_to: int = 1997, num_partitions: int = 16,
                     broadcast_threshold: int = BROADCAST_ROW_LIMIT
@@ -1243,71 +1330,11 @@ def volume_shipping(sf_dir: str, year_from: int = 1995,
                       columns=["l_suppkey", "l_orderkey", "l_shipdate",
                                "l_extendedprice", "l_discount"])
                   .map_batches(line_project, batch_format="pyarrow"))
-
-    if _table_rows(f"{sf_dir}/supplier.parquet") <= broadcast_threshold:
-        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                             columns=["s_suppkey", "s_nationkey"]
-                             ).to_pandas()
-        sk, sv = _sorted_lookup(
-            supp["s_suppkey"].to_numpy(),
-            supp["s_nationkey"].to_numpy().astype(np.int64))
-        supp_ref = ray.put((sk, sv))
-
-        def attach_snat_bc(t: pa.Table) -> pa.Table:
-            sk_, sv_ = ray.get(supp_ref)
-            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            mapped, hit = _map_keys(sk_, sv_, keys)
-            return line_partial(t.filter(pa.array(hit)), mapped[hit])
-
-        lines = lines_proj.map_batches(attach_snat_bc,
-                                       batch_format="pyarrow")
-    else:
-        # union-tag exchange on hash(suppkey) % P — supplier stays
-        # distributed; only its (suppkey, nationkey) pairs move
-        def supp_side(t: pa.Table) -> pa.Table:
-            keys = t.column("s_suppkey").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "spart": _hash_part(keys, num_partitions),
-                "l_suppkey": t.column("s_suppkey"),
-                "l_orderkey": pa.nulls(t.num_rows, pa.int64()),
-                "yidx": pa.array(
-                    t.column("s_nationkey").to_numpy(
-                        zero_copy_only=False).astype(np.int64)),
-                "rev_c": pa.nulls(t.num_rows, pa.int64()),
-                "sside": pa.array(np.zeros(t.num_rows, np.int8)),
-            })
-
-        def line_side(t: pa.Table) -> pa.Table:
-            keys = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "spart": _hash_part(keys, num_partitions),
-                "l_suppkey": t.column("l_suppkey"),
-                "l_orderkey": t.column("l_orderkey"),
-                "yidx": t.column("yidx"),
-                "rev_c": t.column("rev_c"),
-                "sside": pa.array(np.ones(t.num_rows, np.int8)),
-            })
-
-        def attach_snat_ex(g: pa.Table) -> pa.Table:
-            sside = g.column("sside").to_numpy(zero_copy_only=False)
-            su = g.filter(pa.array(sside == 0))
-            ln = g.filter(pa.array(sside == 1))
-            sk_, sv_ = _sorted_lookup(
-                su.column("l_suppkey").to_numpy(zero_copy_only=False),
-                su.column("yidx").to_numpy(zero_copy_only=False))
-            keys = ln.column("l_suppkey").to_numpy(zero_copy_only=False)
-            mapped, hit = _map_keys(sk_, sv_, keys)
-            return line_partial(ln.filter(pa.array(hit)), mapped[hit])
-
-        supp_ds = (ray.data.read_parquet(
-                       f"{sf_dir}/supplier.parquet",
-                       columns=["s_suppkey", "s_nationkey"])
-                   .map_batches(supp_side, batch_format="pyarrow"))
-        lines = (supp_ds.union(
-                     lines_proj.map_batches(line_side,
-                                            batch_format="pyarrow"))
-                 .groupby("spart")
-                 .map_groups(attach_snat_ex, batch_format="pyarrow"))
+    lines = _lines_with_supp_nation(
+        sf_dir, lines_proj,
+        [("l_orderkey", pa.int64()), ("yidx", pa.int64()),
+         ("rev_c", pa.int64())],
+        line_partial, num_partitions, broadcast_threshold)
 
     def orders_out(t: pa.Table, cnat: np.ndarray) -> pa.Table:
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
@@ -1733,3 +1760,74 @@ def large_orders(sf_dir: str, min_qty_c: int = 25_000,
               .map_batches(order_rows, batch_format="pyarrow"))
     return (lines.union(orders)
             .groupby("part").map_groups(finish, batch_format="pyarrow"))
+
+
+def nation_market_share(sf_dir: str, nation: str = "NATION_0",
+                        year_from: int = 1995, year_to: int = 1997,
+                        num_partitions: int = 16,
+                        broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                        ) -> ray.data.Dataset:
+    """TPC-H Q8-flavor market share: per ship year in [year_from,
+    year_to), the revenue (integer cents) supplied by ``nation`` next
+    to the total — the share itself is the consumer's one division,
+    left out so the result stays INTEGER-EXACT against the SQL oracle.
+    Returns (l_year, nation_revenue_c, total_revenue_c).
+
+    Scale shape: nation (<=25 rows) resolves to a nationkey driver-side;
+    the supplier attach reuses the shared SIZE-GATED
+    broadcast-vs-exchange helper (``_lines_with_supp_nation``), after
+    which each block collapses to <= 2 x years partial rows
+    ((year, is_target) revenue sums) — the driver folds O(years x
+    blocks) four-int rows, no further exchange."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    match = nat[nat["n_name"] == nation]
+    if len(match) == 0:
+        raise ValueError(f"unknown nation {nation!r}")
+    target = int(match["n_nationkey"].iloc[0])
+    lo = np.datetime64(f"{year_from}-01-01", "us")
+    hi = np.datetime64(f"{year_to}-01-01", "us")
+    n_years = year_to - year_from
+
+    def line_project(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        return pa.table({
+            "l_suppkey": t.column("l_suppkey"),
+            "yidx": pa.array(_ship_years(t) - year_from),
+            "rev_c": pa.array(_rev_cents(t)),
+        })
+
+    def line_partial(t: pa.Table, snat: np.ndarray) -> pa.Table:
+        yi = t.column("yidx").to_numpy(zero_copy_only=False)
+        rv = t.column("rev_c").to_numpy(zero_copy_only=False)
+        cell = yi * 2 + (snat == target)
+        gi, sums, _ = _int_sum_by(cell, rv)
+        return pa.table({"cell": pa.array(gi), "rev_c": pa.array(sums)})
+
+    lines_proj = (ray.data.read_parquet(
+                      f"{sf_dir}/lineitem.parquet",
+                      columns=["l_suppkey", "l_shipdate",
+                               "l_extendedprice", "l_discount"])
+                  .map_batches(line_project, batch_format="pyarrow"))
+    parts = _lines_with_supp_nation(
+        sf_dir, lines_proj,
+        [("yidx", pa.int64()), ("rev_c", pa.int64())],
+        line_partial, num_partitions, broadcast_threshold)
+    folded = _fold_partials(parts, ["cell"], ["rev_c"], pa.table({
+        "cell": pa.array([], pa.int64()),
+        "rev_c": pa.array([], pa.int64())}))
+    cell = folded.column("cell").to_numpy(zero_copy_only=False)
+    rv = folded.column("rev_c").to_numpy(zero_copy_only=False)
+    total = np.zeros(n_years, np.int64)
+    target_rev = np.zeros(n_years, np.int64)
+    np.add.at(total, cell // 2, rv)
+    np.add.at(target_rev, cell[cell % 2 == 1] // 2,
+              rv[cell % 2 == 1])
+    present = np.flatnonzero(total)
+    return ray.data.from_arrow(pa.table({
+        "l_year": pa.array(present + year_from),
+        "nation_revenue_c": pa.array(target_rev[present]),
+        "total_revenue_c": pa.array(total[present]),
+    }))

@@ -525,3 +525,31 @@ def test_large_orders_matches_duckdb():
     assert sq.equals(ry.astype(sq.dtypes.to_dict()))
     ry2 = _canon(analytics.large_orders(SF, num_partitions=3).to_pandas())
     assert ry.equals(ry2)
+
+
+def test_nation_market_share_matches_duckdb_both_paths():
+    con = duckdb.connect()
+    for tb in ("lineitem", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CASE WHEN n_name = 'NATION_0'
+                        THEN floor(l_extendedprice*(1-l_discount)*100+0.5)
+                        ELSE 0 END) AS BIGINT) AS nation_revenue_c,
+               CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                    AS BIGINT) AS total_revenue_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1""").df())
+    bc = _canon(analytics.nation_market_share(
+        SF, broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.nation_market_share(
+        SF, broadcast_threshold=0).to_pandas())
+    assert sq.equals(bc.astype(sq.dtypes.to_dict()))
+    assert bc.equals(ex)
+    with pytest.raises(ValueError):
+        analytics.nation_market_share(SF, nation="NOPE")
