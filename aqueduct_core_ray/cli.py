@@ -253,8 +253,18 @@ def cmd_diff(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=None)
-    cols = ([c for c in args.columns.split(",") if c]
+    cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
             if args.columns else None)
+    if cols and eng.manifest is not None:
+        # the engine drops unknown payload columns silently (by-design
+        # for programmatic callers); an export CLI must fail loudly
+        # instead of shipping a feed missing a requested column
+        missing = [c for c in cols if c not in eng.manifest.schema.names]
+        if missing:
+            print(json.dumps({"ok": False,
+                              "error": f"unknown columns {missing}; "
+                              f"lake has {eng.manifest.schema.names}"}))
+            return 1
     try:
         ds = eng.diff_generations(args.from_gen, args.to_gen,
                                   payload_columns=cols)

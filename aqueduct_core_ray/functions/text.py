@@ -555,11 +555,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 5,
         })
         agg = pairs.group_by(["doc_id", "token"]).aggregate(
             [("token", "count")])
-        tok = agg.column("token").to_numpy(zero_copy_only=False)
         return pa.table({
-            "tpart": pa.array((pd.util.hash_array(
-                tok.astype(object, copy=False), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)),
+            "tpart": pa.array((hash_str_array(agg.column("token"))
+                               % np.uint64(num_partitions))
+                              .astype(np.int32)),
             "doc_id": agg.column("doc_id"),
             "token": agg.column("token"),
             "tf": agg.column("token_count"),
@@ -577,11 +576,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 5,
         df[order] = np.repeat(sizes, sizes)
         idf = np.log((n_docs + 1.0) / (df + 1.0))
         score = np.floor(tf * idf * 1000.0 + 0.5).astype(np.int64)
-        dids = g.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "dpart": pa.array((pd.util.hash_array(
-                dids.astype(object, copy=False), categorize=False)
-                % np.uint64(num_partitions)).astype(np.int32)),
+            "dpart": pa.array((hash_str_array(g.column("doc_id"))
+                               % np.uint64(num_partitions))
+                              .astype(np.int32)),
             "doc_id": g.column("doc_id"),
             "token": g.column("token"),
             "tf": pa.array(tf),

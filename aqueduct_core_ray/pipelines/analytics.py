@@ -373,6 +373,22 @@ def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
     return keys[order], vals[order]
 
 
+def _sorted_group_reduce(keys: np.ndarray, vals: np.ndarray,
+                         ufunc=np.add) -> tuple[np.ndarray, np.ndarray]:
+    """(unique keys asc, per-key ``ufunc.reduceat`` fold) — the
+    sort+reduceat group kernel, EMPTY-SAFE (flatnonzero over a
+    concatenated [True] sentinel yields [0] on empty input, so naked
+    ``keys[starts]`` crashes) and dtype-preserving (datetime64 max
+    works). Use this for sparse/unbounded keys; ``_int_sum_by`` stays
+    the dense-small-group-id kernel."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k, v = keys[order], vals[order]
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    return k[starts], ufunc.reduceat(v, starts)
+
+
 def _map_keys(sorted_keys: np.ndarray, vals: np.ndarray,
               probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(mapped values, hit mask) of ``probe`` against a sorted lookup.
@@ -1042,13 +1058,9 @@ def priority_wait_orders(sf_dir: str, date_from: str = "1996-01-01",
                              "order_count": pa.array([], pa.int64())})
         lk = lp.column("okey").to_numpy(zero_copy_only=False)
         ls = lp.column("maxship").to_numpy(zero_copy_only=False)
-        # finish the per-order max over the block partials
-        order = np.argsort(lk, kind="stable")
-        lk, ls = lk[order], ls[order]
-        starts = np.flatnonzero(np.concatenate([[True],
-                                                lk[1:] != lk[:-1]]))
-        uk = lk[starts]
-        umax = np.maximum.reduceat(ls, starts) if len(ls) else ls
+        # finish the per-order max over the block partials (empty-safe:
+        # a partition may hold orders whose keys have no line items)
+        uk, umax = _sorted_group_reduce(lk, ls, np.maximum)
         ok = o.column("okey").to_numpy(zero_copy_only=False)
         od = o.column("odate").to_numpy(zero_copy_only=False)
         ms, hit = _map_keys(uk, umax, ok)
@@ -1309,12 +1321,7 @@ def volume_shipping(sf_dir: str, year_from: int = 1995,
         yi = t.column("yidx").to_numpy(zero_copy_only=False)
         rv = t.column("rev_c").to_numpy(zero_copy_only=False)
         cell = (ok * nn + snat) * n_years + yi
-        order = np.argsort(cell, kind="stable")
-        cell, rv = cell[order], rv[order]
-        starts = np.flatnonzero(np.concatenate(
-            [[True], cell[1:] != cell[:-1]]))
-        ucell = cell[starts]
-        sums = np.add.reduceat(rv, starts) if len(rv) else rv
+        ucell, sums = _sorted_group_reduce(cell, rv.astype(np.int64))
         uok = ucell // (nn * n_years)
         return pa.table({
             "part": _hash_part(uok, num_partitions),
@@ -1513,10 +1520,13 @@ def brand_revenue_by_year(sf_dir: str, num_partitions: int = 16,
             })
 
         def line_side(t: pa.Table) -> pa.Table:
-            """Per-block (partkey, year) revenue partials, exchange-tagged."""
+            """Per-block (partkey, year) revenue partials, exchange-tagged.
+            Sort+reduceat, NOT _int_sum_by: the cell ids are sparse
+            (partkey-scaled), so a dense accumulator would allocate
+            max_partkey x 4096 int64s per block."""
             pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
             cell = pk * 4096 + (_ship_years(t) - 1970)
-            gi, sums, _ = _int_sum_by(cell, _rev_cents(t))
+            gi, sums = _sorted_group_reduce(cell, _rev_cents(t))
             upk = gi // 4096
             return pa.table({
                 "part": _hash_part(upk, num_partitions),
@@ -1731,13 +1741,8 @@ def large_orders(sf_dir: str, min_qty_c: int = 25_000,
         od = g.filter(pa.array(side == 1))
         lk = lp.column("okey").to_numpy(zero_copy_only=False)
         lq = lp.column("qty_c").to_numpy(zero_copy_only=False)
-        order = np.argsort(lk, kind="stable")
-        lk, lq = lk[order], lq[order]
-        starts = np.flatnonzero(np.concatenate([[True],
-                                                lk[1:] != lk[:-1]]))
-        uk = lk[starts]
-        sums = (np.add.reduceat(lq.astype(np.int64), starts)
-                if len(lq) else lq.astype(np.int64))
+        # empty-safe: an order without line items lands here alone
+        uk, sums = _sorted_group_reduce(lk, lq.astype(np.int64))
         big = sums > min_qty_c
         ok = od.column("okey").to_numpy(zero_copy_only=False)
         mapped, hit = _map_keys(uk[big], sums[big], ok)
@@ -1822,10 +1827,14 @@ def nation_market_share(sf_dir: str, nation: str = "NATION_0",
     rv = folded.column("rev_c").to_numpy(zero_copy_only=False)
     total = np.zeros(n_years, np.int64)
     target_rev = np.zeros(n_years, np.int64)
+    seen = np.zeros(n_years, bool)
     np.add.at(total, cell // 2, rv)
     np.add.at(target_rev, cell[cell % 2 == 1] // 2,
               rv[cell % 2 == 1])
-    present = np.flatnonzero(total)
+    seen[cell // 2] = True
+    # group-by semantics: a year with matching lines appears even when
+    # its revenue sums to exactly zero (the oracle emits a 0-total row)
+    present = np.flatnonzero(seen)
     return ray.data.from_arrow(pa.table({
         "l_year": pa.array(present + year_from),
         "nation_revenue_c": pa.array(target_rev[present]),

@@ -553,3 +553,68 @@ def test_nation_market_share_matches_duckdb_both_paths():
     assert bc.equals(ex)
     with pytest.raises(ValueError):
         analytics.nation_market_share(SF, nation="NOPE")
+
+
+def test_empty_exchange_groups_do_not_crash(tmp_path):
+    """Regression: the sort+reduceat group kernel must be empty-safe —
+    a window filtering out every line (exchange path), and orders whose
+    keys have no line items, previously raised IndexError."""
+    # empty ship window, forced exchange path
+    out = analytics.volume_shipping(
+        SF, year_from=2050, year_to=2051,
+        broadcast_threshold=0).to_pandas()
+    assert len(out) == 0
+    # order without line items: engine matches the oracle's inner join
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    d = tmp_path / "sf"
+    d.mkdir()
+    ship = np.datetime64("1996-02-01", "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1], pa.int64()),
+        "l_quantity": pa.array([200.0, 100.0]),
+        "l_shipdate": pa.array([ship] * 2),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([ship - np.timedelta64(10, "D")] * 2),
+        "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM"]),
+    }), str(d / "orders.parquet"))
+    lo = analytics.large_orders(str(d), min_qty_c=25_000).to_pandas()
+    assert list(lo["o_orderkey"]) == [1]
+    assert int(lo["sum_qty_c"][0]) == 30000
+    pw = analytics.priority_wait_orders(
+        str(d), date_from="1996-01-01", date_to="1996-07-01",
+        late_days=1).to_pandas()
+    assert list(pw["o_orderpriority"]) == ["1-URGENT"]
+    assert int(pw["order_count"][0]) == 1
+
+
+def test_nation_market_share_keeps_zero_total_years(tmp_path):
+    """A year whose matched revenue rounds to exactly zero cents still
+    appears (SQL GROUP BY emits the 0-total row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1], pa.int64()),
+        "l_shipdate": pa.array([np.datetime64("1995-06-01", "us"),
+                                np.datetime64("1996-06-01", "us")]),
+        "l_extendedprice": pa.array([10.0, 0.001]),
+        "l_discount": pa.array([0.0, 0.0]),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_nationkey": pa.array([0], pa.int64()),
+    }), str(d / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["NATION_0"]),
+    }), str(d / "nation.parquet"))
+    out = (analytics.nation_market_share(str(d)).to_pandas()
+           .sort_values("l_year").reset_index(drop=True))
+    assert list(out["l_year"]) == [1995, 1996]
+    assert list(out["total_revenue_c"]) == [1000, 0]

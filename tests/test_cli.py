@@ -215,3 +215,23 @@ def test_diff_changefeed_export_cli(inputs, tmp_path, capsys):
     assert dead["n_tok"].isna().all()
     live = df[df["change"] != "deleted"]
     assert live["n_tok"].notna().all()
+
+
+def test_diff_changefeed_columns_validation(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+    # whitespace around names is tolerated
+    out_dir = str(tmp_path / "feed")
+    rc, out = run(["diff", "--lake", lake, "--from-gen", "0",
+                   "--columns", " tokens , n_tok ", "--out", out_dir],
+                  capsys)
+    assert rc == 0 and out[-1]["ok"]
+    import pyarrow.parquet as pq
+    assert {"tokens", "n_tok"} <= set(pq.read_table(out_dir).column_names)
+    # an unknown column fails loudly instead of silently dropping
+    rc, out = run(["diff", "--lake", lake, "--from-gen", "0",
+                   "--columns", "tokens,nope"], capsys)
+    assert rc == 1 and "nope" in out[-1]["error"]
