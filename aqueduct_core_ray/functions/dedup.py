@@ -859,9 +859,14 @@ def _cc_min_label(edges: ray.data.Dataset, num_partitions: int = 16,
         return pa.table({"node": pa.array(ev),
                          "lab": pa.array(lv[pos])})
 
+    # the edge→(part, role, key, val) tagging is invariant across
+    # rounds — materialize it once instead of re-running the O(E) map
+    # inside every pointer-jumping iteration
+    tagged_edges = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                    .materialize())
     prev_sum = None
     for _ in range(max_iters):
-        tagged = (edges.map_batches(tag_edges, batch_format="pyarrow")
+        tagged = (tagged_edges
                   .union(labels.map_batches(jump_edges,
                                             batch_format="pyarrow"))
                   .union(labels.map_batches(tag_labels,

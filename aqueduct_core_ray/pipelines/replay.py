@@ -62,6 +62,15 @@ _DIFF_TASK = ray.remote(num_cpus=1)(diff_partition)
 _ABSORB_TASK = ray.remote(num_cpus=1)(absorb_partition)
 
 
+def _cluster_cpus(default: int = 32) -> int:
+    """The cluster's CPU count (``default`` before ray.init) — the ONE
+    sizing heuristic shared by scan-split sizing, the merge-task fan,
+    and the background-absorb cap; keep these in lockstep."""
+    import ray as _ray
+    return (int(_ray.cluster_resources().get("CPU", default))
+            if _ray.is_initialized() else default)
+
+
 def default_lake_schema() -> pa.Schema:
     pay = payload_schema(CHANGE_EVENT)
     return pa.schema(list(pay) + [pa.field("last_lsn", pa.int64())])
@@ -325,9 +334,7 @@ class CDCEngine:
                     total += b
         if not pieces:
             return [], union
-        import ray as _ray
-        cpus = (int(_ray.cluster_resources().get("CPU", 32))
-                if _ray.is_initialized() else 32)
+        cpus = _cluster_cpus()
         unit_bytes = max(self.MIN_SPLIT_BYTES,
                          min(self.TARGET_SPLIT_BYTES,
                              total // (2 * cpus) + 1))
@@ -697,6 +704,9 @@ class CDCEngine:
         reference's last-seen registry heartbeat (Node.java offset+
         lastSeen, SubNodeGroup.java offline eviction) as files."""
         import json as _json
+        if not os.path.isdir(log_path):
+            return          # never resurrect a vanished parent's dir —
+            # recreating it would defeat the _parent_alive probe
         d = os.path.join(log_path, "_consumers")
         os.makedirs(d, exist_ok=True)
         self.store._atomic_write(
@@ -942,8 +952,7 @@ class CDCEngine:
         # saved sidecar reads — fall back to the glob discovery path
         if len(touched) and sum(len(v) for v in plans.values()) > 2_000_000:
             plans = {}
-        cpus = (int(_ray.cluster_resources().get("CPU", 32))
-                if _ray.is_initialized() else 32)
+        cpus = _cluster_cpus()
         n_tasks = max(1, min(len(touched), 2 * cpus))
         if n_tasks >= len(touched):
             refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
@@ -1126,11 +1135,13 @@ class CDCEngine:
                 wm = -1                   # vanished parent: idle + dead
             self._last_parent_wm = max(wm, self._last_parent_wm or -1)
             if wm <= self.watermark:
+                # probe liveness BEFORE the consumer-HWM write: the
+                # write must never precede (or mask) a dead verdict
+                alive = self._parent_alive(parent, dead_after_s)
                 if consumer_id:
                     self.register_consumer_hwm(parent, consumer_id,
                                                self.watermark)
-                if (pi + 1 < len(paths)
-                        and not self._parent_alive(parent, dead_after_s)):
+                if pi + 1 < len(paths) and not alive:
                     stale += 1
                     if stale >= failover_after:
                         self.store.append_metrics({
@@ -1140,6 +1151,11 @@ class CDCEngine:
                         pi += 1
                         stale = idle = 0  # fresh chance on the new parent
                         continue
+                else:
+                    # an alive observation resets the CONSECUTIVE-
+                    # dead-polls contract (failover_after counts a run
+                    # of dead verdicts, not dead verdicts ever seen)
+                    stale = 0
                 idle += 1
                 delay = min(poll_interval_s * (2 ** (idle - 1)),
                             poll_max_s)
@@ -1683,10 +1699,7 @@ class CDCEngine:
         critical path. Capped launches smooth the rewrite work across
         commits; the chain-fold tier bounds read amplification while a
         partition waits its turn."""
-        import ray as _ray
-        cpus = (int(_ray.cluster_resources().get("CPU", 32))
-                if _ray.is_initialized() else 32)
-        return max(2, cpus // 4)
+        return max(2, _cluster_cpus() // 4)
 
     def _launch_absorbs(self, man: Manifest) -> int:
         """Post-commit: start one background absorb per partition whose
@@ -2027,12 +2040,29 @@ class CDCEngine:
             # this engine's own subscription fold (all types when
             # unfiltered) — the checkpoint the reference stores under
             # the same name
+            self._require_consumer_offsets(m)
             vals = [v for k, v in m.named_offsets.items()
                     if k.startswith("MAX_OFFSET_CONSUMERS:")
                     and (self.sources is None
                          or k.split(":", 1)[1] in self.sources)]
             return max((int(v) for v in vals), default=-1)
         return int(m.named_offsets.get(name, -1))
+
+    def _require_consumer_offsets(self, m) -> None:
+        """MAX_OFFSET_CONSUMERS:<type> checkpoints are maintained by the
+        EXCHANGE strategy's raw scan tasks (which see every raw event);
+        the groupby strategy pre-compacts per batch, so losing events'
+        lsns are gone before any stage could fold them. Fail loudly
+        instead of returning 0 as if the types were never seen."""
+        if (self.merge_strategy != "exchange" and m.watermark > 0
+                and not any(k.startswith("MAX_OFFSET_CONSUMERS:")
+                            for k in m.named_offsets)):
+            raise NotImplementedError(
+                "MAX_OFFSET_CONSUMERS checkpoints were never maintained "
+                "on this lake (groupby merge strategy pre-compacts away "
+                "raw per-source lsns); replay with the default "
+                "merge_strategy='exchange', or scan the log with "
+                "max_offset_for_types")
 
     def max_offset_for_consumers(self, types: "Iterable[str]") -> int:
         """Max lsn among events of the given types, answered from the
@@ -2045,6 +2075,7 @@ class CDCEngine:
         types = list(types)
         if m is None or not types:
             return 0
+        self._require_consumer_offsets(m)
         return max((int(m.named_offsets.get(
             f"MAX_OFFSET_CONSUMERS:{t}", 0)) for t in types), default=0)
 

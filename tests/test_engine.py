@@ -263,3 +263,30 @@ def test_max_offset_for_consumers_maintained(tmp_path):
                     derivations=(), sources=("type2", "type3"))
     sub.replay(str(log), [(0, 9)])
     assert sub.named_offset("MAX_OFFSET_CONSUMERS") == 8
+
+
+def test_consumer_offsets_raise_under_groupby_strategy(tmp_path):
+    """MAX_OFFSET_CONSUMERS checkpoints are maintained by the exchange
+    strategy's raw scan tasks; a groupby-strategy lake must fail loudly
+    instead of answering 0 as if the types were never seen."""
+    import pytest as _pytest
+
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec, write_changelog, write_seed_lake)
+    spec = ChangelogSpec(n_docs=50, n_events=200, seed=4,
+                         chunk_size=200, n_waves=1)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4,
+                    merge_strategy="groupby")
+    eng.bootstrap(seed)
+    eng.replay(log, spec.wave_bounds)
+    with _pytest.raises(NotImplementedError):
+        eng.max_offset_for_consumers(["type1"])
+    with _pytest.raises(NotImplementedError):
+        eng.named_offset("MAX_OFFSET_CONSUMERS")
+    # the exchange default still answers (sanity of the guard's scope)
+    ex = CDCEngine(str(tmp_path / "lake2"), num_partitions=4)
+    ex.bootstrap(seed)
+    ex.replay(log, spec.wave_bounds)
+    assert ex.named_offset("MAX_OFFSET_CONSUMERS") > 0

@@ -233,3 +233,30 @@ def test_failover_skips_vanished_parent_dir(tmp_path):
                      derivations=())
     with _pytest.raises(OSError):
         solo.tail(gone, poll_interval_s=0.01, max_idle_polls=1)
+
+
+def test_failover_with_consumer_id_never_resurrects_parent(tmp_path):
+    """Regression: with consumer_id set, the consumer-HWM write used to
+    recreate a vanished parent's directory BEFORE the liveness probe,
+    which then classified the resurrected empty dir as a live plain log
+    and defeated failover forever."""
+    import os
+
+    log = tmp_path / "log"
+    log.mkdir()
+    publish(log, 2)
+    root = CDCEngine(str(tmp_path / "root"), num_partitions=4,
+                     emit_changelog=True, derivations=())
+    root.tail(str(log), wave_size=500, poll_interval_s=0.01,
+              max_idle_polls=1)
+    gone = str(tmp_path / "vanished_outbox")
+    leaf = CDCEngine(str(tmp_path / "leaf"), num_partitions=2,
+                     derivations=())
+    leaf.tail([gone, root.outbox_dir], wave_size=500,
+              poll_interval_s=0.01, max_idle_polls=2,
+              dead_after_s=0.1, failover_after=1, consumer_id="leaf")
+    assert leaf.watermark == root.watermark
+    # the dead machine's directory was NOT recreated on disk
+    assert not os.path.exists(gone)
+    # the consumer registered against the parent it actually follows
+    assert "leaf" in root.consumer_hwms()
