@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": partial(an.large_orders),
         "tfidf_top_terms": partial(text.tfidf_top_terms),
         "nation_market_share": partial(an.nation_market_share),
+        "customer_order_distribution":
+            partial(an.customer_order_distribution),
+        "banded_part_revenue": partial(an.banded_part_revenue),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -567,6 +570,29 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # TPC-H Q13 flavor: customers by order count, LEFT JOIN keeps
+        # the zero-order customers
+        "customer_order_distribution": """
+            SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+            FROM (SELECT c_custkey,
+                         CAST(count(o_orderkey) AS BIGINT) AS n_orders
+                  FROM customer LEFT JOIN orders
+                       ON c_custkey = o_custkey
+                  GROUP BY 1)
+            GROUP BY 1""",
+        # TPC-H Q19 flavor: disjunctive (brand, qty window, size cap)
+        # bands over lineitem x part
+        "banded_part_revenue": """
+            SELECT CAST(sum(floor(l_extendedprice*(1-l_discount)
+                                  *100+0.5)) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size <= 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size <= 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
         # TPC-H Q8 flavor: target-nation vs total revenue per ship year
         # (integer cents; the share division is left to the consumer)
         "nation_market_share": """

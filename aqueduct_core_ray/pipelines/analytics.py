@@ -1840,3 +1840,209 @@ def nation_market_share(sf_dir: str, nation: str = "NATION_0",
         "nation_revenue_c": pa.array(target_rev[present]),
         "total_revenue_c": pa.array(total[present]),
     }))
+
+
+def customer_order_distribution(sf_dir: str, num_partitions: int = 16
+                                ) -> ray.data.Dataset:
+    """TPC-H Q13-flavor double aggregation with LEFT-JOIN semantics:
+    the distribution of customers by how many orders they placed —
+    including the ZERO-order customers an inner join would drop.
+    Returns (n_orders, n_customers).
+
+    Scale shape: orders shrink to per-block per-custkey count partials
+    before the ONE co-partitioned union-tag exchange on
+    hash(custkey) %% P; each partition finishes its customers' counts
+    (searchsorted against the folded partials, misses = 0) and
+    collapses to an (n_orders, n_customers) histogram partial — the
+    driver folds O(max_orders_per_customer x P) two-int rows. Neither
+    table is broadcast or materialized anywhere."""
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"k": t.column("o_custkey")})
+        agg = g.group_by("k").aggregate([("k", "count")])
+        keys = agg.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "ckey": agg.column("k"),
+            "n": agg.column("k_count").cast(pa.int64()),
+            "side": pa.array(np.zeros(len(keys), np.int8)),
+        })
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "ckey": t.column("c_custkey"),
+            "n": pa.nulls(t.num_rows, pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    def hist_partial(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        op = g.filter(pa.array(side == 0))
+        cu = g.filter(pa.array(side == 1))
+        if cu.num_rows == 0:
+            return pa.table({"n_orders": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        uk, sums = _sorted_group_reduce(
+            op.column("ckey").to_numpy(zero_copy_only=False),
+            op.column("n").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        probe = cu.column("ckey").to_numpy(zero_copy_only=False)
+        mapped, hit = _map_keys(uk, sums, probe)
+        counts = np.where(hit, mapped, 0)      # LEFT JOIN: miss -> 0
+        un, idx = np.unique(counts, return_inverse=True)
+        return pa.table({
+            "n_orders": pa.array(un.astype(np.int64)),
+            "n_customers": pa.array(np.bincount(
+                idx, minlength=len(un)).astype(np.int64)),
+        })
+
+    orders = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                    columns=["o_custkey"])
+              .map_batches(order_partial, batch_format="pyarrow"))
+    cust = (ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_custkey"])
+            .map_batches(cust_rows, batch_format="pyarrow"))
+    parts = (orders.union(cust)
+             .groupby("part").map_groups(hist_partial,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["n_orders"], ["n_customers"],
+        pa.table({"n_orders": pa.array([], pa.int64()),
+                  "n_customers": pa.array([], pa.int64())})))
+
+
+# TPC-H Q19-flavor disjunctive predicate bands: (brand, qty window,
+# max size) triples OR-ed together
+Q19_BANDS = (("Brand#1", 1.0, 11.0, 5),
+             ("Brand#2", 10.0, 20.0, 10),
+             ("Brand#3", 20.0, 30.0, 15))
+
+
+def banded_part_revenue(sf_dir: str,
+                        bands: tuple = Q19_BANDS,
+                        num_partitions: int = 16,
+                        broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                        ) -> ray.data.Dataset:
+    """TPC-H Q19-flavor disjunctive filter-aggregate: total revenue
+    (integer cents) plus line count from lineitems matching ANY of the
+    ``bands`` — each band a (p_brand, qty_lo, qty_hi inclusive,
+    p_size <= max_size) conjunction over BOTH tables' attributes.
+    Returns ONE row (revenue_c, n_lines).
+
+    Scale shape: the part side reduces to (partkey, band-bitmask) —
+    one int64 per part whose bit b says 'this part satisfies band b's
+    part-attribute half'. Under ``broadcast_threshold`` part rows the
+    mask lookup broadcasts (zero exchanges); above, ONE co-partitioned
+    union-tag exchange on hash(partkey) %% P meets the narrow
+    (partkey, qty, rev) line triples. Either way the quantity half
+    tests vectorized against the bitmask and each partition emits one
+    two-int partial."""
+    import pyarrow.parquet as pq
+
+    def part_mask(brand: np.ndarray, size: np.ndarray) -> np.ndarray:
+        mask = np.zeros(len(brand), np.int64)
+        for b, (bname, _, _, max_size) in enumerate(bands):
+            mask |= ((brand == bname) & (size <= max_size)) << b
+        return mask
+
+    def line_hits(qty: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        hit = np.zeros(len(qty), bool)
+        for b, (_, q_lo, q_hi, _) in enumerate(bands):
+            hit |= ((mask >> b) & 1).astype(bool) \
+                & (qty >= q_lo) & (qty <= q_hi)
+        return hit
+
+    def fold(rev: np.ndarray, hit: np.ndarray) -> pa.Table:
+        return pa.table({
+            "revenue_c": pa.array([int(rev[hit].sum())], pa.int64()),
+            "n_lines": pa.array([int(hit.sum())], pa.int64()),
+        })
+
+    line_cols = ["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]
+    if _table_rows(f"{sf_dir}/part.parquet") <= broadcast_threshold:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_size"])
+        mask = part_mask(
+            part.column("p_brand").to_numpy(zero_copy_only=False),
+            part.column("p_size").to_numpy(zero_copy_only=False))
+        keep = mask != 0             # only qualifying parts ship at all
+        pk, mv = _sorted_lookup(
+            part.column("p_partkey").to_numpy(
+                zero_copy_only=False)[keep], mask[keep])
+        ref = ray.put((pk, mv))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk_, mv_ = ray.get(ref)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, mv_, keys)
+            qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            sel = hit & line_hits(qty, np.where(hit, mapped, 0))
+            return fold(_rev_cents(t), sel)
+
+        parts = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                       columns=line_cols)
+                 .map_batches(partial, batch_format="pyarrow"))
+    else:
+        def part_side(t: pa.Table) -> pa.Table:
+            mask = part_mask(
+                t.column("p_brand").to_numpy(zero_copy_only=False),
+                t.column("p_size").to_numpy(zero_copy_only=False))
+            keep = mask != 0
+            t = t.filter(pa.array(keep))
+            keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "pkey": t.column("p_partkey"),
+                "mask": pa.array(mask[keep]),
+                "qty": pa.nulls(t.num_rows, pa.float64()),
+                "rev_c": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        def line_side(t: pa.Table) -> pa.Table:
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "pkey": t.column("l_partkey"),
+                "mask": pa.nulls(t.num_rows, pa.int64()),
+                "qty": t.column("l_quantity").cast(pa.float64()),
+                "rev_c": pa.array(_rev_cents(t)),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def band_fold(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            pt = g.filter(pa.array(side == 0))
+            ln = g.filter(pa.array(side == 1))
+            pk_, mv_ = _sorted_lookup(
+                pt.column("pkey").to_numpy(zero_copy_only=False),
+                pt.column("mask").to_numpy(zero_copy_only=False))
+            keys = ln.column("pkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, mv_, keys)
+            qty = ln.column("qty").to_numpy(zero_copy_only=False)
+            sel = hit & line_hits(qty, np.where(hit, mapped, 0))
+            rev = ln.column("rev_c").to_numpy(zero_copy_only=False)
+            return fold(rev, sel)
+
+        part_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand", "p_size"])
+                   .map_batches(part_side, batch_format="pyarrow"))
+        line_ds = (ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                         columns=line_cols)
+                   .map_batches(line_side, batch_format="pyarrow"))
+        parts = (part_ds.union(line_ds)
+                 .groupby("part").map_groups(band_fold,
+                                             batch_format="pyarrow"))
+    pt = _concat_nonempty(parts, pa.table({
+        "revenue_c": pa.array([], pa.int64()),
+        "n_lines": pa.array([], pa.int64())}))
+    n = int(pt.column("n_lines").to_numpy().sum())
+    rev = [int(pt.column("revenue_c").to_numpy().sum())] if n else [None]
+    return ray.data.from_arrow(pa.table({
+        "revenue_c": pa.array(rev, pa.int64()),
+        "n_lines": pa.array([n], pa.int64()),
+    }))

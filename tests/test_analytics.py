@@ -618,3 +618,64 @@ def test_nation_market_share_keeps_zero_total_years(tmp_path):
            .sort_values("l_year").reset_index(drop=True))
     assert list(out["l_year"]) == [1995, 1996]
     assert list(out["total_revenue_c"]) == [1000, 0]
+
+
+def test_customer_order_distribution_matches_duckdb():
+    sq = _canon(_duck("""
+        SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (SELECT c_custkey,
+                     CAST(count(o_orderkey) AS BIGINT) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1)
+        GROUP BY 1"""))
+    ry = _canon(analytics.customer_order_distribution(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    ry2 = _canon(analytics.customer_order_distribution(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_customer_order_distribution_counts_zero_order_customers(
+        tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1], pa.int64())}),
+        str(d / "orders.parquet"))
+    ry = (analytics.customer_order_distribution(str(d)).to_pandas()
+          .sort_values("n_orders").reset_index(drop=True))
+    assert list(ry["n_orders"]) == [0, 2]
+    assert list(ry["n_customers"]) == [2, 1]
+
+
+def test_banded_part_revenue_matches_duckdb_both_paths():
+    import pandas as pd
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = con.execute("""
+        SELECT CAST(sum(floor(l_extendedprice*(1-l_discount)*100+0.5))
+                    AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size <= 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 15
+               AND l_quantity BETWEEN 20 AND 30)""").df()
+    for thresh in (1 << 60, 0):
+        ry = analytics.banded_part_revenue(
+            SF, broadcast_threshold=thresh).to_pandas()
+        assert int(ry["n_lines"][0]) == int(sq["n_lines"][0])
+        if int(sq["n_lines"][0]):
+            assert int(ry["revenue_c"][0]) == int(sq["revenue_c"][0])
+        else:
+            assert pd.isna(ry["revenue_c"][0])
+    assert int(sq["n_lines"][0]) > 0      # bands actually select lines
