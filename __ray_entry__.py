@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution":
             partial(an.customer_order_distribution),
         "banded_part_revenue": partial(an.banded_part_revenue),
+        # deterministic epoch shuffle: a PERMUTATION of documents, so
+        # the oracle is the table itself (driver compare is
+        # order-insensitive — rows+schema+value-hash must all match)
+        "epoch_shuffle": partial(sampling.epoch_shuffle),
         "pricing_rollup": partial(an.pricing_rollup),
         "bpe_token_count": partial(text.bpe_token_count),
         # flagship lake projected to its hash-free columns: proves the
@@ -570,6 +574,11 @@ def oracle_sql() -> dict[str, str]:
                   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                     AND l_shipdate <  TIMESTAMP '1997-01-01')
             GROUP BY 1""",
+        # epoch_shuffle returns a PERMUTATION of documents; the compare
+        # is order-insensitive, so the table itself is the oracle —
+        # rows+schema+value-hash match proves permutation-ness (no rows
+        # lost, duplicated, or mutated by the shuffle exchange)
+        "epoch_shuffle": "SELECT * FROM documents",
         # TPC-H Q13 flavor: customers by order count, LEFT JOIN keeps
         # the zero-order customers
         "customer_order_distribution": """

@@ -241,3 +241,44 @@ def weighted_sample(sf_dir: str, k: int = 20, seed: int = 7,
         "weight": t.column("weight").take(sel),
         "rank": pa.array((pos + 1).astype(np.int64)),
     }))
+
+
+def epoch_shuffle(sf_dir: str, seed: int = 0,
+                  num_partitions: int = 32) -> ray.data.Dataset:
+    """DETERMINISTIC epoch shuffle for training: a reproducible global
+    permutation of the documents, keyed by ``hash(doc_id + seed)`` —
+    epoch N's order is ``epoch_shuffle(sf_dir, seed=N)``, identical on
+    every rerun/resume (a crashed training job re-derives the exact
+    epoch order from the seed alone, no shuffle state to checkpoint).
+
+    Scale shape: ONE keyed exchange — each row is tagged with the high
+    bits of its shuffle hash (hash-range partition => partitions are
+    themselves in shuffle order), ``groupby(spart)`` co-locates each
+    range, and one in-partition argsort of the low bits finishes the
+    permutation. No global sort, no driver materialization; rows with
+    colliding hashes tie-break by doc_id so the order is total."""
+    from .text import hash_str_array
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash_str_array(
+            t.column("doc_id").cast(pa.string())
+            if t.column("doc_id").type != pa.string()
+            else t.column("doc_id"))
+        h = (h + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        spart = (h >> np.uint64(64 - 16)) % np.uint64(num_partitions)
+        return (t.append_column("skey", pa.array(h))   # uint64: the
+                # in-partition sort must order the same way the
+                # high-bits range tag does
+                .append_column("spart",
+                               pa.array(spart.astype(np.int32))))
+
+    def order_partition(g: pa.Table) -> pa.Table:
+        key = g.column("skey").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, key))
+        return g.take(pa.array(order)).drop_columns(["skey", "spart"])
+
+    return (read_documents(sf_dir)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("spart")
+            .map_groups(order_partition, batch_format="pyarrow"))

@@ -168,3 +168,28 @@ def test_weighted_sample_weight_monotonicity(tmp_path):
         light += 1 in picked
     assert heavy > light
     assert heavy >= 15          # P(pick heavy) = 500/890 ≈ 0.56
+
+
+def test_epoch_shuffle_is_deterministic_permutation():
+    import ray.data as ray_data
+
+    from aqueduct_core_ray.functions.sampling import epoch_shuffle
+    SF = "/root/testdata/sf0.001"
+    a = epoch_shuffle(SF, seed=1).to_pandas()
+    b = epoch_shuffle(SF, seed=1).to_pandas()
+    c = epoch_shuffle(SF, seed=2).to_pandas()
+    base = (ray_data.read_parquet(f"{SF}/documents.parquet")
+            .to_pandas())
+    # permutation: same multiset of doc_ids, nothing lost or duplicated
+    assert sorted(a["doc_id"]) == sorted(base["doc_id"])
+    # deterministic: same seed -> identical order (per partition fold);
+    # compare the in-partition sequence via the doc_id column
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    # different seed -> a genuinely different order
+    assert list(a["doc_id"]) != list(c["doc_id"])
+    # dispersion: the shuffle breaks source runs — consecutive rows
+    # share a source far less often than sorted-by-source order would
+    src = a["source"].to_numpy()
+    same_adjacent = (src[1:] == src[:-1]).mean()
+    n_sources = len(set(src))
+    assert same_adjacent < 2.5 / n_sources + 0.2
