@@ -64,11 +64,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # FIRST 50 entries only (CORRECTNESS_r0{1,2,3}.json cap). Entries
     # 1-50 below are therefore exactly 50 oracle-backed queries (every
     # key has an oracle_sql() twin and is expected to hash-match).
-    # The remaining oracle-backed entries (near-duplicate variants of
-    # in-window checks: routing override, rollup, BPE tokenizer twin,
-    # flagship stats twin) come next, then the rows-only /
-    # approximate / engine-internal block. Do not insert new entries
-    # above the window boundary without recounting.
+    # The remaining ORACLE-BACKED entries come next — in-window-check
+    # variants (routing override, rollup, BPE tokenizer twin, flagship
+    # stats twin) plus the round-4 additions (TPC-H Q4/Q6/Q7/Q8/Q9/
+    # Q12/Q13/Q15/Q18/Q19 flavors, doc_frequency, tfidf, epoch
+    # shuffle); all are still verified by scripts/check_correctness.py's
+    # full oracle sweep. The rows-only / approximate / engine-internal
+    # block closes the dict. Do not insert new entries above the
+    # window boundary without recounting.
     return {
         # --- CDC engine surface (SURVEY.md §2) — oracle-backed ---
         "cdc_replay_events": lq_replay,
@@ -128,7 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_revenue": partial(an.small_quantity_revenue),
         # ---------------- driver window boundary (entry 50) ----------
         # oracle-backed variants of in-window checks (still verified by
-        # scripts/check_correctness.py's full 54-oracle sweep):
+        # scripts/check_correctness.py's full oracle sweep):
         # routing_id override: user 10 remapped INTO the cluster set,
         # user 17 (default route 1, in-set) remapped OUT — the
         # reference's routing_id≠cluster_id model (Message.java:14-34)

@@ -251,21 +251,29 @@ def epoch_shuffle(sf_dir: str, seed: int = 0,
     every rerun/resume (a crashed training job re-derives the exact
     epoch order from the seed alone, no shuffle state to checkpoint).
 
-    Scale shape: ONE keyed exchange — each row is tagged with the high
-    bits of its shuffle hash (hash-range partition => partitions are
-    themselves in shuffle order), ``groupby(spart)`` co-locates each
-    range, and one in-partition argsort of the low bits finishes the
-    permutation. No global sort, no driver materialization; rows with
-    colliding hashes tie-break by doc_id so the order is total."""
+    Scale shape: ONE keyed exchange — each row is tagged with a RANGE
+    partition of its shuffle hash's high bits (range, not modulo: the
+    global order equals the skey sort, so the epoch order is invariant
+    to ``num_partitions`` — resuming on a differently-sized cluster
+    reproduces the identical order), ``groupby(spart)`` co-locates each
+    range, and one in-partition argsort finishes the permutation. No
+    global sort, no driver materialization; rows with colliding hashes
+    tie-break by doc_id so the order is total."""
     from .text import hash_str_array
 
     def tag(t: pa.Table) -> pa.Table:
-        h = hash_str_array(
-            t.column("doc_id").cast(pa.string())
-            if t.column("doc_id").type != pa.string()
-            else t.column("doc_id"))
+        col = t.column("doc_id")
+        if pa.types.is_integer(col.type):
+            # fast path: direct numeric siphash (the module's _accept
+            # convention) — no object-array stringify on the hot path
+            h = pd.util.hash_array(
+                col.to_numpy(zero_copy_only=False).astype(np.int64),
+                categorize=False)
+        else:
+            h = hash_str_array(col)
         h = (h + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
-        spart = (h >> np.uint64(64 - 16)) % np.uint64(num_partitions)
+        spart = ((h >> np.uint64(48)).astype(np.uint64)
+                 * np.uint64(num_partitions)) >> np.uint64(16)
         return (t.append_column("skey", pa.array(h))   # uint64: the
                 # in-partition sort must order the same way the
                 # high-bits range tag does

@@ -187,6 +187,11 @@ def test_epoch_shuffle_is_deterministic_permutation():
     assert list(a["doc_id"]) == list(b["doc_id"])
     # different seed -> a genuinely different order
     assert list(a["doc_id"]) != list(c["doc_id"])
+    # RANGE partitioning: the epoch order is derivable from the seed
+    # ALONE — invariant to the partition count (resume on a
+    # differently-sized cluster reproduces the identical order)
+    p8 = epoch_shuffle(SF, seed=1, num_partitions=8).to_pandas()
+    assert list(a["doc_id"]) == list(p8["doc_id"])
     # dispersion: the shuffle breaks source runs — consecutive rows
     # share a source far less often than sorted-by-source order would
     src = a["source"].to_numpy()
