@@ -13,8 +13,12 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
   retention  compact the log + GC old tombstones into a new log dir
              (reference D2, PostgresqlStorage.java:365-436)
   compact    absorb sidecar chains (--fold: chain-only, O(pending))
-  diff       time-travel diff between two generations
+  diff       time-travel diff between two generations (--columns/--out
+             exports a payload-carrying changefeed to parquet)
   clone      zero-copy branch of a lake (hardlinked part files)
+  reshard    rewrite the lake at a new partition count — watermark,
+             named offsets and tombstone fences carry over (cluster
+             resize; tailing continues exactly-once)
   vacuum     GC part files outside the keep window
   get        partition-pruned point reads by doc_id
   status     manifest + consumer-lag summary
@@ -343,6 +347,28 @@ def cmd_clone(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """RESHARD: rewrite the lake into a new root at a different
+    partition count (cluster resize). Watermark, named offsets and
+    conflict state (tombstone fences) carry over, so a tail against
+    the same log continues exactly-once in the new layout."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    try:
+        dst = eng.reshard_lake(args.dst, args.partitions)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    m = dst.manifest
+    print(json.dumps({"ok": True, "dst": args.dst,
+                      "watermark": m.watermark,
+                      "partitions": m.num_partitions,
+                      "rows": sum(int(p["rows"])
+                                  for p in m.partitions.values())}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Operator view of a lake: manifest summary, pipe state, registered
     consumers with lag (reference: the registry's node summary +
@@ -523,6 +549,14 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--generation", type=int, default=None,
                     help="source generation (default CURRENT)")
     cl.set_defaults(fn=cmd_clone)
+
+    rs = sub.add_parser("reshard",
+                        help="rewrite the lake at a new partition count "
+                             "(watermark and offsets carry over)")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--dst", required=True)
+    rs.add_argument("--partitions", type=int, required=True)
+    rs.set_defaults(fn=cmd_reshard)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)

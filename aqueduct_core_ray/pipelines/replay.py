@@ -39,6 +39,7 @@ from ..stages.compact import LWW, ConflictPolicy
 from ..stages.merge_apply import (
     absorb_partition,
     diff_partition,
+    reshard_partition,
     make_delta_splitter,
     make_wave_merger,
     merge_partition_files,
@@ -59,6 +60,7 @@ _MERGE_TASK = ray.remote(num_cpus=1)(merge_partition_files)
 _MERGE_BATCH_TASK = ray.remote(num_cpus=1)(merge_partition_files_batch)
 _ACCT_TASK = ray.remote(num_cpus=1)(partition_accounting)
 _DIFF_TASK = ray.remote(num_cpus=1)(diff_partition)
+_RESHARD_TASK = ray.remote(num_cpus=1)(reshard_partition)
 _ABSORB_TASK = ray.remote(num_cpus=1)(absorb_partition)
 
 
@@ -1624,6 +1626,84 @@ class CDCEngine:
                          sidecar_frac=self.sidecar_frac,
                          max_deltas=self.max_deltas,
                          chain_compact=self.chain_compact)
+
+    def reshard_lake(self, dst_root: str,
+                     num_partitions: int) -> "CDCEngine":
+        """RESHARD: rewrite this lake into a new root at a DIFFERENT
+        partition count — the cluster-resize operation the immutable
+        per-lake partition count otherwise forbids. The destination
+        preserves the source's watermark, named offsets and hour
+        checkpoints, so a ``tail()`` against the same log CONTINUES
+        exactly-once from where the source stopped; logical state is
+        identical under any conflict policy (tombstone fences carry
+        over as op=1 pseudo events through the same unified compaction
+        kernel every wave uses).
+
+        Scale shape: one raw task per SOURCE partition re-emits its
+        merged rows as pseudo change events into the object store
+        (``from_arrow_refs`` — never the driver), and the ordinary
+        wave machinery hash-routes them into the new partition layout;
+        cost is one full lake rewrite, the floor for any reshard."""
+        from ..stages.merge_apply import FENCE_COL
+        src = self.manifest
+        if src is None:
+            raise ValueError("lake has no committed manifest")
+        if os.path.exists(os.path.join(dst_root, "CURRENT")):
+            raise ValueError(f"{dst_root} is already a committed lake")
+        dst = CDCEngine(dst_root, num_partitions=num_partitions,
+                        derivations=self.derivations, salt=self.salt,
+                        sources=self.sources,
+                        merge_strategy=self.merge_strategy,
+                        conflict=self.conflict,
+                        emit_changelog=self.emit_changelog,
+                        bg_absorb=self.bg_absorb,
+                        sidecar_frac=self.sidecar_frac,
+                        max_deltas=self.max_deltas,
+                        chain_compact=self.chain_compact)
+
+        # the pseudo-event schema _old_as_events emits for this lake
+        fields = [pa.field("lsn", pa.int64()), pa.field("op", pa.int8())]
+        have = {"lsn", "op"}
+        lof = self.conflict.lake_order_field
+        if lof and lof in src.schema.names:
+            fields.append(pa.field(
+                self.conflict.order_col, src.schema.field(lof).type))
+            have.add(self.conflict.order_col)
+        for f in src.schema:
+            if f.name in have or f.name in ("last_lsn", FENCE_COL) \
+                    or f.name == lof:
+                continue
+            fields.append(f)
+        fields.append(pa.field("ts", pa.timestamp("us")))
+        ev_schema = pa.schema(fields)
+
+        refs = [_RESHARD_TASK.remote(int(pid), self.store.root, e,
+                                     src.schema_b64, self.conflict)
+                for pid, e in src.partitions.items()]
+        ds = (ray.data.from_arrow_refs(refs) if refs
+              else ray.data.from_arrow(ev_schema.empty_table()))
+        dst._apply(ds, lo=-1, hi=src.watermark, wave_id="reshard",
+                   incoming_schema=ev_schema)
+        # carry the source's checkpoint state in a follow-up commit
+        # (commit enforces generation = CURRENT+1, so the reshard wave's
+        # manifest cannot be amended in place)
+        man = dst.manifest
+        patched = Manifest(
+            generation=man.generation + 1, watermark=man.watermark,
+            wave_id="reshard-offsets", schema_b64=man.schema_b64,
+            num_partitions=man.num_partitions,
+            partitions=dict(man.partitions),
+            partials={k: dict(v) for k, v in man.partials.items()},
+            lineage=list(man.lineage) + [{
+                "resharded_from": self.store.root,
+                "source_generation": src.generation,
+                "source_partitions": src.num_partitions}],
+            named_offsets=dict(src.named_offsets),
+            hour_max=dict(src.hour_max),
+        )
+        dst.store.commit(patched)
+        dst._cached_manifest = patched
+        return dst
 
     # -------------------------------------------------- background absorbs
     def _collect_ready_absorbs(self, cur: "Manifest | None"

@@ -982,3 +982,24 @@ def make_wave_merger(
                                     schema=STATS_SCHEMA)
 
     return merge_group
+
+
+def reshard_partition(pid: int, lake_root: str,
+                      entry: "dict[str, Any]",
+                      schema_b64: str,
+                      policy: ConflictPolicy) -> pa.Table:
+    """RESHARD source task: one committed partition (base + delta
+    chain, merged by the unified compaction kernel) re-emitted as
+    pseudo change events — ``lsn = last_lsn`` and tombstone-fence rows
+    as ``op=1`` events (``_old_as_events``), so replaying them through
+    a fresh engine at a DIFFERENT partition count reproduces the exact
+    logical state, conflict policy included. Runs as a raw Ray task
+    from ``CDCEngine.reshard_lake``; the result feeds the ordinary
+    wave machinery via ``from_arrow_refs`` (object-store resident,
+    never on the driver)."""
+    schema = schema_from_b64(schema_b64)
+    t = load_partition_table(lake_root, entry, schema, policy)
+    ev = _old_as_events(t, policy)
+    # null ts, appended last — the regular change-event column layout
+    return ev.append_column("ts", pa.nulls(ev.num_rows,
+                                           pa.timestamp("us")))

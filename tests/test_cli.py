@@ -235,3 +235,22 @@ def test_diff_changefeed_columns_validation(inputs, tmp_path, capsys):
     rc, out = run(["diff", "--lake", lake, "--from-gen", "0",
                    "--columns", "tokens,nope"], capsys)
     assert rc == 1 and "nope" in out[-1]["error"]
+
+
+def test_reshard_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+    dst = str(tmp_path / "lake6")
+    rc, out = run(["reshard", "--lake", lake, "--dst", dst,
+                   "--partitions", "6"], capsys)
+    assert rc == 0 and out[-1]["ok"] and out[-1]["partitions"] == 6
+    assert out[-1]["watermark"] == SPEC.n_events
+    rc, out = run(["verify", "--lake", dst], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    # refuses to clobber
+    rc, out = run(["reshard", "--lake", lake, "--dst", dst,
+                   "--partitions", "3"], capsys)
+    assert rc == 1 and not out[-1]["ok"]

@@ -174,3 +174,32 @@ def test_fww_fence_survives_sidecar_and_compaction(tmp_path):
     eng.compact_partitions()
     got2 = lake(eng)
     assert got2 == got                            # fence survived absorb
+
+
+def test_reshard_carries_fww_fences(tmp_path):
+    """Reshard between the delete wave and the re-insert wave: under
+    first-writer-wins the tombstone fence must survive the partition-
+    layout rewrite and keep blocking the later re-insert."""
+    log = write_log(tmp_path, [
+        ev(1, "a", op=1),                    # wave 1: delete first
+        ev(2, "b", tok=[7]),
+        ev(3, "a", tok=[99]),                # wave 2: re-insert
+    ])
+    eng = CDCEngine(str(tmp_path / "lake2p"), num_partitions=2,
+                    derivations=(),
+                    conflict=ConflictPolicy(keep="earliest"))
+    eng.replay(log, [(0, 2)])
+    dst = eng.reshard_lake(str(tmp_path / "lake3p"), num_partitions=3)
+    assert dst.manifest.num_partitions == 3
+    assert dst.consistency_sum() == eng.consistency_sum()
+    dst.replay(log, [(0, 2), (2, 3)])        # first wave skips
+    got = lake(dst)
+    assert "a" not in got                    # fence held across reshard
+    assert got["b"]["tokens"] == [7]
+    # uninterrupted 3-partition reference agrees exactly
+    ref = CDCEngine(str(tmp_path / "ref3p"), num_partitions=3,
+                    derivations=(),
+                    conflict=ConflictPolicy(keep="earliest"))
+    ref.replay(log, [(0, 2), (2, 3)])
+    assert lake(dst) == lake(ref)
+    assert dst.consistency_sum() == ref.consistency_sum()

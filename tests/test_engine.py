@@ -290,3 +290,46 @@ def test_consumer_offsets_raise_under_groupby_strategy(tmp_path):
     ex.bootstrap(seed)
     ex.replay(log, spec.wave_bounds)
     assert ex.named_offset("MAX_OFFSET_CONSUMERS") > 0
+
+
+def test_reshard_lake_preserves_state_and_continues(tmp_path):
+    """Cluster-resize path: reshard a half-replayed 8-partition lake to
+    5 partitions; state, watermark and named offsets carry over, and
+    continuing the SAME log replay on the resharded lake converges to
+    the state of an uninterrupted 5-partition run."""
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec, write_changelog, write_seed_lake)
+    spec = ChangelogSpec(n_docs=200, n_events=1_600, seed=6,
+                         chunk_size=400, n_waves=4)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "s.parquet"))
+    cols = ["doc_id", "tokens", "n_tok", "source", "last_lsn"]
+
+    eng = CDCEngine(str(tmp_path / "lake8"), num_partitions=8)
+    eng.bootstrap(seed)
+    eng.replay(log, spec.wave_bounds[:2])          # half the stream
+
+    dst = eng.reshard_lake(str(tmp_path / "lake5"), num_partitions=5)
+    assert dst.manifest.num_partitions == 5
+    assert dst.watermark == eng.watermark
+    assert dst.consistency_sum() == eng.consistency_sum()
+    assert (dst.lake_table().select(cols).to_pylist()
+            == eng.lake_table().select(cols).to_pylist())
+    # checkpoint state carried: named offsets + hour checkpoints
+    assert dst.named_offset("MAX_OFFSET_CONSUMERS") \
+        == eng.named_offset("MAX_OFFSET_CONSUMERS")
+    assert dst.manifest.hour_max == eng.manifest.hour_max
+    # refuse to clobber a committed lake
+    with pytest.raises(ValueError):
+        eng.reshard_lake(str(tmp_path / "lake5"), num_partitions=3)
+
+    # the resharded lake CONTINUES the same log exactly-once: the
+    # already-applied waves skip, the rest apply
+    out = dst.replay(log, spec.wave_bounds)
+    assert sum(1 for w in out if w.get("skipped")) == 2
+    ref = CDCEngine(str(tmp_path / "ref5"), num_partitions=5)
+    ref.bootstrap(seed)
+    ref.replay(log, spec.wave_bounds)
+    assert dst.consistency_sum() == ref.consistency_sum()
+    assert (dst.lake_table().select(cols).to_pylist()
+            == ref.lake_table().select(cols).to_pylist())
