@@ -355,6 +355,23 @@ def cmd_reshard(args) -> int:
     _init_ray()
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=None)
+    if eng.manifest is not None:
+        # the conflict policy is not recoverable from the manifest; a
+        # non-default policy leaves its marks on the schema (last_op
+        # fences / a last_<order> column). Resharding such a lake under
+        # the default LWW policy would merge sidecars with the wrong
+        # winner and drop every tombstone fence — refuse.
+        marks = [n for n in eng.manifest.schema.names
+                 if n == "last_op"
+                 or (n.startswith("last_") and n != "last_lsn")]
+        if marks:
+            print(json.dumps({
+                "ok": False,
+                "error": f"lake schema carries {marks}: built under a "
+                         "non-default conflict policy, which the CLI "
+                         "cannot reconstruct — reshard programmatically "
+                         "via CDCEngine(conflict=...).reshard_lake()"}))
+            return 1
     try:
         dst = eng.reshard_lake(args.dst, args.partitions)
     except ValueError as e:

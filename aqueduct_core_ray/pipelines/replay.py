@@ -390,7 +390,11 @@ class CDCEngine:
                wave_id: str,
                incoming_schema: pa.Schema | None = None,
                scan_units: list | None = None,
-               scan_refs: list | None = None) -> dict[str, Any]:
+               scan_refs: list | None = None,
+               carry_named_offsets: "dict[str, int] | None" = None,
+               carry_hour_max: "dict[str, int] | None" = None,
+               lineage_note: "dict[str, Any] | None" = None
+               ) -> dict[str, Any]:
         t0 = time.perf_counter()
         self._phase_t = {}          # per-wave phase telemetry (exchange)
         cur = self.manifest
@@ -561,16 +565,26 @@ class CDCEngine:
             "wave_id": wave_id, "lo": lo, "hi": hi, "generation": gen,
             "parts_touched": len(stats), "n_applied_or_deleted": n_events,
             "wall_s": round(wall, 4),
+            **(lineage_note or {}),
         }]
         # maintained named offsets (reference OffsetName.java:3-5): fold
         # this wave's per-hour lsn maxima (computed inside the scan
         # tasks, no extra read) into the stored checkpoint; hours older
         # than the retention window are already folded and pruned
         hour_max = dict(cur.hour_max) if cur else {}
+        named = dict(cur.named_offsets) if cur else {}
+        # caller-carried checkpoint state (reshard: the source lake's
+        # offsets ride the wave's OWN commit — no second patch commit,
+        # no non-atomic window)
+        for h, m in (carry_hour_max or {}).items():
+            if int(m) > hour_max.get(h, -1):
+                hour_max[h] = int(m)
+        for k, v in (carry_named_offsets or {}).items():
+            if int(v) > named.get(k, -1):
+                named[k] = int(v)
         for h, m in getattr(self, "_wave_hour_max", {}).items():
             if m > hour_max.get(h, -1):
                 hour_max[h] = m
-        named = dict(cur.named_offsets) if cur else {}
         named["GLOBAL_LATEST"] = hi
         # MAX_OFFSET_CONSUMERS (OffsetName.java:3-5): the per-type max
         # lsn, folded from the scan tasks' partials and stored as
@@ -1645,6 +1659,9 @@ class CDCEngine:
         wave machinery hash-routes them into the new partition layout;
         cost is one full lake rewrite, the floor for any reshard."""
         from ..stages.merge_apply import FENCE_COL
+        if num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions}")
         src = self.manifest
         if src is None:
             raise ValueError("lake has no committed manifest")
@@ -1674,7 +1691,11 @@ class CDCEngine:
                     or f.name == lof:
                 continue
             fields.append(f)
-        fields.append(pa.field("ts", pa.timestamp("us")))
+            have.add(f.name)
+        if "ts" not in have:
+            # absent under the event-time policy: order_col == "ts"
+            # already carries the timestamps
+            fields.append(pa.field("ts", pa.timestamp("us")))
         ev_schema = pa.schema(fields)
 
         refs = [_RESHARD_TASK.remote(int(pid), self.store.root, e,
@@ -1682,27 +1703,16 @@ class CDCEngine:
                 for pid, e in src.partitions.items()]
         ds = (ray.data.from_arrow_refs(refs) if refs
               else ray.data.from_arrow(ev_schema.empty_table()))
+        # the source's checkpoint state rides the reshard wave's OWN
+        # manifest commit — the whole reshard is one atomic publish
         dst._apply(ds, lo=-1, hi=src.watermark, wave_id="reshard",
-                   incoming_schema=ev_schema)
-        # carry the source's checkpoint state in a follow-up commit
-        # (commit enforces generation = CURRENT+1, so the reshard wave's
-        # manifest cannot be amended in place)
-        man = dst.manifest
-        patched = Manifest(
-            generation=man.generation + 1, watermark=man.watermark,
-            wave_id="reshard-offsets", schema_b64=man.schema_b64,
-            num_partitions=man.num_partitions,
-            partitions=dict(man.partitions),
-            partials={k: dict(v) for k, v in man.partials.items()},
-            lineage=list(man.lineage) + [{
-                "resharded_from": self.store.root,
-                "source_generation": src.generation,
-                "source_partitions": src.num_partitions}],
-            named_offsets=dict(src.named_offsets),
-            hour_max=dict(src.hour_max),
-        )
-        dst.store.commit(patched)
-        dst._cached_manifest = patched
+                   incoming_schema=ev_schema,
+                   carry_named_offsets=dict(src.named_offsets),
+                   carry_hour_max=dict(src.hour_max),
+                   lineage_note={
+                       "resharded_from": self.store.root,
+                       "source_generation": src.generation,
+                       "source_partitions": src.num_partitions})
         return dst
 
     # -------------------------------------------------- background absorbs

@@ -1000,6 +1000,10 @@ def reshard_partition(pid: int, lake_root: str,
     schema = schema_from_b64(schema_b64)
     t = load_partition_table(lake_root, entry, schema, policy)
     ev = _old_as_events(t, policy)
+    if "ts" in ev.column_names:
+        # event-time policy: order_col == "ts" already carries the
+        # timestamps — a second ts column would be a duplicate field
+        return ev
     # null ts, appended last — the regular change-event column layout
     return ev.append_column("ts", pa.nulls(ev.num_rows,
                                            pa.timestamp("us")))

@@ -254,3 +254,33 @@ def test_reshard_cli(inputs, tmp_path, capsys):
     rc, out = run(["reshard", "--lake", lake, "--dst", dst,
                    "--partitions", "3"], capsys)
     assert rc == 1 and not out[-1]["ok"]
+
+
+def test_reshard_cli_refuses_policy_marked_lake(tmp_path, capsys):
+    """The CLI cannot reconstruct a non-default conflict policy; a lake
+    whose schema carries fences must be refused, not silently LWW-ed."""
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+    from aqueduct_core_ray.stages.compact import ConflictPolicy
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+    log = tmp_path / "log"
+    log.mkdir()
+    t = pa.table({
+        "lsn": pa.array([1, 2], pa.int64()),
+        "op": pa.array([1, 0], pa.int8()),
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": pa.array(["web", "web"]),
+        "ts": pa.array([np.datetime64("2020-01-01", "us")] * 2),
+    })
+    pq.write_table(t, str(log / "chunk-00000.parquet"))
+    eng = CDCEngine(str(tmp_path / "fww"), num_partitions=2,
+                    derivations=(),
+                    conflict=ConflictPolicy(keep="earliest"))
+    eng.replay(str(log), [(0, 2)])
+    rc, out = run(["reshard", "--lake", str(tmp_path / "fww"),
+                   "--dst", str(tmp_path / "dst"),
+                   "--partitions", "3"], capsys)
+    assert rc == 1 and "conflict policy" in out[-1]["error"]

@@ -203,3 +203,27 @@ def test_reshard_carries_fww_fences(tmp_path):
     ref.replay(log, [(0, 2), (2, 3)])
     assert lake(dst) == lake(ref)
     assert dst.consistency_sum() == ref.consistency_sum()
+
+
+def test_reshard_event_time_policy(tmp_path):
+    """Reshard under the event-time policy (order_col='ts'): the order
+    column IS the ts column, so the pseudo-event re-emission must not
+    duplicate it; out-of-order tombstones keep their blocking power."""
+    log = write_log(tmp_path, [
+        ev(1, "a", op=1, ts=100 * US),       # wave 1: future-dated delete
+        ev(2, "b", tok=[6], ts=10 * US),
+        ev(3, "a", tok=[5], ts=50 * US),     # wave 2: older ts -> loses
+    ])
+    pol = ConflictPolicy(order_col="ts")
+    eng = CDCEngine(str(tmp_path / "lake2p"), num_partitions=2,
+                    derivations=(), conflict=pol)
+    eng.replay(log, [(0, 2)])
+    dst = eng.reshard_lake(str(tmp_path / "lake3p"), num_partitions=3)
+    assert dst.consistency_sum() == eng.consistency_sum()
+    dst.replay(log, [(0, 2), (2, 3)])
+    got = lake(dst)
+    assert "a" not in got                    # fence held across reshard
+    assert got["b"]["tokens"] == [6]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.reshard_lake(str(tmp_path / "zero"), num_partitions=0)
