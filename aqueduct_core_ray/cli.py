@@ -19,6 +19,8 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
   reshard    rewrite the lake at a new partition count — watermark,
              named offsets and tombstone fences carry over (cluster
              resize; tailing continues exactly-once)
+  export     materialize the live table (optionally --generation /
+             --columns) to plain parquet for engine-less consumers
   vacuum     GC part files outside the keep window
   get        partition-pruned point reads by doc_id
   status     manifest + consumer-lag summary
@@ -386,6 +388,29 @@ def cmd_reshard(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """EXPORT: materialize the live table (tombstones excluded, schema
+    reconciled, optionally as of --generation) to a plain parquet
+    directory — the hand-off format for consumers without the engine.
+    Streams partition-parallel; never gathers rows on the driver."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns else None)
+    try:
+        ds = eng.read_lake(columns=cols, generation=args.generation)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    ds = ds.materialize()
+    ds.write_parquet(args.out)
+    print(json.dumps({"ok": True, "out": args.out,
+                      "rows": ds.count(),
+                      "columns": ds.schema().names}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Operator view of a lake: manifest summary, pipe state, registered
     consumers with lag (reference: the registry's node summary +
@@ -574,6 +599,17 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--dst", required=True)
     rs.add_argument("--partitions", type=int, required=True)
     rs.set_defaults(fn=cmd_reshard)
+
+    ex = sub.add_parser("export",
+                        help="materialize the live table to plain "
+                             "parquet (no engine needed to read it)")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated column subset")
+    ex.add_argument("--generation", type=int, default=None,
+                    help="export AS OF this generation (time travel)")
+    ex.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)

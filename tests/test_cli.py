@@ -284,3 +284,29 @@ def test_reshard_cli_refuses_policy_marked_lake(tmp_path, capsys):
                    "--dst", str(tmp_path / "dst"),
                    "--partitions", "3"], capsys)
     assert rc == 1 and "conflict policy" in out[-1]["error"]
+
+
+def test_export_cli(inputs, tmp_path, capsys):
+    import pyarrow.parquet as pq
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    rc, _ = run(["replay", "--lake", lake, "--log", log,
+                 "--seed", seed, "--partitions", "4"], capsys)
+    assert rc == 0
+    out_dir = str(tmp_path / "export")
+    rc, out = run(["export", "--lake", lake, "--out", out_dir,
+                   "--columns", "doc_id, n_tok"], capsys)
+    assert rc == 0 and out[-1]["ok"]
+    t = pq.read_table(out_dir)
+    assert set(t.column_names) == {"doc_id", "n_tok"}
+    assert t.num_rows == out[-1]["rows"] > 0
+    # generation 0 export = the bootstrap snapshot
+    out0 = str(tmp_path / "export0")
+    rc, res = run(["export", "--lake", lake, "--out", out0,
+                   "--generation", "0"], capsys)
+    assert rc == 0 and res[-1]["ok"]
+    assert pq.read_table(out0).num_rows == SPEC.n_docs
+    # unknown generation fails loudly
+    rc, res = run(["export", "--lake", lake, "--out",
+                   str(tmp_path / "nope"), "--generation", "99"], capsys)
+    assert rc == 1 and not res[-1]["ok"]
