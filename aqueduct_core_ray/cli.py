@@ -403,11 +403,17 @@ def cmd_export(args) -> int:
     except ValueError as e:
         print(json.dumps({"ok": False, "error": str(e)}))
         return 1
-    ds = ds.materialize()
+    # stream the write (no mid-pipeline materialize — the lake must
+    # never be held whole in the object store); row count comes from
+    # the written files' footers, metadata-only
+    cols_out = ds.schema().names
     ds.write_parquet(args.out)
-    print(json.dumps({"ok": True, "out": args.out,
-                      "rows": ds.count(),
-                      "columns": ds.schema().names}))
+    import pyarrow.parquet as pq
+    rows = sum(pq.read_metadata(os.path.join(args.out, fn)).num_rows
+               for fn in os.listdir(args.out)
+               if fn.endswith(".parquet"))
+    print(json.dumps({"ok": True, "out": args.out, "rows": rows,
+                      "columns": cols_out}))
     return 0
 
 
