@@ -278,6 +278,11 @@ def cmd_diff(args) -> int:
         print(json.dumps({"ok": False, "error": str(e)}))
         return 1
     if args.out:
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            print(json.dumps({"ok": False,
+                              "error": f"--out {args.out} is not "
+                              "empty"}))
+            return 1
         # changefeed export: stream the diff (with payload) to parquet
         ds = ds.materialize()
         ds.write_parquet(args.out)
@@ -364,8 +369,7 @@ def cmd_reshard(args) -> int:
         # the default LWW policy would merge sidecars with the wrong
         # winner and drop every tombstone fence — refuse.
         marks = [n for n in eng.manifest.schema.names
-                 if n == "last_op"
-                 or (n.startswith("last_") and n != "last_lsn")]
+                 if n.startswith("last_") and n != "last_lsn"]
         if marks:
             print(json.dumps({
                 "ok": False,
@@ -402,6 +406,12 @@ def cmd_export(args) -> int:
         ds = eng.read_lake(columns=cols, generation=args.generation)
     except ValueError as e:
         print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        # write_parquet APPENDS uuid-named files; a reused directory
+        # would silently mix exports (and inflate the footer count)
+        print(json.dumps({"ok": False,
+                          "error": f"--out {args.out} is not empty"}))
         return 1
     # stream the write (no mid-pipeline materialize — the lake must
     # never be held whole in the object store); row count comes from

@@ -39,13 +39,12 @@ import re
 from collections import Counter
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
-from .text import BPE_PATTERN, read_documents
+from .text import BPE_PATTERN, hash_str_array, read_documents
 
 _PRETOKEN_RE = re.compile(BPE_PATTERN)
 
@@ -69,8 +68,7 @@ def _word_count_table(sf_dir: str, num_partitions: int,
         for s in t.column("text").to_pylist():
             c.update(_PRETOKEN_RE.findall(s))
         words = list(c.keys())
-        h = pd.util.hash_array(np.asarray(words, dtype=object),
-                               categorize=False)
+        h = hash_str_array(np.asarray(words, dtype=object))
         return pa.table({
             "part": pa.array((h % np.uint64(num_partitions))
                              .astype(np.int32)),

@@ -26,15 +26,18 @@ def read_documents(sf_dir: str, columns: list[str] | None = None
                                  columns=columns)
 
 
-def hash_str_array(arr: pa.Array) -> np.ndarray:
+def hash_str_array(arr: "pa.Array | pa.ChunkedArray | np.ndarray"
+                   ) -> np.ndarray:
     """The canonical keyed-siphash string kernel (stable across
     processes/nodes/runs): 'string equality <=> hash equality' at
     ~1e-11 collision odds. The dedup family and the repetition metrics
     MUST share this one definition — word/line/shingle identity across
-    operators de-synchronizes if any of them hashes differently."""
-    return pd.util.hash_array(
-        np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object),
-        categorize=False)
+    operators de-synchronizes if any of them hashes differently.
+    Accepts Arrow arrays or a numpy array of strings."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(arr, dtype=object),
+                              categorize=False)
 
 
 # --------------------------------------------------------------------- #

@@ -1137,6 +1137,7 @@ class CDCEngine:
         if self.emit_changelog:
             self._publish_outbox_watermark()   # heal crash-before-marker
         idle = stale = 0
+        stale_since = 0.0                      # first dead-verdict wall ts
         pi = 0                                 # current follow-list index
         while idle < max_idle_polls:
             parent = paths[pi]
@@ -1158,8 +1159,21 @@ class CDCEngine:
                     self.register_consumer_hwm(parent, consumer_id,
                                                self.watermark)
                 if pi + 1 < len(paths) and not alive:
+                    if stale == 0:
+                        stale_since = time.time()
                     stale += 1
-                    if stale >= failover_after:
+                    # a VANISHED directory is unambiguous death; a
+                    # merely-stale heartbeat can be a busy parent mid-
+                    # wave (heartbeats publish on commits and idle
+                    # polls only), so the dead verdict must ALSO span
+                    # >= dead_after_s of this child's own observed
+                    # wall time — detection is then ~2x dead_after_s
+                    # and independent of poll cadence. Size
+                    # dead_after_s above the parent's max wave wall.
+                    hard_dead = not os.path.isdir(parent)
+                    if stale >= failover_after and (
+                            hard_dead or
+                            time.time() - stale_since >= dead_after_s):
                         self.store.append_metrics({
                             "failover_from": parent,
                             "failover_to": paths[pi + 1],
@@ -2143,16 +2157,23 @@ class CDCEngine:
         EXCHANGE strategy's raw scan tasks (which see every raw event);
         the groupby strategy pre-compacts per batch, so losing events'
         lsns are gone before any stage could fold them. Fail loudly
-        instead of returning 0 as if the types were never seen."""
-        if (self.merge_strategy != "exchange" and m.watermark > 0
+        instead of returning 0 as if the types were never seen.
+
+        The gate is KEY PRESENCE on the lake, not the reading engine's
+        strategy — a default-strategy reader opening a groupby-built
+        lake must hit the same loud error (an exchange-built lake that
+        applied any event always carries at least one checkpoint key,
+        since every event has a source)."""
+        if (m.watermark > 0
                 and not any(k.startswith("MAX_OFFSET_CONSUMERS:")
                             for k in m.named_offsets)):
             raise NotImplementedError(
                 "MAX_OFFSET_CONSUMERS checkpoints were never maintained "
-                "on this lake (groupby merge strategy pre-compacts away "
-                "raw per-source lsns); replay with the default "
-                "merge_strategy='exchange', or scan the log with "
-                "max_offset_for_types")
+                "on this lake (it was replayed with the groupby merge "
+                "strategy, which pre-compacts away raw per-source lsns, "
+                "or applied only source-filtered empty waves); replay "
+                "with the default merge_strategy='exchange', or scan "
+                "the log with max_offset_for_types")
 
     def max_offset_for_consumers(self, types: "Iterable[str]") -> int:
         """Max lsn among events of the given types, answered from the

@@ -285,6 +285,12 @@ def test_consumer_offsets_raise_under_groupby_strategy(tmp_path):
         eng.max_offset_for_consumers(["type1"])
     with _pytest.raises(NotImplementedError):
         eng.named_offset("MAX_OFFSET_CONSUMERS")
+    # the gate is KEY PRESENCE on the LAKE, not the reader's strategy:
+    # a default-strategy engine opening the groupby-built lake must
+    # hit the same loud error, never a silent 0
+    rd = CDCEngine(str(tmp_path / "lake"), num_partitions=None)
+    with _pytest.raises(NotImplementedError):
+        rd.max_offset_for_consumers(["type1"])
     # the exchange default still answers (sanity of the guard's scope)
     ex = CDCEngine(str(tmp_path / "lake2"), num_partitions=4)
     ex.bootstrap(seed)

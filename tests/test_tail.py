@@ -192,8 +192,10 @@ def test_follower_failover_three_level_chain(tmp_path):
     assert root.watermark == SPEC.n_events
     time.sleep(0.35)                             # heartbeat goes stale
 
+    # max_idle_polls sized so the observed-staleness window (the
+    # elapsed-time gate on heartbeat-stale failover) can elapse
     leaf.tail(follow, wave_size=400, poll_interval_s=0.02,
-              max_idle_polls=4, consumer_id="leaf",
+              max_idle_polls=6, consumer_id="leaf",
               dead_after_s=0.3, failover_after=2)
     assert leaf.watermark == SPEC.n_events
     assert leaf.consistency_sum() == root.consistency_sum()
