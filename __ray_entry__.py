@@ -163,6 +163,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC replay preserved every doc row (the tokens column itself
         # is siphash-derived, so only rows-only checkable)
         "replay_documents_stats": _replay_documents_stats,
+        # round-4 late-session additions (oracle-backed): TPC-H
+        # Q22/Q11/Q16 flavors, Markov transitions, retention cohorts,
+        # and corpus-LM scoring
+        "lapsed_rich_customers": partial(an.lapsed_rich_customers),
+        "important_parts": partial(an.important_parts),
+        "supplier_count_by_part": partial(an.supplier_count_by_part),
+        "event_transitions": partial(tp.event_transitions),
+        "retention_cohorts": partial(tp.retention_cohorts),
+        "unigram_logprob_score": partial(text.unigram_logprob_score),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1097,6 +1106,89 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    THEN 1 ELSE 0 END AS BIGINT) AS is_quality
             FROM documents""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # TPC-H Q22 flavor: above-average-balance customers with at
+        # most 3 orders since the cutoff; the average-balance test is
+        # the integer-exact cross-multiplication b*n > s on cents
+        "lapsed_rich_customers": """
+            WITH pos AS (
+              SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS b,
+                     c_custkey, c_mktsegment
+              FROM customer),
+            stats AS (SELECT sum(b) AS s, count(*) AS n
+                      FROM pos WHERE b > 0),
+            act AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                    GROUP BY 1),
+            sel AS (SELECT p.* FROM pos p
+                    LEFT JOIN act a ON p.c_custkey = a.o_custkey, stats
+                    WHERE p.b * stats.n > stats.s
+                      AND coalesce(a.n_orders, 0) <= 3)
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(b) AS BIGINT) AS sum_acctbal_c
+            FROM sel GROUP BY 1""",
+        # TPC-H Q11 flavor: parts above 1/2000 of total value; the
+        # share test is the integer-exact value_c * 2000 > total
+        "important_parts": """
+            WITH s AS (
+              SELECT l_partkey,
+                     CAST(sum(floor(l_extendedprice * 100 + 0.5))
+                          AS BIGINT) AS value_c
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(value_c) AS total FROM s)
+            SELECT l_partkey, value_c FROM s, t
+            WHERE value_c * 2000 > t.total""",
+        # TPC-H Q16 flavor: distinct suppliers per (brand, size),
+        # excluded brand dropped at the dimension read
+        "supplier_count_by_part": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+            GROUP BY 1, 2""",
+        # per-user Markov transition counts over (ts, event_id) order
+        "event_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""",
+        # retention triangle: users cohorted by first-event day,
+        # distinct active users per (cohort, day offset)
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts))
+                              AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+                         date_diff('day', f.cohort,
+                                   date_trunc('day', e.ts)) AS offset_days
+                  FROM events e JOIN f USING (user_id))
+            SELECT cohort AS cohort_day,
+                   CAST(offset_days AS BIGINT) AS offset_days,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY 1, 2""",
+        # corpus unigram-LM doc scoring: per-token integer-permille
+        # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
+        # summed per doc with token multiplicity
+        "unigram_logprob_score": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+')) AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+            n AS (SELECT count(*) AS total FROM w),
+            lp AS (SELECT token,
+                          CAST(floor(ln(cnt / (1.0 * total)) * 1000
+                                     + 0.5) AS BIGINT) AS lp
+                   FROM c, n)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(lp) AS BIGINT) AS score_permille
+            FROM w JOIN lp USING (token) GROUP BY 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text""",

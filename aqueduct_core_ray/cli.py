@@ -330,7 +330,9 @@ def cmd_vacuum(args) -> int:
     if store.current_manifest() is None:
         print(json.dumps({"ok": False, "error": "no CURRENT manifest"}))
         return 1
-    removed = store.vacuum(keep_generations=args.keep)
+    # the CLI runs between engine sessions (single-writer contract), so
+    # every _staged/ entry is an orphan from a dead writer: sweep them
+    removed = store.vacuum(keep_generations=args.keep, staged_keep=set())
     print(json.dumps({"ok": True, "removed_files": removed,
                       "keep_generations": args.keep}))
     return 0

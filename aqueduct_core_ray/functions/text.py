@@ -615,3 +615,90 @@ def tfidf_top_terms(sf_dir: str, k: int = 5,
                                          batch_format="pyarrow")
             .groupby("dpart").map_groups(topk_rows,
                                          batch_format="pyarrow"))
+
+
+def unigram_logprob_score(sf_dir: str,
+                          num_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-LM QUALITY SCORING: train a unigram language model on the
+    whole corpus (token relative frequencies) and score every document
+    by its total log-likelihood — the cheap stand-in for KenLM-style
+    perplexity filtering in training-data curation pipelines (low
+    scores = improbable/garbled text). Per-token log-prob is the
+    INTEGER PERMILLE ``floor(ln(cnt/total) * 1000 + 0.5)`` (same shared
+    float64 row-rounding convention as tfidf_top_terms, so the SQL
+    oracle matches bit-exactly); a doc's score sums its tokens'
+    integer permilles — order-insensitive by construction. Returns
+    (doc_id, n_tok, score_permille), one row per document.
+
+    Scale shape: the vocabulary is UNBOUNDED so it is never broadcast
+    — the same two co-partitioned exchanges as tfidf_top_terms.
+    (1) per-block (doc, token, tf) counts via one Arrow group_by,
+    tagged hash(token) %% P; the token partition owns every row of its
+    tokens, folds global counts with one sort+reduceat and scores each
+    row ``tf x lp(token)`` in place. (2) a native groupby(doc_id).sum
+    finishes the per-doc fold. The corpus-wide token total (one int64)
+    is the only driver scalar, folded from per-block word counts in a
+    narrow pre-pass."""
+
+    def n_tok_partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+")
+        n = pc.sum(pc.list_value_length(words)).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    total = sum(
+        t.column("n").to_numpy().sum()
+        for t in ray.get(
+            read_documents(sf_dir, columns=["text"])
+            .map_batches(n_tok_partial, batch_format="pyarrow")
+            .to_arrow_refs())
+        if t.num_rows)
+    total = float(total)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "doc_id": pa.array(np.repeat(dids, counts)),
+            "token": words.flatten(),
+        })
+        agg = pairs.group_by(["doc_id", "token"]).aggregate(
+            [("token", "count")])
+        return pa.table({
+            "tpart": pa.array((hash_str_array(agg.column("token"))
+                               % np.uint64(num_partitions))
+                              .astype(np.int32)),
+            "doc_id": agg.column("doc_id"),
+            "token": agg.column("token"),
+            "tf": agg.column("token_count"),
+        })
+
+    def score_rows(g: pa.Table) -> pa.Table:
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tok, kind="stable")
+        tok_s, tf_s = tok[order], tf[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                tok_s[1:] != tok_s[:-1]]))
+        cnt_per_group = np.add.reduceat(tf_s, starts)
+        sizes = np.diff(np.append(starts, len(tok_s)))
+        cnt = np.empty(len(tok_s), np.int64)
+        cnt[order] = np.repeat(cnt_per_group, sizes)
+        lp = np.floor(np.log(cnt / total) * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "n_tok": pa.array(tf),
+            "score_permille": pa.array(tf * lp),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "n_tok", "score_permille"])
+
+    return (read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("tpart").map_groups(score_rows,
+                                         batch_format="pyarrow")
+            .groupby("doc_id").sum(["n_tok", "score_permille"])
+            .map_batches(rename, batch_format="pyarrow"))

@@ -2046,3 +2046,258 @@ def banded_part_revenue(sf_dir: str,
         "revenue_c": pa.array(rev, pa.int64()),
         "n_lines": pa.array([n], pa.int64()),
     }))
+
+
+def lapsed_rich_customers(sf_dir: str, since: str = "1998-01-01",
+                          max_orders: int = 3,
+                          num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q22-flavor global-sales-opportunity report: customers whose
+    account balance (integer cents) exceeds the average POSITIVE
+    balance yet placed at most ``max_orders`` orders since ``since``
+    (lapsed activity), rolled up per market segment. Returns
+    (c_mktsegment, n_customers, sum_acctbal_c) — bounded at #segments
+    rows. Reference parity: the same filter -> activity-join -> rollup
+    chain as aqueduct-core's derived "lapsed tills" report
+    (DerivedTableSync re-aggregation shape).
+
+    Scale shape: pass 1 is a two-int partial sum over the column-pruned
+    customer read (the positive-balance average; the threshold test is
+    the INTEGER-EXACT cross-multiplication ``acctbal_c * n > sum_c`` so
+    no float average ever exists). Pass 2: per-block (custkey, n)
+    order-count partials from the date-filtered orders read meet
+    threshold-filtered customers in ONE co-partitioned union-tag
+    exchange on hash(custkey) %% P; each partition sums its key's
+    partials with one sort+reduceat and collapses straight to
+    (segment, n, sum) partials, so the driver folds
+    O(segments x partitions) rows, never customers."""
+    cutoff = np.datetime64(since, "us")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = _cents(t.column("c_acctbal"))
+        pos = b[b > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]),
+                         "n": pa.array([len(pos)])})
+
+    stats = _concat_nonempty(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_acctbal"])
+        .map_batches(bal_partial, batch_format="pyarrow"),
+        pa.table({"s": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())}))
+    sum_c = int(stats.column("s").to_numpy().sum())
+    n_pos = int(stats.column("n").to_numpy().sum())
+
+    def order_counts(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(od >= cutoff))
+        keys, cnt = np.unique(t.column("o_custkey").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        n = len(keys)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "c_custkey": pa.array(keys.astype(np.int64)),
+            "n_orders": pa.array(cnt.astype(np.int64)),
+            "c_mktsegment": pa.nulls(n, pa.string()),
+            "acctbal_c": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    probe = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate"])
+             .map_batches(order_counts, batch_format="pyarrow"))
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        b = _cents(t.column("c_acctbal"))
+        t = t.filter(pa.array(b * n_pos > sum_c))
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "c_custkey": t.column("c_custkey"),
+            "n_orders": pa.nulls(len(keys), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "acctbal_c": pa.array(_cents(t.column("c_acctbal"))),
+            "side": pa.array(np.ones(len(keys), np.int8)),
+        })
+
+    cust = (ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+            .map_batches(tag_cust, batch_format="pyarrow"))
+
+    def lapsed_rollup(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ob = g.filter(pa.array(side == 0))
+        okeys, osums = _sorted_group_reduce(
+            ob.column("c_custkey").to_numpy(zero_copy_only=False),
+            ob.column("n_orders").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        busy = okeys[osums > max_orders]
+        c = g.filter(pa.array(side == 1))
+        keys = c.column("c_custkey").to_numpy(zero_copy_only=False)
+        _, hit = _map_keys(busy, busy, keys)
+        c = c.filter(pa.array(~hit))
+        agg = pa.table({
+            "c_mktsegment": c.column("c_mktsegment"),
+            "acctbal_c": c.column("acctbal_c"),
+        }).group_by("c_mktsegment").aggregate(
+            [("acctbal_c", "sum"), ("acctbal_c", "count")])
+        return pa.table({
+            "c_mktsegment": agg.column("c_mktsegment"),
+            "n_customers": agg.column("acctbal_c_count").cast(pa.int64()),
+            "sum_acctbal_c": agg.column("acctbal_c_sum"),
+        })
+
+    parts = (probe.union(cust)
+             .groupby("part").map_groups(lapsed_rollup,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["c_mktsegment"], ["n_customers", "sum_acctbal_c"],
+        pa.table({"c_mktsegment": pa.array([], pa.string()),
+                  "n_customers": pa.array([], pa.int64()),
+                  "sum_acctbal_c": pa.array([], pa.int64())})))
+
+
+def important_parts(sf_dir: str, share_denom: int = 2000,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q11-flavor important-stock scan: parts whose total
+    extended-price value (integer cents) exceeds ``1/share_denom`` of
+    the corpus-wide total. Returns (l_partkey, value_c), one row per
+    qualifying part. The share test is the INTEGER-EXACT
+    cross-multiplication ``value_c * share_denom > total_c``.
+
+    Scale shape: per-block (partkey, value_c) partials via one Arrow
+    group_by, ONE co-partitioned union-free exchange on
+    hash(partkey) %% P finishes the per-part sums; that intermediate
+    (#parts rows, far smaller than lineitem) is MATERIALIZED in the
+    object store because the global total — a driver scalar folded
+    from it — must exist before the distributed filter can stream the
+    winners out. No full-input materialization anywhere."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "value_c": pa.array(_cents(t.column("l_extendedprice"))),
+        }).group_by("l_partkey").aggregate([("value_c", "sum")])
+        keys = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({"part": _hash_part(keys, num_partitions),
+                         "l_partkey": g.column("l_partkey"),
+                         "value_c": g.column("value_c_sum")})
+
+    def finish(g: pa.Table) -> pa.Table:
+        keys = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        vals = g.column("value_c").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gi, sums = _sorted_group_reduce(keys, vals)
+        return pa.table({"l_partkey": pa.array(gi),
+                         "value_c": pa.array(sums)})
+
+    sums = (ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_extendedprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pyarrow")
+            .materialize())
+    total_c = int(sums.sum("value_c") or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column("value_c").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * share_denom > total_c))
+
+    return sums.map_batches(keep, batch_format="pyarrow")
+
+
+def supplier_count_by_part(sf_dir: str, exclude_brand: str = "Brand#1",
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q16-flavor supplier availability: the number of DISTINCT
+    suppliers that ship each (p_brand, p_size) combination, excluding
+    ``exclude_brand``. Returns (p_brand, p_size, supplier_cnt).
+
+    Scale shape: lineitem shrinks to per-block DISTINCT (partkey,
+    suppkey) pairs before anything moves (one Arrow group_by). The
+    part attributes attach in ONE co-partitioned union-tag exchange on
+    hash(partkey) %% P — the excluded brand is filtered at the part
+    read, so its pairs drop out as join misses. The per-partition
+    output is the partition's DISTINCT (brand, size, suppkey) triples,
+    and the SECOND exchange on hash(brand, size) %% P counts each
+    group's distinct suppliers with one lexsort — the classic
+    two-round distributed COUNT(DISTINCT) (pairs never fan out, no
+    all-pairs stage, no driver fold)."""
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "pkey": t.column("l_partkey"),
+            "skey": t.column("l_suppkey"),
+        }).group_by(["pkey", "skey"]).aggregate([])
+        keys = g.column("pkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "pkey": g.column("pkey"),
+            "skey": g.column("skey"),
+            "p_brand": pa.nulls(g.num_rows, pa.string()),
+            "p_size": pa.nulls(g.num_rows, pa.int64()),
+            "side": pa.array(np.ones(g.num_rows, np.int8)),
+        })
+
+    def part_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("p_brand"), exclude_brand))
+        keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "pkey": t.column("p_partkey"),
+            "skey": pa.nulls(t.num_rows, pa.int64()),
+            "p_brand": t.column("p_brand"),
+            "p_size": t.column("p_size").cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def attach(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        pt = g.filter(pa.array(side == 0))
+        ln = g.filter(pa.array(side == 1))
+        pk = pt.column("pkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s = pk[order]
+        keys = ln.column("pkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_s, keys)
+        pos_c = np.minimum(pos, max(len(pk_s) - 1, 0))
+        hit = (pk_s[pos_c] == keys) if len(pk_s) else np.zeros(
+            len(keys), bool)
+        idx = order[pos_c[hit]]
+        ln = ln.filter(pa.array(hit))
+        from ..functions.text import hash_str_array
+        out = pa.table({
+            "p_brand": pt.column("p_brand").take(pa.array(idx)),
+            "p_size": pt.column("p_size").take(pa.array(idx)),
+            "skey": ln.column("skey"),
+        }).group_by(["p_brand", "p_size", "skey"]).aggregate([])
+        bs = (hash_str_array(out.column("p_brand")).astype(np.int64)
+              * np.int64(8191)
+              + out.column("p_size").to_numpy(zero_copy_only=False))
+        return out.append_column(
+            "g2", pa.array((bs % num_partitions).astype(np.int32)))
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        agg = (pa.table({"p_brand": g.column("p_brand"),
+                         "p_size": g.column("p_size"),
+                         "skey": g.column("skey")})
+               .group_by(["p_brand", "p_size", "skey"]).aggregate([])
+               .group_by(["p_brand", "p_size"])
+               .aggregate([("skey", "count")]))
+        return pa.table({
+            "p_brand": agg.column("p_brand"),
+            "p_size": agg.column("p_size"),
+            "supplier_cnt": agg.column("skey_count").cast(pa.int64()),
+        })
+
+    pairs = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_suppkey"])
+             .map_batches(pair_partial, batch_format="pyarrow"))
+    parts = (ray.data.read_parquet(
+                 f"{sf_dir}/part.parquet",
+                 columns=["p_partkey", "p_brand", "p_size"])
+             .map_batches(part_side, batch_format="pyarrow"))
+    return (pairs.union(parts)
+            .groupby("part").map_groups(attach, batch_format="pyarrow")
+            .groupby("g2").map_groups(count_distinct,
+                                      batch_format="pyarrow"))

@@ -1898,6 +1898,18 @@ class CDCEngine:
                 break
         return total
 
+    def vacuum(self, keep_generations: int = 1) -> int:
+        """GC part files outside the keep window AND staging dirs
+        orphaned by a writer that exited with work in flight (a process
+        death between an absorb launch and its adoption leaks its
+        ``_staged/absorb-*`` dir forever — the store alone cannot tell
+        an orphan from live work, but the engine knows its own
+        in-flight set). Single-writer contract as everywhere else:
+        only the lake's one live engine may call this."""
+        return self.store.vacuum(
+            keep_generations=keep_generations,
+            staged_keep={v["wid"] for v in self._bg.values()})
+
     def compact_partitions(self, pids: list[int] | None = None) -> int:
         """Maintenance compaction: absorb delta sidecars into their base
         files (the LSM background-compaction analog), committed as one

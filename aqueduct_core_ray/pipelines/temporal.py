@@ -732,3 +732,114 @@ def percentile_rank(sf_dir: str) -> ray.data.Dataset:
     return (read_events(sf_dir, columns=["event_id", "event_type",
                                          "value"])
             .map_batches(rank_rows, batch_format="pyarrow"))
+
+
+def event_transitions(sf_dir: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-user event-type TRANSITION MATRIX: counts of consecutive
+    (previous type -> next type) pairs in each user's (ts, event_id)
+    stream order, summed over all users — the Markov-chain /
+    behavioral-model input an event pipeline derives. Returns
+    (from_type, to_type, n_transitions), bounded at #types^2 rows.
+
+    Scale shape mirrors sessionize: ONE hash shuffle on user_id into
+    bounded partitions co-locates each user's history; a single
+    per-partition lexsort plus one shifted comparison yields every
+    adjacent pair, and the pair counts collapse to <= #types^2 partial
+    rows per partition before the tiny final fold (the driver never
+    sees events)."""
+    import pandas as pd
+
+    from .analytics import _int_sum_by
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        types, codes = np.unique(et, return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, code_s = uid[order], codes[order]
+        same_user = uid_s[1:] == uid_s[:-1]
+        frm = code_s[:-1][same_user]
+        to = code_s[1:][same_user]
+        cell = frm.astype(np.int64) * len(types) + to
+        gi, _, cnt = _int_sum_by(cell, np.ones(len(cell), np.int64))
+        return pa.table({
+            "from_type": pa.array(types[gi // len(types)].astype(str)),
+            "to_type": pa.array(types[gi % len(types)].astype(str)),
+            "n_transitions": pa.array(cnt.astype(np.int64)),
+        })
+
+    from .analytics import _fold_partials
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    parts = (ds.map_batches(part_col, batch_format="pyarrow")
+             .groupby("part").map_groups(per_part,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["from_type", "to_type"], ["n_transitions"],
+        pa.table({"from_type": pa.array([], pa.string()),
+                  "to_type": pa.array([], pa.string()),
+                  "n_transitions": pa.array([], pa.int64())})))
+
+
+def retention_cohorts(sf_dir: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Cohort RETENTION table: users are cohorted by the calendar day
+    of their FIRST event; for every (cohort day, day offset) the count
+    of cohort users active that day — the standard retention triangle.
+    Returns (cohort_day, offset_days, n_users).
+
+    Scale shape: ONE hash shuffle on user_id — each user's whole
+    history lands in one partition, so the partition derives first-day
+    and distinct (user, day) pairs locally (lexsort + np.unique) and
+    its (cohort, offset) user counts are DISJOINT from every other
+    partition's; a native groupby(...).sum finishes the counts with
+    no distinct re-check. The driver never folds anything
+    user-sized."""
+    import pandas as pd
+
+    day_us = np.int64(86_400_000_000)
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // day_us
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        pu, pd_ = pairs[:, 0], pairs[:, 1]
+        # first (= min) day per user: pairs are sorted by (user, day)
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                pu[1:] != pu[:-1]]))
+        sizes = np.diff(np.append(starts, len(pu)))
+        cohort = np.repeat(pd_[starts], sizes)
+        offset = pd_ - cohort
+        cell = cohort * 100_000 + offset
+        ucell, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "cohort_day": pa.array((ucell // 100_000) * day_us).cast(
+                pa.timestamp("us")),
+            "offset_days": pa.array(ucell % 100_000),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_day", "offset_days", "n_users"])
+
+    ds = read_events(sf_dir, columns=["user_id", "ts"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pyarrow")
+            .groupby(["cohort_day", "offset_days"]).sum("n_users")
+            .map_batches(rename, batch_format="pyarrow"))

@@ -205,14 +205,22 @@ class LakeStore:
                       ignore_errors=True)
 
     # -- maintenance ------------------------------------------------------
-    def vacuum(self, keep_generations: int = 1) -> int:
+    def vacuum(self, keep_generations: int = 1,
+               staged_keep: "set[str] | None" = None) -> int:
         """Delete part files not referenced by any of the newest
         `keep_generations` manifests (time-travel retention: those
         manifests stay fully readable — untouched partitions carry old
         files forward, so the live set must be the UNION over the keep
         window, not just CURRENT's paths; found in review). Returns
         files removed. Reference analog: TTL-based cloud compaction +
-        VACUUM (PostgresqlStorage.java:365-436, 490-497)."""
+        VACUUM (PostgresqlStorage.java:365-436, 490-497).
+
+        ``staged_keep``: when not None, also sweep ``_staged/`` staging
+        dirs whose wave id is NOT in the set — collects absorb/wave
+        staging orphaned by a process that exited with work in flight
+        (every live writer's in-flight ids must be in the set; the
+        default None leaves _staged/ untouched, safe under any
+        concurrency)."""
         cur = self.current_manifest()
         if cur is None:
             return 0
@@ -250,6 +258,11 @@ class LakeStore:
                     continue
                 os.remove(fp)
                 removed += 1
+        if staged_keep is not None and os.path.isdir(self.staged_dir):
+            for wid in os.listdir(self.staged_dir):
+                if wid not in staged_keep:
+                    self.drop_staged(wid)
+                    removed += 1
         return removed
 
     def append_metrics(self, record: dict[str, Any]) -> None:

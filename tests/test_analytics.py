@@ -679,3 +679,67 @@ def test_banded_part_revenue_matches_duckdb_both_paths():
         else:
             assert pd.isna(ry["revenue_c"][0])
     assert int(sq["n_lines"][0]) > 0      # bands actually select lines
+
+
+def test_lapsed_rich_customers_matches_duckdb():
+    ry = _canon(analytics.lapsed_rich_customers(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH pos AS (
+          SELECT CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS b,
+                 c_custkey, c_mktsegment
+          FROM customer),
+        stats AS (SELECT sum(b) AS s, count(*) AS n FROM pos WHERE b > 0),
+        act AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        sel AS (SELECT p.* FROM pos p
+                LEFT JOIN act a ON p.c_custkey = a.o_custkey, stats
+                WHERE p.b * stats.n > stats.s
+                  AND coalesce(a.n_orders, 0) <= 3)
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(b) AS BIGINT) AS sum_acctbal_c
+        FROM sel GROUP BY 1"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    assert int(ry["n_customers"].sum()) > 0   # threshold actually selects
+    # partition invariance: a customer split from its order partials
+    # would dodge the activity test
+    ry2 = _canon(analytics.lapsed_rich_customers(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry2)
+
+
+def test_important_parts_matches_duckdb():
+    ry = _canon(analytics.important_parts(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH s AS (SELECT l_partkey,
+                          CAST(sum(floor(l_extendedprice*100+0.5))
+                               AS BIGINT) AS value_c
+                   FROM lineitem GROUP BY 1),
+        t AS (SELECT sum(value_c) AS total FROM s)
+        SELECT l_partkey, value_c FROM s, t
+        WHERE value_c * 2000 > t.total"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    # a tight share keeps only genuinely heavy parts (non-trivial both ways)
+    heavy = _canon(analytics.important_parts(SF, share_denom=150)
+                   .to_pandas())
+    assert 0 < len(heavy) < len(ry)
+
+
+def test_supplier_count_by_part_matches_duckdb():
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY 1, 2""").df())
+    ry = _canon(analytics.supplier_count_by_part(SF).to_pandas())
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+    assert "Brand#1" not in set(ry["p_brand"])
+    # the two-exchange distinct count must be partition-invariant (a
+    # supplier counted in two partkey partitions would double)
+    ry2 = _canon(analytics.supplier_count_by_part(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry2)

@@ -798,3 +798,32 @@ def test_doc_frequency_and_tfidf_random_corpora(tmp_path):
             for rk, (s, t, c) in enumerate(scored, 1):
                 exp2.append((i, t, c, s, rk))
         assert got == sorted(exp2)
+
+
+def test_unigram_logprob_score_random_corpora(tmp_path):
+    """Seeded randomized cross-check of the distributed unigram-LM doc
+    scoring against brute-force Python (duplicate-heavy vocab so token
+    counts and the permille rounding boundary both get exercised)."""
+    import math
+    from collections import Counter
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(1, 15)).tolist())
+                 for _ in range(rng.integers(3, 9))]
+        (tmp_path / f"t{trial}").mkdir()
+        sf = _mk_docs(tmp_path / f"t{trial}", texts)
+        docs = [t.split() for t in texts]
+        cnt = Counter(tok for d in docs for tok in d)
+        total = sum(cnt.values())
+        lp = {t: math.floor(math.log(c / total) * 1000 + 0.5)
+              for t, c in cnt.items()}
+        out = (text.unigram_logprob_score(sf, num_partitions=3)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out["doc_id"]) == list(range(len(docs)))
+        assert list(out["n_tok"]) == [len(d) for d in docs]
+        assert list(out["score_permille"]) == [
+            sum(lp[t] for t in d) for d in docs]
+        # log-probs are negative, so every score is too
+        assert (out["score_permille"] < 0).all()

@@ -376,3 +376,72 @@ def test_percentile_rank_matches_duckdb():
     # extremes: minima rank 0‰, maxima ≤1000‰ and = 1000 when untied
     assert b["pct_rank"].min() == 0
     assert b["pct_rank"].max() <= 1000
+
+
+def test_event_transitions_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import event_transitions
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH o AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM o WHERE prev IS NOT NULL GROUP BY 1, 2""").df()
+    keys = ["from_type", "to_type"]
+    a = sq.sort_values(keys).reset_index(drop=True)
+    ry = event_transitions(SF).to_pandas()
+    b = ry.sort_values(keys).reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # transitions conserve events: sum = total events - #users
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(b["n_transitions"].sum()) == n_events - n_users
+    # partition invariance: a user split across partitions would lose
+    # its cross-block adjacencies
+    b2 = (event_transitions(SF, num_partitions=3).to_pandas()
+          .sort_values(keys).reset_index(drop=True)[a.columns])
+    assert b.equals(b2)
+
+
+def test_retention_cohorts_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import retention_cohorts
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                   FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT e.user_id, f.cohort,
+                     date_diff('day', f.cohort,
+                               date_trunc('day', e.ts)) AS offset_days
+              FROM events e JOIN f USING (user_id))
+        SELECT cohort AS cohort_day,
+               CAST(offset_days AS BIGINT) AS offset_days,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a GROUP BY 1, 2""").df()
+    keys = ["cohort_day", "offset_days"]
+    a = sq.sort_values(keys).reset_index(drop=True)
+    ry = retention_cohorts(SF).to_pandas()
+    b = ry.sort_values(keys).reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # day-0 of every cohort counts each cohort member exactly once:
+    # summing offset-0 rows over cohorts = total distinct users
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(b[b["offset_days"] == 0]["n_users"].sum()) == n_users
+    assert (b["offset_days"] >= 0).all()
+    b2 = (retention_cohorts(SF, num_partitions=3).to_pandas()
+          .sort_values(keys).reset_index(drop=True)[a.columns])
+    assert b.equals(b2)

@@ -226,3 +226,40 @@ def test_vacuum_keeps_time_travel_window(log_dir, seed_path, tmp_path):
             assert os.path.exists(os.path.join(root, p["path"])), \
                 f"gen {gen} references vacuumed file {p['path']}"
             pq_.read_metadata(os.path.join(root, p["path"]))
+
+
+def test_vacuum_sweeps_orphaned_staged_dirs(log_dir, seed_path, tmp_path):
+    """A writer that dies with background absorbs in flight leaks its
+    _staged/absorb-* dirs; the engine-level vacuum (which knows its own
+    in-flight set) collects them, while in-flight staging survives."""
+    import os
+
+    root = str(tmp_path / "lake")
+    eng = run_to_end(root, log_dir, seed_path)
+    before = eng.lake_table()
+    staged = os.path.join(root, "_staged")
+    os.makedirs(os.path.join(staged, "absorb-g000099-p000001"),
+                exist_ok=True)
+    with open(os.path.join(staged, "absorb-g000099-p000001",
+                           "p=000001.parquet"), "wb") as f:
+        f.write(b"orphan")
+    # store-level default leaves _staged alone (concurrency-safe)
+    eng.store.vacuum(keep_generations=1)
+    assert os.path.isdir(os.path.join(staged, "absorb-g000099-p000001"))
+    # engine vacuum sweeps orphans not in its in-flight set
+    removed = eng.vacuum(keep_generations=1)
+    assert removed >= 1
+    assert not os.path.isdir(os.path.join(staged,
+                                          "absorb-g000099-p000001"))
+    assert eng.lake_table().equals(before)
+    # an id the engine believes in-flight is kept
+    os.makedirs(os.path.join(staged, "absorb-g000099-p000002"),
+                exist_ok=True)
+    eng._bg[999] = {"wid": "absorb-g000099-p000002"}
+    try:
+        eng.vacuum(keep_generations=1)
+        assert os.path.isdir(os.path.join(staged,
+                                          "absorb-g000099-p000002"))
+    finally:
+        eng._bg.pop(999, None)
+        eng.store.drop_staged("absorb-g000099-p000002")
