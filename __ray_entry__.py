@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": partial(tp.event_transitions),
         "retention_cohorts": partial(tp.retention_cohorts),
         "unigram_logprob_score": partial(text.unigram_logprob_score),
+        "conversion_funnel": partial(tp.conversion_funnel),
+        "label_centroids": partial(ann.label_centroids),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1189,6 +1191,43 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
                    CAST(sum(lp) AS BIGINT) AS score_permille
             FROM w JOIN lp USING (token) GROUP BY 1""",
+        # ordered two-stage funnel: first click, earliest purchase
+        # at-or-after it, microsecond lag, in-window conversion flag
+        "conversion_funnel": """
+            WITH fc AS (
+              SELECT user_id,
+                     CAST(min(epoch_us(ts)) AS BIGINT) AS first_click_us
+              FROM events WHERE event_type = 'click' GROUP BY user_id),
+            cv AS (
+              SELECT e.user_id,
+                     CAST(min(epoch_us(e.ts)) AS BIGINT) AS conv_us
+              FROM events e JOIN fc ON e.user_id = fc.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= fc.first_click_us
+              GROUP BY e.user_id)
+            SELECT fc.user_id, fc.first_click_us,
+                   CAST(cv.conv_us - fc.first_click_us AS BIGINT)
+                     AS conv_lag_us,
+                   CAST(coalesce(cv.conv_us - fc.first_click_us
+                                 <= CAST(2880 AS BIGINT) * 60 * 1000000,
+                                 FALSE)
+                        AS TINYINT) AS converted
+            FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id""",
+        # per-(label, dim) exact centroid stats: component sums in
+        # integer micro-units (floor(x*1e6+0.5)) + vector counts;
+        # DuckDB zips the parallel unnests like the Arrow list layout
+        "label_centroids": """
+            WITH e AS (
+              SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(range(len(embedding))) AS dim
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_micro,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM e GROUP BY 1, 2""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text""",

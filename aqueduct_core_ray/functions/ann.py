@@ -289,3 +289,53 @@ def knn_ivf_recall(sf_dir: str, nq: int = 3, k: int = 5, n_cells: int = 16,
         "recall_pct": pa.array(
             [100 * hit // max(1, len(exact))], pa.int64()),
     })
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label EXACT centroid statistics over the embedding column:
+    for every (label, dimension) the vector count and the component sum
+    in integer MICRO-UNITS (``floor(float64(x) * 1e6 + 0.5)`` per
+    element — the module's shared row-rounding convention lifted to
+    vectors, so distributed partial sums are order-insensitive and the
+    SQL oracle matches bit-exactly; the consumer divides sum/n for the
+    float centroid). Returns (label, dim, sum_micro, n_vecs) — bounded
+    at #labels x dim rows. This is the class-prototype / cluster-mean
+    building block (bias probes, per-source embedding drift, IVF seed
+    audits).
+
+    Scale shape: ZERO exchanges — each block collapses to
+    (labels-in-block x dim) partial rows via one np.add.at scatter over
+    the contiguous list buffer (no per-row loops), and the driver folds
+    O(labels x dim x blocks) integer rows."""
+    from ..pipelines.analytics import _fold_partials
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        emb = t.column("embedding").combine_chunks()
+        dim = (np.diff(emb.offsets.to_numpy()[:2])[0]
+               if t.num_rows else 0)
+        X = emb.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(lab), -1)
+        M = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), M.shape[1]), np.int64)
+        np.add.at(sums, inv, M)
+        n = np.bincount(inv).astype(np.int64)
+        L, D = len(ulab), M.shape[1]
+        assert D == dim
+        return pa.table({
+            "label": pa.array(np.repeat(ulab.astype(np.int64), D)),
+            "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), L)),
+            "sum_micro": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(n, D)),
+        })
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["label", "embedding"])
+             .map_batches(partial, batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["label", "dim"], ["sum_micro", "n_vecs"],
+        pa.table({"label": pa.array([], pa.int64()),
+                  "dim": pa.array([], pa.int64()),
+                  "sum_micro": pa.array([], pa.int64()),
+                  "n_vecs": pa.array([], pa.int64())})))

@@ -843,3 +843,77 @@ def retention_cohorts(sf_dir: str,
             .groupby("part").map_groups(per_part, batch_format="pyarrow")
             .groupby(["cohort_day", "offset_days"]).sum("n_users")
             .map_batches(rename, batch_format="pyarrow"))
+
+
+def conversion_funnel(sf_dir: str, from_type: str = "click",
+                      to_type: str = "purchase",
+                      window_minutes: int = 2880,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Ordered two-stage FUNNEL: for every user with at least one
+    ``from_type`` event, the first such event, the earliest ``to_type``
+    event at-or-after it, the microsecond lag, and whether the
+    conversion landed within ``window_minutes`` — the standard
+    click->purchase attribution table. Returns (user_id,
+    first_click_us, conv_lag_us nullable, converted), one row per
+    funnel entrant.
+
+    Scale shape: ONE hash shuffle on user_id; each partition lexsorts
+    once and derives both stages with two segmented min-reduceats over
+    sentinel-masked int64 timestamps — every user in the partition is
+    handled by the same vectorized pass, no per-user loop, and the
+    output is one row per entrant (never events)."""
+    import pandas as pd
+
+    window_us = np.int64(window_minutes) * 60_000_000
+    BIG = np.int64(2**62)
+
+    def part_col(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((et == from_type) | (et == to_type)))
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                uid[1:] != uid[:-1]]))
+        if len(uid) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "first_click_us": pa.array([], pa.int64()),
+                "conv_lag_us": pa.array([], pa.int64()),
+                "converted": pa.array([], pa.int8()),
+            })
+        # stage 1: first from_type ts per user (sentinel-masked min)
+        c_ts = np.where(et == from_type, ts, BIG)
+        first_click = np.minimum.reduceat(c_ts, starts)
+        entered = first_click < BIG
+        # stage 2: earliest to_type at-or-after the user's first click
+        sizes = np.diff(np.append(starts, len(uid)))
+        fc_rows = np.repeat(first_click, sizes)
+        p_ts = np.where((et == to_type) & (ts >= fc_rows), ts, BIG)
+        conv = np.minimum.reduceat(p_ts, starts)
+        users = uid[starts][entered]
+        fc = first_click[entered]
+        cv = conv[entered]
+        lag = cv - fc
+        has = cv < BIG
+        return pa.table({
+            "user_id": pa.array(users),
+            "first_click_us": pa.array(fc),
+            "conv_lag_us": pa.array(np.where(has, lag, 0), pa.int64(),
+                                    mask=~has),
+            "converted": pa.array(
+                (has & (lag <= window_us)).astype(np.int8)),
+        })
+
+    ds = read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow"))

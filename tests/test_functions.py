@@ -827,3 +827,26 @@ def test_unigram_logprob_score_random_corpora(tmp_path):
             sum(lp[t] for t in d) for d in docs]
         # log-probs are negative, so every score is too
         assert (out["score_permille"] < 0).all()
+
+
+def test_label_centroids_matches_numpy():
+    """Exact (label, dim) centroid stats equal a brute-force numpy fold
+    over the whole embeddings table, and fold order cannot matter
+    because the partials are integer micro-units."""
+    t = pq.read_table(f"{SF0001}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    E = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    M = np.floor(E * 1e6 + 0.5).astype(np.int64)
+    out = (ann.label_centroids(SF0001).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    assert set(out["label"]) == set(int(v) for v in np.unique(lab))
+    for g in np.unique(lab):
+        rows = out[out["label"] == g]
+        assert list(rows["dim"]) == list(range(E.shape[1]))
+        assert (rows["n_vecs"] == int((lab == g).sum())).all()
+        assert list(rows["sum_micro"]) == list(M[lab == g].sum(axis=0))
+    # global conservation: per-dim sums over labels = whole-table sums
+    tot = out.groupby("dim")["sum_micro"].sum()
+    assert list(tot) == list(M.sum(axis=0))

@@ -445,3 +445,50 @@ def test_retention_cohorts_matches_duckdb():
     b2 = (retention_cohorts(SF, num_partitions=3).to_pandas()
           .sort_values(keys).reset_index(drop=True)[a.columns])
     assert b.equals(b2)
+
+
+def test_conversion_funnel_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import conversion_funnel
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH fc AS (
+          SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_click_us
+          FROM events WHERE event_type = 'click' GROUP BY user_id),
+        cv AS (
+          SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS conv_us
+          FROM events e JOIN fc ON e.user_id = fc.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= fc.first_click_us
+          GROUP BY e.user_id)
+        SELECT fc.user_id, fc.first_click_us,
+               CAST(cv.conv_us - fc.first_click_us AS BIGINT) AS conv_lag_us,
+               CAST(coalesce(cv.conv_us - fc.first_click_us
+                             <= CAST(2880 AS BIGINT) * 60 * 1000000, FALSE)
+                    AS TINYINT) AS converted
+        FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id""").df()
+    a = sq.sort_values("user_id").reset_index(drop=True)
+    ry = conversion_funnel(SF).to_pandas()
+    b = ry.sort_values("user_id").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # funnel sanity: lag is non-negative wherever a conversion exists,
+    # and a converted flag implies a present lag within the window
+    lag = b["conv_lag_us"].dropna()
+    assert (lag >= 0).all()
+    conv = b[b["converted"] == 1]["conv_lag_us"]
+    assert conv.notna().all() and (conv <= 2880 * 60 * 1_000_000).all()
+    # a user whose ONLY purchase precedes their first click must not
+    # convert (the at-or-after gate), yet still appears as an entrant
+    n_click_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events "
+        "WHERE event_type = 'click'").fetchone()[0]
+    assert len(b) == n_click_users
+    # partition invariance: a user split across partitions would break
+    # the two-stage ordering
+    b2 = (conversion_funnel(SF, num_partitions=3).to_pandas()
+          .sort_values("user_id").reset_index(drop=True)[a.columns])
+    assert b.equals(b2)
