@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_score": partial(text.unigram_logprob_score),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
+        "promo_revenue_share": partial(an.promo_revenue_share),
+        "sole_late_shipper": partial(an.sole_late_shipper),
+        "rolling_active_users": partial(tp.rolling_active_users),
+        "centroid_assign": partial(ann.centroid_assign),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1228,6 +1232,84 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                         AS BIGINT) AS sum_micro,
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM e GROUP BY 1, 2""",
+        # Q14 flavor: promo share per ship month, exact integer
+        # permille via (2000p + t) // (2t) round-half-up
+        "promo_revenue_share": """
+            WITH l AS (
+              SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                     CAST(month(l_shipdate) AS BIGINT) AS l_month,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT) AS rev_c,
+                     CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END
+                       AS promo
+              FROM lineitem JOIN part p ON l_partkey = p.p_partkey)
+            SELECT l_year, l_month,
+                   CAST(sum(rev_c * promo) AS BIGINT)
+                     AS promo_revenue_c,
+                   CAST(sum(rev_c) AS BIGINT) AS total_revenue_c,
+                   CAST((2000 * sum(rev_c * promo) + sum(rev_c))
+                        // (2 * sum(rev_c)) AS BIGINT)
+                     AS promo_permille
+            FROM l GROUP BY 1, 2""",
+        # Q21 flavor: per supplier, multi-supplier orders where every
+        # max-shipdate line is theirs (unique latest shipper)
+        "sole_late_shipper": """
+            WITH mx AS (
+              SELECT l_orderkey, max(l_shipdate) AS mx_date,
+                     count(DISTINCT l_suppkey) AS n_supp
+              FROM lineitem GROUP BY 1),
+            w AS (
+              SELECT m.l_orderkey, min(l.l_suppkey) AS lo,
+                     max(l.l_suppkey) AS hi
+              FROM mx m JOIN lineitem l
+                ON l.l_orderkey = m.l_orderkey
+               AND l.l_shipdate = m.mx_date
+              WHERE m.n_supp >= 2 GROUP BY 1)
+            SELECT CAST(lo AS BIGINT) AS l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM w WHERE lo = hi GROUP BY 1""",
+        # trailing-7-day distinct actives per observed event day
+        "rolling_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events)
+            SELECT d.day AS day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT)
+                     AS n_active_7d
+            FROM (SELECT DISTINCT day FROM ud) d
+            JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY
+                                   AND d.day
+            GROUP BY 1""",
+        # nearest per-label centroid in exact integer micro-units:
+        # centroid = floor(sum_micro/n + 0.5), squared-L2 argmin,
+        # ties to the smallest label
+        "centroid_assign": """
+            WITH s AS (
+              SELECT label, vec_id,
+                     CAST(floor(unnest(CAST(embedding AS DOUBLE[]))
+                                * 1e6 + 0.5) AS BIGINT) AS m,
+                     unnest(range(len(embedding))) AS dim
+              FROM embeddings),
+            c AS (
+              SELECT label AS cand, dim,
+                     CAST(floor(CAST(sum(m) AS DOUBLE) / count(*)
+                                + 0.5) AS BIGINT) AS c_micro
+              FROM s GROUP BY 1, 2),
+            d AS (
+              SELECT s.vec_id, s.label, c.cand,
+                     sum((s.m - c.c_micro) * (s.m - c.c_micro)) AS dist
+              FROM s JOIN c ON s.dim = c.dim
+              GROUP BY 1, 2, 3),
+            r AS (
+              SELECT vec_id, label, cand,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cand) AS rn
+              FROM d)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(label AS BIGINT) AS label,
+                   CAST(cand AS BIGINT) AS assigned_label,
+                   CAST(label = cand AS TINYINT) AS is_match
+            FROM r WHERE rn = 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text""",

@@ -307,22 +307,43 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     (labels-in-block x dim) partial rows via one np.add.at scatter over
     the contiguous list buffer (no per-row loops), and the driver folds
     O(labels x dim x blocks) integer rows."""
+    return ray.data.from_arrow(_centroid_stats(sf_dir))
+
+
+_CENTROID_EMPTY = pa.table({
+    "label": pa.array([], pa.int64()),
+    "dim": pa.array([], pa.int64()),
+    "sum_micro": pa.array([], pa.int64()),
+    "n_vecs": pa.array([], pa.int64()),
+})
+
+
+def _micro_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(labels, int64 micro-unit matrix) of a batch's embedding column
+    — the shared floor(x*1e6 + 0.5) vector-rounding kernel."""
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    if t.num_rows == 0:
+        return lab, np.zeros((0, 0), np.int64)
+    emb = t.column("embedding").combine_chunks()
+    X = (emb.flatten().to_numpy(zero_copy_only=False)
+         .astype(np.float64).reshape(t.num_rows, -1))
+    return lab, np.floor(X * 1e6 + 0.5).astype(np.int64)
+
+
+def _centroid_stats(sf_dir: str) -> pa.Table:
+    """Folded (label, dim, sum_micro, n_vecs) table — see
+    ``label_centroids`` for semantics and scale shape."""
     from ..pipelines.analytics import _fold_partials
 
     def partial(t: pa.Table) -> pa.Table:
-        lab = t.column("label").to_numpy(zero_copy_only=False)
-        emb = t.column("embedding").combine_chunks()
-        dim = (np.diff(emb.offsets.to_numpy()[:2])[0]
-               if t.num_rows else 0)
-        X = emb.flatten().to_numpy(zero_copy_only=False).astype(
-            np.float64).reshape(len(lab), -1)
-        M = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        if t.num_rows == 0:
+            return _CENTROID_EMPTY
+        lab, M = _micro_matrix(t)
         ulab, inv = np.unique(lab, return_inverse=True)
         sums = np.zeros((len(ulab), M.shape[1]), np.int64)
         np.add.at(sums, inv, M)
         n = np.bincount(inv).astype(np.int64)
         L, D = len(ulab), M.shape[1]
-        assert D == dim
         return pa.table({
             "label": pa.array(np.repeat(ulab.astype(np.int64), D)),
             "dim": pa.array(np.tile(np.arange(D, dtype=np.int64), L)),
@@ -333,9 +354,62 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["label", "embedding"])
              .map_batches(partial, batch_format="pyarrow"))
-    return ray.data.from_arrow(_fold_partials(
-        parts, ["label", "dim"], ["sum_micro", "n_vecs"],
-        pa.table({"label": pa.array([], pa.int64()),
-                  "dim": pa.array([], pa.int64()),
-                  "sum_micro": pa.array([], pa.int64()),
-                  "n_vecs": pa.array([], pa.int64())})))
+    return _fold_partials(parts, ["label", "dim"],
+                          ["sum_micro", "n_vecs"], _CENTROID_EMPTY)
+
+
+def centroid_assign(sf_dir: str) -> ray.data.Dataset:
+    """Vector-quantization ASSIGNMENT: every vector is assigned to its
+    nearest per-label centroid (squared L2 over the shared integer
+    micro-units; centroid components are round-half-up means,
+    ``floor(sum_micro/n + 0.5)``, so both the centroids and every
+    distance are EXACT int64 and the SQL oracle matches bit-exactly;
+    ties go to the smallest label). Returns (vec_id, label,
+    assigned_label, is_match) — the confusion/purity table that audits
+    label quality, spots mislabeled vectors, and seeds coarse
+    quantizers.
+
+    Scale shape: the centroid pass is ``label_centroids`` (ZERO
+    exchanges, driver fold of O(labels x dim x blocks) rows); the
+    bounded labels x dim int64 centroid matrix broadcasts once via
+    ``ray.put`` and every batch does one (n x L x D) vectorized
+    distance + argmin — a map-only second pass, zero exchanges
+    total."""
+    stats = _centroid_stats(sf_dir)
+    lab = stats.column("label").to_numpy(zero_copy_only=False)
+    dim = stats.column("dim").to_numpy(zero_copy_only=False)
+    s = stats.column("sum_micro").to_numpy(zero_copy_only=False)
+    n = stats.column("n_vecs").to_numpy(zero_copy_only=False)
+    order = np.lexsort((dim, lab))           # rows sorted (label, dim)
+    labels = np.unique(lab)
+    D = int(dim.max()) + 1 if len(dim) else 0
+    C = np.floor(s[order].astype(np.float64) / n[order] + 0.5) \
+        .astype(np.int64).reshape(len(labels), D)
+    ref = ray.put((labels, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64()),
+                          "assigned_label": pa.array([], pa.int64()),
+                          "is_match": pa.array([], pa.int8())})
+        if t.num_rows == 0:
+            return empty
+        labels_, C_ = ray.get(ref)
+        lab_, M = _micro_matrix(t)
+        # (n, L) exact int64 squared distances; argmin takes the FIRST
+        # minimum, and centroid rows are label-ascending -> ties break
+        # to the smallest label like the oracle's (dist, label) order
+        d = M[:, None, :] - C_[None, :, :]
+        dist = np.einsum("nld,nld->nl", d, d)
+        best = labels_[np.argmin(dist, axis=1)]
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label": pa.array(lab_.astype(np.int64)),
+            "assigned_label": pa.array(best.astype(np.int64)),
+            "is_match": pa.array((lab_ == best).astype(np.int8)),
+        })
+
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "label",
+                                           "embedding"])
+            .map_batches(assign, batch_format="pyarrow"))

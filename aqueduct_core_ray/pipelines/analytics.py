@@ -2301,3 +2301,198 @@ def supplier_count_by_part(sf_dir: str, exclude_brand: str = "Brand#1",
             .groupby("part").map_groups(attach, batch_format="pyarrow")
             .groupby("g2").map_groups(count_distinct,
                                       batch_format="pyarrow"))
+
+
+def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
+                        promo_type: str = "PROMO",
+                        broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                        ) -> ray.data.Dataset:
+    """TPC-H Q14-flavor promotion effect: per ship (year, month) the
+    promo-part revenue, total revenue (both integer cents) and the
+    promo share in EXACT integer permille — round-half-up computed as
+    ``(2000*promo + total) // (2*total)``, pure int64 so the oracle
+    matches without a float division in sight. Returns (l_year,
+    l_month, promo_revenue_c, total_revenue_c, promo_permille) —
+    bounded at months-in-range rows (TPC-H ships span ~84 months).
+
+    Scale shape: same gated attach as ``brand_revenue_by_year`` —
+    ``part`` scales with the fact table, so under
+    ``broadcast_threshold`` rows the (partkey -> is_promo) bitmap
+    broadcasts once (ZERO exchanges: per-block month partials + driver
+    fold of O(months x blocks) rows); above, ONE co-partitioned
+    union-tag exchange on hash(partkey) % P attaches the flag to
+    per-(partkey, month) revenue partials and only (month, promo_c,
+    total_c) rows leave each partition."""
+    import pyarrow.parquet as pq
+
+    def month_partial(mcell: np.ndarray, promo: np.ndarray,
+                      rev: np.ndarray) -> pa.Table:
+        """Fold (month cell, is_promo, rev) rows into one partial."""
+        gi, tot, _ = _int_sum_by(mcell, rev)
+        _, pro, _ = _int_sum_by(mcell, rev * promo)
+        return pa.table({
+            "l_year": pa.array(gi // 12 + 1970),
+            "l_month": pa.array(gi % 12 + 1),
+            "promo_revenue_c": pa.array(pro),
+            "total_revenue_c": pa.array(tot),
+        })
+
+    def ship_mcell(t: pa.Table) -> np.ndarray:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = sd.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        return m
+
+    if _table_rows(f"{sf_dir}/part.parquet") <= broadcast_threshold:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        flag = pc.equal(part.column("p_type"), promo_type)
+        pk, fv = _sorted_lookup(
+            part.column("p_partkey").to_numpy(zero_copy_only=False),
+            flag.to_numpy(zero_copy_only=False).astype(np.int64))
+        ref = ray.put((pk, fv))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk_, fv_ = ray.get(ref)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, fv_, keys)
+            return month_partial(ship_mcell(t)[hit], mapped[hit],
+                                 _rev_cents(t)[hit])
+
+        parts = (ray.data.read_parquet(
+                     f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_shipdate",
+                              "l_extendedprice", "l_discount"])
+                 .map_batches(partial, batch_format="pyarrow"))
+    else:
+        def part_side(t: pa.Table) -> pa.Table:
+            keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "pkey": t.column("p_partkey"),
+                "is_promo": pc.equal(t.column("p_type"),
+                                     promo_type).cast(pa.int64()),
+                "mcell": pa.nulls(t.num_rows, pa.int64()),
+                "rev_c": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        def line_side(t: pa.Table) -> pa.Table:
+            # sparse (partkey x month) cells: sort+reduceat, not the
+            # dense accumulator (see brand_revenue_by_year's note)
+            pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            cell = pk * 4096 + ship_mcell(t)
+            gi, sums = _sorted_group_reduce(cell, _rev_cents(t))
+            upk = gi // 4096
+            return pa.table({
+                "part": _hash_part(upk, num_partitions),
+                "pkey": pa.array(upk),
+                "is_promo": pa.nulls(len(upk), pa.int64()),
+                "mcell": pa.array(gi % 4096),
+                "rev_c": pa.array(sums),
+                "side": pa.array(np.ones(len(upk), np.int8)),
+            })
+
+        def attach_flag(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            pt = g.filter(pa.array(side == 0))
+            ln = g.filter(pa.array(side == 1))
+            pk_, fv_ = _sorted_lookup(
+                pt.column("pkey").to_numpy(zero_copy_only=False),
+                pt.column("is_promo").to_numpy(zero_copy_only=False))
+            keys = ln.column("pkey").to_numpy(zero_copy_only=False)
+            mapped, hit = _map_keys(pk_, fv_, keys)
+            return month_partial(
+                ln.column("mcell").to_numpy(zero_copy_only=False)[hit],
+                mapped[hit],
+                ln.column("rev_c").to_numpy(zero_copy_only=False)[hit])
+
+        part_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"])
+                   .map_batches(part_side, batch_format="pyarrow"))
+        line_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_shipdate",
+                                "l_extendedprice", "l_discount"])
+                   .map_batches(line_side, batch_format="pyarrow"))
+        parts = (part_ds.union(line_ds)
+                 .groupby("part")
+                 .map_groups(attach_flag, batch_format="pyarrow"))
+
+    folded = _fold_partials(
+        parts, ["l_year", "l_month"],
+        ["promo_revenue_c", "total_revenue_c"],
+        pa.table({"l_year": pa.array([], pa.int64()),
+                  "l_month": pa.array([], pa.int64()),
+                  "promo_revenue_c": pa.array([], pa.int64()),
+                  "total_revenue_c": pa.array([], pa.int64())}))
+    pro = folded.column("promo_revenue_c").to_numpy(zero_copy_only=False)
+    tot = folded.column("total_revenue_c").to_numpy(zero_copy_only=False)
+    permille = (2000 * pro + tot) // (2 * tot)
+    return ray.data.from_arrow(
+        folded.append_column("promo_permille", pa.array(permille)))
+
+
+def sole_late_shipper(sf_dir: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q21-flavor blame assignment: per supplier, the number of
+    MULTI-supplier orders where that supplier was the UNIQUE latest
+    shipper (every max-shipdate line in the order is theirs) — the
+    repo-schema analog of Q21's "suppliers who kept orders waiting"
+    (lineitem carries no receipt/commit dates, so latest SHIP date is
+    the lateness signal). Returns (l_suppkey, n_orders), one row per
+    supplier with at least one such order.
+
+    Scale shape: ONE hash shuffle on l_orderkey — each order's lines
+    co-locate, so the partition derives per-order max shipdate,
+    multi-supplier-ness (min suppkey < max suppkey over ALL lines) and
+    latest-shipper uniqueness (min = max suppkey over max-date lines)
+    with four sort-free reduceats over ONE lexsort; only per-supplier
+    partial counts leave the partition, and the driver folds
+    O(suppliers x partitions) rows (supplier is 1/10th of customer in
+    TPC-H — the same documented driver bound as the supplier
+    rollups)."""
+
+    def part_col(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("part", _hash_part(ok, num_partitions))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if len(ok) == 0:
+            return empty
+        order = np.lexsort((sd, ok))
+        ok, sk, sd = ok[order], sk[order], sd[order]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                ok[1:] != ok[:-1]]))
+        sizes = np.diff(np.append(starts, len(ok)))
+        mx = np.repeat(np.maximum.reduceat(sd, starts), sizes)
+        multi = (np.minimum.reduceat(sk, starts)
+                 < np.maximum.reduceat(sk, starts))
+        # suppkey extrema over max-shipdate lines only (sentinel-mask)
+        BIG = np.int64(2**62)
+        at_mx = sd == mx
+        lo = np.minimum.reduceat(np.where(at_mx, sk, BIG), starts)
+        hi = np.maximum.reduceat(np.where(at_mx, sk, -BIG), starts)
+        win = multi & (lo == hi)
+        if not win.any():
+            return empty
+        usk, cnt = np.unique(lo[win], return_counts=True)
+        return pa.table({"l_suppkey": pa.array(usk.astype(np.int64)),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
+
+    parts = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+             .map_batches(part_col, batch_format="pyarrow")
+             .groupby("part").map_groups(per_part,
+                                         batch_format="pyarrow"))
+    return ray.data.from_arrow(_fold_partials(
+        parts, ["l_suppkey"], ["n_orders"],
+        pa.table({"l_suppkey": pa.array([], pa.int64()),
+                  "n_orders": pa.array([], pa.int64())})))

@@ -917,3 +917,97 @@ def conversion_funnel(sf_dir: str, from_type: str = "click",
     return (ds.map_batches(part_col, batch_format="pyarrow")
             .groupby("part").map_groups(per_part,
                                         batch_format="pyarrow"))
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """ROLLING window engagement: for every calendar day with at least
+    one event, the count of distinct users active in the trailing
+    ``window_days`` (day inclusive) — the standard WAU/MAU-style
+    rolling-distinct metric that a plain groupby cannot express
+    (distinct is not decomposable across window positions). Returns
+    (day, n_active_7d), one row per observed day.
+
+    Scale shape: ONE hash shuffle on user_id over block-level DISTINCT
+    (user, day) partials — each user's active-day set lands whole in
+    one partition, so the partition merges each user's [d, d+w-1]
+    coverage intervals and scatters them into a difference array over
+    the partition's day span (one cumsum -> per-day user counts,
+    disjoint across partitions by construction); only O(day-span) rows
+    per partition reach the driver, which sums counts and masks to
+    globally observed days. Calendar days are inherently bounded, so
+    every fold is tiny at any data scale."""
+    import pandas as pd
+
+    day_us = np.int64(86_400_000_000)
+    w = np.int64(window_days)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        """Block-level distinct (user, day) — shrinks the exchange to
+        at most users x days rows per block."""
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // day_us)
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        part = (pd.util.hash_array(pairs[:, 0].copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"part": pa.array(part),
+                         "user_id": pa.array(pairs[:, 0]),
+                         "day": pa.array(pairs[:, 1])})
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64()),
+                          "observed": pa.array([], pa.int8())})
+        if t.num_rows == 0:
+            return empty
+        pairs = np.unique(np.stack(
+            [t.column("user_id").to_numpy(zero_copy_only=False),
+             t.column("day").to_numpy(zero_copy_only=False)], axis=1),
+            axis=0)
+        pu, pd_ = pairs[:, 0], pairs[:, 1]
+        # merge each user's [d, d+w-1] intervals: a day's NEW coverage
+        # starts after the previous active day's window ends
+        prev_end = np.concatenate([[np.int64(-2**62)], pd_[:-1] + w - 1])
+        same = np.concatenate([[False], pu[1:] == pu[:-1]])
+        cov_lo = np.where(same, np.maximum(pd_, prev_end + 1), pd_)
+        cov_hi = pd_ + w - 1
+        base = pd_.min()
+        span = int(pd_.max() + w - base)
+        diff = np.zeros(span + 1, np.int64)
+        np.add.at(diff, (cov_lo - base).astype(np.intp), 1)
+        np.add.at(diff, (cov_hi + 1 - base).astype(np.intp), -1)
+        counts = np.cumsum(diff[:-1])
+        days = base + np.arange(span, dtype=np.int64)
+        nz = counts > 0
+        obs_days = np.unique(pd_)
+        observed = np.zeros(span, np.int8)
+        observed[(obs_days - base).astype(np.intp)] = 1
+        return pa.table({"day": pa.array(days[nz]),
+                         "n_users": pa.array(counts[nz]),
+                         "observed": pa.array(observed[nz])})
+
+    from .analytics import _concat_nonempty
+    ds = read_events(sf_dir, columns=["user_id", "ts"])
+    parts = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("part").map_groups(per_part,
+                                         batch_format="pyarrow"))
+    pt = _concat_nonempty(parts, pa.table({
+        "day": pa.array([], pa.int64()),
+        "n_users": pa.array([], pa.int64()),
+        "observed": pa.array([], pa.int8())}))
+    day = pt.column("day").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    day = day[order]
+    n = pt.column("n_users").to_numpy(zero_copy_only=False)[order]
+    ob = pt.column("observed").to_numpy(zero_copy_only=False)[order]
+    starts = np.flatnonzero(np.concatenate([[True], day[1:] != day[:-1]])) \
+        if len(day) else np.empty(0, np.intp)
+    udays = day[starts] if len(day) else day
+    sums = np.add.reduceat(n, starts) if len(day) else n
+    seen = (np.maximum.reduceat(ob, starts) > 0) if len(day) \
+        else np.zeros(0, bool)
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(udays[seen] * day_us).cast(pa.timestamp("us")),
+        "n_active_7d": pa.array(sums[seen]),
+    }))

@@ -743,3 +743,65 @@ def test_supplier_count_by_part_matches_duckdb():
     ry2 = _canon(analytics.supplier_count_by_part(
         SF, num_partitions=3).to_pandas())
     assert ry.equals(ry2)
+
+
+def test_promo_revenue_share_matches_duckdb_both_paths():
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        WITH l AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(month(l_shipdate) AS BIGINT) AS l_month,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) AS rev_c,
+                 CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+          FROM lineitem JOIN part p ON l_partkey = p.p_partkey)
+        SELECT l_year, l_month,
+               CAST(sum(rev_c * promo) AS BIGINT) AS promo_revenue_c,
+               CAST(sum(rev_c) AS BIGINT) AS total_revenue_c,
+               CAST((2000 * sum(rev_c * promo) + sum(rev_c))
+                    // (2 * sum(rev_c)) AS BIGINT) AS promo_permille
+        FROM l GROUP BY 1, 2""").df())
+    bc = _canon(analytics.promo_revenue_share(
+        SF, broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.promo_revenue_share(
+        SF, broadcast_threshold=0).to_pandas())
+    assert bc.equals(sq.astype(bc.dtypes.to_dict()))
+    assert bc.equals(ex)
+    # shares are permille by construction
+    assert (bc["promo_permille"] >= 0).all()
+    assert (bc["promo_permille"] <= 1000).all()
+    assert (bc["promo_revenue_c"] <= bc["total_revenue_c"]).all()
+
+
+def test_sole_late_shipper_matches_duckdb():
+    sq = _canon(_duck("""
+        WITH mx AS (
+          SELECT l_orderkey, max(l_shipdate) AS mx_date,
+                 count(DISTINCT l_suppkey) AS n_supp
+          FROM lineitem GROUP BY 1),
+        w AS (
+          SELECT m.l_orderkey, min(l.l_suppkey) AS lo,
+                 max(l.l_suppkey) AS hi
+          FROM mx m JOIN lineitem l
+            ON l.l_orderkey = m.l_orderkey
+           AND l.l_shipdate = m.mx_date
+          WHERE m.n_supp >= 2 GROUP BY 1)
+        SELECT CAST(lo AS BIGINT) AS l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM w WHERE lo = hi GROUP BY 1"""))
+    ry = _canon(analytics.sole_late_shipper(SF).to_pandas())
+    assert ry.equals(sq.astype(ry.dtypes.to_dict()))
+    # an order credits at most one supplier: total credited orders
+    # can never exceed the multi-supplier order count
+    n_multi = _duck("""
+        SELECT count(*) AS n FROM (
+          SELECT l_orderkey FROM lineitem GROUP BY 1
+          HAVING count(DISTINCT l_suppkey) >= 2)""")["n"][0]
+    assert int(ry["n_orders"].sum()) <= int(n_multi)
+    # partition invariance: split orders across fewer partitions
+    ry3 = _canon(analytics.sole_late_shipper(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry3)

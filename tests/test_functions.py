@@ -850,3 +850,33 @@ def test_label_centroids_matches_numpy():
     # global conservation: per-dim sums over labels = whole-table sums
     tot = out.groupby("dim")["sum_micro"].sum()
     assert list(tot) == list(M.sum(axis=0))
+
+
+def test_centroid_assign_matches_numpy():
+    """Nearest-centroid assignment equals a brute-force numpy replay of
+    the exact integer-micro convention (round-half-up centroids,
+    squared-L2, ties to the smallest label)."""
+    t = pq.read_table(f"{SF0001}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    E = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    M = np.floor(E * 1e6 + 0.5).astype(np.int64)
+    labels = np.unique(lab)
+    C = np.stack([np.floor(M[lab == g].sum(axis=0).astype(np.float64)
+                           / (lab == g).sum() + 0.5).astype(np.int64)
+                  for g in labels])
+    d = M[:, None, :] - C[None, :, :]
+    want = labels[np.argmin(np.einsum("nld,nld->nl", d, d), axis=1)]
+    out = (ann.centroid_assign(SF0001).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    order = np.argsort(ids)
+    assert list(out["vec_id"]) == list(ids[order])
+    assert list(out["label"]) == list(lab[order])
+    assert list(out["assigned_label"]) == list(want[order])
+    assert (out["is_match"]
+            == (out["label"] == out["assigned_label"])).all()
+    # centroids summarize their own members: matches must dominate
+    # a uniform-random assignment by a wide margin
+    assert out["is_match"].mean() > 2.0 / len(labels)

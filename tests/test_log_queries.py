@@ -492,3 +492,45 @@ def test_conversion_funnel_matches_duckdb():
     b2 = (conversion_funnel(SF, num_partitions=3).to_pandas()
           .sort_values("user_id").reset_index(drop=True)[a.columns])
     assert b.equals(b2)
+
+
+def test_rolling_active_users_matches_duckdb():
+    import duckdb
+
+    from aqueduct_core_ray.pipelines.temporal import rolling_active_users
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    sq = con.execute("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+          FROM events)
+        SELECT d.day AS day,
+               CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_active_7d
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY 1""").df()
+    a = sq.sort_values("day").reset_index(drop=True)
+    ry = rolling_active_users(SF).to_pandas()
+    b = ry.sort_values("day").reset_index(drop=True)[a.columns]
+    assert a.equals(b.astype(a.dtypes.to_dict()))
+    # rolling counts dominate the single-day distinct counts and never
+    # exceed the global user count
+    daily = con.execute("""
+        SELECT date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n FROM events GROUP BY 1
+    """).df().set_index("day")["n"]
+    total = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    for _, row in b.iterrows():
+        assert daily[row["day"]] <= row["n_active_7d"] <= total
+    # window=1 degenerates to plain daily distinct users
+    w1 = (rolling_active_users(SF, window_days=1).to_pandas()
+          .sort_values("day").reset_index(drop=True))
+    assert list(w1["n_active_7d"]) == [
+        int(daily[d]) for d in w1["day"]]
+    # partition invariance
+    b2 = (rolling_active_users(SF, num_partitions=3).to_pandas()
+          .sort_values("day").reset_index(drop=True)[a.columns])
+    assert b.equals(b2)
