@@ -396,11 +396,15 @@ def centroid_assign(sf_dir: str) -> ray.data.Dataset:
             return empty
         labels_, C_ = ray.get(ref)
         lab_, M = _micro_matrix(t)
-        # (n, L) exact int64 squared distances; argmin takes the FIRST
+        # (n, L) exact int64 squared distances via the expansion
+        # |m|^2 - 2 m.c + |c|^2 — O(n x L) memory, never the
+        # (n x L x D) difference tensor (a 128 MB block x 100 labels
+        # x 256 dims would allocate ~27 GB). argmin takes the FIRST
         # minimum, and centroid rows are label-ascending -> ties break
         # to the smallest label like the oracle's (dist, label) order
-        d = M[:, None, :] - C_[None, :, :]
-        dist = np.einsum("nld,nld->nl", d, d)
+        dist = ((M * M).sum(axis=1)[:, None]
+                - 2 * (M @ C_.T)
+                + (C_ * C_).sum(axis=1)[None, :])
         best = labels_[np.argmin(dist, axis=1)]
         return pa.table({
             "vec_id": t.column("vec_id"),

@@ -2327,9 +2327,11 @@ def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
 
     def month_partial(mcell: np.ndarray, promo: np.ndarray,
                       rev: np.ndarray) -> pa.Table:
-        """Fold (month cell, is_promo, rev) rows into one partial."""
-        gi, tot, _ = _int_sum_by(mcell, rev)
-        _, pro, _ = _int_sum_by(mcell, rev * promo)
+        """Fold (month cell, is_promo, rev) rows into one partial —
+        sort+reduceat, NOT the dense accumulator: pre-1970 ship dates
+        make mcell negative, which a dense np.add.at would wrap."""
+        gi, tot = _sorted_group_reduce(mcell, rev)
+        _, pro = _sorted_group_reduce(mcell, rev * promo)
         return pa.table({
             "l_year": pa.array(gi // 12 + 1970),
             "l_month": pa.array(gi % 12 + 1),
@@ -2378,16 +2380,20 @@ def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
 
         def line_side(t: pa.Table) -> pa.Table:
             # sparse (partkey x month) cells: sort+reduceat, not the
-            # dense accumulator (see brand_revenue_by_year's note)
+            # dense accumulator (see brand_revenue_by_year's note).
+            # The month lane is 2^20 wide with a 2^19 offset so the
+            # packing survives ship dates in years ~-41700..45641
+            # (a 4096 lane would bleed months into the partkey past
+            # 2311, silently corrupting the promo flag)
             pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
-            cell = pk * 4096 + ship_mcell(t)
+            cell = pk * (1 << 20) + (ship_mcell(t) + (1 << 19))
             gi, sums = _sorted_group_reduce(cell, _rev_cents(t))
-            upk = gi // 4096
+            upk = gi >> 20
             return pa.table({
                 "part": _hash_part(upk, num_partitions),
                 "pkey": pa.array(upk),
                 "is_promo": pa.nulls(len(upk), pa.int64()),
-                "mcell": pa.array(gi % 4096),
+                "mcell": pa.array((gi & ((1 << 20) - 1)) - (1 << 19)),
                 "rev_c": pa.array(sums),
                 "side": pa.array(np.ones(len(upk), np.int8)),
             })
@@ -2428,9 +2434,14 @@ def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
                   "total_revenue_c": pa.array([], pa.int64())}))
     pro = folded.column("promo_revenue_c").to_numpy(zero_copy_only=False)
     tot = folded.column("total_revenue_c").to_numpy(zero_copy_only=False)
-    permille = (2000 * pro + tot) // (2 * tot)
-    return ray.data.from_arrow(
-        folded.append_column("promo_permille", pa.array(permille)))
+    # a month whose every rev_c rounded to 0 has no defined share:
+    # SQL integer division by zero is NULL, mirror it (a naked numpy
+    # floor_divide would warn and emit a bogus 0)
+    safe = np.where(tot == 0, 1, tot)
+    permille = (2000 * pro + tot) // (2 * safe)
+    return ray.data.from_arrow(folded.append_column(
+        "promo_permille", pa.array(permille, pa.int64(),
+                                   mask=tot == 0)))
 
 
 def sole_late_shipper(sf_dir: str,

@@ -805,3 +805,60 @@ def test_sole_late_shipper_matches_duckdb():
     ry3 = _canon(analytics.sole_late_shipper(
         SF, num_partitions=3).to_pandas())
     assert ry.equals(ry3)
+
+
+def test_promo_revenue_share_extreme_dates_and_zero_months(tmp_path):
+    """Adversarial inputs for the gate paths: pre-1970 and far-future
+    ship dates (the exchange path's packed cell must not bleed months
+    into the partkey; the partial fold must not wrap negative cells)
+    and a month whose every revenue rounds to 0 cents (share is NULL,
+    like SQL's integer division by zero)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"]),
+    }), str(d / "part.parquet"))
+    ship = np.array(["1969-12-15", "1969-12-20", "2400-06-01",
+                     "2400-06-02", "1996-03-01"], dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1, 2, 1], pa.int64()),
+        "l_shipdate": pa.array(ship),
+        # the 1996-03 line rounds to 0 cents -> NULL share month
+        "l_extendedprice": pa.array([100.0, 50.0, 20.0, 80.0, 0.004]),
+        "l_discount": pa.array([0.0, 0.1, 0.0, 0.0, 0.0]),
+    }), str(d / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for tb in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{d}/{tb}.parquet')")
+    sq = _canon(con.execute("""
+        WITH l AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(month(l_shipdate) AS BIGINT) AS l_month,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT) AS rev_c,
+                 CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+          FROM lineitem JOIN part p ON l_partkey = p.p_partkey)
+        SELECT l_year, l_month,
+               CAST(sum(rev_c * promo) AS BIGINT) AS promo_revenue_c,
+               CAST(sum(rev_c) AS BIGINT) AS total_revenue_c,
+               CAST((2000 * sum(rev_c * promo) + sum(rev_c))
+                    // (2 * sum(rev_c)) AS BIGINT) AS promo_permille
+        FROM l GROUP BY 1, 2""").df())
+    bc = _canon(analytics.promo_revenue_share(
+        str(d), broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.promo_revenue_share(
+        str(d), broadcast_threshold=0).to_pandas())
+    assert bc.equals(sq.astype(bc.dtypes.to_dict()))
+    assert bc.equals(ex)
+    # the zero-cent month exists with a NULL share
+    z = bc[(bc["l_year"] == 1996) & (bc["l_month"] == 3)]
+    assert len(z) == 1 and z["promo_permille"].isna().all()
+    assert 1969 in set(bc["l_year"]) and 2400 in set(bc["l_year"])
