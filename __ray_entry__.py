@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_shipper": partial(an.sole_late_shipper),
         "rolling_active_users": partial(tp.rolling_active_users),
         "centroid_assign": partial(ann.centroid_assign),
+        "dominant_supplier_parts": partial(an.dominant_supplier_parts),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1309,6 +1310,35 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(label AS BIGINT) AS label,
                    CAST(cand AS BIGINT) AS assigned_label,
                    CAST(label = cand AS TINYINT) AS is_match
+            FROM r WHERE rn = 1""",
+        # argmax supplier per part over floor(qty*100+0.5) centi-units
+        # (tie -> smallest suppkey); share is round-half-up integer
+        # permille; is_majority is the strict >50% test
+        "dominant_supplier_parts": """
+            WITH p AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                       AS supp_qty_c
+              FROM lineitem GROUP BY 1, 2),
+            t AS (
+              SELECT l_partkey, sum(supp_qty_c) AS part_qty_c
+              FROM p GROUP BY 1),
+            r AS (
+              SELECT p.*, t.part_qty_c,
+                     row_number() OVER (
+                       PARTITION BY p.l_partkey
+                       ORDER BY p.supp_qty_c DESC, p.l_suppkey ASC)
+                       AS rn
+              FROM p JOIN t USING (l_partkey))
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                   CAST(supp_qty_c AS BIGINT) AS supp_qty_c,
+                   CAST(part_qty_c AS BIGINT) AS part_qty_c,
+                   CAST((2000 * supp_qty_c + part_qty_c)
+                        // (2 * part_qty_c) AS BIGINT)
+                     AS share_permille,
+                   CAST(2 * supp_qty_c > part_qty_c AS TINYINT)
+                     AS is_majority
             FROM r WHERE rn = 1""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp

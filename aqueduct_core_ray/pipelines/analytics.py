@@ -2507,3 +2507,91 @@ def sole_late_shipper(sf_dir: str,
         parts, ["l_suppkey"], ["n_orders"],
         pa.table({"l_suppkey": pa.array([], pa.int64()),
                   "n_orders": pa.array([], pa.int64())})))
+
+
+def dominant_supplier_parts(sf_dir: str,
+                            num_partitions: int = 16) -> ray.data.Dataset:
+    """TPC-H Q20-flavor supply concentration: for EVERY part, the
+    supplier that shipped the largest share of the part's total
+    quantity (ties break to the smallest suppkey) — the
+    single-source-risk audit. All arithmetic is integer-exact over
+    shared floor(x*100+0.5) centi-units; the share is exact integer
+    permille ((2000q + t) // (2t), round-half-up; t > 0 because every
+    part has at least one line) and ``is_majority`` is the strict
+    2*supp_qty_c > part_qty_c test. Returns (l_partkey, l_suppkey,
+    supp_qty_c, part_qty_c, share_permille, is_majority), exactly one
+    row per part, as a DISTRIBUTED dataset (output scales with parts —
+    never driver-folded).
+
+    Scale shape: per-block native Arrow group_by collapses lines to
+    (partkey, suppkey) quantity partials — no int packing, so any key
+    range is safe — then ONE co-partitioned exchange on hash(partkey)
+    finishes per-pair and per-part sums with two reduceats over one
+    lexsort; the majority filter runs inside the partition and only
+    qualifying rows leave."""
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "pk": t.column("l_partkey"),
+            "sk": t.column("l_suppkey"),
+            "qty_c": pa.array(np.floor(qty * 100.0 + 0.5)
+                              .astype(np.int64)),
+        }).group_by(["pk", "sk"]).aggregate([("qty_c", "sum")])
+        keys = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "pk": g.column("pk"),
+            "sk": g.column("sk"),
+            "qty_c": g.column("qty_c_sum"),
+        })
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64()),
+            "supp_qty_c": pa.array([], pa.int64()),
+            "part_qty_c": pa.array([], pa.int64()),
+            "share_permille": pa.array([], pa.int64()),
+            "is_majority": pa.array([], pa.int8()),
+        })
+        if t.num_rows == 0:
+            return empty
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        sk = t.column("sk").to_numpy(zero_copy_only=False)
+        q = t.column("qty_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, pk))
+        pk, sk, q = pk[order], sk[order], q[order]
+        # fold duplicate (pk, sk) partials from different blocks
+        new_pair = np.concatenate([[True], (pk[1:] != pk[:-1])
+                                   | (sk[1:] != sk[:-1])])
+        ps = np.flatnonzero(new_pair)
+        pk2, sk2 = pk[ps], sk[ps]
+        q2 = np.add.reduceat(q, ps)
+        # per-part totals over the folded pairs
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                pk2[1:] != pk2[:-1]]))
+        tot_per_part = np.add.reduceat(q2, starts)
+        # argmax supplier per part: re-sort by (part, -qty, suppkey)
+        # and keep each part's first row — biggest share, tie to the
+        # smallest suppkey
+        win_order = np.lexsort((sk2, -q2, pk2))
+        pk3, sk3, q3 = pk2[win_order], sk2[win_order], q2[win_order]
+        first = np.flatnonzero(np.concatenate([[True],
+                                               pk3[1:] != pk3[:-1]]))
+        q4, t4 = q3[first], tot_per_part
+        return pa.table({
+            "l_partkey": pa.array(pk3[first].astype(np.int64)),
+            "l_suppkey": pa.array(sk3[first].astype(np.int64)),
+            "supp_qty_c": pa.array(q4),
+            "part_qty_c": pa.array(t4),
+            "share_permille": pa.array((2000 * q4 + t4) // (2 * t4)),
+            "is_majority": pa.array((2 * q4 > t4).astype(np.int8)),
+        })
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_partkey", "l_suppkey", "l_quantity"])
+            .map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part,
+                                        batch_format="pyarrow"))

@@ -862,3 +862,64 @@ def test_promo_revenue_share_extreme_dates_and_zero_months(tmp_path):
     z = bc[(bc["l_year"] == 1996) & (bc["l_month"] == 3)]
     assert len(z) == 1 and z["promo_permille"].isna().all()
     assert 1969 in set(bc["l_year"]) and 2400 in set(bc["l_year"])
+
+
+def test_dominant_supplier_parts_matches_duckdb():
+    sq = _canon(_duck("""
+        WITH p AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                   AS supp_qty_c
+          FROM lineitem GROUP BY 1, 2),
+        t AS (
+          SELECT l_partkey, sum(supp_qty_c) AS part_qty_c
+          FROM p GROUP BY 1),
+        r AS (
+          SELECT p.*, t.part_qty_c,
+                 row_number() OVER (
+                   PARTITION BY p.l_partkey
+                   ORDER BY p.supp_qty_c DESC, p.l_suppkey ASC) AS rn
+          FROM p JOIN t USING (l_partkey))
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(l_suppkey AS BIGINT) AS l_suppkey,
+               CAST(supp_qty_c AS BIGINT) AS supp_qty_c,
+               CAST(part_qty_c AS BIGINT) AS part_qty_c,
+               CAST((2000 * supp_qty_c + part_qty_c)
+                    // (2 * part_qty_c) AS BIGINT) AS share_permille,
+               CAST(2 * supp_qty_c > part_qty_c AS TINYINT)
+                 AS is_majority
+        FROM r WHERE rn = 1"""))
+    ry = _canon(analytics.dominant_supplier_parts(SF).to_pandas())
+    assert ry.equals(sq.astype(ry.dtypes.to_dict()))
+    # exactly one row per part
+    assert ry["l_partkey"].is_unique
+    # partition invariance
+    ry3 = _canon(analytics.dominant_supplier_parts(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry3)
+
+
+def test_dominant_supplier_parts_ties_and_majority(tmp_path):
+    """Synthetic edges: a tie breaks to the smallest suppkey with
+    is_majority=0; a strict majority and a sole supplier flag 1; the
+    share permille is exact round-half-up integer arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        # part 1: s1=6.0 vs s2=4.0 (majority); part 2: s1=5.0 == s2=5.0
+        # (tie, no majority); part 3: s7 alone (share 1000)
+        "l_partkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 1, 7], pa.int64()),
+        "l_quantity": pa.array([2.0, 4.0, 4.0, 5.0, 5.0, 3.0]),
+    }), str(d / "lineitem.parquet"))
+    out = analytics.dominant_supplier_parts(str(d)).to_pandas()
+    out = out.sort_values("l_partkey").reset_index(drop=True)
+    assert out["l_partkey"].tolist() == [1, 2, 3]
+    assert out["l_suppkey"].tolist() == [1, 1, 7]
+    assert out["supp_qty_c"].tolist() == [600, 500, 300]
+    assert out["part_qty_c"].tolist() == [1000, 1000, 300]
+    assert out["share_permille"].tolist() == [600, 500, 1000]
+    assert out["is_majority"].tolist() == [1, 0, 1]
