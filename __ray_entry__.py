@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": partial(tp.rolling_active_users),
         "centroid_assign": partial(ann.centroid_assign),
         "dominant_supplier_parts": partial(an.dominant_supplier_parts),
+        "parts_bought_together": partial(an.parts_bought_together),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1340,6 +1341,21 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(2 * supp_qty_c > part_qty_c AS TINYINT)
                      AS is_majority
             FROM r WHERE rn = 1""",
+        # top-20 part pairs co-bought in the most orders (distinct
+        # pair per order; ties to the smaller (part_a, part_b))
+        "parts_bought_together": """
+            WITH d AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM d a JOIN d b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+            SELECT CAST(part_a AS BIGINT) AS part_a,
+                   CAST(part_b AS BIGINT) AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM p GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text""",

@@ -2595,3 +2595,130 @@ def dominant_supplier_parts(sf_dir: str,
             .map_batches(pair_partial, batch_format="pyarrow")
             .groupby("part").map_groups(per_part,
                                         batch_format="pyarrow"))
+
+
+def parts_bought_together(sf_dir: str, k: int = 20,
+                          num_partitions: int = 16) -> pa.Table:
+    """Market-basket co-occurrence: the ``k`` part pairs that appear
+    together in the most orders (each order contributes each DISTINCT
+    unordered pair once; ties break to the smaller (part_a, part_b)).
+    Returns (part_a, part_b, n_orders) with part_a < part_b.
+
+    Scale shape — within-group pair expansion bounded by order size
+    (TPC-H orders hold ≤7 lines, so ≤21 pairs/order — the expansion is
+    O(lines), never quadratic in the table):
+
+    1. per-block distinct (orderkey, partkey) partials →
+       hash(orderkey) %% P exchange;
+    2. per order-partition group: finish the distinct, expand each
+       order's pairs VECTORIZED per segment-size class (one
+       triu_indices gather per distinct order size — no per-order
+       Python loop), fold pair counts locally, and re-key the partials
+       by hash(pair) %% P;
+    3. per pair-partition group: fold the global pair count and keep
+       the partition-local top-k — ≤ k·P candidate rows to the driver,
+       which finishes the strict total order (n desc, part_a, part_b).
+    """
+
+    def order_part_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "ok": t.column("l_orderkey"),
+            "pk": t.column("l_partkey"),
+        }).group_by(["ok", "pk"]).aggregate([])
+        keys = g.column("ok").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "ok": g.column("ok"), "pk": g.column("pk"),
+        })
+
+    def expand_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "part": pa.array([], pa.int32()),
+            "pa_": pa.array([], pa.int64()),
+            "pb": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ok = t.column("ok").to_numpy(zero_copy_only=False)
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # finish the cross-block distinct
+        keep = np.concatenate([[True], (ok[1:] != ok[:-1])
+                               | (pk[1:] != pk[:-1])])
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                ok[1:] != ok[:-1]]))
+        sizes = np.diff(np.append(starts, len(ok)))
+        pas, pbs = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            seg = starts[sizes == s]
+            idx = seg[:, None] + np.arange(s)[None, :]
+            iu, ju = np.triu_indices(int(s), 1)
+            # pk ascending within each order segment -> pa_ < pb
+            pas.append(pk[idx[:, iu]].ravel())
+            pbs.append(pk[idx[:, ju]].ravel())
+        if not pas:
+            return empty
+        a = np.concatenate(pas)
+        b = np.concatenate(pbs)
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        first = np.flatnonzero(np.concatenate([[True], (a[1:] != a[:-1])
+                                               | (b[1:] != b[:-1])]))
+        a2, b2 = a[first], b[first]
+        n = np.diff(np.append(first, len(a))).astype(np.int64)
+        return pa.table({
+            "part": _hash_part(a2 * np.int64(1_000_003) + b2,
+                               num_partitions),
+            "pa_": pa.array(a2.astype(np.int64)),
+            "pb": pa.array(b2.astype(np.int64)),
+            "n": pa.array(n),
+        })
+
+    def topk_per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        a = t.column("pa_").to_numpy(zero_copy_only=False)
+        b = t.column("pb").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        first = np.flatnonzero(np.concatenate([[True], (a[1:] != a[:-1])
+                                               | (b[1:] != b[:-1])]))
+        a2, b2 = a[first], b[first]
+        n2 = np.add.reduceat(n, first)
+        top = np.lexsort((b2, a2, -n2))[:k]
+        return pa.table({
+            "part_a": pa.array(a2[top].astype(np.int64)),
+            "part_b": pa.array(b2[top].astype(np.int64)),
+            "n_orders": pa.array(n2[top]),
+        })
+
+    cands = (ray.data.read_parquet(
+                 f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_partkey"])
+             .map_batches(order_part_partial, batch_format="pyarrow")
+             .groupby("part").map_groups(expand_pairs,
+                                         batch_format="pyarrow")
+             .groupby("part").map_groups(topk_per_partition,
+                                         batch_format="pyarrow"))
+    # <= k*P candidate rows: finish the strict total order on the driver
+    pt = _concat_nonempty(cands, pa.table({
+        "part_a": pa.array([], pa.int64()),
+        "part_b": pa.array([], pa.int64()),
+        "n_orders": pa.array([], pa.int64()),
+    }))
+    a = pt.column("part_a").to_numpy(zero_copy_only=False)
+    b = pt.column("part_b").to_numpy(zero_copy_only=False)
+    n = pt.column("n_orders").to_numpy(zero_copy_only=False)
+    top = np.lexsort((b, a, -n))[:k]
+    return pt.take(pa.array(top))

@@ -923,3 +923,47 @@ def test_dominant_supplier_parts_ties_and_majority(tmp_path):
     assert out["part_qty_c"].tolist() == [1000, 1000, 300]
     assert out["share_permille"].tolist() == [600, 500, 1000]
     assert out["is_majority"].tolist() == [1, 0, 1]
+
+
+def test_parts_bought_together_matches_duckdb():
+    sq = _canon(_duck("""
+        WITH d AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey)
+        SELECT CAST(part_a AS BIGINT) AS part_a,
+               CAST(part_b AS BIGINT) AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM p GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""))
+    ry = _canon(analytics.parts_bought_together(SF).to_pandas())
+    assert ry.equals(sq.astype(ry.dtypes.to_dict()))
+    # partition invariance
+    ry3 = _canon(analytics.parts_bought_together(
+        SF, num_partitions=3).to_pandas())
+    assert ry.equals(ry3)
+
+
+def test_parts_bought_together_dedupes_within_order(tmp_path):
+    """An order listing the same part on several lines contributes each
+    unordered pair once; single-part orders contribute nothing; the
+    pair count is the number of DISTINCT orders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        # order 1: parts {1,2,2,3} -> pairs (1,2)(1,3)(2,3)
+        # order 2: parts {1,2}     -> pair (1,2)
+        # order 3: part {9}        -> nothing
+        "l_orderkey": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2, 3, 2, 1, 9], pa.int64()),
+    }), str(d / "lineitem.parquet"))
+    out = analytics.parts_bought_together(str(d), k=10).to_pandas()
+    got = {(r.part_a, r.part_b): r.n_orders
+           for r in out.itertuples(index=False)}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
