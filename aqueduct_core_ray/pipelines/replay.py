@@ -38,6 +38,7 @@ from ..schema import CHANGE_EVENT, evolve_schema
 from ..stages.compact import LWW, ConflictPolicy
 from ..stages.merge_apply import (
     absorb_partition,
+    fold_chain_partition,
     diff_partition,
     reshard_partition,
     make_delta_splitter,
@@ -62,6 +63,7 @@ _ACCT_TASK = ray.remote(num_cpus=1)(partition_accounting)
 _DIFF_TASK = ray.remote(num_cpus=1)(diff_partition)
 _RESHARD_TASK = ray.remote(num_cpus=1)(reshard_partition)
 _ABSORB_TASK = ray.remote(num_cpus=1)(absorb_partition)
+_FOLD_TASK = ray.remote(num_cpus=1)(fold_chain_partition)
 
 
 def _cluster_cpus(default: int = 32) -> int:
@@ -443,15 +445,29 @@ class CDCEngine:
                    if self.bg_absorb else {})
         for pid, r in adopted.items():
             prev = parts_map[str(pid)]
-            rem = (prev.get("deltas") or [])[len(r["absorbed"]):]
+            prev_deltas = prev.get("deltas") or []
+            rem = prev_deltas[len(r["absorbed"]):]
             entry = dict(prev)
-            entry["path"] = os.path.join("_staged", r["wid"],
-                                         f"p={pid:06d}.parquet")
-            entry["deltas"] = rem
-            entry["file_rows"] = int(r["file_rows"])
-            entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
-                                                   for d in rem)
-            entry["rows"] = int(r["rows"])
+            staged = os.path.join("_staged", r["wid"],
+                                  f"p={pid:06d}.parquet")
+            if r.get("kind") == "fold":
+                # chain fold: base untouched — the staged file REPLACES
+                # the folded chain prefix; rows/file_rows keep their
+                # as-of-base staleness contract
+                entry["deltas"] = [{"path": staged,
+                                    "rows": int(r["file_rows"]),
+                                    "bytes": int(r["bytes"])}] + rem
+                entry["bytes"] = (int(prev.get("bytes", 0))
+                                  - sum(int(d["bytes"]) for d in
+                                        prev_deltas[:len(r["absorbed"])])
+                                  + int(r["bytes"]))
+            else:
+                entry["path"] = staged
+                entry["deltas"] = rem
+                entry["file_rows"] = int(r["file_rows"])
+                entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
+                                                       for d in rem)
+                entry["rows"] = int(r["rows"])
             parts_map[str(pid)] = entry
         # Two stages on purpose (Dataset path): a map_batches directly
         # fused onto the parquet read is invoked once per READ CHUNK
@@ -969,7 +985,7 @@ class CDCEngine:
         if len(touched) and sum(len(v) for v in plans.values()) > 2_000_000:
             plans = {}
         cpus = _cluster_cpus()
-        n_tasks = max(1, min(len(touched), 2 * cpus))
+        n_tasks = max(1, min(len(touched), int(os.environ.get("AQR_MERGE_FAN_MULT", "2")) * cpus))
         if n_tasks >= len(touched):
             refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
                                       parts_map.get(str(p)), b64,
@@ -1782,8 +1798,21 @@ class CDCEngine:
             dst = self.store.promote_staged(r["wid"], pid, gen)
             self.store.drop_staged(r["wid"])
             prev = new_parts[str(pid)]
-            rem = (prev.get("deltas") or [])[len(r["absorbed"]):]
+            prev_deltas = prev.get("deltas") or []
+            rem = prev_deltas[len(r["absorbed"]):]
             entry = dict(prev)
+            if r.get("kind") == "fold":
+                # fold: promoted file replaces the chain prefix; the
+                # base path and its as-of-base stats are untouched
+                entry["deltas"] = [{"path": self.store.rel(dst),
+                                    "rows": int(r["file_rows"]),
+                                    "bytes": int(r["bytes"])}] + rem
+                entry["bytes"] = (int(prev.get("bytes", 0))
+                                  - sum(int(d["bytes"]) for d in
+                                        prev_deltas[:len(r["absorbed"])])
+                                  + int(r["bytes"]))
+                new_parts[str(pid)] = entry
+                continue
             entry["path"] = self.store.rel(dst)
             entry["deltas"] = rem
             entry["file_rows"] = int(r["file_rows"])
@@ -1803,38 +1832,61 @@ class CDCEngine:
         critical path. Capped launches smooth the rewrite work across
         commits; the chain-fold tier bounds read amplification while a
         partition waits its turn."""
-        return max(2, _cluster_cpus() // 4)
+        return max(2, _cluster_cpus() // 2)
 
-    def _launch_absorbs(self, man: Manifest) -> int:
-        """Post-commit: start one background absorb per partition whose
-        pending sidecar rows crossed the (staggered) absorb threshold —
-        the O(base) rewrite the wave itself skipped under
-        ``bg_absorb=True``. One in flight per partition, at most
-        ``_bg_absorb_cap()`` in flight total (most-pending first when
-        rationing)."""
-        from ..stages.merge_apply import _staggered_frac
-        budget = self._bg_absorb_cap() - len(self._bg)
+    def _launch_absorbs(self, man: Manifest,
+                        cap_override: "int | None" = None) -> int:
+        """Post-commit: start background maintenance per partition —
+        an ABSORB (O(base) rewrite) where pending sidecar rows crossed
+        the (staggered) absorb threshold, else a chain FOLD (O(pending)
+        compaction, base never read) where the chain length crossed the
+        (staggered) cap. One task in flight per partition, at most
+        ``_bg_absorb_cap()`` absorbs plus as many folds in flight total
+        (folds are an order cheaper); most-pending first when
+        rationing. Absorbs supersede folds — an absorbed chain is
+        empty, so a partition never needs both. ``cap_override`` lifts
+        the ration for explicit quiescence (``settle_absorbs``): the
+        cap protects the WAVE critical path, and a drain has none."""
+        from ..stages.merge_apply import _staggered_frac, _staggered_max
+        cap = self._bg_absorb_cap() if cap_override is None else cap_override
+        budget = 2 * cap - len(self._bg)
         if budget <= 0:
             return 0
-        ready: list[tuple[int, int, dict]] = []
+        absorbs: list[tuple[int, int, dict]] = []
+        folds: list[tuple[int, int, dict]] = []
         for pid_s, e in man.partitions.items():
             pid = int(pid_s)
             if pid in self._bg or not e.get("deltas"):
                 continue
             base_rows = int(e.get("file_rows", e.get("rows", 0)))
-            pending = sum(int(d["rows"]) for d in e["deltas"])
-            if base_rows <= 0 or pending <= _staggered_frac(
-                    self.sidecar_frac, pid) * base_rows:
+            if base_rows <= 0:
                 continue
-            ready.append((pending, pid, e))
+            pending = sum(int(d["rows"]) for d in e["deltas"])
+            if pending > _staggered_frac(self.sidecar_frac,
+                                         pid) * base_rows:
+                absorbs.append((pending, pid, e))
+            elif len(e["deltas"]) >= _staggered_max(self.max_deltas,
+                                                    pid):
+                folds.append((pending, pid, e))
+        absorb_inflight = sum(1 for v in self._bg.values()
+                              if v.get("kind", "absorb") == "absorb")
         n = 0
-        for pending, pid, e in sorted(ready, reverse=True)[:budget]:
+        for pending, pid, e in sorted(absorbs, reverse=True)[:min(
+                budget, max(0, cap - absorb_inflight))]:
             wid = f"absorb-g{man.generation:06d}-p{pid:06d}"
             self._bg[pid] = {
-                "wid": wid,
+                "wid": wid, "kind": "absorb",
                 "ref": _ABSORB_TASK.remote(
                     pid, self.store.root, wid, e, man.schema_b64,
                     self.derivations, self.conflict),
+            }
+            n += 1
+        for pending, pid, e in sorted(folds, reverse=True)[:budget - n]:
+            wid = f"fold-g{man.generation:06d}-p{pid:06d}"
+            self._bg[pid] = {
+                "wid": wid, "kind": "fold",
+                "ref": _FOLD_TASK.remote(
+                    pid, self.store.root, wid, e, self.conflict),
             }
             n += 1
         return n
@@ -1857,7 +1909,7 @@ class CDCEngine:
             # invalidated basis): re-launch for partitions still over
             # threshold so drain_absorbs' quiescence contract holds
             if cur is not None:
-                self._launch_absorbs(cur)
+                self._launch_absorbs(cur, cap_override=_cluster_cpus())
             return 0
         gen = cur.generation + 1
         new_parts = dict(cur.partitions)
@@ -1880,7 +1932,9 @@ class CDCEngine:
         self.store.commit(man)
         self._cached_manifest = man
         if self.bg_absorb:
-            self._launch_absorbs(man)     # thresholds may still trip
+            # thresholds may still trip; settle is an explicit drain,
+            # so launch at full width (no wave path to protect)
+            self._launch_absorbs(man, cap_override=_cluster_cpus())
         return len(adopted)
 
     def drain_absorbs(self, max_rounds: int = 64) -> int:

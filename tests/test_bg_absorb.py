@@ -224,3 +224,64 @@ def test_failed_absorb_task_never_fails_the_wave(inputs, tmp_path):
     # poisoned staged dir was reclaimed
     assert not os.path.exists(
         os.path.join(eng.store.root, "_staged", "absorb-poison"))
+
+
+def test_bg_chain_folds(inputs, tmp_path):
+    """Background chain folds: in bg mode a chain-over-cap partition
+    keeps staging sidecars (no inline fold on the wave critical path)
+    while fold_chain_partition compacts the chain asynchronously; a
+    later commit adopts the folded prefix. Base paths stay frozen, no
+    inline fulls after bootstrap, post-drain chains are short, and the
+    state equals a sidecar-free replay."""
+    import json
+    import os
+    log, seed = inputs
+    # sidecar_frac=5.0: absorbs never trigger — folds are the only
+    # background maintenance; max_deltas=2 makes chains cross the cap
+    # every other wave
+    bg = CDCEngine(str(tmp_path / "bgf"), num_partitions=4,
+                   sidecar_frac=5.0, max_deltas=2, bg_absorb=True)
+    bg.bootstrap(seed)
+    bg.replay(log, SPEC.wave_bounds[:1])
+    bases = {k: p["path"] for k, p in bg.manifest.partitions.items()}
+    bg.replay(log, SPEC.wave_bounds[1:])
+    launched = inline_fulls = 0
+    with open(os.path.join(bg.store.root, "metrics.jsonl")) as f:
+        for line in f:
+            m = json.loads(line)
+            if m.get("wave_id") == "bootstrap":
+                continue
+            launched += m.get("bg_launched", 0)
+            inline_fulls += m.get("full_parts", 0)
+    assert launched > 0          # folds actually ran in the background
+    assert inline_fulls == 0     # base never rewritten inline
+    bg.drain_absorbs()
+    # folds never touch the base
+    assert {k: p["path"]
+            for k, p in bg.manifest.partitions.items()} == bases
+    # post-drain every chain is folded down to a single segment
+    for p in bg.manifest.partitions.values():
+        assert len(p.get("deltas") or []) <= 1
+    sync = CDCEngine(str(tmp_path / "syncf"), num_partitions=4,
+                     sidecar_frac=0.0)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+    assert _table(bg).equals(_table(sync))
+    assert bg.consistency_sum() == sync.consistency_sum()
+    # lazy accounting converges to exact values
+    fresh = bg.exact_partition_stats()
+    for pid, p in sync.manifest.partitions.items():
+        got = (fresh[int(pid)]["rows"] if int(pid) in fresh
+               else bg.manifest.partitions[pid]["rows"])
+        assert got == p["rows"]
+    # vacuum collects superseded chain segments, live files survive
+    before = bg.lake_table()
+    bg.store.vacuum(keep_generations=1)
+    live = set()
+    for p in bg.manifest.partitions.values():
+        live.add(p["path"])
+        for d in p.get("deltas") or []:
+            live.add(d["path"])
+    for rel in live:
+        assert os.path.exists(os.path.join(bg.store.root, rel)), rel
+    assert bg.lake_table().equals(before)

@@ -91,8 +91,10 @@ def test_absorb_when_pending_crosses_threshold(inputs, tmp_path):
     threshold: full rewrites must fire, chains stay bounded, state is
     byte-equal to a sidecar-free replay."""
     log, seed = inputs
+    # bg_absorb=False: this test pins the INLINE absorb contract (the
+    # background-mode twin lives in test_bg_absorb)
     eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2,
-                    sidecar_frac=0.08)
+                    sidecar_frac=0.08, bg_absorb=False)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10))
     for p in eng.manifest.partitions.values():
@@ -113,8 +115,10 @@ def test_max_deltas_triggers_chain_compaction_not_absorb(inputs, tmp_path):
     lazy accounting, and derived tables must equal a sidecar-free
     replay."""
     log, seed = inputs
+    # bg_absorb=False: pins the INLINE chain-fold tier (background
+    # folds are pinned by test_bg_absorb::test_bg_chain_folds)
     eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4, max_deltas=2,
-                    sidecar_frac=5.0)
+                    sidecar_frac=5.0, bg_absorb=False)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10)[:1])
     bases = {k: p["path"] for k, p in eng.manifest.partitions.items()}
@@ -152,7 +156,8 @@ def test_vacuum_collects_superseded_chain_segments(inputs, tmp_path):
     import os
     log, seed = inputs
     root = str(tmp_path / "lake")
-    eng = CDCEngine(root, num_partitions=4, max_deltas=2, sidecar_frac=5.0)
+    eng = CDCEngine(root, num_partitions=4, max_deltas=2, sidecar_frac=5.0,
+                    bg_absorb=False)
     eng.bootstrap(seed)
     eng.replay(log, wave_bounds(10))
     assert sum(m.get("chain_parts", 0) for m in _wave_metrics(eng)) > 0
