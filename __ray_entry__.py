@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_assign": partial(ann.centroid_assign),
         "dominant_supplier_parts": partial(an.dominant_supplier_parts),
         "parts_bought_together": partial(an.parts_bought_together),
+        "quantile_band_docs": partial(text.quantile_band_docs),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -197,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trained-BPE vocabulary (iterative greedy algorithm — not
         # SQL-expressible; pinned against an independent naive BPE in
         # tests/test_bpe.py) + token counts under the trained merges
+        # distributed exact-integer k-means (iterative — not
+        # SQL-expressible; pinned vs a whole-table numpy reference in
+        # tests/test_functions.py)
+        "kmeans_embeddings": partial(ann.kmeans_embeddings),
         "bpe_vocab": _bpe_vocab,
         "bpe_trained_token_count": _bpe_trained_token_count,
         "approx_top_tokens": partial(text.approx_top_tokens),
@@ -1356,6 +1361,17 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM p GROUP BY 1, 2
             ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+        # per-source [p5, p95] n_chars band filter (quantile_disc
+        # semantics: element at rank ceil(q*n))
+        "quantile_band_docs": """
+            WITH q AS (
+              SELECT source,
+                     quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN q USING (source)
+            WHERE d.n_chars BETWEEN q.lo AND q.hi""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, md5(text) AS fp
             FROM documents GROUP BY text""",

@@ -417,3 +417,134 @@ def centroid_assign(sf_dir: str) -> ray.data.Dataset:
                                   columns=["vec_id", "label",
                                            "embedding"])
             .map_batches(assign, batch_format="pyarrow"))
+
+
+def _micro_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 micro-unit matrix) — the label-free twin of
+    ``_micro_matrix`` (same floor(x*1e6 + 0.5) rounding kernel)."""
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    if t.num_rows == 0:
+        return ids, np.zeros((0, 0), np.int64)
+    emb = t.column("embedding").combine_chunks()
+    X = (emb.flatten().to_numpy(zero_copy_only=False)
+         .astype(np.float64).reshape(t.num_rows, -1))
+    return ids, np.floor(X * 1e6 + 0.5).astype(np.int64)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12
+                      ) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the FULL embedding table in
+    EXACT integer arithmetic — the whole-corpus semantic-clustering
+    primitive (data curation by cluster, mixture balancing, near-dup
+    blocking). Vectors and centroids live in the module's shared
+    micro-units (floor(x*1e6 + 0.5)); centroid components are
+    round-half-up means (floor(sum/n + 0.5)); assignment is squared-L2
+    argmin with ties to the smallest cluster index. Because every
+    reduction is an order-insensitive integer sum, the result is
+    bit-identical under any partitioning/block order, and convergence
+    is a clean integer fixed-point test (C_new == C_old). Returns
+    (vec_id, cluster, dist2_micro) distributed.
+
+    Scale shape: per iteration ONE streaming pass — each block
+    collapses to k x dim integer partial rows (np.add.at scatter, int64
+    matmul for the distance term; |x|<=1e6 micro-units x dim 64 stays
+    far under int64), the driver folds O(k x dim x blocks) rows and
+    rebroadcasts the k x dim centroid matrix via ray.put. Vectors never
+    leave their blocks; there is no shuffle at any step. Init is
+    deterministic: the k lowest-vec_id vectors (a bounded per-block
+    top-k fold, no full read)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def init_partial(t: pa.Table) -> pa.Table:
+        ids, M = _micro_vectors(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.int64()))})
+        keep = np.argsort(ids)[:k]
+        return pa.table({
+            "vec_id": pa.array(ids[keep].astype(np.int64)),
+            "vec": pa.array(list(M[keep])),
+        })
+
+    seeds = ds.map_batches(init_partial, batch_format="pyarrow") \
+              .take_all()                      # <= k x blocks tiny rows
+    if not seeds:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "dist2_micro": pa.array([], pa.int64())}))
+    seeds.sort(key=lambda r: r["vec_id"])
+    C = np.stack([np.asarray(r["vec"], np.int64)
+                  for r in seeds[:k]])
+    D = C.shape[1]
+
+    def iter_partial(t: pa.Table, *, ref) -> pa.Table:
+        Ck = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        ids, M = _micro_vectors(t)
+        if len(ids) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_micro": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d2 = ((M * M).sum(1)[:, None] - 2 * (M @ Ck.T)
+              + (Ck * Ck).sum(1)[None, :])
+        assign = np.argmin(d2, axis=1)        # ties -> smallest index
+        kk = len(Ck)
+        sums = np.zeros((kk, M.shape[1]), np.int64)
+        np.add.at(sums, assign, M)
+        n = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64),
+                                          M.shape[1])),
+            "dim": pa.array(np.tile(np.arange(M.shape[1],
+                                              dtype=np.int64), kk)),
+            "sum_micro": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(n, M.shape[1])),
+        })
+
+    from functools import partial as _p
+
+    from ..pipelines.analytics import _fold_partials
+    empty = pa.table({"cluster": pa.array([], pa.int64()),
+                      "dim": pa.array([], pa.int64()),
+                      "sum_micro": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+    for _ in range(iters):
+        ref = ray.put(C)
+        folded = _fold_partials(
+            ds.map_batches(_p(iter_partial, ref=ref),
+                           batch_format="pyarrow"),
+            ["cluster", "dim"], ["sum_micro", "n"], empty).to_pandas()
+        folded = folded.sort_values(["cluster", "dim"])
+        Cn = C.copy()
+        for c, g in folded.groupby("cluster", sort=True):
+            nv = int(g["n"].iloc[0])
+            if nv > 0:
+                s = g["sum_micro"].to_numpy()
+                Cn[int(c)] = np.floor(s / nv + 0.5).astype(np.int64)
+        if np.array_equal(Cn, C):
+            break                              # integer fixed point
+        C = Cn
+
+    ref = ray.put(C)
+
+    def final_assign(t: pa.Table, *, ref=ref) -> pa.Table:
+        Ck = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        ids, M = _micro_vectors(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2_micro": pa.array([], pa.int64())})
+        d2 = ((M * M).sum(1)[:, None] - 2 * (M @ Ck.T)
+              + (Ck * Ck).sum(1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "dist2_micro": pa.array(d2[np.arange(len(ids)),
+                                       assign].astype(np.int64)),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow")

@@ -702,3 +702,72 @@ def unigram_logprob_score(sf_dir: str,
                                          batch_format="pyarrow")
             .groupby("doc_id").sum(["n_tok", "score_permille"])
             .map_batches(rename, batch_format="pyarrow"))
+
+
+def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95
+                       ) -> ray.data.Dataset:
+    """Per-source quantile gating: keep documents whose length sits in
+    the [lo, hi] quantile band of THEIR source's n_chars distribution —
+    the classic 'drop the tails' quality filter, but with thresholds
+    derived from the corpus itself rather than hand-tuned constants.
+    Quantiles use SQL ``quantile_disc`` semantics (the element at rank
+    ceil(q·n), 1-based — same convention as
+    ``temporal.exact_quantiles_by_type``). Returns (doc_id, source,
+    n_chars) for surviving documents, distributed.
+
+    Scale shape: exact per-source quantiles without a sort — n_chars is
+    a bounded integer domain, so the distribution compresses into a
+    (source, n_chars) histogram (per-block Arrow partials -> one native
+    Sum exchange bounded by domain x sources -> driver cumsum readout);
+    the thresholds table (2 ints per source) then rides into a second
+    streaming pass as a broadcast, and the filter never shuffles the
+    documents themselves."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": t.column("source"),
+            "n_chars": t.column("n_chars"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["source", "n_chars"]).aggregate([("n", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "n_chars": g.column("n_chars"),
+            "n": g.column("n_sum"),
+        })
+
+    hist = (read_documents(sf_dir, columns=["source", "n_chars"])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["source", "n_chars"]).aggregate(Sum("n"))
+            .to_pandas())             # bounded: domain x sources rows
+    hist = hist.rename(columns={"sum(n)": "n"})
+    bands: dict[str, tuple[int, int]] = {}
+    for src, g in hist.groupby("source", sort=False):
+        g = g.sort_values("n_chars")
+        cum = g["n"].to_numpy().cumsum()
+        vals = g["n_chars"].to_numpy()
+        n = int(cum[-1])
+        def rank_val(q: float) -> int:
+            k = max(1, int(np.ceil(q * n)))
+            return int(vals[np.searchsorted(cum, k, side="left")])
+        bands[str(src)] = (rank_val(lo), rank_val(hi))
+
+    import ray
+    bands_ref = ray.put(bands)
+
+    def band_filter(t: pa.Table, *, ref=bands_ref) -> pa.Table:
+        b = ray.get(ref) if not isinstance(ref, dict) else ref
+        # dictionary-encode the source column once per batch, then one
+        # dict lookup per DISTINCT source — no per-row Python work
+        src = t.column("source").combine_chunks().dictionary_encode()
+        uniq = src.dictionary.to_pylist()
+        lo_u = np.array([b[s][0] for s in uniq], np.int64)
+        hi_u = np.array([b[s][1] for s in uniq], np.int64)
+        codes = src.indices.to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((nc >= lo_u[codes])
+                                 & (nc <= hi_u[codes])))
+
+    return (read_documents(sf_dir, columns=["doc_id", "source",
+                                            "n_chars"])
+            .map_batches(band_filter, batch_format="pyarrow"))

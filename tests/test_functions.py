@@ -880,3 +880,85 @@ def test_centroid_assign_matches_numpy():
     # centroids summarize their own members: matches must dominate
     # a uniform-random assignment by a wide margin
     assert out["is_match"].mean() > 2.0 / len(labels)
+
+
+def test_kmeans_embeddings_matches_numpy_reference():
+    """Distributed exact-integer Lloyd's equals a single-process numpy
+    replay of the same convention (micro-unit vectors, round-half-up
+    centroid means, squared-L2 argmin with first-index ties, k
+    lowest-vec_id init, integer fixed-point stop) — bit-identical, and
+    invariant to partitioning because every fold is an integer sum."""
+    k, iters = 8, 12
+    t = pq.read_table(f"{SF0001}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    E = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    M = np.floor(E * 1e6 + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    C = M[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((M * M).sum(1)[:, None] - 2 * (M @ C.T)
+              + (C * C).sum(1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        Cn = C.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                Cn[c] = np.floor(M[m].sum(axis=0) / m.sum() + 0.5
+                                 ).astype(np.int64)
+        if np.array_equal(Cn, C):
+            break
+        C = Cn
+    d2 = ((M * M).sum(1)[:, None] - 2 * (M @ C.T)
+          + (C * C).sum(1)[None, :])
+    want_assign = np.argmin(d2, axis=1)
+    want_d2 = d2[np.arange(len(ids)), want_assign]
+
+    out = (ann.kmeans_embeddings(SF0001, k=k, iters=iters).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    o = np.argsort(ids)
+    assert list(out["vec_id"]) == list(ids[o])
+    assert list(out["cluster"]) == list(want_assign[o])
+    assert list(out["dist2_micro"]) == list(want_d2[o])
+    # clusters are non-trivial on the labeled synthetic data
+    assert out["cluster"].nunique() > 1
+
+
+def test_quantile_band_docs_matches_duckdb():
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF0001}/documents.parquet')")
+    sq = con.execute("""
+        WITH q AS (
+          SELECT source,
+                 quantile_disc(n_chars, 0.05) AS lo,
+                 quantile_disc(n_chars, 0.95) AS hi
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN q USING (source)
+        WHERE d.n_chars BETWEEN q.lo AND q.hi
+        ORDER BY doc_id""").df().reset_index(drop=True)
+    ry = (text.quantile_band_docs(SF0001).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert ry[["doc_id", "source", "n_chars"]].equals(
+        sq.astype(ry.dtypes.to_dict()))
+
+
+def test_quantile_band_docs_degenerate_source(tmp_path):
+    """A source whose docs all share one length survives whole (lo ==
+    hi == the length); a two-doc source keeps only rank-ceil docs."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(6)]),
+        "source": pa.array(["a"] * 3 + ["b"] * 3),
+        "n_chars": pa.array([50, 50, 50, 10, 20, 1000], pa.int64()),
+    }), str(d / "documents.parquet"))
+    out = text.quantile_band_docs(str(d)).to_pandas()
+    a = out[out["source"] == "a"]
+    assert len(a) == 3                       # degenerate band keeps all
+    b = set(out[out["source"] == "b"]["n_chars"])
+    # lo = ceil(0.05*3)=rank 1 -> 10; hi = ceil(0.95*3)=rank 3 -> 1000
+    assert b == {10, 20, 1000}
