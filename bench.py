@@ -54,7 +54,8 @@ BENCH_QUERIES = [
     "user_type_sets", "pricing_rollup", "generation_diff_events",
     "bpe_token_count", "weighted_sample", "resize_media", "bpe_vocab",
     "volume_shipping", "large_orders", "doc_frequency", "tfidf_top_terms",
-    "dominant_supplier_parts",
+    "dominant_supplier_parts", "parts_bought_together",
+    "quantile_band_docs", "kmeans_embeddings",
 ]
 
 
