@@ -318,16 +318,19 @@ _CENTROID_EMPTY = pa.table({
 })
 
 
-def _micro_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(labels, int64 micro-unit matrix) of a batch's embedding column
-    — the shared floor(x*1e6 + 0.5) vector-rounding kernel."""
-    lab = t.column("label").to_numpy(zero_copy_only=False)
+def _micro_matrix(t: pa.Table, id_col: str = "label"
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(id column, int64 micro-unit matrix) of a batch's embedding
+    column — THE shared floor(x*1e6 + 0.5) vector-rounding kernel (one
+    copy, so centroid_assign / label_centroids / kmeans_embeddings can
+    never disagree on the convention)."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
     if t.num_rows == 0:
-        return lab, np.zeros((0, 0), np.int64)
+        return ids, np.zeros((0, 0), np.int64)
     emb = t.column("embedding").combine_chunks()
     X = (emb.flatten().to_numpy(zero_copy_only=False)
          .astype(np.float64).reshape(t.num_rows, -1))
-    return lab, np.floor(X * 1e6 + 0.5).astype(np.int64)
+    return ids, np.floor(X * 1e6 + 0.5).astype(np.int64)
 
 
 def _centroid_stats(sf_dir: str) -> pa.Table:
@@ -420,15 +423,9 @@ def centroid_assign(sf_dir: str) -> ray.data.Dataset:
 
 
 def _micro_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(vec_ids, int64 micro-unit matrix) — the label-free twin of
-    ``_micro_matrix`` (same floor(x*1e6 + 0.5) rounding kernel)."""
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-    if t.num_rows == 0:
-        return ids, np.zeros((0, 0), np.int64)
-    emb = t.column("embedding").combine_chunks()
-    X = (emb.flatten().to_numpy(zero_copy_only=False)
-         .astype(np.float64).reshape(t.num_rows, -1))
-    return ids, np.floor(X * 1e6 + 0.5).astype(np.int64)
+    """(vec_ids, int64 micro-unit matrix) — ``_micro_matrix`` keyed by
+    vec_id."""
+    return _micro_matrix(t, id_col="vec_id")
 
 
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12

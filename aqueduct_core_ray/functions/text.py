@@ -725,6 +725,11 @@ def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95
     from ray.data.aggregate import Sum
 
     def hist_partial(t: pa.Table) -> pa.Table:
+        # null source/n_chars rows can neither anchor nor pass a band
+        # (SQL: GROUP BY keeps a NULL group but JOIN USING(source) and
+        # BETWEEN both reject NULLs) — drop them from the histogram
+        t = t.filter(pc.and_(pc.is_valid(t.column("source")),
+                             pc.is_valid(t.column("n_chars"))))
         g = pa.table({
             "source": t.column("source"),
             "n_chars": t.column("n_chars"),
@@ -758,15 +763,27 @@ def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95
     def band_filter(t: pa.Table, *, ref=bands_ref) -> pa.Table:
         b = ray.get(ref) if not isinstance(ref, dict) else ref
         # dictionary-encode the source column once per batch, then one
-        # dict lookup per DISTINCT source — no per-row Python work
+        # dict lookup per DISTINCT source — no per-row Python work.
+        # Null source -> null dictionary index; null n_chars -> NaN on
+        # the numpy side: both must fail the band like SQL's
+        # JOIN/BETWEEN, so mask them explicitly.
         src = t.column("source").combine_chunks().dictionary_encode()
         uniq = src.dictionary.to_pylist()
-        lo_u = np.array([b[s][0] for s in uniq], np.int64)
-        hi_u = np.array([b[s][1] for s in uniq], np.int64)
-        codes = src.indices.to_numpy(zero_copy_only=False)
+        # a source may be absent from bands when every one of its rows
+        # had null n_chars — same rejection as a null source
+        known = np.array([s in b for s in uniq] or [False])
+        lo_u = np.array([b[s][0] if s in b else 0 for s in uniq]
+                        or [0], np.int64)
+        hi_u = np.array([b[s][1] if s in b else -1 for s in uniq]
+                        or [-1], np.int64)
+        valid = pc.is_valid(src.indices).to_numpy(zero_copy_only=False)
+        codes = (src.indices.fill_null(0)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
         nc = t.column("n_chars").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((nc >= lo_u[codes])
-                                 & (nc <= hi_u[codes])))
+        with np.errstate(invalid="ignore"):
+            keep = (valid & known[codes] & (nc >= lo_u[codes])
+                    & (nc <= hi_u[codes]))
+        return t.filter(pa.array(keep))
 
     return (read_documents(sf_dir, columns=["doc_id", "source",
                                             "n_chars"])

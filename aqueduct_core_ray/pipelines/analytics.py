@@ -2527,8 +2527,9 @@ def dominant_supplier_parts(sf_dir: str,
     (partkey, suppkey) quantity partials — no int packing, so any key
     range is safe — then ONE co-partitioned exchange on hash(partkey)
     finishes per-pair and per-part sums with two reduceats over one
-    lexsort; the majority filter runs inside the partition and only
-    qualifying rows leave."""
+    lexsort; the per-part argmax runs inside the partition, so exactly
+    one row per part leaves (callers wanting only the risk list filter
+    on is_majority == 1)."""
 
     def pair_partial(t: pa.Table) -> pa.Table:
         qty = t.column("l_quantity").to_numpy(zero_copy_only=False)

@@ -75,6 +75,47 @@ def _cluster_cpus(default: int = 32) -> int:
             if _ray.is_initialized() else default)
 
 
+def _adopted_entry(prev: dict, r: dict, path: str) -> dict:
+    """Rewrite ONE manifest entry for an adopted background result —
+    the single copy of the adoption slicing/bytes math shared by the
+    wave-path read view (path = staged rel path) and ``_adopt_into``
+    (path = promoted rel path); the two views must never be maintained
+    by hand in lockstep. ``kind='fold'``: the file REPLACES the folded
+    chain prefix, base path and its as-of-base rows/file_rows stats
+    untouched. Absorb: the file replaces the base, chain = the
+    post-basis suffix, stats become the absorb's exact accounting."""
+    prev_deltas = prev.get("deltas") or []
+    rem = prev_deltas[len(r["absorbed"]):]
+    entry = dict(prev)
+    if r.get("kind") == "fold":
+        entry["deltas"] = [{"path": path, "rows": int(r["file_rows"]),
+                            "bytes": int(r["bytes"])}] + rem
+        entry["bytes"] = (int(prev.get("bytes", 0))
+                          - sum(int(d["bytes"]) for d in
+                                prev_deltas[:len(r["absorbed"])])
+                          + int(r["bytes"]))
+    else:
+        entry["path"] = path
+        entry["deltas"] = rem
+        entry["file_rows"] = int(r["file_rows"])
+        entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
+                                               for d in rem)
+        entry["rows"] = int(r["rows"])
+    return entry
+
+
+def _merge_fan_mult(default: int = 2) -> int:
+    """Merge-fan tasks per CPU (``AQR_MERGE_FAN_MULT``). Parsed
+    defensively ONCE per call site, clamped to >=1: a malformed or
+    non-positive value must degrade to the default, never crash a wave
+    mid-replay (1/2/4 measured indistinguishable under box noise —
+    BASELINE.md)."""
+    try:
+        return max(1, int(os.environ.get("AQR_MERGE_FAN_MULT", default)))
+    except (TypeError, ValueError):
+        return default
+
+
 def default_lake_schema() -> pa.Schema:
     pay = payload_schema(CHANGE_EVENT)
     return pa.schema(list(pay) + [pa.field("last_lsn", pa.int64())])
@@ -444,31 +485,10 @@ class CDCEngine:
         adopted = (self._collect_ready_absorbs(cur)
                    if self.bg_absorb else {})
         for pid, r in adopted.items():
-            prev = parts_map[str(pid)]
-            prev_deltas = prev.get("deltas") or []
-            rem = prev_deltas[len(r["absorbed"]):]
-            entry = dict(prev)
             staged = os.path.join("_staged", r["wid"],
                                   f"p={pid:06d}.parquet")
-            if r.get("kind") == "fold":
-                # chain fold: base untouched — the staged file REPLACES
-                # the folded chain prefix; rows/file_rows keep their
-                # as-of-base staleness contract
-                entry["deltas"] = [{"path": staged,
-                                    "rows": int(r["file_rows"]),
-                                    "bytes": int(r["bytes"])}] + rem
-                entry["bytes"] = (int(prev.get("bytes", 0))
-                                  - sum(int(d["bytes"]) for d in
-                                        prev_deltas[:len(r["absorbed"])])
-                                  + int(r["bytes"]))
-            else:
-                entry["path"] = staged
-                entry["deltas"] = rem
-                entry["file_rows"] = int(r["file_rows"])
-                entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
-                                                       for d in rem)
-                entry["rows"] = int(r["rows"])
-            parts_map[str(pid)] = entry
+            parts_map[str(pid)] = _adopted_entry(parts_map[str(pid)],
+                                                 r, staged)
         # Two stages on purpose (Dataset path): a map_batches directly
         # fused onto the parquet read is invoked once per READ CHUNK
         # (~row-group), not once per block — measured 16 splitter
@@ -985,7 +1005,7 @@ class CDCEngine:
         if len(touched) and sum(len(v) for v in plans.values()) > 2_000_000:
             plans = {}
         cpus = _cluster_cpus()
-        n_tasks = max(1, min(len(touched), int(os.environ.get("AQR_MERGE_FAN_MULT", "2")) * cpus))
+        n_tasks = max(1, min(len(touched), _merge_fan_mult() * cpus))
         if n_tasks >= len(touched):
             refs = [_MERGE_TASK.remote(p, self.store.root, wave_id, sdir,
                                       parts_map.get(str(p)), b64,
@@ -1797,41 +1817,23 @@ class CDCEngine:
         for pid, r in adopted.items():
             dst = self.store.promote_staged(r["wid"], pid, gen)
             self.store.drop_staged(r["wid"])
-            prev = new_parts[str(pid)]
-            prev_deltas = prev.get("deltas") or []
-            rem = prev_deltas[len(r["absorbed"]):]
-            entry = dict(prev)
-            if r.get("kind") == "fold":
-                # fold: promoted file replaces the chain prefix; the
-                # base path and its as-of-base stats are untouched
-                entry["deltas"] = [{"path": self.store.rel(dst),
-                                    "rows": int(r["file_rows"]),
-                                    "bytes": int(r["bytes"])}] + rem
-                entry["bytes"] = (int(prev.get("bytes", 0))
-                                  - sum(int(d["bytes"]) for d in
-                                        prev_deltas[:len(r["absorbed"])])
-                                  + int(r["bytes"]))
-                new_parts[str(pid)] = entry
-                continue
-            entry["path"] = self.store.rel(dst)
-            entry["deltas"] = rem
-            entry["file_rows"] = int(r["file_rows"])
-            entry["bytes"] = int(r["bytes"]) + sum(int(d["bytes"])
-                                                   for d in rem)
-            entry["rows"] = int(r["rows"])
-            new_parts[str(pid)] = entry
-            if r["partials_json"]:
+            new_parts[str(pid)] = _adopted_entry(new_parts[str(pid)],
+                                                 r, self.store.rel(dst))
+            if r.get("kind") != "fold" and r["partials_json"]:
                 for dname, recs in _json.loads(r["partials_json"]).items():
                     new_partials.setdefault(dname, {})[str(pid)] = recs
 
     def _bg_absorb_cap(self) -> int:
-        """Max background absorbs in flight: ~1/4 of the cluster's CPUs
-        (floor 2). Uncapped launches burst O(base) rewrites across
-        every over-threshold partition at once, stealing the wave
-        tasks' cores — the absorbs' whole point is to stay OFF the
-        critical path. Capped launches smooth the rewrite work across
-        commits; the chain-fold tier bounds read amplification while a
-        partition waits its turn."""
+        """Max background absorbs in flight: HALF the cluster's CPUs
+        (floor 2; cpus//4 starved the launch queue — the 32-wave bench
+        needs ~13 absorb launches/wave at its delta/base ratio, and the
+        backlog ballooned pendings into expensive folds). Uncapped
+        launches would burst O(base) rewrites across every
+        over-threshold partition at once, stealing the wave tasks'
+        cores — the absorbs' whole point is to stay OFF the critical
+        path. Capped launches smooth the rewrite work across commits;
+        the background chain-fold tier bounds read amplification while
+        a partition waits its turn."""
         return max(2, _cluster_cpus() // 2)
 
     def _launch_absorbs(self, man: Manifest,

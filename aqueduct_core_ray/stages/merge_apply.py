@@ -829,18 +829,11 @@ def fold_chain_partition(pid: int, lake_root: str, wave_id: str,
     chain prefix) is still intact. Correct by the same ``compact_lww``
     associativity the sidecar property test pins: merge(base,
     compact(chain)) == merge(base, chain). Returns ``kind='fold'`` so
-    the adopter REPLACES the chain prefix instead of the base."""
-    tabs = [pq.read_table(os.path.join(lake_root, d["path"]))
-            for d in (entry.get("deltas") or [])]
-    merged = compact_lww(_unify_chain(tabs), policy=policy)
-    staged_dir = os.path.join(lake_root, "_staged", wave_id)
-    os.makedirs(staged_dir, exist_ok=True)
-    path = os.path.join(staged_dir, f"p={pid:06d}.parquet")
-    pq.write_table(merged, path, compression="lz4")
-    return {"pid": pid, "kind": "fold",
-            "file_rows": merged.num_rows,
-            "bytes": os.path.getsize(path),
-            "basis_path": entry["path"],
+    the adopter REPLACES the chain prefix instead of the base. The
+    fold kernel itself is ``fold_chain`` (one copy of the compression
+    / schema-unify / staging-layout choices)."""
+    r = fold_chain(pid, lake_root, wave_id, entry, policy)
+    return {**r, "kind": "fold", "basis_path": entry["path"],
             "absorbed": [d["path"] for d in (entry.get("deltas") or [])]}
 
 

@@ -962,3 +962,18 @@ def test_quantile_band_docs_degenerate_source(tmp_path):
     b = set(out[out["source"] == "b"]["n_chars"])
     # lo = ceil(0.05*3)=rank 1 -> 10; hi = ceil(0.95*3)=rank 3 -> 1000
     assert b == {10, 20, 1000}
+
+
+def test_quantile_band_docs_null_source_and_chars(tmp_path):
+    """Null source / null n_chars rows are rejected exactly like SQL's
+    JOIN USING(source) + BETWEEN (both NULL-reject) instead of
+    crashing the band lookup (found in review)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "source": pa.array(["s", "s", None, "s", "onlynull"]),
+        "n_chars": pa.array([10, 20, 15, None, None], pa.int64()),
+    }), str(d / "documents.parquet"))
+    out = text.quantile_band_docs(str(d)).to_pandas()
+    assert set(out["doc_id"]) == {"a", "b"}
