@@ -285,3 +285,41 @@ def test_bg_chain_folds(inputs, tmp_path):
     for rel in live:
         assert os.path.exists(os.path.join(bg.store.root, rel)), rel
     assert bg.lake_table().equals(before)
+
+
+def test_bg_fold_crash_orphans_are_harmless(inputs, tmp_path):
+    """Crash with background folds in flight: a fresh engine resumes
+    the replay against the same lake, completed-but-unadopted fold
+    results are invisible orphans under _staged/ (never half-applied),
+    the final state equals a sidecar-free replay, and vacuum collects
+    the orphaned staging dirs."""
+    import os
+    import ray as _ray
+    log, seed = inputs
+    root = str(tmp_path / "lake")
+    eng1 = CDCEngine(root, num_partitions=4, sidecar_frac=5.0,
+                     max_deltas=2, bg_absorb=True)
+    eng1.bootstrap(seed)
+    eng1.replay(log, SPEC.wave_bounds[:4])
+    # worst case for a crash: the fold tasks FINISH (staged files land)
+    # but the engine dies before any commit adopts them
+    refs = [v["ref"] for v in eng1._bg.values()]
+    if refs:
+        _ray.wait(refs, num_returns=len(refs))
+    del eng1                                   # crash analog: no drain
+
+    eng2 = CDCEngine(root, num_partitions=4, sidecar_frac=5.0,
+                     max_deltas=2, bg_absorb=True)
+    eng2.replay(log, SPEC.wave_bounds)         # resumes past watermark
+    eng2.drain_absorbs()
+    sync = CDCEngine(str(tmp_path / "sync"), num_partitions=4,
+                     sidecar_frac=0.0)
+    sync.bootstrap(seed)
+    sync.replay(log, SPEC.wave_bounds)
+    assert _table(eng2).equals(_table(sync))
+    assert eng2.consistency_sum() == sync.consistency_sum()
+    # the ENGINE vacuum knows its in-flight set and may sweep staging
+    # orphans (store.vacuum alone must not touch _staged)
+    eng2.vacuum(keep_generations=1)
+    staged = os.path.join(root, "_staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
