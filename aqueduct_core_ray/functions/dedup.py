@@ -33,6 +33,10 @@ import ray.data
 
 from .text import fingerprint_batch, hash_str_array, read_documents
 
+# registers ray.data.Dataset.fx_map_groups (file exchange — skips
+# Ray's ~3 s sort-shuffle floor per co-partitioned exchange)
+from ..stages import exchange as _exchange  # noqa: F401
+
 # fixed odd 64-bit mixing constants (splitmix64-flavored)
 _P1, _P2, _P3 = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -223,20 +227,42 @@ def _bucket_pairs_fn(min_est_pct: int, max_bucket: int | None = None):
 
 
 def _dedupe_pairs(ds: ray.data.Dataset,
-                  metric_col: str = "est_jaccard_pct") -> ray.data.Dataset:
-    """Same pair can surface from several buckets — keep one, via a tiny
-    multi-key NATIVE aggregate (no per-pair Python call; no packed key:
-    int packing collides once ids pass 2^31, silently dropping candidate
-    pairs). The metric is deterministic per pair (signature-derived), so
-    min() returns the one value every bucket computed."""
+                  metric_col: str = "est_jaccard_pct",
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Same pair can surface from several buckets — keep one (no packed
+    key: int packing collides once ids pass 2^31, silently dropping
+    candidate pairs). The metric is deterministic per pair
+    (signature-derived), so min() returns the one value every bucket
+    computed. One file exchange keyed by hash(a)^hash(b) — the native
+    multi-key aggregate this replaces paid Ray's ~3 s sort-shuffle
+    floor (stages/exchange.py) — then a vectorized lexsort fold per
+    partition."""
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id_a": t.column("doc_id_a"),
-                         "doc_id_b": t.column("doc_id_b"),
-                         metric_col: t.column(f"min({metric_col})")})
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_id_b").to_numpy(zero_copy_only=False)
+        pp = ((pd.util.hash_array(a.copy(), categorize=False)
+               ^ pd.util.hash_array(b.copy(), categorize=False))
+              % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(pp))
 
-    return (ds.groupby(["doc_id_a", "doc_id_b"]).min(metric_col)
-            .map_batches(rename, batch_format="pyarrow"))
+    def fold(g: pa.Table) -> pa.Table:
+        a = g.column("doc_id_a").to_numpy(zero_copy_only=False)
+        b = g.column("doc_id_b").to_numpy(zero_copy_only=False)
+        m = g.column(metric_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, m = a[order], b[order], m[order]
+        first = np.flatnonzero(np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]))
+        return pa.table({
+            "doc_id_a": pa.array(a[first]),
+            "doc_id_b": pa.array(b[first]),
+            metric_col: pa.array(np.minimum.reduceat(m, first)),
+        })
+
+    from ..stages.exchange import file_exchange_map_groups
+    return file_exchange_map_groups(
+        ds.map_batches(tag, batch_format="pyarrow"), fold)
 
 
 def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
@@ -258,8 +284,12 @@ def minhash_lsh_dedup(sf_dir: str, k: int = 64, bands: int = 16,
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = banded.groupby("bpart").map_groups(
-        _bucket_pairs_fn(min_est_pct, max_bucket), batch_format="pyarrow")
+    # file exchange, not groupby — skips Ray's ~3 s sort-shuffle floor
+    # (stages/exchange.py); bucket co-location unchanged (bpart key)
+    from ..stages.exchange import file_exchange_map_groups
+    cand = file_exchange_map_groups(
+        banded, _bucket_pairs_fn(min_est_pct, max_bucket),
+        part_col="bpart")
     return _dedupe_pairs(cand)
 
 
@@ -377,7 +407,11 @@ def _attach_shingles(pairs: ray.data.Dataset, shingles: ray.data.Dataset,
         out_cols["sh"] = dsh.take(pa.array(pos))
         return pa.table(out_cols)
 
-    return both.groupby("part").map_groups(join, batch_format="pyarrow")
+    # file exchange, not groupby: Ray's sort shuffle costs ~3 s fixed
+    # per exchange at ANY size (stages/exchange.py) — with two attach
+    # passes per verify that floor dominated the whole pipeline
+    from ..stages.exchange import file_exchange_map_groups
+    return file_exchange_map_groups(both, join)
 
 
 def ngram_jaccard_dedup(sf_dir: str, shingle: int = 3,
@@ -522,7 +556,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3,
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     cand = (ds.map_batches(to_bands, batch_format="pyarrow")
-            .groupby("bpart").map_groups(pairs, batch_format="pyarrow"))
+            .fx_map_groups(pairs, part_col="bpart"))
     return _dedupe_pairs(cand, "hamming")
 
 
@@ -617,7 +651,7 @@ def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     cand = (ds.map_batches(to_cells, batch_format="pyarrow")
-            .groupby("cell").map_groups(cell_pairs, batch_format="pyarrow"))
+            .fx_map_groups(cell_pairs, part_col="cell"))
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"vec_id_a": t.column("vec_id_a"),
@@ -795,9 +829,31 @@ def _cc_min_label(edges: ray.data.Dataset, num_partitions: int = 16,
     the label sum — labels are non-negative and only ever decrease, so
     an unchanged sum IS the fixpoint; the driver sees one scalar per
     round, never a row."""
-    from ray.data.aggregate import Sum
+    from ..stages.exchange import file_exchange_map_groups
 
     P = num_partitions
+
+    def _min_by_node(ds: ray.data.Dataset) -> ray.data.Dataset:
+        """groupby(node).min(lab) as ONE file exchange + a vectorized
+        lexsort fold — the native aggregate pays Ray's ~3 s
+        sort-shuffle floor PER ROUND of the pointer-jumping loop
+        (stages/exchange.py)."""
+        def tagn(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            return t.append_column("part", _int_part(node, P))
+
+        def fold(g: pa.Table) -> pa.Table:
+            node = g.column("node").to_numpy(zero_copy_only=False)
+            lab = g.column("lab").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lab, node))
+            node, lab = node[order], lab[order]
+            first = np.flatnonzero(np.concatenate(
+                [[True], node[1:] != node[:-1]]))
+            return pa.table({"node": pa.array(node[first]),
+                             "lab": pa.array(lab[first])})
+
+        return file_exchange_map_groups(
+            ds.map_batches(tagn, batch_format="pyarrow"), fold)
 
     def init_labels(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False)
@@ -805,13 +861,9 @@ def _cc_min_label(edges: ray.data.Dataset, num_partitions: int = 16,
         return pa.table({"node": pa.array(src),
                          "lab": pa.array(np.minimum(src, dst))})
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .groupby("node").min("lab")
-              .map_batches(lambda t: pa.table(
-                  {"node": t.column("node"),
-                   "lab": t.column("min(lab)")}),
-                  batch_format="pyarrow")
-              .materialize())
+    labels = _min_by_node(
+        edges.map_batches(init_labels,
+                          batch_format="pyarrow")).materialize()
 
     def tag_edges(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False)
@@ -871,16 +923,15 @@ def _cc_min_label(edges: ray.data.Dataset, num_partitions: int = 16,
                                             batch_format="pyarrow"))
                   .union(labels.map_batches(tag_labels,
                                             batch_format="pyarrow")))
-        msgs = tagged.groupby("part").map_groups(
-            send, batch_format="pyarrow")
-        labels = (msgs.union(labels)
-                  .groupby("node").min("lab")
-                  .map_batches(lambda t: pa.table(
-                      {"node": t.column("node"),
-                       "lab": t.column("min(lab)")}),
-                      batch_format="pyarrow")
-                  .materialize())
-        s = labels.aggregate(Sum("lab"))["sum(lab)"]
+        msgs = file_exchange_map_groups(tagged, send)  # emits (node, lab)
+        labels = _min_by_node(msgs.union(labels)).materialize()
+        # convergence scalar: bounded per-block partials, no aggregate
+        # exchange
+        s = sum(r["s"] for r in labels.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(t.column("lab").to_numpy(
+                    zero_copy_only=False).sum())], pa.int64())}),
+            batch_format="pyarrow").take_all())
         if s == prev_sum:
             return labels
         prev_sum = s
@@ -964,6 +1015,7 @@ def near_dedup_keep(sf_dir: str, shingle: int = 3,
             keep_ids = keep_ids[gone[pos] != keep_ids]
         return pa.table({"doc_id": pa.array(keep_ids)})
 
-    return (docs.map_batches(tag(0), batch_format="pyarrow")
-            .union(drops.map_batches(tag(1), batch_format="pyarrow"))
-            .groupby("part").map_groups(anti, batch_format="pyarrow"))
+    from ..stages.exchange import file_exchange_map_groups
+    return file_exchange_map_groups(
+        docs.map_batches(tag(0), batch_format="pyarrow")
+        .union(drops.map_batches(tag(1), batch_format="pyarrow")), anti)

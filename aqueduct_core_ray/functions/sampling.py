@@ -19,6 +19,10 @@ import ray.data
 
 from .text import read_documents
 
+# registers ray.data.Dataset.fx_map_groups (file exchange — skips
+# Ray's ~3 s sort-shuffle floor per co-partitioned exchange)
+from ..stages import exchange as _exchange  # noqa: F401
+
 
 def _accept(ids: np.ndarray, frac: float, seed: int) -> np.ndarray:
     h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
@@ -288,5 +292,4 @@ def epoch_shuffle(sf_dir: str, seed: int = 0,
 
     return (read_documents(sf_dir)
             .map_batches(tag, batch_format="pyarrow")
-            .groupby("spart")
-            .map_groups(order_partition, batch_format="pyarrow"))
+            .fx_map_groups(order_partition, part_col="spart"))

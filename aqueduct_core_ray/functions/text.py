@@ -19,6 +19,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
+# registers ray.data.Dataset.fx_map_groups (file exchange — skips
+# Ray's ~3 s sort-shuffle floor per co-partitioned exchange)
+from ..stages import exchange as _exchange  # noqa: F401
+
 
 def read_documents(sf_dir: str, columns: list[str] | None = None
                    ) -> ray.data.Dataset:
@@ -611,10 +615,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 5,
 
     return (read_documents(sf_dir, columns=["doc_id", "text"])
             .map_batches(tf_rows, batch_format="pyarrow")
-            .groupby("tpart").map_groups(score_rows,
-                                         batch_format="pyarrow")
-            .groupby("dpart").map_groups(topk_rows,
-                                         batch_format="pyarrow"))
+            .fx_map_groups(score_rows, part_col="tpart")
+            .fx_map_groups(topk_rows, part_col="dpart"))
 
 
 def unigram_logprob_score(sf_dir: str,
@@ -698,8 +700,7 @@ def unigram_logprob_score(sf_dir: str,
 
     return (read_documents(sf_dir, columns=["doc_id", "text"])
             .map_batches(tf_rows, batch_format="pyarrow")
-            .groupby("tpart").map_groups(score_rows,
-                                         batch_format="pyarrow")
+            .fx_map_groups(score_rows, part_col="tpart")
             .groupby("doc_id").sum(["n_tok", "score_permille"])
             .map_batches(rename, batch_format="pyarrow"))
 

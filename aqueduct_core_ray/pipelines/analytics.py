@@ -37,6 +37,13 @@ import ray.data
 _Q1_CUTOFF = np.datetime64("1998-09-02T00:00:00", "us")
 
 
+# registers ray.data.Dataset.fx_map_groups — every co-partitioned
+# exchange below runs over the FILE exchange (stages/exchange.py):
+# Ray's sort-based groupby costs ~3 s fixed per exchange at any size,
+# which dominated every one-exchange query in this module
+from ..stages import exchange as _exchange  # noqa: F401
+
+
 def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """floor(x*100 + 0.5) as int64 — the shared row-rounding convention."""
     v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -312,8 +319,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
                                         columns=ord_cols)
                   .map_batches(ord_side, batch_format="pyarrow"))
         orders = (cust_ds.union(ord_ds)
-                  .groupby("part")
-                  .map_groups(semi, batch_format="pyarrow"))
+                  .fx_map_groups(semi))
 
     def join_topk(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -351,8 +357,7 @@ def top_orders_by_revenue(sf_dir: str, segment: str = "BUILDING",
         })
 
     joined = (rev.union(orders)
-              .groupby("part")
-              .map_groups(join_topk, batch_format="pyarrow"))
+              .fx_map_groups(join_topk))
     # k·P candidate rows: fold the final rank driver-side (a second
     # exchange would cost seconds to sort a few dozen rows)
     return ray.data.from_arrow(final_topk(
@@ -543,8 +548,7 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 16,
                       columns=["o_orderkey", "o_custkey"])
                   .map_batches(ord_side, batch_format="pyarrow"))
         orders = (cust_ds.union(ord_ds)
-                  .groupby("part")
-                  .map_groups(attach_nidx, batch_format="pyarrow"))
+                  .fx_map_groups(attach_nidx))
 
     def join_agg(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -567,8 +571,7 @@ def revenue_by_nation(sf_dir: str, num_partitions: int = 16,
         })
 
     joined = (rev.union(orders)
-              .groupby("part").map_groups(join_agg,
-                                          batch_format="pyarrow"))
+              .fx_map_groups(join_agg))
     # <=25 rows per partition: fold the nation rollup driver-side
     empty = pa.table({"nidx": pa.array([], pa.int64()),
                       "rev_c": pa.array([], pa.int64())})
@@ -702,8 +705,7 @@ def top_customers_by_return_revenue(sf_dir: str, k: int = 20,
         })
 
     per_cust = (rev.union(orders)
-                .groupby("part")
-                .map_groups(join_to_cust, batch_format="pyarrow"))
+                .fx_map_groups(join_to_cust))
 
     topk_empty = pa.table({"o_custkey": pa.array([], pa.int64()),
                            "rev_c": pa.array([], pa.int64())})
@@ -720,8 +722,7 @@ def top_customers_by_return_revenue(sf_dir: str, k: int = 20,
         return pa.table({"o_custkey": pa.array(cu[head]),
                          "rev_c": pa.array(sums[head])})
 
-    cand = (per_cust.groupby("part")
-            .map_groups(local_topk, batch_format="pyarrow"))
+    cand = (per_cust.fx_map_groups(local_topk))
     t = _concat_nonempty(cand, topk_empty)
     ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
     rc = t.column("rev_c").to_numpy(zero_copy_only=False)
@@ -813,7 +814,7 @@ def customers_without_orders(sf_dir: str, since: str = "2000-01-01",
                          "acctbal_c": c.column("acctbal_c")})
 
     return (probe.union(cust)
-            .groupby("part").map_groups(anti, batch_format="pyarrow"))
+            .fx_map_groups(anti))
 
 
 def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
@@ -941,7 +942,7 @@ def small_quantity_revenue(sf_dir: str,
               f"{sf_dir}/lineitem.parquet",
               columns=["l_partkey", "l_quantity", "l_extendedprice"])
           .map_batches(tag_lines, batch_format="pyarrow")
-          .groupby("part").map_groups(fold_filter, batch_format="pyarrow"))
+          .fx_map_groups(fold_filter))
     empty = pa.table({"revenue_c": pa.array([], pa.int64()),
                       "n_lines": pa.array([], pa.int64())})
     t = _concat_nonempty(ds, empty)
@@ -1074,8 +1075,7 @@ def priority_wait_orders(sf_dir: str, date_from: str = "1996-01-01",
         })
 
     parts = (lines.union(orders)
-             .groupby("part").map_groups(late_partial,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(late_partial))
     return ray.data.from_arrow(_fold_partials(
         parts, ["o_orderpriority"], ["order_count"],
         pa.table({"o_orderpriority": pa.array([], pa.string()),
@@ -1168,8 +1168,7 @@ def ship_delay_priority(sf_dir: str, date_from: str = "1996-01-01",
         })
 
     parts = (lines.union(orders)
-             .groupby("part").map_groups(band_partial,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(band_partial))
     return ray.data.from_arrow(_fold_partials(
         parts, ["delay_band"], ["high_line_count", "low_line_count"],
         pa.table({"delay_band": pa.array([], pa.string()),
@@ -1266,8 +1265,7 @@ def _lines_with_supp_nation(sf_dir: str, lines_proj: ray.data.Dataset,
     return (supp_ds.union(
                 lines_proj.map_batches(line_side,
                                        batch_format="pyarrow"))
-            .groupby("spart")
-            .map_groups(attach_snat_ex, batch_format="pyarrow"))
+            .fx_map_groups(attach_snat_ex, part_col="spart"))
 
 
 def volume_shipping(sf_dir: str, year_from: int = 1995,
@@ -1417,8 +1415,7 @@ def volume_shipping(sf_dir: str, year_from: int = 1995,
                       columns=["o_orderkey", "o_custkey"])
                   .map_batches(ord_side, batch_format="pyarrow"))
         orders = (cust_ds.union(ord_ds)
-                  .groupby("cpart")
-                  .map_groups(attach_cnat, batch_format="pyarrow"))
+                  .fx_map_groups(attach_cnat, part_col="cpart"))
 
     def join_agg(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -1438,8 +1435,7 @@ def volume_shipping(sf_dir: str, year_from: int = 1995,
         return pa.table({"cell": pa.array(gi), "rev_c": pa.array(sums)})
 
     joined = (lines.union(orders)
-              .groupby("part").map_groups(join_agg,
-                                          batch_format="pyarrow"))
+              .fx_map_groups(join_agg))
     empty = pa.table({"cell": pa.array([], pa.int64()),
                       "rev_c": pa.array([], pa.int64())})
     folded = _fold_partials(joined, ["cell"], ["rev_c"], empty)
@@ -1561,8 +1557,7 @@ def brand_revenue_by_year(sf_dir: str, num_partitions: int = 16,
                                 "l_extendedprice", "l_discount"])
                    .map_batches(line_side, batch_format="pyarrow"))
         parts = (part_ds.union(line_ds)
-                 .groupby("part")
-                 .map_groups(attach_brand, batch_format="pyarrow"))
+                 .fx_map_groups(attach_brand))
 
     return ray.data.from_arrow(_fold_partials(
         parts, ["p_brand", "l_year"], ["revenue_c"],
@@ -1764,7 +1759,7 @@ def large_orders(sf_dir: str, min_qty_c: int = 25_000,
                            "o_orderpriority"])
               .map_batches(order_rows, batch_format="pyarrow"))
     return (lines.union(orders)
-            .groupby("part").map_groups(finish, batch_format="pyarrow"))
+            .fx_map_groups(finish))
 
 
 def nation_market_share(sf_dir: str, nation: str = "NATION_0",
@@ -1905,8 +1900,7 @@ def customer_order_distribution(sf_dir: str, num_partitions: int = 16
                                   columns=["c_custkey"])
             .map_batches(cust_rows, batch_format="pyarrow"))
     parts = (orders.union(cust)
-             .groupby("part").map_groups(hist_partial,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(hist_partial))
     return ray.data.from_arrow(_fold_partials(
         parts, ["n_orders"], ["n_customers"],
         pa.table({"n_orders": pa.array([], pa.int64()),
@@ -2035,8 +2029,7 @@ def banded_part_revenue(sf_dir: str,
                                          columns=line_cols)
                    .map_batches(line_side, batch_format="pyarrow"))
         parts = (part_ds.union(line_ds)
-                 .groupby("part").map_groups(band_fold,
-                                             batch_format="pyarrow"))
+                 .fx_map_groups(band_fold))
     pt = _concat_nonempty(parts, pa.table({
         "revenue_c": pa.array([], pa.int64()),
         "n_lines": pa.array([], pa.int64())}))
@@ -2148,8 +2141,7 @@ def lapsed_rich_customers(sf_dir: str, since: str = "1998-01-01",
         })
 
     parts = (probe.union(cust)
-             .groupby("part").map_groups(lapsed_rollup,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(lapsed_rollup))
     return ray.data.from_arrow(_fold_partials(
         parts, ["c_mktsegment"], ["n_customers", "sum_acctbal_c"],
         pa.table({"c_mktsegment": pa.array([], pa.string()),
@@ -2195,7 +2187,7 @@ def important_parts(sf_dir: str, share_denom: int = 2000,
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_extendedprice"])
             .map_batches(partial, batch_format="pyarrow")
-            .groupby("part").map_groups(finish, batch_format="pyarrow")
+            .fx_map_groups(finish)
             .materialize())
     total_c = int(sums.sum("value_c") or 0)
 
@@ -2298,9 +2290,8 @@ def supplier_count_by_part(sf_dir: str, exclude_brand: str = "Brand#1",
                  columns=["p_partkey", "p_brand", "p_size"])
              .map_batches(part_side, batch_format="pyarrow"))
     return (pairs.union(parts)
-            .groupby("part").map_groups(attach, batch_format="pyarrow")
-            .groupby("g2").map_groups(count_distinct,
-                                      batch_format="pyarrow"))
+            .fx_map_groups(attach)
+            .fx_map_groups(count_distinct, part_col="g2"))
 
 
 def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
@@ -2422,8 +2413,7 @@ def promo_revenue_share(sf_dir: str, num_partitions: int = 16,
                                 "l_extendedprice", "l_discount"])
                    .map_batches(line_side, batch_format="pyarrow"))
         parts = (part_ds.union(line_ds)
-                 .groupby("part")
-                 .map_groups(attach_flag, batch_format="pyarrow"))
+                 .fx_map_groups(attach_flag))
 
     folded = _fold_partials(
         parts, ["l_year", "l_month"],
@@ -2501,8 +2491,7 @@ def sole_late_shipper(sf_dir: str,
                  f"{sf_dir}/lineitem.parquet",
                  columns=["l_orderkey", "l_suppkey", "l_shipdate"])
              .map_batches(part_col, batch_format="pyarrow")
-             .groupby("part").map_groups(per_part,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(per_part))
     return ray.data.from_arrow(_fold_partials(
         parts, ["l_suppkey"], ["n_orders"],
         pa.table({"l_suppkey": pa.array([], pa.int64()),
@@ -2594,8 +2583,7 @@ def dominant_supplier_parts(sf_dir: str,
                 f"{sf_dir}/lineitem.parquet",
                 columns=["l_partkey", "l_suppkey", "l_quantity"])
             .map_batches(pair_partial, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part,
-                                        batch_format="pyarrow"))
+            .fx_map_groups(per_part))
 
 
 def parts_bought_together(sf_dir: str, k: int = 20,
@@ -2708,10 +2696,8 @@ def parts_bought_together(sf_dir: str, k: int = 20,
                  f"{sf_dir}/lineitem.parquet",
                  columns=["l_orderkey", "l_partkey"])
              .map_batches(order_part_partial, batch_format="pyarrow")
-             .groupby("part").map_groups(expand_pairs,
-                                         batch_format="pyarrow")
-             .groupby("part").map_groups(topk_per_partition,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(expand_pairs)
+             .fx_map_groups(topk_per_partition))
     # <= k*P candidate rows: finish the strict total order on the driver
     pt = _concat_nonempty(cands, pa.table({
         "part_a": pa.array([], pa.int64()),

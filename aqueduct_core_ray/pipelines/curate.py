@@ -35,6 +35,10 @@ import ray
 import ray.data
 
 from ..functions.dedup import build_ngram_blocklist, count_blocklist_hits
+
+# registers ray.data.Dataset.fx_map_groups (file exchange — skips
+# Ray's ~3 s sort-shuffle floor per co-partitioned exchange)
+from ..stages import exchange as _exchange  # noqa: F401
 from ..functions.text import (
     LangId,
     fingerprint_batch,
@@ -149,8 +153,7 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
         return rows.filter(pa.array(m)).drop_columns(["part", "is_doc"])
 
     deduped = (docs_tagged.union(surv_tagged)
-               .groupby("part")
-               .map_groups(filter_group, batch_format="pyarrow"))
+               .fx_map_groups(filter_group))
 
     if out_dir is not None:
         # export THROUGH the shared sharded-writer contract; the row

@@ -27,6 +27,10 @@ import ray.data
 
 from .log_queries import read_events
 
+# registers ray.data.Dataset.fx_map_groups (file exchange — skips
+# Ray's ~3 s sort-shuffle floor per co-partitioned exchange)
+from ..stages import exchange as _exchange  # noqa: F401
+
 
 def tumbling_window_counts(sf_dir: str, unit: str = "hour"
                            ) -> ray.data.Dataset:
@@ -136,7 +140,7 @@ def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
 
     ds = read_events(sf_dir, columns=["event_id", "user_id", "event_type"]
                      ).map_batches(narrow, batch_format="pyarrow")
-    return ds.groupby("part").map_groups(per_part, batch_format="pyarrow")
+    return ds.fx_map_groups(per_part)
 
 
 def hopping_window_counts(sf_dir: str, window_minutes: int = 60,
@@ -271,7 +275,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30,
 
     ds = read_events(sf_dir, columns=["event_id", "user_id", "ts"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+            .fx_map_groups(per_part))
 
 
 def value_histogram(sf_dir: str, bucket_width_cents: int = 2500
@@ -499,7 +503,7 @@ def running_total(sf_dir: str, num_partitions: int = 16
     ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
                                       "value"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+            .fx_map_groups(per_part))
 
 
 def inter_event_gaps(sf_dir: str, num_partitions: int = 16
@@ -548,7 +552,7 @@ def inter_event_gaps(sf_dir: str, num_partitions: int = 16
 
     ds = read_events(sf_dir, columns=["event_id", "user_id", "ts"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part, batch_format="pyarrow"))
+            .fx_map_groups(per_part))
 
 
 def exact_quantiles_by_type(sf_dir: str,
@@ -661,7 +665,7 @@ def user_type_sets(sf_dir: str, type_a: str = "click",
 
     ds = read_events(sf_dir, columns=["user_id", "event_type"])
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("part").map_groups(classify, batch_format="pyarrow"))
+            .fx_map_groups(classify))
 
 
 def percentile_rank(sf_dir: str) -> ray.data.Dataset:
@@ -781,8 +785,7 @@ def event_transitions(sf_dir: str,
     ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
                                       "event_type"])
     parts = (ds.map_batches(part_col, batch_format="pyarrow")
-             .groupby("part").map_groups(per_part,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(per_part))
     return ray.data.from_arrow(_fold_partials(
         parts, ["from_type", "to_type"], ["n_transitions"],
         pa.table({"from_type": pa.array([], pa.string()),
@@ -840,7 +843,7 @@ def retention_cohorts(sf_dir: str,
 
     ds = read_events(sf_dir, columns=["user_id", "ts"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part, batch_format="pyarrow")
+            .fx_map_groups(per_part)
             .groupby(["cohort_day", "offset_days"]).sum("n_users")
             .map_batches(rename, batch_format="pyarrow"))
 
@@ -915,8 +918,7 @@ def conversion_funnel(sf_dir: str, from_type: str = "click",
 
     ds = read_events(sf_dir, columns=["user_id", "ts", "event_type"])
     return (ds.map_batches(part_col, batch_format="pyarrow")
-            .groupby("part").map_groups(per_part,
-                                        batch_format="pyarrow"))
+            .fx_map_groups(per_part))
 
 
 def rolling_active_users(sf_dir: str, window_days: int = 7,
@@ -990,8 +992,7 @@ def rolling_active_users(sf_dir: str, window_days: int = 7,
     from .analytics import _concat_nonempty
     ds = read_events(sf_dir, columns=["user_id", "ts"])
     parts = (ds.map_batches(pair_partial, batch_format="pyarrow")
-             .groupby("part").map_groups(per_part,
-                                         batch_format="pyarrow"))
+             .fx_map_groups(per_part))
     pt = _concat_nonempty(parts, pa.table({
         "day": pa.array([], pa.int64()),
         "n_users": pa.array([], pa.int64()),

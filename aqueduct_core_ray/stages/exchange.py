@@ -1,0 +1,144 @@
+"""Generic file-based hash exchange for library pipelines.
+
+``ds.groupby("part").map_groups(fn)`` is the module-wide co-partition
+idiom, but Ray Data's groupby is a SORT-based shuffle with a ~3 s fixed
+floor per exchange at any data size (measured on this box; the CDC
+engine's wave path hit the same wall and replaced it with an Arrow-IPC
+file exchange — stages/merge_apply.py). This is that technique as a
+reusable primitive: writer tasks slice each block by an existing int
+``part`` column into one IPC file per block (record batch per part,
+sliced zero-copy after one stable argsort), a bounded manifest returns
+to the driver, and one raw Ray task per non-empty partition
+concatenates its slices and applies ``fn``.
+
+Placement contract (same as the engine's lake root): ``root`` must be
+on storage every worker can reach — node-local /tmp is correct in this
+repo's single-node harness, a shared filesystem/object store on a real
+cluster (``AQR_EXCHANGE_ROOT``). The exchange is a barrier, exactly
+like the groupby it replaces; spill pressure goes to the filesystem
+instead of the object store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _write_block_slices(t: pa.Table, *, xdir: str,
+                        part_col: str = "part") -> pa.Table:
+    """Writer side: one IPC file per input block, one record batch per
+    part present in the block (zero-copy slices after a single stable
+    argsort). Returns the block's manifest rows (part, path, batch)."""
+    empty = pa.table({"part": pa.array([], pa.int32()),
+                      "path": pa.array([], pa.string()),
+                      "batch": pa.array([], pa.int32())})
+    if t.num_rows == 0:
+        return empty
+    part = t.column(part_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    st = t.take(pa.array(order))
+    sp = part[order]
+    starts = np.flatnonzero(np.concatenate([[True], sp[1:] != sp[:-1]]))
+    sizes = np.diff(np.append(starts, len(sp)))
+    path = os.path.join(xdir, f"block-{uuid.uuid4().hex}.arrow")
+    tmp = path + ".tmp"
+    st = st.combine_chunks()
+    with pa.OSFile(tmp, "wb") as sink:
+        with pa.ipc.new_file(sink, st.schema) as w:
+            for s, n in zip(starts, sizes):
+                # EXACTLY one record batch per part slice — the manifest
+                # addresses slices by batch index, so write_table's
+                # chunk-dependent batch count would desync it
+                batches = st.slice(int(s), int(n)).to_batches()
+                assert len(batches) == 1      # single-chunk by combine
+                w.write_batch(batches[0])
+    os.replace(tmp, path)
+    return pa.table({
+        "part": pa.array(sp[starts].astype(np.int32)),
+        "path": pa.array([path] * len(starts)),
+        "batch": pa.array(np.arange(len(starts), dtype=np.int32)),
+    })
+
+
+@ray.remote(num_cpus=1)
+def _run_partition(fn: Callable[[pa.Table], pa.Table],
+                   entries: "list[tuple[str, int]]") -> pa.Table:
+    tabs = []
+    for path, bi in entries:
+        # buffered pread, not mmap — same finding as the engine's merge
+        # fan (per-page fault overhead under mmap_lock dominates on
+        # fresh tmpfs pages)
+        with pa.OSFile(path, "rb") as src:
+            reader = pa.ipc.open_file(src)
+            tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
+    # align by NAME order when blocks disagree (e.g. tagged-union
+    # streams of different vintages); schemas are compared by column
+    # names, never hashed — a Schema carrying parquet/pandas metadata
+    # is unhashable (dict payload)
+    names0 = tabs[0].column_names
+    if any(t.column_names != names0 for t in tabs[1:]):
+        tabs = [t.select(sorted(t.column_names)) for t in tabs]
+    return fn(pa.concat_tables(tabs, promote_options="default"))
+
+
+def file_exchange_map_groups(
+    ds: ray.data.Dataset,
+    fn: Callable[[pa.Table], pa.Table],
+    root: "str | None" = None,
+    part_col: str = "part",
+) -> ray.data.Dataset:
+    """Drop-in replacement for ``ds.groupby("part").map_groups(fn,
+    batch_format="pyarrow")`` when ``part`` is already a bounded int
+    partition id (hash %% P — the module-wide idiom): ``fn`` runs once
+    per NON-EMPTY part over the concatenation of that part's rows
+    (part column included, exactly like map_groups). Skips Ray's
+    sort-shuffle fixed floor; the exchange itself is still a barrier.
+    Exchange files are deleted before returning — the result rows ride
+    the object store."""
+    base = (root or os.environ.get("AQR_EXCHANGE_ROOT")
+            or tempfile.gettempdir())
+    xdir = os.path.join(base, f"aqr_xchg_{uuid.uuid4().hex}")
+    os.makedirs(xdir, exist_ok=True)
+    try:
+        from functools import partial as _p
+        manifest = ds.map_batches(
+            _p(_write_block_slices, xdir=xdir, part_col=part_col),
+            batch_format="pyarrow", batch_size=None).take_all()
+        plan: dict[int, list[tuple[str, int]]] = {}
+        for r in manifest:                     # bounded: blocks x parts
+            plan.setdefault(int(r["part"]), []).append(
+                (r["path"], int(r["batch"])))
+        if not plan:
+            shutil.rmtree(xdir, ignore_errors=True)
+            sample = ds.schema()
+            return ray.data.from_arrow(
+                pa.schema(sample.base_schema).empty_table()
+                if sample is not None else pa.table({}))
+        refs = [_run_partition.remote(fn, entries)
+                for _, entries in sorted(plan.items())]
+        ray.wait(refs, num_returns=len(refs))  # files consumed: safe to rm
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        shutil.rmtree(xdir, ignore_errors=True)
+
+
+def _ds_fx_map_groups(self: ray.data.Dataset, fn, part_col: str = "part"
+                      ) -> ray.data.Dataset:
+    """``ds.fx_map_groups(fn)`` == ``ds.groupby(part).map_groups(fn,
+    batch_format="pyarrow")`` over the file exchange — an EXTENSION
+    method (new attribute, nothing overridden) so the module-wide
+    groupby chain shape survives the swap verbatim."""
+    return file_exchange_map_groups(self, fn, part_col=part_col)
+
+
+ray.data.Dataset.fx_map_groups = _ds_fx_map_groups

@@ -1,0 +1,78 @@
+"""file_exchange_map_groups must be a drop-in for
+groupby('part').map_groups(fn): identical results on random data,
+multi-block inputs, and unioned tagged streams (the _attach_shingles
+shape)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from aqueduct_core_ray.stages.exchange import file_exchange_map_groups
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def _make_fn():
+    # a CLOSURE, like every library call site: Ray cloudpickles it by
+    # value (a module-level test function would pickle by reference and
+    # fail to import on workers)
+    def fn(g: pa.Table) -> pa.Table:
+        part = g.column("part").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        assert (part == part[0]).all()        # co-partitioned
+        return pa.table({"part": pa.array([int(part[0])], pa.int32()),
+                         "n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([int(v.sum())], pa.int64())})
+    return fn
+
+
+def _ref(df: pd.DataFrame) -> pd.DataFrame:
+    out = (df.groupby("part").agg(n=("v", "size"), s=("v", "sum"))
+           .reset_index())
+    out["part"] = out["part"].astype("int32")
+    return _canon(out)
+
+
+def test_file_exchange_equals_groupby_reference():
+    rng = np.random.default_rng(7)
+    n = 20_000
+    t = pa.table({
+        "part": pa.array(rng.integers(0, 13, n).astype(np.int32)),
+        "v": pa.array(rng.integers(-1000, 1000, n).astype(np.int64)),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = _canon(file_exchange_map_groups(ds, _make_fn()).to_pandas())
+    assert got.equals(_ref(t.to_pandas()))
+
+
+def test_file_exchange_union_of_tagged_streams():
+    a = pa.table({
+        "part": pa.array((np.arange(6) % 3).astype(np.int32)),
+        "v": pa.array(np.arange(6, dtype=np.int64)),
+    })
+    b = pa.table({
+        "part": pa.array(((np.arange(9) + 1) % 3).astype(np.int32)),
+        "v": pa.array(10 * np.arange(9, dtype=np.int64)),
+    })
+    ds = ray.data.from_arrow(a).union(ray.data.from_arrow(b))
+    got = _canon(file_exchange_map_groups(ds, _make_fn()).to_pandas())
+    want = _ref(pd.concat([a.to_pandas(), b.to_pandas()]))
+    assert got.equals(want)
+
+
+def test_file_exchange_sparse_parts():
+    """Only parts that exist get a group (same as groupby), and a part
+    spread across many blocks folds into one group."""
+    t = pa.table({
+        "part": pa.array(np.array([5] * 40 + [9] * 2, np.int32)),
+        "v": pa.array(np.arange(42, dtype=np.int64)),
+    })
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = file_exchange_map_groups(ds, _make_fn()).to_pandas()
+    assert sorted(got["part"]) == [5, 9]
+    assert int(got[got["part"] == 5]["n"].iloc[0]) == 40
