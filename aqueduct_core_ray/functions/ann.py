@@ -432,6 +432,52 @@ def _micro_vectors(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return _micro_matrix(t, id_col="vec_id")
 
 
+def _kmeans_seed_block(t: pa.Table, k: int):
+    """Per-block init candidates: the k lowest-vec_id micro vectors."""
+    ids, M = _micro_vectors(t)
+    if len(ids) == 0:
+        return None
+    keep = np.argsort(ids)[:k]
+    return ids[keep].astype(np.int64), M[keep]
+
+
+def _kmeans_dist2(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    return ((M * M).sum(1)[:, None] - 2 * (M @ C.T)
+            + (C * C).sum(1)[None, :])
+
+
+def _kmeans_iter_block(t: pa.Table, C: np.ndarray):
+    """One Lloyd's step over one block: (k x dim sums, k counts)."""
+    ids, M = _micro_vectors(t)
+    if len(ids) == 0:
+        return None
+    assign = np.argmin(_kmeans_dist2(M, C), axis=1)  # ties -> smallest
+    sums = np.zeros((len(C), M.shape[1]), np.int64)
+    np.add.at(sums, assign, M)
+    return sums, np.bincount(assign, minlength=len(C)).astype(np.int64)
+
+
+def _kmeans_assign_block(t: pa.Table, C: np.ndarray) -> pa.Table:
+    ids, M = _micro_vectors(t)
+    if len(ids) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64()),
+                         "dist2_micro": pa.array([], pa.int64())})
+    d2 = _kmeans_dist2(M, C)
+    assign = np.argmin(d2, axis=1)
+    return pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "cluster": pa.array(assign.astype(np.int64)),
+        "dist2_micro": pa.array(d2[np.arange(len(ids)),
+                                   assign].astype(np.int64)),
+    })
+
+
+_KM_SEED = ray.remote(num_cpus=1)(_kmeans_seed_block)
+_KM_ITER = ray.remote(num_cpus=1)(_kmeans_iter_block)
+_KM_ASSIGN = ray.remote(num_cpus=1)(_kmeans_assign_block)
+
+
 def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12
                       ) -> ray.data.Dataset:
     """Distributed Lloyd's k-means over the FULL embedding table in
@@ -446,106 +492,46 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12
     is a clean integer fixed-point test (C_new == C_old). Returns
     (vec_id, cluster, dist2_micro) distributed.
 
-    Scale shape: per iteration ONE streaming pass — each block
-    collapses to k x dim integer partial rows (np.add.at scatter, int64
-    matmul for the distance term; |x|<=1e6 micro-units x dim 64 stays
-    far under int64), the driver folds O(k x dim x blocks) rows and
-    rebroadcasts the k x dim centroid matrix via ray.put. Vectors never
-    leave their blocks; there is no shuffle at any step. Init is
+    Scale shape: the table is read ONCE (block refs pinned in the
+    object store); each iteration is one fan of RAW per-block tasks —
+    a block collapses to a (k x dim) integer partial (np.add.at
+    scatter, int64 matmul for the distance term; |x|<=1e6 micro-units
+    x dim 64 stays far under int64), the driver folds B such partials
+    and rebroadcasts the k x dim centroid matrix via ray.put. Vectors
+    never leave their blocks; there is no shuffle at any step. Raw
+    tasks, not per-iteration Dataset plans: a map_batches pass costs
+    ~1 s of plan/schedule overhead PER ITERATION (measured 15.8 s for
+    13 passes at sf0.1), the task fan costs milliseconds. Init is
     deterministic: the k lowest-vec_id vectors (a bounded per-block
     top-k fold, no full read)."""
     import ray
 
-    ds = _read_embeddings(sf_dir)
+    blocks = _read_embeddings(sf_dir).to_arrow_refs()   # read ONCE
 
-    def init_partial(t: pa.Table) -> pa.Table:
-        ids, M = _micro_vectors(t)
-        if len(ids) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.list_(pa.int64()))})
-        keep = np.argsort(ids)[:k]
-        return pa.table({
-            "vec_id": pa.array(ids[keep].astype(np.int64)),
-            "vec": pa.array(list(M[keep])),
-        })
-
-    seeds = ds.map_batches(init_partial, batch_format="pyarrow") \
-              .take_all()                      # <= k x blocks tiny rows
-    if not seeds:
+    seed_parts = ray.get([_KM_SEED.remote(b, k) for b in blocks])
+    seed_parts = [p for p in seed_parts if p is not None]
+    if not seed_parts:
         return ray.data.from_arrow(pa.table({
             "vec_id": pa.array([], pa.int64()),
             "cluster": pa.array([], pa.int64()),
             "dist2_micro": pa.array([], pa.int64())}))
-    seeds.sort(key=lambda r: r["vec_id"])
-    C = np.stack([np.asarray(r["vec"], np.int64)
-                  for r in seeds[:k]])
-    D = C.shape[1]
+    ids = np.concatenate([p[0] for p in seed_parts])
+    vecs = np.concatenate([p[1] for p in seed_parts])
+    C = vecs[np.argsort(ids)[:k]].copy()
 
-    def iter_partial(t: pa.Table, *, ref) -> pa.Table:
-        Ck = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        ids, M = _micro_vectors(t)
-        if len(ids) == 0:
-            return pa.table({"cluster": pa.array([], pa.int64()),
-                             "dim": pa.array([], pa.int64()),
-                             "sum_micro": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        d2 = ((M * M).sum(1)[:, None] - 2 * (M @ Ck.T)
-              + (Ck * Ck).sum(1)[None, :])
-        assign = np.argmin(d2, axis=1)        # ties -> smallest index
-        kk = len(Ck)
-        sums = np.zeros((kk, M.shape[1]), np.int64)
-        np.add.at(sums, assign, M)
-        n = np.bincount(assign, minlength=kk).astype(np.int64)
-        return pa.table({
-            "cluster": pa.array(np.repeat(np.arange(kk, dtype=np.int64),
-                                          M.shape[1])),
-            "dim": pa.array(np.tile(np.arange(M.shape[1],
-                                              dtype=np.int64), kk)),
-            "sum_micro": pa.array(sums.reshape(-1)),
-            "n": pa.array(np.repeat(n, M.shape[1])),
-        })
-
-    from functools import partial as _p
-
-    from ..pipelines.analytics import _fold_partials
-    empty = pa.table({"cluster": pa.array([], pa.int64()),
-                      "dim": pa.array([], pa.int64()),
-                      "sum_micro": pa.array([], pa.int64()),
-                      "n": pa.array([], pa.int64())})
     for _ in range(iters):
         ref = ray.put(C)
-        folded = _fold_partials(
-            ds.map_batches(_p(iter_partial, ref=ref),
-                           batch_format="pyarrow"),
-            ["cluster", "dim"], ["sum_micro", "n"], empty).to_pandas()
-        folded = folded.sort_values(["cluster", "dim"])
+        outs = ray.get([_KM_ITER.remote(b, ref) for b in blocks])
+        outs = [o for o in outs if o is not None]
+        sums = np.sum([o[0] for o in outs], axis=0)
+        n = np.sum([o[1] for o in outs], axis=0)
         Cn = C.copy()
-        for c, g in folded.groupby("cluster", sort=True):
-            nv = int(g["n"].iloc[0])
-            if nv > 0:
-                s = g["sum_micro"].to_numpy()
-                Cn[int(c)] = np.floor(s / nv + 0.5).astype(np.int64)
+        nz = n > 0
+        Cn[nz] = np.floor(sums[nz] / n[nz, None] + 0.5).astype(np.int64)
         if np.array_equal(Cn, C):
             break                              # integer fixed point
         C = Cn
 
     ref = ray.put(C)
-
-    def final_assign(t: pa.Table, *, ref=ref) -> pa.Table:
-        Ck = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        ids, M = _micro_vectors(t)
-        if len(ids) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cluster": pa.array([], pa.int64()),
-                             "dist2_micro": pa.array([], pa.int64())})
-        d2 = ((M * M).sum(1)[:, None] - 2 * (M @ Ck.T)
-              + (Ck * Ck).sum(1)[None, :])
-        assign = np.argmin(d2, axis=1)
-        return pa.table({
-            "vec_id": pa.array(ids.astype(np.int64)),
-            "cluster": pa.array(assign.astype(np.int64)),
-            "dist2_micro": pa.array(d2[np.arange(len(ids)),
-                                       assign].astype(np.int64)),
-        })
-
-    return ds.map_batches(final_assign, batch_format="pyarrow")
+    return ray.data.from_arrow_refs(
+        [_KM_ASSIGN.remote(b, ref) for b in blocks])
