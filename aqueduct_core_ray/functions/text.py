@@ -742,11 +742,12 @@ def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95
             "n": g.column("n_sum"),
         })
 
-    hist = (read_documents(sf_dir, columns=["source", "n_chars"])
-            .map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["source", "n_chars"]).aggregate(Sum("n"))
-            .to_pandas())             # bounded: domain x sources rows
-    hist = hist.rename(columns={"sum(n)": "n"})
+    from ..stages.exchange import fx_sum_by
+    hist = fx_sum_by(
+        read_documents(sf_dir, columns=["source", "n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow"),
+        ["source", "n_chars"], ["n"]
+    ).to_pandas()                     # bounded: domain x sources rows
     bands: dict[str, tuple[int, int]] = {}
     for src, g in hist.groupby("source", sort=False):
         g = g.sort_values("n_chars")

@@ -139,10 +139,17 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
         return pa.table({"rp": pa.array(u.astype(np.int64)),
                          "nbytes": pa.array(sums.astype(np.int64))})
 
-    per_rp = (read_events(sf_dir, columns=["event_id", "props"])
-              .map_batches(rp_partials, batch_format="pyarrow")
-              .groupby("rp").sum("nbytes").take_all())
-    per_rp.sort(key=lambda r: r["rp"])
+    # <= max_ranges partial rows per BLOCK: fold them on the driver
+    # (bounded), skipping the native aggregate's sort-shuffle floor
+    part_rows = (read_events(sf_dir, columns=["event_id", "props"])
+                 .map_batches(rp_partials, batch_format="pyarrow")
+                 .take_all())
+    totals_fold: dict[int, int] = {}
+    for r in part_rows:
+        rp_k = int(r["rp"])
+        totals_fold[rp_k] = totals_fold.get(rp_k, 0) + int(r["nbytes"])
+    per_rp = [{"rp": rp_k, "sum(nbytes)": v}
+              for rp_k, v in sorted(totals_fold.items())]
     offsets, run = {}, 0
     for r in per_rp:
         offsets[int(r["rp"])] = run
@@ -191,9 +198,9 @@ def byte_cap_prefix(sf_dir: str, cap: int | None = None,
             .map_batches(lambda t: t.append_column(
                 "g", pa.array(np.zeros(t.num_rows, np.int8))),
                 batch_format="pyarrow")
-            .groupby("g")
-            .map_groups(lambda t: prefix_rows(t.drop_columns(["g"])),
-                        batch_format="pyarrow"))
+            .fx_map_groups(
+                lambda t: prefix_rows(t.drop_columns(["g"])),
+                part_col="g"))
     return out.union(edge)
 
 

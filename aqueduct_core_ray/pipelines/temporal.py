@@ -591,11 +591,12 @@ def exact_quantiles_by_type(sf_dir: str,
             "n": agg.column("n_sum"),
         })
 
-    hist = (read_events(sf_dir, columns=["event_type", "value"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "value_c"]).aggregate(Sum("n"))
-            .to_pandas())            # bounded: domain x types rows
-    hist = hist.rename(columns={"sum(n)": "n"})
+    from ..stages.exchange import fx_sum_by
+    hist = fx_sum_by(
+        read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_c"], ["n"]
+    ).to_pandas()                    # bounded: domain x types rows
     out_t, out_q, out_v = [], [], []
     for et, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("value_c")
@@ -701,10 +702,11 @@ def percentile_rank(sf_dir: str) -> ray.data.Dataset:
             "n": agg.column("n_sum"),
         })
 
-    hist = (read_events(sf_dir, columns=["event_type", "value"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "value_c"]).aggregate(Sum("n"))
-            .to_pandas().rename(columns={"sum(n)": "n"}))
+    from ..stages.exchange import fx_sum_by
+    hist = fx_sum_by(
+        read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_c"], ["n"]).to_pandas()
     lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
     for et, g in hist.groupby("event_type"):
         g = g.sort_values("value_c")

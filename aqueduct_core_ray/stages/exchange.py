@@ -142,3 +142,35 @@ def _ds_fx_map_groups(self: ray.data.Dataset, fn, part_col: str = "part"
 
 
 ray.data.Dataset.fx_map_groups = _ds_fx_map_groups
+
+
+def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
+              sums: "list[str]",
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """``ds.groupby(keys).sum(sums)`` over the file exchange — for
+    UNBOUNDED-cardinality grouped sums where a driver fold
+    (analytics._fold_partials) would not be scale-safe and the native
+    Aggregate pays the sort-shuffle floor. Output columns keep the
+    input names (no "sum(x)" renames)."""
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = None
+        for k in keys:
+            hk = pd.util.hash_array(
+                t.column(k).to_numpy(zero_copy_only=False).copy(),
+                categorize=False)
+            h = hk if h is None else (
+                (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_partitions))
+                             .astype(np.int32)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        agg = (g.drop_columns(["part"]).group_by(keys)
+               .aggregate([(c, "sum") for c in sums]))
+        return pa.table({**{k: agg.column(k) for k in keys},
+                         **{c: agg.column(f"{c}_sum") for c in sums}})
+
+    return file_exchange_map_groups(
+        ds.map_batches(tag, batch_format="pyarrow"), fold)
