@@ -5,7 +5,8 @@ Jaccard verification, and embedding-cosine near-dup.
 Scale design (100 TB framing):
 
 - exact dedup: md5(text) computed per batch -> hash shuffle on the
-  16-byte digest (never on the full text) -> per-group min(doc_id).
+  16-byte digest (never on the full text) -> per-group min(doc_id)
+  over the file exchange (stages/exchange.py).
 - MinHash/SimHash: signatures are computed fully vectorized per batch
   (numpy ``minimum.reduceat`` over flattened shingle hashes — no Python
   row loop); LSH banding emits (bucket, doc_id, sig) rows — the compact
@@ -50,17 +51,19 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     per distinct text, keyed by md5 so the shuffle moves digests, not
     documents. Returns (doc_id, fp).
 
-    Native ``groupby(fp).min(doc_id)`` aggregate — hash-shuffled partial
-    mins, no per-group Python call (the round-1 ``map_groups(keep_min)``
-    was one interpreter call per distinct text: a wall at 10^9 groups)."""
+    ``fx_agg_by(fp).min(doc_id)`` over the file exchange — hash-
+    partitioned Arrow-native partial mins, no per-group Python call
+    (the round-1 ``map_groups(keep_min)`` was one interpreter call per
+    distinct text: a wall at 10^9 groups) and no sort-shuffle floor."""
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
     fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
     def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t.column("min(doc_id)"),
+        return pa.table({"doc_id": t.column("doc_id"),
                          "fp": t.column("fp")})
 
-    return fps.groupby("fp").min("doc_id").map_batches(
+    from ..stages.exchange import fx_agg_by
+    return fx_agg_by(fps, ["fp"], [("doc_id", "min")]).map_batches(
         rename, batch_format="pyarrow")
 
 
@@ -653,13 +656,9 @@ def embedding_ann_dedup(sf_dir: str, threshold_pct: int = 35,
     cand = (ds.map_batches(to_cells, batch_format="pyarrow")
             .fx_map_groups(cell_pairs, part_col="cell"))
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"vec_id_a": t.column("vec_id_a"),
-                         "vec_id_b": t.column("vec_id_b"),
-                         "sim_pct": t.column("min(sim_pct)")})
-
-    return (cand.groupby(["vec_id_a", "vec_id_b"]).min("sim_pct")
-            .map_batches(rename, batch_format="pyarrow"))
+    from ..stages.exchange import fx_agg_by
+    return fx_agg_by(cand, ["vec_id_a", "vec_id_b"],
+                     [("sim_pct", "min")])
 
 
 # --------------------------------------------------------------------- #
@@ -768,11 +767,12 @@ def remove_boilerplate_lines(sf_dir: str, min_docs: int = 2,
         return pa.table({"line_h": pa.array(uh.view(np.int64)),
                          "nd": pa.array(nd.astype(np.int64))})
 
-    freq = ds.map_batches(line_freq, batch_format="pyarrow") \
-             .groupby("line_h").sum("nd")
+    from ..stages.exchange import fx_sum_by
+    freq = fx_sum_by(ds.map_batches(line_freq, batch_format="pyarrow"),
+                     ["line_h"], ["nd"])
 
     def common_only(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t.column("sum(nd)"), min_docs)
+        keep = pc.greater_equal(t.column("nd"), min_docs)
         return pa.table({"line_h": t.filter(keep).column("line_h")})
 
     common_df = freq.map_batches(common_only,

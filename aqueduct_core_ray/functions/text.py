@@ -498,7 +498,7 @@ def doc_frequency(sf_dir: str, k: int = 20) -> ray.data.Dataset:
                          "df": agg.column("d_count")})
 
     def local_topk(t: pa.Table) -> pa.Table:
-        cnt = t.column("sum(df)").to_numpy(zero_copy_only=False)
+        cnt = t.column("df").to_numpy(zero_copy_only=False)
         tok = t.column("token").to_numpy(zero_copy_only=False)
         order = np.lexsort((tok, -cnt))[:k]
         return pa.table({
@@ -506,10 +506,12 @@ def doc_frequency(sf_dir: str, k: int = 20) -> ray.data.Dataset:
             "df": pa.array(cnt[order].astype(np.int64)),
         })
 
-    total = (read_documents(sf_dir, columns=["text"])
-             .map_batches(df_partial, batch_format="pyarrow")
-             .groupby("token").sum("df")
-             .map_batches(local_topk, batch_format="pyarrow"))
+    from ..stages.exchange import fx_sum_by
+    total = fx_sum_by(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(df_partial, batch_format="pyarrow"),
+        ["token"], ["df"]
+    ).map_batches(local_topk, batch_format="pyarrow")
     # driver fold of <= k x blocks candidate rows: exact global top-k
     tables = [t for t in ray.get(total.to_arrow_refs()) if t.num_rows]
     cand = (pa.concat_tables(tables, promote_options="default")
@@ -695,14 +697,12 @@ def unigram_logprob_score(sf_dir: str,
             "score_permille": pa.array(tf * lp),
         })
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["doc_id", "n_tok", "score_permille"])
-
-    return (read_documents(sf_dir, columns=["doc_id", "text"])
-            .map_batches(tf_rows, batch_format="pyarrow")
-            .fx_map_groups(score_rows, part_col="tpart")
-            .groupby("doc_id").sum(["n_tok", "score_permille"])
-            .map_batches(rename, batch_format="pyarrow"))
+    from ..stages.exchange import fx_sum_by
+    return fx_sum_by(
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+        .fx_map_groups(score_rows, part_col="tpart"),
+        ["doc_id"], ["n_tok", "score_permille"])
 
 
 def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95

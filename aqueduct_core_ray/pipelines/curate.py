@@ -118,10 +118,11 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
         return t.append_column(
             "part", pa.array((h % np.uint64(P)).astype(np.int32)))
 
-    survivors = (kept.select_columns(["fp", "doc_id"])
-                 .groupby("fp").min("doc_id")
+    from ..stages.exchange import fx_agg_by
+    survivors = (fx_agg_by(kept.select_columns(["fp", "doc_id"]),
+                           ["fp"], [("doc_id", "min")])
                  .map_batches(lambda t: pa.table(
-                     {"doc_id": t.column("min(doc_id)")}),
+                     {"doc_id": t.column("doc_id")}),
                      batch_format="pyarrow"))
 
     # co-partitioned semi-join: union-tag docs (is_doc=1) and survivor

@@ -60,25 +60,17 @@ def tumbling_window_counts(sf_dir: str, unit: str = "hour"
             "sum_cents": agg.column("cents_sum"),
         })
 
-    from ray.data.aggregate import Sum
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start": t.column("window_start"),
-            "event_type": t.column("event_type"),
-            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
-            "sum_cents": t.column("sum(sum_cents)").cast(pa.int64()),
-        })
+    from ..stages.exchange import fx_sum_by
 
     ds = read_events(sf_dir, columns=["ts", "event_type", "value"])
     partial = ds.map_batches(prebucket, batch_format="pyarrow",
                              batch_size=None)
-    # NATIVE multi-agg fold: the (window, type) group count grows with
-    # the time range — a per-group Python call would be a wall at years
-    # of hourly windows
-    return (partial.groupby(["window_start", "event_type"])
-            .aggregate(Sum("n_rows"), Sum("sum_cents"))
-            .map_batches(rename, batch_format="pyarrow"))
+    # file-exchange multi-agg fold: the (window, type) group count
+    # grows with the time range — a per-group Python call would be a
+    # wall at years of hourly windows, and the native Aggregate pays
+    # the sort-shuffle floor
+    return fx_sum_by(partial, ["window_start", "event_type"],
+                     ["n_rows", "sum_cents"])
 
 
 def asof_join_prior(sf_dir: str, probe_type: str = "purchase",
@@ -177,19 +169,13 @@ def hopping_window_counts(sf_dir: str, window_minutes: int = 60,
             "n_rows": agg.column("event_type_count"),
         })
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start": t.column("window_start"),
-            "event_type": t.column("event_type"),
-            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
-        })
+    from ..stages.exchange import fx_sum_by
 
     ds = read_events(sf_dir, columns=["ts", "event_type"])
     partial = ds.map_batches(prebucket, batch_format="pyarrow",
                              batch_size=None)
-    return (partial.groupby(["window_start", "event_type"])
-            .aggregate(Sum("n_rows"))
-            .map_batches(rename, batch_format="pyarrow"))
+    return fx_sum_by(partial, ["window_start", "event_type"],
+                     ["n_rows"])
 
 
 # deterministic value bands for the broadcast range join (mirrored
@@ -218,17 +204,12 @@ def range_join_value_bands(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"band": agg.column("band"),
                          "n_rows": agg.column("band_count")})
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "band": t.column("band"),
-            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
-        })
+    from ..stages.exchange import fx_sum_by
 
     ds = read_events(sf_dir, columns=["value"])
     partial = ds.map_batches(bandify, batch_format="pyarrow",
                              batch_size=None)
-    return (partial.groupby("band").sum("n_rows")
-            .map_batches(rename, batch_format="pyarrow"))
+    return fx_sum_by(partial, ["band"], ["n_rows"])
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30,
@@ -299,18 +280,12 @@ def value_histogram(sf_dir: str, bucket_width_cents: int = 2500
             "n_rows": agg.column("bucket_count"),
         })
 
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t.column("event_type"),
-            "bucket": t.column("bucket"),
-            "n_rows": t.column("sum(n_rows)").cast(pa.int64()),
-        })
+    from ..stages.exchange import fx_sum_by
 
     ds = read_events(sf_dir, columns=["event_type", "value"])
     partial = ds.map_batches(prebucket, batch_format="pyarrow",
                              batch_size=None)
-    return (partial.groupby(["event_type", "bucket"]).sum("n_rows")
-            .map_batches(rename, batch_format="pyarrow"))
+    return fx_sum_by(partial, ["event_type", "bucket"], ["n_rows"])
 
 
 def distinct_users_by_type(sf_dir: str) -> ray.data.Dataset:
@@ -840,14 +815,13 @@ def retention_cohorts(sf_dir: str,
             "n_users": pa.array(cnt.astype(np.int64)),
         })
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["cohort_day", "offset_days", "n_users"])
+    from ..stages.exchange import fx_sum_by
 
     ds = read_events(sf_dir, columns=["user_id", "ts"])
-    return (ds.map_batches(part_col, batch_format="pyarrow")
-            .fx_map_groups(per_part)
-            .groupby(["cohort_day", "offset_days"]).sum("n_users")
-            .map_batches(rename, batch_format="pyarrow"))
+    return fx_sum_by(
+        ds.map_batches(part_col, batch_format="pyarrow")
+        .fx_map_groups(per_part),
+        ["cohort_day", "offset_days"], ["n_users"])
 
 
 def conversion_funnel(sf_dir: str, from_type: str = "click",

@@ -144,13 +144,16 @@ def _ds_fx_map_groups(self: ray.data.Dataset, fn, part_col: str = "part"
 ray.data.Dataset.fx_map_groups = _ds_fx_map_groups
 
 
-def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
-              sums: "list[str]",
+def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
+              aggs: "list[tuple[str, str]]",
               num_partitions: int = 16) -> ray.data.Dataset:
-    """``ds.groupby(keys).sum(sums)`` over the file exchange — for
-    UNBOUNDED-cardinality grouped sums where a driver fold
+    """``ds.groupby(keys).aggregate(...)`` over the file exchange —
+    for UNBOUNDED-cardinality grouped aggregates where a driver fold
     (analytics._fold_partials) would not be scale-safe and the native
-    Aggregate pays the sort-shuffle floor. Output columns keep the
+    Aggregate pays the sort-shuffle floor. ``aggs`` are Arrow group_by
+    (column, kind) pairs with kind in {sum, min, max, count}; kinds
+    must be re-foldable over partials (they are — callers feed
+    per-block partials of the same kind). Output columns keep the
     input names (no "sum(x)" renames)."""
     import pandas as pd
 
@@ -168,9 +171,18 @@ def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
 
     def fold(g: pa.Table) -> pa.Table:
         agg = (g.drop_columns(["part"]).group_by(keys)
-               .aggregate([(c, "sum") for c in sums]))
+               .aggregate(aggs))
         return pa.table({**{k: agg.column(k) for k in keys},
-                         **{c: agg.column(f"{c}_sum") for c in sums}})
+                         **{c: agg.column(f"{c}_{kind}")
+                            for c, kind in aggs}})
 
     return file_exchange_map_groups(
         ds.map_batches(tag, batch_format="pyarrow"), fold)
+
+
+def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
+              sums: "list[str]",
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """``ds.groupby(keys).sum(sums)`` over the file exchange."""
+    return fx_agg_by(ds, keys, [(c, "sum") for c in sums],
+                     num_partitions)
