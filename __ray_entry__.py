@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_supplier_parts": partial(an.dominant_supplier_parts),
         "parts_bought_together": partial(an.parts_bought_together),
         "quantile_band_docs": partial(text.quantile_band_docs),
+        "min_cost_supplier": partial(an.min_cost_supplier),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1361,6 +1362,26 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM p GROUP BY 1, 2
             ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+        "min_cost_supplier": """
+            WITH elig AS (
+              SELECT p_partkey FROM part
+              WHERE p_size >= 25 AND p_type = 'STANDARD'),
+            pairs AS (
+              SELECT l_partkey pk, l_suppkey sk,
+                     min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))
+                       AS minp
+              FROM lineitem JOIN elig ON p_partkey = l_partkey
+              GROUP BY 1, 2),
+            win AS (
+              SELECT pk, sk, minp,
+                     row_number() OVER (
+                       PARTITION BY pk ORDER BY minp, sk) AS rn
+              FROM pairs)
+            SELECT pk AS p_partkey, sk AS s_suppkey, s_name, n_name,
+                   minp AS min_price_c
+            FROM win JOIN supplier ON s_suppkey = sk
+                     JOIN nation ON n_nationkey = s_nationkey
+            WHERE rn = 1""",
         # per-source [p5, p95] n_chars band filter (quantile_disc
         # semantics: element at rank ceil(q*n))
         "quantile_band_docs": """

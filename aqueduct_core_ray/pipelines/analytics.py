@@ -2709,3 +2709,246 @@ def parts_bought_together(sf_dir: str, k: int = 20,
     n = pt.column("n_orders").to_numpy(zero_copy_only=False)
     top = np.lexsort((b, a, -n))[:k]
     return pt.take(pa.array(top))
+
+
+def min_cost_supplier(sf_dir: str, min_size: int = 25,
+                      ptype: str = "STANDARD",
+                      num_partitions: int = 16,
+                      broadcast_threshold: int = BROADCAST_ROW_LIMIT
+                      ) -> ray.data.Dataset:
+    """TPC-H Q2-flavor minimum-cost supplier: for every part passing
+    the (p_size >= min_size, p_type == ptype) filter, the supplier
+    offering the LOWEST single-line price (integer cents of
+    l_extendedprice, shared floor(x*100+0.5) convention; ties break to
+    the smallest suppkey), with the winner's name and nation attached.
+    The reference has no relational catalog queries — this belongs to
+    the analytical surface the lake serves (SURVEY.md §2.5 analog;
+    reference aggregate shape PostgresqlStorage.java:446-467 is
+    key-grouped min/max like this one). Returns (p_partkey, s_suppkey,
+    s_name, n_name, min_price_c), exactly one row per eligible part
+    with at least one line, as a DISTRIBUTED dataset (output scales
+    with parts — never driver-folded).
+
+    Scale shape: part eligibility and the supplier attach are both
+    SIZE-GATED. Under ``broadcast_threshold`` rows the eligible-partkey
+    set / the (suppkey -> name, nationkey) lookup broadcast once via
+    ``ray.put`` (sorted-array membership / searchsorted map per batch);
+    above, each becomes ONE co-partitioned union-tag exchange —
+    hash(partkey) to filter + finish the per-part argmin, hash(suppkey)
+    to attach the winner's attributes — so neither table ever lands on
+    the driver. Per-block native Arrow group_by collapses lines to
+    (partkey, suppkey) min-price partials before anything moves;
+    nation (<=25 rows) is always a driver-side name map."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nn = int(nat["n_nationkey"].max()) + 1
+    nat_names = np.empty(nn, object)
+    nat_names[nat["n_nationkey"].to_numpy()] = nat["n_name"].to_numpy()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        """lines -> per-block (partkey, suppkey) min-price partials."""
+        g = pa.table({
+            "pk": t.column("l_partkey"),
+            "sk": t.column("l_suppkey"),
+            "minp_c": pa.array(_cents(t.column("l_extendedprice"))),
+        }).group_by(["pk", "sk"]).aggregate([("minp_c", "min")])
+        keys = g.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _hash_part(keys, num_partitions),
+            "pk": g.column("pk"),
+            "sk": g.column("sk"),
+            "minp_c": g.column("minp_c_min"),
+        })
+
+    def argmin_per_part(t: pa.Table) -> pa.Table:
+        """Fold cross-block pair partials, keep each part's cheapest
+        (minp_c, suppkey) row — runs inside one hash(partkey) slice."""
+        empty = pa.table({
+            "pk": pa.array([], pa.int64()),
+            "sk": pa.array([], pa.int64()),
+            "minp_c": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        sk = t.column("sk").to_numpy(zero_copy_only=False)
+        p = t.column("minp_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, p, pk))
+        pk, sk, p = pk[order], sk[order], p[order]
+        # first row per part after the (part, price, suppkey) sort IS
+        # the argmin with the suppkey tiebreak; duplicate (pk, sk)
+        # partials from different blocks collapse for free (any later
+        # duplicate cannot precede the pair's true min)
+        first = np.flatnonzero(np.concatenate([[True],
+                                               pk[1:] != pk[:-1]]))
+        return pa.table({
+            "pk": pa.array(pk[first].astype(np.int64)),
+            "sk": pa.array(sk[first].astype(np.int64)),
+            "minp_c": pa.array(p[first].astype(np.int64)),
+        })
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    if _table_rows(f"{sf_dir}/part.parquet") <= broadcast_threshold:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_size", "p_type"])
+        keep = pc.and_(pc.greater_equal(part.column("p_size"),
+                                        min_size),
+                       pc.equal(part.column("p_type"), ptype))
+        elig = np.sort(part.filter(keep).column("p_partkey")
+                       .to_numpy(zero_copy_only=False))
+        elig_ref = ray.put(elig)
+
+        def filt_bc(t: pa.Table) -> pa.Table:
+            e = ray.get(elig_ref)
+            keys = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            if len(e) == 0:
+                hit = np.zeros(len(keys), bool)
+            else:
+                pos = np.searchsorted(e, keys)
+                pos[pos == len(e)] = 0
+                hit = e[pos] == keys
+            return pair_partial(t.filter(pa.array(hit)))
+
+        winners = (lines.map_batches(filt_bc, batch_format="pyarrow")
+                   .fx_map_groups(argmin_per_part))
+    else:
+        # union-tag exchange on hash(partkey) % P: eligible partkeys
+        # meet per-(partkey, suppkey) min-price partials
+        def part_side(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t.column("p_size"),
+                                            min_size),
+                           pc.equal(t.column("p_type"), ptype))
+            t = t.filter(keep)
+            keys = t.column("p_partkey").to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            return pa.table({
+                "part": _hash_part(keys, num_partitions),
+                "pk": t.column("p_partkey"),
+                "sk": pa.nulls(n, pa.int64()),
+                "minp_c": pa.nulls(n, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            })
+
+        def line_side(t: pa.Table) -> pa.Table:
+            g = pair_partial(t)
+            return g.append_column(
+                "side", pa.array(np.ones(g.num_rows, np.int8)))
+
+        def filt_argmin(g: pa.Table) -> pa.Table:
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            pt_ = g.filter(pa.array(side == 0))
+            ln = g.filter(pa.array(side == 1))
+            e = np.sort(pt_.column("pk").to_numpy(zero_copy_only=False))
+            keys = ln.column("pk").to_numpy(zero_copy_only=False)
+            if len(e) == 0:
+                hit = np.zeros(len(keys), bool)
+            else:
+                pos = np.searchsorted(e, keys)
+                pos[pos == len(e)] = 0
+                hit = e[pos] == keys
+            return argmin_per_part(
+                ln.filter(pa.array(hit)).drop_columns(["side"]))
+
+        part_ds = (ray.data.read_parquet(
+                       f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_size", "p_type"])
+                   .map_batches(part_side, batch_format="pyarrow"))
+        winners = (part_ds.union(
+                       lines.map_batches(line_side,
+                                         batch_format="pyarrow"))
+                   .fx_map_groups(filt_argmin))
+
+    def finish(t: pa.Table, sname: np.ndarray,
+               snat: np.ndarray) -> pa.Table:
+        return pa.table({
+            "p_partkey": t.column("pk"),
+            "s_suppkey": t.column("sk"),
+            "s_name": pa.array(sname, pa.string()),
+            "n_name": pa.array(nat_names[snat], pa.string()),
+            "min_price_c": t.column("minp_c"),
+        })
+
+    if _table_rows(f"{sf_dir}/supplier.parquet") <= broadcast_threshold:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name",
+                                      "s_nationkey"])
+        sk_arr = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk_arr, kind="stable")
+        sk_s = sk_arr[order]
+        names_s = supp.column("s_name").to_numpy(
+            zero_copy_only=False)[order]
+        nats_s = supp.column("s_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        supp_ref = ray.put((sk_s, names_s, nats_s))
+
+        def attach_bc(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return finish(t, np.array([], object),
+                              np.array([], np.int64))
+            sk_, nm_, nt_ = ray.get(supp_ref)
+            keys = t.column("sk").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sk_, keys)
+            # every winner's suppkey exists in supplier by construction
+            return finish(t, nm_[pos], nt_[pos])
+
+        return winners.map_batches(attach_bc, batch_format="pyarrow")
+
+    # union-tag exchange on hash(suppkey) % P: winner rows meet the
+    # supplier attribute rows; supplier never leaves the cluster
+    def supp_side(t: pa.Table) -> pa.Table:
+        keys = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "spart": _hash_part(keys, num_partitions),
+            "sk": t.column("s_suppkey"),
+            "s_name": t.column("s_name"),
+            "snat": pa.array(t.column("s_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "pk": pa.nulls(n, pa.int64()),
+            "minp_c": pa.nulls(n, pa.int64()),
+            "wside": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def win_side(t: pa.Table) -> pa.Table:
+        keys = t.column("sk").to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        return pa.table({
+            "spart": _hash_part(keys, num_partitions),
+            "sk": t.column("sk"),
+            "s_name": pa.nulls(n, pa.string()),
+            "snat": pa.nulls(n, pa.int64()),
+            "pk": t.column("pk"),
+            "minp_c": t.column("minp_c"),
+            "wside": pa.array(np.ones(n, np.int8)),
+        })
+
+    def attach_ex(g: pa.Table) -> pa.Table:
+        wside = g.column("wside").to_numpy(zero_copy_only=False)
+        su = g.filter(pa.array(wside == 0))
+        wn = g.filter(pa.array(wside == 1))
+        sk_ = su.column("sk").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk_, kind="stable")
+        sk_s_ = sk_[order]
+        nm_ = su.column("s_name").to_numpy(zero_copy_only=False)[order]
+        nt_ = su.column("snat").to_numpy(zero_copy_only=False)[order]
+        t = pa.table({"pk": wn.column("pk"), "sk": wn.column("sk"),
+                      "minp_c": wn.column("minp_c")})
+        if t.num_rows == 0:
+            return finish(t, np.array([], object),
+                          np.array([], np.int64))
+        keys = t.column("sk").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_s_, keys)
+        return finish(t, nm_[pos], nt_[pos])
+
+    supp_ds = (ray.data.read_parquet(
+                   f"{sf_dir}/supplier.parquet",
+                   columns=["s_suppkey", "s_name", "s_nationkey"])
+               .map_batches(supp_side, batch_format="pyarrow"))
+    return (supp_ds.union(
+                winners.map_batches(win_side, batch_format="pyarrow"))
+            .fx_map_groups(attach_ex, part_col="spart"))

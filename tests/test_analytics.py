@@ -967,3 +967,39 @@ def test_parts_bought_together_dedupes_within_order(tmp_path):
     got = {(r.part_a, r.part_b): r.n_orders
            for r in out.itertuples(index=False)}
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_min_cost_supplier_matches_duckdb_and_gates():
+    """Q2-flavor argmin with tiebreak + dimension attach: oracle match
+    at sf0.001 AND both size-gate plans (part/supplier broadcast vs
+    union-tag exchanges) produce identical tables."""
+    con = duckdb.connect()
+    sq = _canon(con.execute(f"""
+        WITH elig AS (
+          SELECT p_partkey FROM read_parquet('{SF}/part.parquet')
+          WHERE p_size >= 25 AND p_type = 'STANDARD'),
+        pairs AS (
+          SELECT l_partkey pk, l_suppkey sk,
+                 min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))
+                   AS minp
+          FROM read_parquet('{SF}/lineitem.parquet')
+          JOIN elig ON p_partkey = l_partkey GROUP BY 1, 2),
+        win AS (
+          SELECT pk, sk, minp, row_number() OVER (
+                   PARTITION BY pk ORDER BY minp, sk) AS rn
+          FROM pairs)
+        SELECT pk AS p_partkey, sk AS s_suppkey, s_name, n_name,
+               minp AS min_price_c
+        FROM win
+        JOIN read_parquet('{SF}/supplier.parquet') s ON s.s_suppkey = sk
+        JOIN read_parquet('{SF}/nation.parquet') n
+          ON n.n_nationkey = s.s_nationkey
+        WHERE rn = 1""").df())
+    bc = _canon(analytics.min_cost_supplier(
+        SF, broadcast_threshold=1 << 60).to_pandas())
+    ex = _canon(analytics.min_cost_supplier(
+        SF, broadcast_threshold=0).to_pandas())
+    assert len(bc) == len(sq) > 0
+    for col in sq.columns:
+        assert list(bc[col]) == list(sq[col]), col
+    assert bc.equals(ex)
