@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bought_together": partial(an.parts_bought_together),
         "quantile_band_docs": partial(text.quantile_band_docs),
         "min_cost_supplier": partial(an.min_cost_supplier),
+        "dup_gram_coverage": partial(dedup.dup_gram_coverage),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1382,6 +1383,24 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             FROM win JOIN supplier ON s_suppkey = sk
                      JOIN nation ON n_nationkey = s_nationkey
             WHERE rn = 1""",
+        # 65536 is an oracle-only bound on doc length (generate_series
+        # takes constants); the Ray pipeline has no such bound
+        "dup_gram_coverage": """
+            WITH pos AS (
+              SELECT CAST(i AS INT) AS i
+              FROM generate_series(1, 65536, 16) t(i)),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 32) AS gram
+              FROM documents JOIN pos ON i <= length(text) - 31),
+            d AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) >= 2)
+            SELECT g.doc_id,
+                   CAST(count(*) FILTER (
+                     WHERE g.gram IN (SELECT gram FROM d)) AS BIGINT)
+                     AS dup_grams,
+                   CAST(count(*) AS BIGINT) AS total_grams
+            FROM g GROUP BY g.doc_id""",
         # per-source [p5, p95] n_chars band filter (quantile_disc
         # semantics: element at rank ceil(q*n))
         "quantile_band_docs": """

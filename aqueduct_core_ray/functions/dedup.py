@@ -1019,3 +1019,91 @@ def near_dedup_keep(sf_dir: str, shingle: int = 3,
     return file_exchange_map_groups(
         docs.map_batches(tag(0), batch_format="pyarrow")
         .union(drops.map_batches(tag(1), batch_format="pyarrow")), anti)
+
+
+# --------------------------------------------------------------------- #
+# exact duplicated-substring coverage (suffix-array dedup flavor)
+# --------------------------------------------------------------------- #
+def dup_gram_coverage(sf_dir: str, gram: int = 32, stride: int = 16,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact duplicated-substring coverage, the distributed stand-in
+    for suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): sample every
+    document's character ``gram``-grams at ``stride`` offsets, mark
+    grams occurring in >= 2 DISTINCT documents, and report per doc how
+    many of its distinct sampled grams are duplicated (a stride <=
+    gram/2 guarantees any copied run of >= gram + stride chars is
+    detected). Returns (doc_id, dup_grams, total_grams); docs shorter
+    than ``gram`` chars contribute no row. No reference counterpart —
+    training-data curation surface (same family as exact_dedup above).
+
+    Scale shape: gram extraction is one Arrow ``utf8_slice_codeunits``
+    kernel per offset (vectorized across the batch; offsets bound by
+    the LONGEST doc in the batch / stride, not by row count), deduped
+    per doc by one Arrow group_by before anything moves. ONE
+    co-partitioned exchange on hash(gram) %% P counts distinct docs per
+    gram and collapses to per-(partition, doc) partial counts — a doc's
+    distinct grams land in exactly one partition each, so the partial
+    totals sum exactly; the finishing per-doc sum is a second bounded
+    exchange (fx_sum_by). The gram TEXT travels the first exchange so
+    duplicated-ness is exact string equality (what the SQL oracle
+    computes), never hash-collision-dependent; swap the payload for its
+    128-bit hash when byte volume, not exactness, is the binding
+    constraint at 100 TB."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        """Distinct (doc_id, gram) pairs of a batch, exchange-tagged."""
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        txt = t.column("text")
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for k in range(0, max(int(nch.max()) - gram + 1, 0), stride):
+            sel = nch >= k + gram
+            if not sel.any():
+                break
+            sub = pc.utf8_slice_codeunits(
+                txt.filter(pa.array(sel)), k, k + gram)
+            parts.append(pa.table({"doc_id": pa.array(ids[sel]),
+                                   "g": sub}))
+        if not parts:
+            return empty
+        u = (pa.concat_tables(parts)
+             .group_by(["doc_id", "g"]).aggregate([]))
+        gh = _hash_str_array(u.column("g").combine_chunks())
+        return pa.table({
+            "part": pa.array((gh % np.uint64(num_partitions))
+                             .astype(np.int32)),
+            "doc_id": u.column("doc_id"),
+            "g": u.column("g"),
+        })
+
+    def mark(gp: pa.Table) -> pa.Table:
+        """One hash(gram) partition: distinct-doc counts per gram ->
+        per-doc (dup, total) partials. Input rows are already distinct
+        (doc, gram) pairs, so a gram's row count IS its doc count."""
+        enc = gp.column("g").combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        ndocs = np.bincount(code)
+        dup = ndocs[code] >= 2
+        uids, inv = np.unique(
+            gp.column("doc_id").to_numpy(zero_copy_only=False),
+            return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uids.astype(np.int64)),
+            "dup_grams": pa.array(np.bincount(
+                inv[dup], minlength=len(uids)).astype(np.int64)),
+            "total_grams": pa.array(np.bincount(
+                inv, minlength=len(uids)).astype(np.int64)),
+        })
+
+    from ..stages.exchange import fx_sum_by
+    partials = (ds.map_batches(grams, batch_format="pyarrow")
+                .fx_map_groups(mark))
+    return fx_sum_by(partials, ["doc_id"],
+                     ["dup_grams", "total_grams"], num_partitions)

@@ -977,3 +977,53 @@ def test_quantile_band_docs_null_source_and_chars(tmp_path):
     }), str(d / "documents.parquet"))
     out = text.quantile_band_docs(str(d)).to_pandas()
     assert set(out["doc_id"]) == {"a", "b"}
+
+
+# --------------------------------------------------------------------- #
+def _gram_ref(texts, gram=32, stride=16):
+    """Pure-Python reference for dup_gram_coverage."""
+    sets = {i: {t[k:k + gram] for k in range(0, len(t) - gram + 1, stride)}
+            for i, t in enumerate(texts)}
+    from collections import Counter
+    freq = Counter(g for s in sets.values() for g in s)
+    return {i: (sum(1 for g in s if freq[g] >= 2), len(s))
+            for i, s in sets.items() if s}
+
+
+def test_dup_gram_coverage_crafted(tmp_path):
+    shared = "X" * 10 + "the quick brown fox jumps over the lazy dog " * 3
+    texts = [
+        "A" * 20 + shared + "unique tail one here padded out",
+        "B" * 20 + shared + "another distinct ending entirely",
+        "totally unrelated document with nothing shared at all, " * 2,
+        "short",                                   # < 32 chars: no row
+    ]
+    sf = _mk_docs(tmp_path, texts)
+    got = {r["doc_id"]: (r["dup_grams"], r["total_grams"])
+           for r in dedup.dup_gram_coverage(sf).take_all()}
+    assert got == _gram_ref(texts)
+    assert 3 not in got                            # short doc omitted
+    assert got[0][0] > 0 and got[2][0] == 0
+
+
+def test_dup_gram_coverage_matches_duckdb():
+    import duckdb
+    exp = duckdb.sql(f"""
+        WITH docs AS (
+          SELECT * FROM read_parquet('{SF0001}/documents.parquet')),
+        pos AS (SELECT CAST(i AS INT) AS i
+                FROM generate_series(1, 65536, 16) t(i)),
+        g AS (SELECT DISTINCT doc_id, substr(text, i, 32) AS gram
+              FROM docs JOIN pos ON i <= length(text) - 31),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+        SELECT g.doc_id,
+               CAST(count(*) FILTER (
+                 WHERE g.gram IN (SELECT gram FROM d)) AS BIGINT)
+                 AS dup_grams,
+               CAST(count(*) AS BIGINT) AS total_grams
+        FROM g GROUP BY g.doc_id ORDER BY doc_id""").df()
+    got = (dedup.dup_gram_coverage(SF0001).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got = got.astype({c: exp[c].dtype for c in exp.columns})[exp.columns]
+    assert got.equals(exp.reset_index(drop=True))
+    assert int(exp["dup_grams"].sum()) > 0         # corpus has real dups
