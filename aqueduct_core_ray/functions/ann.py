@@ -507,14 +507,27 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12
     import ray
 
     blocks = _read_embeddings(sf_dir).to_arrow_refs()   # read ONCE
-
-    seed_parts = ray.get([_KM_SEED.remote(b, k) for b in blocks])
-    seed_parts = [p for p in seed_parts if p is not None]
-    if not seed_parts:
+    C = _kmeans_fit(blocks, k, iters)
+    if C is None:
         return ray.data.from_arrow(pa.table({
             "vec_id": pa.array([], pa.int64()),
             "cluster": pa.array([], pa.int64()),
             "dist2_micro": pa.array([], pa.int64())}))
+    ref = ray.put(C)
+    return ray.data.from_arrow_refs(
+        [_KM_ASSIGN.remote(b, ref) for b in blocks])
+
+
+def _kmeans_fit(blocks, k: int, iters: int) -> "np.ndarray | None":
+    """The Lloyd's loop of ``kmeans_embeddings`` over pinned block
+    refs: returns the converged k x dim micro-unit centroid matrix
+    (None on an empty table). Shared with ``dedup.semdedup``."""
+    import ray
+
+    seed_parts = ray.get([_KM_SEED.remote(b, k) for b in blocks])
+    seed_parts = [p for p in seed_parts if p is not None]
+    if not seed_parts:
+        return None
     ids = np.concatenate([p[0] for p in seed_parts])
     vecs = np.concatenate([p[1] for p in seed_parts])
     C = vecs[np.argsort(ids)[:k]].copy()
@@ -531,7 +544,4 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 12
         if np.array_equal(Cn, C):
             break                              # integer fixed point
         C = Cn
-
-    ref = ray.put(C)
-    return ray.data.from_arrow_refs(
-        [_KM_ASSIGN.remote(b, ref) for b in blocks])
+    return C

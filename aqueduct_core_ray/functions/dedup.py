@@ -1107,3 +1107,126 @@ def dup_gram_coverage(sf_dir: str, gram: int = 32, stride: int = 16,
                 .fx_map_groups(mark))
     return fx_sum_by(partials, ["doc_id"],
                      ["dup_grams", "total_grams"], num_partitions)
+
+
+# --------------------------------------------------------------------- #
+# semantic dedup: k-means clustering + per-cluster cosine pruning
+# --------------------------------------------------------------------- #
+def _semdedup_part(g: pa.Table, tau: float, chunk: int = 2048
+                   ) -> pa.Table:
+    """One cluster-hash partition: within each cluster (vectors in
+    ascending vec_id order), drop a vector when ANY earlier vector of
+    the cluster has cosine similarity >= ``tau`` to it; ``dup_of`` is
+    the earliest such vec_id. Column-chunked so the similarity buffer
+    is O(cluster x chunk), never O(cluster^2)."""
+    from .ann import _micro_vectors
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+        "keep": pa.array([], pa.int8()),
+        "dup_of": pa.array([], pa.int64()),
+    })
+    if g.num_rows == 0:
+        return empty
+    cl = g.column("cluster").to_numpy(zero_copy_only=False)
+    vid = g.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, cl))
+    g = g.take(pa.array(order))
+    cl, vid = cl[order], vid[order]
+    ids, M = _micro_vectors(g.select(["vec_id", "embedding"]))
+    Mf = M.astype(np.float64)
+    nrm = np.linalg.norm(Mf, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0                    # zero vector: cos := 0
+    Mn = Mf / nrm
+
+    keep = np.ones(len(vid), bool)
+    dup_of = np.zeros(len(vid), np.int64)
+    starts = np.flatnonzero(np.concatenate([[True],
+                                            cl[1:] != cl[:-1]]))
+    bounds = np.append(starts, len(cl))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n_c = e - s
+        if n_c < 2:
+            continue
+        Mc = Mn[s:e]
+        ri = np.arange(n_c)
+        for a in range(1, n_c, chunk):
+            b = min(a + chunk, n_c)
+            S = Mc @ Mc[a:b].T             # n_c x (b-a)
+            mask = (S >= tau) & (ri[:, None] < np.arange(a, b)[None, :])
+            hit = mask.any(axis=0)
+            first = np.argmax(mask, axis=0)
+            keep[s + a:s + b][hit] = False
+            dup_of[s + a:s + b][hit] = vid[s + first[hit]]
+    return pa.table({
+        "vec_id": pa.array(vid.astype(np.int64)),
+        "cluster": pa.array(cl.astype(np.int64)),
+        "keep": pa.array(keep.astype(np.int8)),
+        "dup_of": pa.array(dup_of, pa.int64(), mask=keep),
+    })
+
+
+def _semdedup_tag_block(t: pa.Table, C: np.ndarray,
+                        num_partitions: int) -> pa.Table:
+    from .ann import _kmeans_dist2, _micro_vectors
+    ids, M = _micro_vectors(t)
+    if len(ids) == 0:
+        return pa.table({
+            "part": pa.array([], pa.int32()),
+            "cluster": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": t.column("embedding"),
+        })
+    assign = np.argmin(_kmeans_dist2(M, C), axis=1).astype(np.int64)
+    return pa.table({
+        "part": pa.array((assign % num_partitions).astype(np.int32)),
+        "cluster": pa.array(assign),
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": t.column("embedding"),
+    })
+
+
+_SEMDEDUP_TAG = ray.remote(num_cpus=1)(_semdedup_tag_block)
+
+
+def semdedup(sf_dir: str, k: int = 8, iters: int = 12,
+             threshold_pm: int = 350,
+             num_partitions: int = 16) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding table with the module's exact-integer k-means, then
+    within each cluster drop every vector whose cosine similarity to
+    ANY earlier (smaller vec_id) cluster member reaches ``threshold_pm``
+    permille; the survivor set is the semantically-deduplicated corpus.
+    Returns (vec_id, cluster, keep, dup_of) distributed — ``dup_of``
+    is the earliest too-similar vec_id, null for kept rows. No
+    reference counterpart — training-data curation surface.
+
+    Scale shape: centroids come from the shared ``ann._kmeans_fit``
+    (blocks read once, one raw-task fan per Lloyd's iteration, no
+    shuffle); assignment + exchange tagging is one more raw-task fan
+    over the SAME pinned blocks. The only shuffle is ONE co-partitioned
+    exchange on cluster %% P — a vector moves exactly once, to the
+    partition that owns its cluster. The per-cluster prune is
+    column-chunked (O(cluster x 2048) similarity buffer) and the
+    pairwise cost is bounded by the largest CLUSTER, not the corpus:
+    pick k ~ N/1000 as the paper does so clusters stay ~1e3 and the
+    prune is ~1e6 flops per cluster. Result is partitioning-invariant:
+    assignment is integer-exact and each cluster is pruned whole in
+    ascending vec_id order (pinned by tests)."""
+    from .ann import _kmeans_fit, _read_embeddings
+
+    blocks = _read_embeddings(sf_dir).to_arrow_refs()   # read ONCE
+    C = _kmeans_fit(blocks, k, iters)
+    if C is None:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.int8()),
+            "dup_of": pa.array([], pa.int64())}))
+    ref = ray.put(C)
+    tagged = ray.data.from_arrow_refs(
+        [_SEMDEDUP_TAG.remote(b, ref, num_partitions) for b in blocks])
+    from functools import partial as _p
+    return tagged.fx_map_groups(
+        _p(_semdedup_part, tau=threshold_pm / 1000.0))

@@ -1027,3 +1027,59 @@ def test_dup_gram_coverage_matches_duckdb():
     got = got.astype({c: exp[c].dtype for c in exp.columns})[exp.columns]
     assert got.equals(exp.reset_index(drop=True))
     assert int(exp["dup_grams"].sum()) > 0         # corpus has real dups
+
+
+def test_semdedup_rule_and_invariance():
+    """SemDeDup over sf0.001 embeddings: keep/dup_of must equal the
+    brute-force per-cluster rule (drop when ANY smaller-vec_id cluster
+    member reaches tau cosine; dup_of = the earliest such id), and the
+    result must be identical under a different exchange partitioning."""
+    sf = SF0001
+    out = (dedup.semdedup(sf).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert int((1 - out["keep"]).sum()) > 0     # corpus has semantic dups
+    km = ann.kmeans_embeddings(sf).to_pandas().sort_values("vec_id")
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids, M = ann._micro_matrix(t, id_col="vec_id")
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order].astype(np.float64)
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1
+    Mn = M / n
+    cl = km.set_index("vec_id")["cluster"].reindex(ids).to_numpy()
+    keep_ref, dup_ref = {}, {}
+    for c in np.unique(cl):
+        sel = np.flatnonzero(cl == c)
+        S = Mn[sel] @ Mn[sel].T
+        for j in range(len(sel)):
+            earlier = np.flatnonzero(S[:j, j] >= 0.35)
+            keep_ref[ids[sel[j]]] = len(earlier) == 0
+            if len(earlier):
+                dup_ref[ids[sel[j]]] = ids[sel[earlier[0]]]
+    assert dict(zip(out["vec_id"], out["keep"].astype(bool))) == keep_ref
+    assert {int(r.vec_id): int(r.dup_of) for r in out.itertuples()
+            if not r.keep} == dup_ref
+    out3 = (dedup.semdedup(sf, num_partitions=3).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert out.equals(out3)
+
+
+def test_semdedup_chunked_prune_matches_unchunked():
+    """The column-chunked similarity pass must be exact: prune a
+    synthetic cluster with chunk=3 and chunk=4096, identical output."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float64)
+    vecs[25] = vecs[3] * 1.7          # exact-direction dup pair
+    vecs[31] = vecs[3] * -0.5 + 0.01  # near-opposite: not a dup
+    g = pa.table({
+        "part": pa.array(np.zeros(40, np.int32)),
+        "cluster": pa.array(np.zeros(40, np.int64)),
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    })
+    a = dedup._semdedup_part(g, tau=0.8, chunk=3)
+    b = dedup._semdedup_part(g, tau=0.8, chunk=4096)
+    assert a.equals(b)
+    keep = dict(zip(a.column("vec_id").to_pylist(),
+                    a.column("keep").to_pylist()))
+    assert keep[25] == 0 and keep[31] == 1
