@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "volume_shipping", "large_orders", "doc_frequency", "tfidf_top_terms",
     "dominant_supplier_parts", "parts_bought_together",
     "quantile_band_docs", "kmeans_embeddings",
+    "min_cost_supplier", "dup_gram_coverage", "semdedup",
 ]
 
 
