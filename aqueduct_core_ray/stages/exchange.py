@@ -158,6 +158,10 @@ def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
     import pandas as pd
 
     def tag(t: pa.Table) -> pa.Table:
+        # a stray inbound "part" (e.g. the empty-input schema of an
+        # upstream exchange) would collide with the tag column below
+        if "part" in t.column_names and "part" not in keys:
+            t = t.drop_columns(["part"])
         h = None
         for k in keys:
             hk = pd.util.hash_array(

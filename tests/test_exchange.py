@@ -76,3 +76,22 @@ def test_file_exchange_sparse_parts():
     got = file_exchange_map_groups(ds, _make_fn()).to_pandas()
     assert sorted(got["part"]) == [5, 9]
     assert int(got[got["part"] == 5]["n"].iloc[0]) == 40
+
+
+def test_fx_agg_by_ignores_stray_part_column():
+    """An inbound non-key ``part`` column (e.g. the empty-input schema
+    of an upstream exchange) must not collide with fx_agg_by's own tag
+    column: result equals the same aggregate without the stray column."""
+    from aqueduct_core_ray.stages.exchange import fx_agg_by
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array([10, 5, 7, 1, 4], pa.int64()),
+    })
+    stray = t.append_column("part",
+                            pa.array(np.zeros(5, np.int32)))
+    want = (fx_agg_by(ray.data.from_arrow(t), ["k"], [("v", "sum")])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    got = (fx_agg_by(ray.data.from_arrow(stray), ["k"], [("v", "sum")])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.equals(want)
+    assert list(want["v"]) == [15, 8, 4]
