@@ -1083,3 +1083,27 @@ def test_semdedup_chunked_prune_matches_unchunked():
     keep = dict(zip(a.column("vec_id").to_pylist(),
                     a.column("keep").to_pylist()))
     assert keep[25] == 0 and keep[31] == 1
+
+
+def test_dup_gram_coverage_random_and_unicode(tmp_path):
+    """Randomized cross-check vs the pure-Python reference, including
+    multibyte text (Arrow utf8 slicing and Python str slicing must
+    agree on CHARACTER offsets) and within-doc repeats (distinct-gram
+    semantics)."""
+    rng = np.random.default_rng(11)
+    alpha = list("abcdé漢字 ")
+    base = "".join(rng.choice(alpha, size=200))
+    texts = []
+    for i in range(30):
+        s = "".join(rng.choice(alpha, size=int(rng.integers(10, 250))))
+        if i % 3 == 0:                 # splice in a shared run
+            cut = int(rng.integers(0, max(len(s) - 1, 1)))
+            s = s[:cut] + base[40:120] + s[cut:]
+        if i % 7 == 0:
+            s = s + s[:60]             # within-doc repeat
+        texts.append(s)
+    sf = _mk_docs(tmp_path, texts)
+    got = {r["doc_id"]: (r["dup_grams"], r["total_grams"])
+           for r in dedup.dup_gram_coverage(sf, gram=16, stride=8
+                                            ).take_all()}
+    assert got == _gram_ref(texts, gram=16, stride=8)
