@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_trained_token_count": _bpe_trained_token_count,
         "approx_top_tokens": partial(text.approx_top_tokens),
         "semdedup": partial(dedup.semdedup),
+        "remove_dup_spans": partial(dedup.remove_dup_spans),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
         "simhash_dedup": partial(dedup.simhash_dedup),
         "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),

@@ -1230,3 +1230,209 @@ def semdedup(sf_dir: str, k: int = 8, iters: int = 12,
     from functools import partial as _p
     return tagged.fx_map_groups(
         _p(_semdedup_part, tau=threshold_pm / 1000.0))
+
+
+
+def _cut_spans_flat(txt: pa.Array, span_doc: np.ndarray,
+                    span_start: np.ndarray, span_end: np.ndarray
+                    ) -> tuple[pa.Array, np.ndarray]:
+    """Remove character spans from a string array in ONE flat-buffer
+    pass, unicode-correct and loop-free.
+
+    ``span_doc`` indexes rows of ``txt``; spans are [span_start,
+    span_end) in CHARACTERS, non-overlapping within a doc. Returns the
+    rebuilt string array and per-doc removed-char counts.
+
+    Mechanics: UTF-8 char starts are the bytes with (b & 0xC0) != 0x80
+    — one vectorized mask over the column's flat values buffer gives
+    every char's byte offset; a difference-array over removed char
+    ranges marks removed chars; bytes inherit their char's mark; the
+    kept bytes re-slice into a new StringArray via reduceat offsets."""
+    txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    n = len(txt)
+    bufs = txt.buffers()                      # [validity, offsets, data]
+    offs_all = np.frombuffer(bufs[1], np.int32,
+                             count=txt.offset + n + 1)
+    offs = offs_all[txt.offset:].astype(np.int64)
+    lo, hi = offs[0], offs[n]
+    buf = (np.frombuffer(bufs[2], np.uint8, count=int(hi))[lo:hi]
+           if bufs[2] is not None else np.zeros(0, np.uint8))
+    offs = offs - lo                          # per-doc byte ranges
+    is_start = (buf & 0xC0) != 0x80           # char-start bytes
+    char_byte = np.flatnonzero(is_start)      # byte offset per char
+    # chars before each doc = rank of its first byte among char starts
+    doc_char0 = np.searchsorted(char_byte, offs[:-1])
+    total_chars = len(char_byte)
+    # difference array over global char indices
+    diff = np.zeros(total_chars + 1, np.int64)
+    gs = doc_char0[span_doc] + span_start
+    ge = doc_char0[span_doc] + span_end
+    np.add.at(diff, gs, 1)
+    np.add.at(diff, ge, -1)
+    removed_char = np.cumsum(diff[:-1]) > 0
+    # bytes inherit their char's removed flag
+    char_of_byte = np.cumsum(is_start) - 1
+    keep_byte = ~removed_char[char_of_byte] if len(buf) else \
+        np.zeros(0, bool)
+    new_vals = buf[keep_byte]
+    kept_per_doc = (np.add.reduceat(keep_byte, offs[:-1])
+                    if len(buf) else np.zeros(n, np.int64))
+    kept_per_doc[offs[:-1] == offs[1:]] = 0   # reduceat quirk: empty doc
+    new_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(kept_per_doc, out=new_offs[1:])
+    out = pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+        pa.py_buffer(new_vals.tobytes()))
+    removed_c = np.zeros(n, np.int64)
+    np.add.at(removed_c, span_doc, span_end - span_start)
+    return out, removed_c
+
+
+def remove_dup_spans(sf_dir: str, gram: int = 32, stride: int = 16,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """The transform half of ``dup_gram_coverage`` (Lee et al. 2021
+    ExactSubstr-style): every sampled ``gram``-char span whose text
+    occurs at >= 2 sampled positions corpus-wide in >= 2 distinct
+    documents is REMOVED except the globally-first occurrence (smallest
+    (doc_id, pos)); overlapping removal spans merge before cutting.
+    Returns (doc_id, text, n_chars_removed, n_spans_removed) for EVERY
+    doc (uncut docs pass through unchanged). Deterministic under any
+    partitioning: keeper election happens inside the gram's own hash
+    partition, which sees all occurrences.
+
+    Scale shape: same ONE hash(gram) exchange as the coverage op, but
+    occurrence rows carry (doc_id, pos) so the partition can elect the
+    keeper; removals return keyed by doc and meet the corpus in a
+    SECOND co-partitioned union-tag exchange on hash(doc_id) — text
+    moves once, spans are tiny. The cut itself is one flat-buffer pass
+    (``_cut_spans_flat``): char-start mask, difference-array span
+    marks, reduceat re-offsets — no per-row loop anywhere."""
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def grams_pos(t: pa.Table) -> pa.Table:
+        """(part, doc_id, pos, g) for every sampled occurrence — no
+        per-doc distinct here: a within-doc repeat is itself removable
+        (only the globally-first occurrence survives)."""
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        txt = t.column("text")
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for k in range(0, max(int(nch.max()) - gram + 1, 0), stride):
+            sel = nch >= k + gram
+            if not sel.any():
+                break
+            sub = pc.utf8_slice_codeunits(
+                txt.filter(pa.array(sel)), k, k + gram)
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[sel]),
+                "pos": pa.array(np.full(int(sel.sum()), k, np.int64)),
+                "g": sub}))
+        if not parts:
+            return empty
+        u = pa.concat_tables(parts)
+        gh = _hash_str_array(u.column("g").combine_chunks())
+        return pa.table({
+            "part": pa.array((gh % np.uint64(num_partitions))
+                             .astype(np.int32)),
+            "doc_id": u.column("doc_id"),
+            "pos": u.column("pos"),
+            "g": u.column("g"),
+        })
+
+    def elect(gp: pa.Table) -> pa.Table:
+        """Per gram: if >= 2 distinct docs hold it, every occurrence
+        except the (doc_id, pos)-minimum becomes a removal row."""
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "text": pa.array([], pa.string()),
+                          "side": pa.array([], pa.int8())})
+        if gp.num_rows == 0:
+            return empty
+        enc = gp.column("g").combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        ids = gp.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = gp.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids, code))
+        code, ids, pos = code[order], ids[order], pos[order]
+        first = np.concatenate([[True], code[1:] != code[:-1]])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(code)))
+        newdoc = first | np.concatenate([[True], ids[1:] != ids[:-1]])
+        ndocs = np.add.reduceat(newdoc.astype(np.int64), starts)
+        out = np.repeat(ndocs >= 2, sizes) & ~first
+        k = int(out.sum())
+        return pa.table({
+            "part": _int_part(ids[out], num_partitions),
+            "doc_id": pa.array(ids[out]),
+            "pos": pa.array(pos[out]),
+            "text": pa.nulls(k, pa.string()),
+            "side": pa.array(np.ones(k, np.int8)),
+        })
+
+    def doc_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": _int_part(ids, num_partitions),
+            "doc_id": t.column("doc_id"),
+            "pos": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column("text"),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    def cut(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == 0))
+        rem = g.filter(pa.array(side == 1))
+        n = docs.num_rows
+        if n == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "n_chars_removed": pa.array([], pa.int64()),
+                "n_spans_removed": pa.array([], pa.int64())})
+        did = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_order = np.argsort(did, kind="stable")
+        did = did[doc_order]
+        txt = docs.column("text").combine_chunks().take(
+            pa.array(doc_order))
+        rid = rem.column("doc_id").to_numpy(zero_copy_only=False)
+        rpos = rem.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rpos, rid))
+        rid, rpos = rid[order], rpos[order]
+        rend = rpos + gram
+        # merge overlapping/adjacent spans per doc: all spans share
+        # length ``gram``, so within a (doc, rpos)-sorted run rend is
+        # monotone and the running max is simply the previous rend
+        if len(rid):
+            doc_change = np.concatenate([[True], rid[1:] != rid[:-1]])
+            new_span = doc_change | (rpos > np.concatenate(
+                [[np.iinfo(np.int64).min], rend[:-1]]))
+            bnd = np.flatnonzero(new_span)
+            span_doc_id = rid[new_span]
+            s_start = rpos[new_span]
+            s_end = rend[np.append(bnd[1:], len(rend)) - 1]
+        else:
+            span_doc_id, s_start, s_end = rid, rpos, rend
+        span_doc = np.searchsorted(did, span_doc_id)
+        out_txt, removed_c = _cut_spans_flat(
+            txt, span_doc, s_start, s_end)
+        nspans = np.bincount(span_doc, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did.astype(np.int64)),
+            "text": out_txt,
+            "n_chars_removed": pa.array(removed_c),
+            "n_spans_removed": pa.array(nspans),
+        })
+
+    removals = (ds.map_batches(grams_pos, batch_format="pyarrow")
+                .fx_map_groups(elect))
+    return (ds.map_batches(doc_side, batch_format="pyarrow")
+            .union(removals)
+            .fx_map_groups(cut))

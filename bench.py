@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dominant_supplier_parts", "parts_bought_together",
     "quantile_band_docs", "kmeans_embeddings",
     "min_cost_supplier", "dup_gram_coverage", "semdedup",
+    "remove_dup_spans",
 ]
 
 

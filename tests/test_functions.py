@@ -1107,3 +1107,84 @@ def test_dup_gram_coverage_random_and_unicode(tmp_path):
            for r in dedup.dup_gram_coverage(sf, gram=16, stride=8
                                             ).take_all()}
     assert got == _gram_ref(texts, gram=16, stride=8)
+
+
+def _remove_ref(texts, gram=32, stride=16):
+    """Pure-Python reference for remove_dup_spans (keeper = global
+    (doc, pos) min; overlapping/adjacent spans merge)."""
+    occ = {}
+    for i, t in enumerate(texts):
+        for k in range(0, len(t) - gram + 1, stride):
+            occ.setdefault(t[k:k + gram], []).append((i, k))
+    removals = {i: [] for i in range(len(texts))}
+    for g, lst in occ.items():
+        if len({d for d, _ in lst}) >= 2:
+            keeper = min(lst)
+            for d, p in lst:
+                if (d, p) != keeper:
+                    removals[d].append(p)
+    out = {}
+    for i, t in enumerate(texts):
+        merged = []
+        for p in sorted(removals[i]):
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + gram)
+            else:
+                merged.append([p, p + gram])
+        kept, prev, removed = [], 0, 0
+        for a, b in merged:
+            kept.append(t[prev:a])
+            removed += b - a
+            prev = b
+        kept.append(t[prev:])
+        out[i] = ("".join(kept), removed, len(merged))
+    return out
+
+
+def test_remove_dup_spans_random_unicode_and_invariance(tmp_path):
+    """Randomized multibyte corpus with spliced shared runs: the cut
+    text, removed-char and span counts must equal the pure-Python
+    reference exactly, under two different exchange partitionings."""
+    rng = np.random.default_rng(5)
+    alpha = list("abcdé漢字 xyz")
+    base = "".join(rng.choice(alpha, size=300))
+    texts = []
+    for i in range(25):
+        s = "".join(rng.choice(alpha, size=int(rng.integers(5, 200))))
+        if i % 2 == 0:
+            cut = int(rng.integers(0, max(len(s) - 1, 1)))
+            s = s[:cut] + base[50:180] + s[cut:]
+        if i % 5 == 0:
+            s = s + base[50:120]
+        texts.append(s)
+    texts.append("short")
+    sf = _mk_docs(tmp_path, texts)
+    want = _remove_ref(texts, gram=16, stride=8)
+    got = {r["doc_id"]: (r["text"], r["n_chars_removed"],
+                         r["n_spans_removed"])
+           for r in dedup.remove_dup_spans(sf, gram=16, stride=8
+                                           ).take_all()}
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0
+    got3 = {r["doc_id"]: (r["text"], r["n_chars_removed"],
+                          r["n_spans_removed"])
+            for r in dedup.remove_dup_spans(sf, gram=16, stride=8,
+                                            num_partitions=3
+                                            ).take_all()}
+    assert got3 == got
+
+
+def test_remove_dup_spans_keeps_one_copy(tmp_path):
+    """The globally-first occurrence survives; later docs lose the
+    shared run; unrelated docs pass through byte-identical."""
+    shared = "0123456789abcdefghijklmnopqrstuv"    # exactly one gram
+    texts = ["AAA" + shared + "BBB" * 8,
+             "CCC" * 8 + shared + "DDD",
+             "nothing shared here at all padded out to length"]
+    sf = _mk_docs(tmp_path, texts)
+    got = {r["doc_id"]: r for r in
+           dedup.remove_dup_spans(sf, gram=32, stride=1).take_all()}
+    assert shared in got[0]["text"]                # keeper intact
+    assert shared not in got[1]["text"]            # later copy cut
+    assert got[2]["text"] == texts[2]
+    assert got[2]["n_chars_removed"] == 0
