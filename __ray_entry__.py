@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_band_docs": partial(text.quantile_band_docs),
         "min_cost_supplier": partial(an.min_cost_supplier),
         "dup_gram_coverage": partial(dedup.dup_gram_coverage),
+        # round-4 continuation additions (oracle-backed): grouped moment
+        # stats, bounded sliding window, wide pivot, calendar gap-fill
+        "value_stats_by_type": partial(tp.value_stats_by_type),
+        "rolling_window_sum": partial(tp.rolling_window_sum),
+        "event_type_pivot": partial(tp.event_type_pivot),
+        "orders_weekly_gapfill": partial(an.orders_weekly_gapfill),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1385,6 +1391,53 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             FROM win JOIN supplier ON s_suppkey = sk
                      JOIN nation ON n_nationkey = s_nationkey
             WHERE rn = 1""",
+        "value_stats_by_type": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v_c) AS BIGINT) AS sum_c,
+                   CAST(sum(v_c * v_c) AS BIGINT) AS sumsq_c,
+                   CAST(min(v_c) AS BIGINT) AS min_c,
+                   CAST(max(v_c) AS BIGINT) AS max_c
+            FROM (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+                  FROM events)
+            GROUP BY event_type""",
+        "rolling_window_sum": """
+            SELECT event_id, user_id, ts,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS rolling_c
+            FROM events""",
+        "event_type_pivot": """
+            SELECT user_id // 10 AS user_bucket,
+              CAST(count(*) FILTER (WHERE event_type = 'click')
+                   AS BIGINT) AS n_click,
+              CAST(count(*) FILTER (WHERE event_type = 'error')
+                   AS BIGINT) AS n_error,
+              CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS n_purchase,
+              CAST(count(*) FILTER (WHERE event_type = 'signup')
+                   AS BIGINT) AS n_signup,
+              CAST(count(*) FILTER (WHERE event_type = 'view')
+                   AS BIGINT) AS n_view
+            FROM events GROUP BY 1""",
+        "orders_weekly_gapfill": """
+            WITH w AS (
+              SELECT date_trunc('week', o_orderdate) AS wk,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS s
+              FROM orders GROUP BY 1),
+            cal AS (
+              SELECT unnest(generate_series(
+                       (SELECT min(wk) FROM w),
+                       (SELECT max(wk) FROM w),
+                       INTERVAL 7 DAY)) AS wk)
+            SELECT cal.wk AS week_start,
+                   CAST(coalesce(w.n, 0) AS BIGINT) AS n_orders,
+                   CAST(coalesce(w.s, 0) AS BIGINT) AS sum_total_c
+            FROM cal LEFT JOIN w ON cal.wk = w.wk""",
         # 65536 is an oracle-only bound on doc length (generate_series
         # takes constants); the Ray pipeline has no such bound
         "dup_gram_coverage": """

@@ -2952,3 +2952,58 @@ def min_cost_supplier(sf_dir: str, min_size: int = 25,
     return (supp_ds.union(
                 winners.map_batches(win_side, batch_format="pyarrow"))
             .fx_map_groups(attach_ex, part_col="spart"))
+
+
+def orders_weekly_gapfill(sf_dir: str) -> ray.data.Dataset:
+    """Calendar-filled weekly order rollup: orders bucketed to their
+    ISO week start (Monday, date_trunc('week') semantics), every week
+    between the global min and max emitted — missing weeks carry zero
+    counts/revenue, so the output is a dense time series. Returns
+    (week_start, n_orders, sum_total_c).
+
+    Scale shape: per-block (week, n, sum_c) partials — the orders table
+    never moves; the driver folds O(weeks × blocks) tiny rows and the
+    calendar fill is pure driver arithmetic over the bounded week range
+    (a century is ~5,200 rows). Week start is integer day math on the
+    epoch-day value (1970-01-01 is a Thursday ⇒ Monday offset
+    ``(d + 3) % 7``), bit-identical to SQL date_trunc."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+        day = od // 86_400_000_000
+        week = day - (day + 3) % 7
+        tot_c = _cents(t.column("o_totalprice"))
+        g = pa.table({"week": pa.array(week),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "sum_c": pa.array(tot_c)})
+        agg = g.group_by("week").aggregate([("n", "sum"),
+                                            ("sum_c", "sum")])
+        return pa.table({"week": agg.column("week"),
+                         "n": agg.column("n_sum"),
+                         "sum_c": agg.column("sum_c_sum")})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+    empty = pa.table({"week": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_c": pa.array([], pa.int64())})
+    pt = _fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["week"], ["n", "sum_c"], empty)
+    wk = pt.column("week").to_numpy(zero_copy_only=False)
+    if len(wk) == 0:
+        return ray.data.from_arrow(pa.table({
+            "week_start": pa.array([], pa.timestamp("us")),
+            "n_orders": pa.array([], pa.int64()),
+            "sum_total_c": pa.array([], pa.int64())}))
+    cal = np.arange(wk.min(), wk.max() + 1, 7)
+    n = np.zeros(len(cal), np.int64)
+    s = np.zeros(len(cal), np.int64)
+    rows = np.searchsorted(cal, wk)
+    n[rows] = pt.column("n").to_numpy(zero_copy_only=False)
+    s[rows] = pt.column("sum_c").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "week_start": pa.array(cal * 86_400_000_000
+                               ).cast(pa.timestamp("us")),
+        "n_orders": pa.array(n),
+        "sum_total_c": pa.array(s)}))

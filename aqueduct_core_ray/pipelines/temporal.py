@@ -988,3 +988,169 @@ def rolling_active_users(sf_dir: str, window_days: int = 7,
         "day": pa.array(udays[seen] * day_us).cast(pa.timestamp("us")),
         "n_active_7d": pa.array(sums[seen]),
     }))
+
+
+def value_stats_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped moment statistics: per event_type the count, sum, sum of
+    squares, min and max of ``value`` in integer cents (floor(v*100+0.5)
+    per row, the shared convention) — enough for exact mean/variance
+    downstream without ever shipping a float. Returns (event_type, n,
+    sum_c, sumsq_c, min_c, max_c).
+
+    Scale shape: per-block Arrow group_by partials (≤ #types rows per
+    block), driver fold of O(types × blocks) tiny rows with a second
+    group_by carrying the min/max merges — zero exchanges (the
+    bounded-rollup economics measured in BASELINE.md). sumsq stays
+    int64-exact: cents ≤ ~5·10^4 ⇒ squares ≤ 2.5·10^9, 10^9 rows away
+    from overflow even at petabyte row counts per type."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v_c = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                       * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "sum_c": pa.array(v_c),
+                      "sumsq_c": pa.array(v_c * v_c),
+                      "min_c": pa.array(v_c),
+                      "max_c": pa.array(v_c)})
+        agg = g.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_c", "sum"), ("sumsq_c", "sum"),
+             ("min_c", "min"), ("max_c", "max")])
+        return pa.table({"event_type": agg.column("event_type"),
+                         "n": agg.column("n_sum"),
+                         "sum_c": agg.column("sum_c_sum"),
+                         "sumsq_c": agg.column("sumsq_c_sum"),
+                         "min_c": agg.column("min_c_min"),
+                         "max_c": agg.column("max_c_max")})
+
+    from .analytics import _concat_nonempty
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_c": pa.array([], pa.int64()),
+                      "sumsq_c": pa.array([], pa.int64()),
+                      "min_c": pa.array([], pa.int64()),
+                      "max_c": pa.array([], pa.int64())})
+    pt = _concat_nonempty(ds.map_batches(partial, batch_format="pyarrow"),
+                          empty)
+    agg = pt.group_by("event_type").aggregate(
+        [("n", "sum"), ("sum_c", "sum"), ("sumsq_c", "sum"),
+         ("min_c", "min"), ("max_c", "max")])
+    return ray.data.from_arrow(pa.table({
+        "event_type": agg.column("event_type"),
+        "n": agg.column("n_sum"),
+        "sum_c": agg.column("sum_c_sum"),
+        "sumsq_c": agg.column("sumsq_c_sum"),
+        "min_c": agg.column("min_c_min"),
+        "max_c": agg.column("max_c_max")}))
+
+
+def rolling_window_sum(sf_dir: str, window: int = 7,
+                       num_partitions: int = 16) -> ray.data.Dataset:
+    """Bounded sliding window: per-user trailing ``window``-row sum of
+    ``value`` (integer cents) in (ts, event_id) order — SQL's
+    ``sum(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``. Returns (event_id,
+    user_id, ts, value_c, rolling_c).
+
+    Scale shape (same as running_total): ONE hash shuffle on user_id;
+    within a partition one lexsort orders every user's stream, the
+    within-user running sum comes from one global cumsum minus segment
+    bases, and the trailing window is ``running[i] - running[i-window]``
+    wherever the row is ≥ window deep into its segment (vectorized mask;
+    shallow rows keep the full running prefix) — no per-user loop."""
+    import pandas as pd
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        v_c = np.floor(val[order] * 100.0 + 0.5).astype(np.int64)
+        cs = np.cumsum(v_c)
+        n = len(uid)
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg_id = np.cumsum(new_user) - 1
+        starts = np.flatnonzero(new_user)
+        base = cs[starts] - v_c[starts]
+        running = cs - base[seg_id]
+        pos = np.arange(n) - starts[seg_id]
+        rolling = running.copy()
+        deep = pos >= window
+        idx = np.flatnonzero(deep)
+        rolling[idx] -= running[idx - window]
+        sel = pa.array(order)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "ts": t.column("ts").take(sel),
+            "value_c": pa.array(v_c),
+            "rolling_c": pa.array(rolling),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "value"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .fx_map_groups(per_part))
+
+
+def event_type_pivot(sf_dir: str, bucket_width: int = 10,
+                     types: tuple[str, ...] = ("click", "error",
+                                               "purchase", "signup",
+                                               "view")
+                     ) -> ray.data.Dataset:
+    """Wide pivot / crosstab: events bucketed by ``user_id //
+    bucket_width``, one output ROW per bucket with one COLUMN per event
+    type carrying that bucket's count (types outside the fixed list are
+    dropped — the column set must be static for a stable schema).
+    Returns (user_bucket, n_<type>...).
+
+    Scale shape: per-block (bucket, type) count partials — the narrow
+    tall form — fold driver-side (O(buckets × types × blocks) tiny
+    rows) and pivot wide ONCE at the end via a searchsorted scatter into
+    a dense (buckets × types) matrix. At 100 TB the bucket width is the
+    knob: the driver fold holds (distinct buckets × 5) rows, so size
+    bucket_width to keep that in the usual bounded-rollup regime; the
+    events table itself is never exchanged."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        g = pa.table({"user_bucket": pa.array(uid // bucket_width),
+                      "event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        agg = g.group_by(["user_bucket", "event_type"]).aggregate(
+            [("n", "sum")])
+        return pa.table({"user_bucket": agg.column("user_bucket"),
+                         "event_type": agg.column("event_type"),
+                         "n": agg.column("n_sum")})
+
+    from .analytics import _concat_nonempty
+    ds = read_events(sf_dir, columns=["user_id", "event_type"])
+    empty = pa.table({"user_bucket": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    pt = _concat_nonempty(ds.map_batches(partial, batch_format="pyarrow"),
+                          empty)
+    bk = pt.column("user_bucket").to_numpy(zero_copy_only=False)
+    tp = pt.column("event_type").to_numpy(zero_copy_only=False)
+    nn = pt.column("n").to_numpy(zero_copy_only=False)
+    ubuckets = np.unique(bk)
+    mat = np.zeros((len(ubuckets), len(types)), np.int64)
+    for j, tname in enumerate(types):
+        m = tp == tname
+        if m.any():
+            rows = np.searchsorted(ubuckets, bk[m])
+            np.add.at(mat[:, j], rows, nn[m])
+    cols = {"user_bucket": pa.array(ubuckets)}
+    for j, tname in enumerate(types):
+        cols[f"n_{tname}"] = pa.array(mat[:, j])
+    return ray.data.from_arrow(pa.table(cols))

@@ -57,7 +57,8 @@ BENCH_QUERIES = [
     "dominant_supplier_parts", "parts_bought_together",
     "quantile_band_docs", "kmeans_embeddings",
     "min_cost_supplier", "dup_gram_coverage", "semdedup",
-    "remove_dup_spans",
+    "remove_dup_spans", "value_stats_by_type", "rolling_window_sum",
+    "event_type_pivot", "orders_weekly_gapfill",
 ]
 
 

@@ -1,0 +1,133 @@
+"""Round-4 continuation operators: grouped moment stats, bounded
+sliding window, wide pivot, calendar gap-fill — Ray pipelines vs DuckDB
+inline on the same parquet (the driver's correctness-gate comparison)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from aqueduct_core_ray.pipelines import analytics, temporal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for tb in ("events", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def test_value_stats_by_type_matches_duckdb():
+    ry = _canon(temporal.value_stats_by_type(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v_c) AS BIGINT) AS sum_c,
+               CAST(sum(v_c * v_c) AS BIGINT) AS sumsq_c,
+               CAST(min(v_c) AS BIGINT) AS min_c,
+               CAST(max(v_c) AS BIGINT) AS max_c
+        FROM (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+              FROM events)
+        GROUP BY event_type"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_value_stats_variance_is_exact():
+    # n·sumsq − sum² = n²·Var (integer identity) must be non-negative
+    df = temporal.value_stats_by_type(SF).to_pandas()
+    disc = df.n * df.sumsq_c - df.sum_c ** 2
+    assert (disc >= 0).all()
+
+
+def test_rolling_window_sum_matches_duckdb():
+    ry = _canon(temporal.rolling_window_sum(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT event_id, user_id, ts,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS rolling_c
+        FROM events"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_rolling_window_partition_invariance():
+    a = _canon(temporal.rolling_window_sum(SF, num_partitions=3)
+               .to_pandas())
+    b = _canon(temporal.rolling_window_sum(SF, num_partitions=16)
+               .to_pandas())
+    assert a.equals(b)
+
+
+def test_rolling_window_one_equals_value():
+    # window=1 degenerates to the row's own value
+    df = temporal.rolling_window_sum(SF, window=1).to_pandas()
+    assert (df.rolling_c == df.value_c).all()
+
+
+def test_event_type_pivot_matches_duckdb():
+    ry = _canon(temporal.event_type_pivot(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT user_id // 10 AS user_bucket,
+          CAST(count(*) FILTER (WHERE event_type = 'click')
+               AS BIGINT) AS n_click,
+          CAST(count(*) FILTER (WHERE event_type = 'error')
+               AS BIGINT) AS n_error,
+          CAST(count(*) FILTER (WHERE event_type = 'purchase')
+               AS BIGINT) AS n_purchase,
+          CAST(count(*) FILTER (WHERE event_type = 'signup')
+               AS BIGINT) AS n_signup,
+          CAST(count(*) FILTER (WHERE event_type = 'view')
+               AS BIGINT) AS n_view
+        FROM events GROUP BY 1"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_event_type_pivot_counts_conserve():
+    df = temporal.event_type_pivot(SF).to_pandas()
+    total = df[[c for c in df.columns if c.startswith("n_")]].sum().sum()
+    n_events = _duck("SELECT count(*) n FROM events").n[0]
+    assert total == n_events
+
+
+def test_orders_weekly_gapfill_matches_duckdb():
+    ry = _canon(analytics.orders_weekly_gapfill(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH w AS (
+          SELECT date_trunc('week', o_orderdate) AS wk,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS s
+          FROM orders GROUP BY 1),
+        cal AS (
+          SELECT unnest(generate_series(
+                   (SELECT min(wk) FROM w), (SELECT max(wk) FROM w),
+                   INTERVAL 7 DAY)) AS wk)
+        SELECT cal.wk AS week_start,
+               CAST(coalesce(w.n, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(w.s, 0) AS BIGINT) AS sum_total_c
+        FROM cal LEFT JOIN w ON cal.wk = w.wk"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_orders_weekly_gapfill_is_dense_mondays():
+    df = analytics.orders_weekly_gapfill(SF).to_pandas() \
+        .sort_values("week_start").reset_index(drop=True)
+    wk = df.week_start.to_numpy().astype("datetime64[D]")
+    assert (np.diff(wk) == np.timedelta64(7, "D")).all()
+    # Monday = weekday 0: epoch-day (d + 3) % 7 == 0
+    days = wk.astype(np.int64)
+    assert ((days + 3) % 7 == 0).all()
+    # totals conserve through the fill
+    n_orders = _duck("SELECT count(*) n FROM orders").n[0]
+    assert df.n_orders.sum() == n_orders
