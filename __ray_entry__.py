@@ -216,6 +216,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": partial(dedup.semdedup),
         "remove_dup_spans": partial(dedup.remove_dup_spans),
         "minhash_lsh_dedup": partial(dedup.minhash_lsh_dedup),
+        # delta-vs-corpus incremental dedup (persisted band index) and
+        # DSIR importance weights — hash-based, rows-only
+        "incremental_dedup": partial(dedup.incremental_dedup),
+        "dsir_weights": partial(text.dsir_weights),
         "simhash_dedup": partial(dedup.simhash_dedup),
         "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),
         "knn_ivf": partial(ann.knn_ivf),

@@ -24,6 +24,8 @@ mixing — stable across processes/nodes/runs.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1436,3 +1438,186 @@ def remove_dup_spans(sf_dir: str, gram: int = 32, stride: int = 16,
     return (ds.map_batches(doc_side, batch_format="pyarrow")
             .union(removals)
             .fx_map_groups(cut))
+
+
+# --------------------------------------------------------------------- #
+# incremental MinHash dedup: delta vs a persisted corpus band index
+# --------------------------------------------------------------------- #
+
+def _to_bands_fn(k: int, bands: int, shingle: int, num_partitions: int):
+    """Banding kernel shared by the one-shot LSH dedup, the index
+    builder and the delta matcher — identical params MUST produce
+    identical buckets or the index is useless."""
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sig = minhash_sigs(t, k=k, shingle=shingle)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out = _band_rows(ids, sig, bands)
+        bp = (out.column("bucket").to_numpy(zero_copy_only=False)
+              .view(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+        return out.append_column("bpart", pa.array(bp))
+    return to_bands
+
+
+def build_minhash_index(docs: "str | ray.data.Dataset", index_root: str,
+                        *, k: int = 64, bands: int = 16, shingle: int = 3,
+                        num_partitions: int = 16) -> int:
+    """Build (or APPEND to) a persisted MinHash band index: (bucket,
+    doc_id, sig) rows hive-partitioned by ``bpart = bucket % P`` under
+    ``index_root`` — the corpus side of incremental near-dup detection.
+    A CDC lake's dedup stage calls this once over the existing corpus,
+    then appends each committed wave's docs; matching a delta then
+    touches only the band partitions the delta's buckets hash to (the
+    same partition-pruned-index pattern as functions/ann.py IVF).
+    Append-safe: files are uuid-named, re-appending the same docs is
+    idempotent for MATCHING (duplicate index rows produce the same
+    pairs). Returns the number of band rows written."""
+    ds = (read_documents(docs, columns=["doc_id", "text"])
+          if isinstance(docs, str) else docs)
+    banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
+                                         num_partitions),
+                            batch_format="pyarrow")
+    banded.write_parquet(index_root, partition_cols=["bpart"])
+    import pyarrow.parquet as pq
+    return sum(pq.read_metadata(os.path.join(r, f)).num_rows
+               for r, _, fs in os.walk(index_root)
+               for f in fs if f.endswith(".parquet"))
+
+
+def match_minhash_index(new_docs: "str | ray.data.Dataset",
+                        index_root: str, *, k: int = 64, bands: int = 16,
+                        shingle: int = 3, num_partitions: int = 16,
+                        min_est_pct: int = 50,
+                        max_matches: int | None = None
+                        ) -> ray.data.Dataset:
+    """Match NEW documents against a persisted band index: per new doc
+    the best near-duplicate already in the corpus (max estimated
+    Jaccard, ties to the smallest corpus doc_id). Returns (doc_id,
+    dup_of, est_jaccard_pct) — one row per new doc that has a match
+    ≥ ``min_est_pct``; clean docs emit nothing.
+
+    Scale shape: the delta is banded and exchanged ONCE on bpart; each
+    partition task reads ONLY its own ``bpart=N`` index directory
+    (partition-pruned: a small delta touches few partitions), pairs
+    new-vs-index rows bucket-locally via two searchsorteds (never
+    index-vs-index, never new-vs-new), caps per-row candidates at
+    ``max_matches`` (deterministic smallest-doc_id prefix — the
+    canonical keeper always survives), and folds the per-doc argmax
+    with one lexsort. The index is never loaded whole anywhere."""
+    cap = max_matches or MAX_BUCKET
+
+    def match(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dup_of": pa.array([], pa.int64()),
+                          "est_jaccard_pct": pa.array([], pa.int64())})
+        bp = int(t.column("bpart")[0].as_py())
+        pdir = os.path.join(index_root, f"bpart={bp}")
+        if not os.path.isdir(pdir):
+            return empty
+        import pyarrow.parquet as pq
+        idx = pa.concat_tables([
+            pq.read_table(os.path.join(pdir, f),
+                          columns=["bucket", "doc_id", "sig"])
+            for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")])
+        if idx.num_rows == 0 or t.num_rows == 0:
+            return empty
+        ib = idx.column("bucket").to_numpy(zero_copy_only=False)
+        iid = idx.column("doc_id").to_numpy(zero_copy_only=False)
+        iorder = np.lexsort((iid, ib))
+        ib, iid = ib[iorder], iid[iorder]
+        isig = np.stack(idx.column("sig").to_numpy(
+            zero_copy_only=False))[iorder]
+        nb = t.column("bucket").to_numpy(zero_copy_only=False)
+        nid = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nsig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
+        lo = np.searchsorted(ib, nb, side="left")
+        hi = np.searchsorted(ib, nb, side="right")
+        cnt = np.minimum(hi - lo, cap)
+        if cnt.sum() == 0:
+            return empty
+        a = np.repeat(np.arange(len(nid)), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        within = np.arange(len(a)) - np.repeat(csum[:-1], cnt)
+        b = np.repeat(lo, cnt) + within
+        # a new doc already in the index must not match itself
+        self_m = nid[a] == iid[b]
+        a, b = a[~self_m], b[~self_m]
+        if len(a) == 0:
+            return empty
+        est = (nsig[a] == isig[b]).mean(axis=1)
+        pct = np.floor(est * 100).astype(np.int64)
+        m = pct >= min_est_pct
+        if not m.any():
+            return empty
+        return pa.table({"doc_id": pa.array(nid[a[m]]),
+                         "dup_of": pa.array(iid[b[m]]),
+                         "est_jaccard_pct": pa.array(pct[m])})
+
+    def best_per_doc(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        o = g.column("dup_of").to_numpy(zero_copy_only=False)
+        e = g.column("est_jaccard_pct").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, -e, d))
+        d, o, e = d[order], o[order], e[order]
+        first = np.concatenate([[True], d[1:] != d[:-1]]) \
+            if len(d) else np.zeros(0, bool)
+        return pa.table({"doc_id": pa.array(d[first]),
+                         "dup_of": pa.array(o[first]),
+                         "est_jaccard_pct": pa.array(e[first])})
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("part", _int_part(d, num_partitions))
+
+    ds = (read_documents(new_docs, columns=["doc_id", "text"])
+          if isinstance(new_docs, str) else new_docs)
+    banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
+                                         num_partitions),
+                            batch_format="pyarrow")
+    from ..stages.exchange import file_exchange_map_groups
+    pairs = file_exchange_map_groups(banded, match, part_col="bpart")
+    return (pairs.map_batches(tag_doc, batch_format="pyarrow")
+            .fx_map_groups(best_per_doc))
+
+
+def incremental_dedup(sf_dir: str, *, k: int = 64, bands: int = 16,
+                      shingle: int = 3, min_est_pct: int = 50,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Driver-facing wrapper: docs with ``doc_id % 5 != 0`` play the
+    EXISTING corpus (index side), the rest are the newly-ingested
+    delta; builds the band index once per (input, params) under a
+    content-keyed /tmp root, then matches the delta against it. The
+    published-marker protocol mirrors functions/ann.py: build into a
+    scratch dir, atomic-rename into place, losers of the publish race
+    reuse the winner's index."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}|{bands}|{shingle}|"
+                      f"{num_partitions}".encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), f"aqr_mh_index_{key}")
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 5 != 0))
+
+    def delta_side(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % 5 == 0))
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    if not os.path.isdir(root):
+        scratch = root + f".build-{os.getpid()}"
+        build_minhash_index(
+            docs.map_batches(corpus_side, batch_format="pyarrow"),
+            scratch, k=k, bands=bands, shingle=shingle,
+            num_partitions=num_partitions)
+        try:
+            os.replace(scratch, root)
+        except OSError:
+            import shutil
+            shutil.rmtree(scratch, ignore_errors=True)
+    return match_minhash_index(
+        docs.map_batches(delta_side, batch_format="pyarrow"), root,
+        k=k, bands=bands, shingle=shingle, min_est_pct=min_est_pct,
+        num_partitions=num_partitions)

@@ -790,3 +790,110 @@ def quantile_band_docs(sf_dir: str, lo: float = 0.05, hi: float = 0.95
     return (read_documents(sf_dir, columns=["doc_id", "source",
                                             "n_chars"])
             .map_batches(band_filter, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------- #
+# DSIR data selection (hashed n-gram importance resampling)
+# --------------------------------------------------------------------- #
+_DSIR_P1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _dsir_features(t: pa.Table, dim: int,
+                   text_col: str = "text"
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed unigram+bigram feature stream for one batch: (feature id
+    in [0, dim), owning doc INDEX within the batch), one entry per
+    occurrence, in deterministic per-doc order (all unigrams in
+    position order, then all bigrams) — the DSIR (Xie et al. 2023)
+    hashed n-gram representation. One split + one hash pass; bigram ids
+    mix adjacent word hashes, never crossing a document boundary."""
+    txt = pc.utf8_lower(pc.utf8_trim_whitespace(t.column(text_col)))
+    words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    wh = hash_str_array(words.flatten())
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    uni = (wh % np.uint64(dim)).astype(np.int64)
+    if len(wh) > 1:
+        same = doc_of[1:] == doc_of[:-1]
+        bg = (((wh[:-1] * _DSIR_P1) ^ wh[1:])
+              % np.uint64(dim)).astype(np.int64)[same]
+        bdoc = doc_of[:-1][same]
+    else:
+        bg = np.empty(0, np.int64)
+        bdoc = np.empty(0, np.int64)
+    feats = np.concatenate([uni, bg])
+    fdoc = np.concatenate([doc_of, bdoc])
+    order = np.lexsort((np.arange(len(fdoc)), fdoc))
+    return feats[order], fdoc[order]
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en",
+                 dim: int = 8192) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed unigram+bigram distribution is —
+    ``score = Σ_occurrences ln(p_target(f)/p_raw(f))`` with add-one
+    smoothing, where the target distribution is fit on the docs
+    matching ``lang == target_lang`` and the raw distribution on the
+    whole corpus. High scores select for the target domain; feed the
+    scores to the existing weighted sampler for the resampling half.
+    Returns (doc_id, n_feats, score_micro) — score in integer
+    micro-nats (floor(x·1e6+0.5), the cents convention), one row per
+    doc.
+
+    Scale shape: BOTH distributions are dim-bounded vectors — per-block
+    nonzero (feat, n_raw, n_tgt) count partials fold driver-side into
+    two dim-length arrays (O(dim × blocks) tiny int rows, zero
+    exchanges), and the log-ratio vector (dim float64s, ~64 KB) is
+    broadcast into a map-only scoring pass. The corpus is read twice
+    but never shuffled; per-doc float summation order is fixed by the
+    feature stream (a doc lives in one batch row), so scores are
+    partitioning-invariant. Hash-based => rows-only (no SQL oracle)."""
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        feats, fdoc = _dsir_features(t, dim)
+        is_tgt = pc.equal(t.column("lang"),
+                          target_lang).fill_null(False) \
+            .to_numpy(zero_copy_only=False)
+        raw = np.bincount(feats, minlength=dim).astype(np.int64)
+        tm = is_tgt[fdoc]
+        tgt = np.bincount(feats[tm], minlength=dim).astype(np.int64)
+        nz = np.flatnonzero(raw)
+        return pa.table({"feat": pa.array(nz),
+                         "n_raw": pa.array(raw[nz]),
+                         "n_tgt": pa.array(tgt[nz])})
+
+    parts = (read_documents(sf_dir, columns=["text", "lang"])
+             .map_batches(dist_partial, batch_format="pyarrow"))
+    raw = np.zeros(dim, np.int64)
+    tgt = np.zeros(dim, np.int64)
+    for pt in ray.get(parts.to_arrow_refs()):
+        if pt.num_rows == 0:
+            continue
+        f = pt.column("feat").to_numpy(zero_copy_only=False)
+        np.add.at(raw, f, pt.column("n_raw").to_numpy(zero_copy_only=False))
+        np.add.at(tgt, f, pt.column("n_tgt").to_numpy(zero_copy_only=False))
+    lam = (np.log((tgt + 1.0) / (tgt.sum() + dim))
+           - np.log((raw + 1.0) / (raw.sum() + dim)))
+
+    def score(t: pa.Table) -> pa.Table:
+        feats, fdoc = _dsir_features(t, dim)
+        n = t.num_rows
+        nf = np.bincount(fdoc, minlength=n).astype(np.int64)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(nf[:-1], out=starts[1:])
+        vals = lam[feats]
+        sums = np.zeros(n, np.float64)
+        has = nf > 0
+        if has.any():
+            seg = np.add.reduceat(vals, starts[has]) if len(vals) else []
+            sums[has] = seg
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_feats": pa.array(nf),
+            "score_micro": pa.array(
+                np.floor(sums * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return (read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+            .map_batches(score, batch_format="pyarrow"))

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "quantile_band_docs", "kmeans_embeddings",
     "min_cost_supplier", "dup_gram_coverage", "semdedup",
     "remove_dup_spans", "value_stats_by_type", "rolling_window_sum",
+    "incremental_dedup", "dsir_weights",
     "event_type_pivot", "orders_weekly_gapfill",
 ]
 
