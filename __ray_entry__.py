@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window_sum": partial(tp.rolling_window_sum),
         "event_type_pivot": partial(tp.event_type_pivot),
         "orders_weekly_gapfill": partial(an.orders_weekly_gapfill),
+        "lead_lag_values": partial(tp.lead_lag_values),
+        "mode_value_by_type": partial(tp.mode_value_by_type),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1395,6 +1397,27 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             FROM win JOIN supplier ON s_suppkey = sk
                      JOIN nation ON n_nationkey = s_nationkey
             WHERE rn = 1""",
+        "lead_lag_values": """
+            SELECT event_id, user_id,
+              CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+              lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_value_c,
+              lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+                AS next_value_c
+            FROM events""",
+        "mode_value_by_type": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n DESC, v_c ASC) AS rn
+              FROM c)
+            SELECT event_type, v_c AS mode_c, n FROM r WHERE rn = 1""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

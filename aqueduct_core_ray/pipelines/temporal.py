@@ -1154,3 +1154,115 @@ def event_type_pivot(sf_dir: str, bucket_width: int = 10,
     for j, tname in enumerate(types):
         cols[f"n_{tname}"] = pa.array(mat[:, j])
     return ray.data.from_arrow(pa.table(cols))
+
+
+def lead_lag_values(sf_dir: str, num_partitions: int = 16
+                    ) -> ray.data.Dataset:
+    """LAG/LEAD projection: per event, the previous and next ``value``
+    (integer cents) of the SAME user in (ts, event_id) order — nulls at
+    each user's stream boundaries. Returns (event_id, user_id, value_c,
+    prev_value_c, next_value_c).
+
+    Scale shape (running_total's): ONE user-hash exchange, one lexsort
+    per partition, both neighbors from shifted views with segment-start
+    /-end masks — no per-user loop; nulls are real Arrow nulls."""
+    import pandas as pd
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        v_c = np.floor(val[order] * 100.0 + 0.5).astype(np.int64)
+        n = len(uid)
+        first = np.ones(n, bool)
+        first[1:] = uid[1:] != uid[:-1]
+        last = np.ones(n, bool)
+        last[:-1] = first[1:]
+        prev = np.roll(v_c, 1)
+        nxt = np.roll(v_c, -1)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "value_c": pa.array(v_c),
+            "prev_value_c": pa.array(
+                np.ma.masked_array(prev, mask=first)),
+            "next_value_c": pa.array(
+                np.ma.masked_array(nxt, mask=last)),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "value"])
+    return (ds.map_batches(part_col, batch_format="pyarrow")
+            .fx_map_groups(per_part))
+
+
+def mode_value_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MODE: per event_type the most frequent ``value`` in
+    integer cents (ties to the smallest value) and its count. Returns
+    (event_type, mode_c, n).
+
+    Scale shape: per-block (type, v_c) count partials, ONE
+    co-partitioned sum keyed by (type, v_c) — the count domain is
+    bounded by distinct cent values × types, measured sublinear (the
+    exact_quantiles economics) — then each output block's local argmax
+    (≤ types rows) folds driver-side; the events table itself never
+    shuffles."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v_c = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                       * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "v_c": pa.array(v_c),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        agg = g.group_by(["event_type", "v_c"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": agg.column("event_type"),
+                         "v_c": agg.column("v_c"),
+                         "n": agg.column("n_sum")})
+
+    def local_argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "v_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("v_c").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -n, ty))
+        ty, v, n = ty[order], v[order], n[order]
+        first = np.ones(len(ty), bool)
+        first[1:] = ty[1:] != ty[:-1]
+        return pa.table({"event_type": pa.array(ty[first]),
+                         "v_c": pa.array(v[first]),
+                         "n": pa.array(n[first])})
+
+    from ..stages.exchange import fx_sum_by
+    from .analytics import _concat_nonempty
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    counts = fx_sum_by(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type", "v_c"], ["n"])
+    cand = _concat_nonempty(
+        counts.map_batches(local_argmax, batch_format="pyarrow"),
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "v_c": pa.array([], pa.int64()),
+                  "n": pa.array([], pa.int64())}))
+    ty = cand.column("event_type").to_numpy(zero_copy_only=False)
+    v = cand.column("v_c").to_numpy(zero_copy_only=False)
+    n = cand.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, -n, ty))
+    ty, v, n = ty[order], v[order], n[order]
+    first = np.ones(len(ty), bool)
+    if len(ty):
+        first[1:] = ty[1:] != ty[:-1]
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(ty[first]),
+        "mode_c": pa.array(v[first]),
+        "n": pa.array(n[first])}))

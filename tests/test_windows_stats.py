@@ -131,3 +131,56 @@ def test_orders_weekly_gapfill_is_dense_mondays():
     # totals conserve through the fill
     n_orders = _duck("SELECT count(*) n FROM orders").n[0]
     assert df.n_orders.sum() == n_orders
+
+
+def test_lead_lag_values_matches_duckdb():
+    ry = _canon(temporal.lead_lag_values(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT event_id, user_id,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+          lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_c,
+          lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS next_value_c
+        FROM events"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_lead_lag_partition_invariance():
+    a = _canon(temporal.lead_lag_values(SF, num_partitions=3).to_pandas())
+    b = _canon(temporal.lead_lag_values(SF, num_partitions=16).to_pandas())
+    assert a.equals(b)
+
+
+def test_mode_value_by_type_matches_duckdb():
+    ry = _canon(temporal.mode_value_by_type(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY n DESC, v_c ASC) AS rn
+          FROM c)
+        SELECT event_type, v_c AS mode_c, n FROM r WHERE rn = 1"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_mode_tie_breaks_to_smallest_value(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # two values tied at max count: the smaller must win
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([0] * 6, pa.timestamp("us")),
+        "user_id": pa.array([0] * 6, pa.int64()),
+        "event_type": pa.array(["a"] * 4 + ["b"] * 2),
+        "value": pa.array([2.0, 2.0, 1.0, 1.0, 5.0, 9.0]),
+        "props": pa.array([""] * 6),
+    }), str(tmp_path / "events.parquet"))
+    got = temporal.mode_value_by_type(str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert got.mode_c.tolist() == [100, 500]
+    assert got.n.tolist() == [2, 1]
