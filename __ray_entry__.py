@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekly_gapfill": partial(an.orders_weekly_gapfill),
         "lead_lag_values": partial(tp.lead_lag_values),
         "mode_value_by_type": partial(tp.mode_value_by_type),
+        "props_key_stats": partial(tp.props_key_stats),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1418,6 +1419,15 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                 PARTITION BY event_type ORDER BY n DESC, v_c ASC) AS rn
               FROM c)
             SELECT event_type, v_c AS mode_c, n FROM r WHERE rn = 1""",
+        "props_key_stats": """
+            SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

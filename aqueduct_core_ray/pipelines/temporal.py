@@ -1266,3 +1266,72 @@ def mode_value_by_type(sf_dir: str) -> ray.data.Dataset:
         "event_type": pa.array(ty[first]),
         "mode_c": pa.array(v[first]),
         "n": pa.array(n[first])}))
+
+
+def props_key_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction rollup: parse the JSON ``props``
+    column (one object per event), pull the integer ``k`` field and
+    aggregate per event_type — n (non-null ks), sum, min, max. Returns
+    (event_type, n, sum_k, min_k, max_k).
+
+    Scale shape: parsing is VECTORIZED — the batch's props strings are
+    joined into one newline-delimited buffer with a single Arrow
+    binary_join kernel and handed to pyarrow.json's C++ reader (no
+    per-row Python json.loads); per-block per-type partials fold
+    driver-side (bounded rollup), the events table never shuffles.
+    Rows with null/malformed-for-k props contribute to no aggregate
+    (SQL count(k) semantics)."""
+    import io
+
+    import pyarrow.json as pajson
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "sum_k": pa.array([], pa.int64()),
+                          "min_k": pa.array([], pa.int64()),
+                          "max_k": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        col = pc.fill_null(t.column("props"), "{}").combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(col)], pa.int32()), col)
+        buf = pc.binary_join(lst, "\n")[0].as_py().encode()
+        parsed = pajson.read_json(io.BytesIO(buf))
+        if "k" not in parsed.column_names:
+            return empty
+        k = parsed.column("k")
+        if not pa.types.is_integer(k.type):
+            k = k.cast(pa.int64())
+        valid = pc.is_valid(k)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "k": k,
+                      "one": valid.cast(pa.int64())}).filter(valid)
+        if g.num_rows == 0:
+            return empty
+        agg = g.group_by("event_type").aggregate(
+            [("one", "sum"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({"event_type": agg.column("event_type"),
+                         "n": agg.column("one_sum"),
+                         "sum_k": agg.column("k_sum"),
+                         "min_k": agg.column("k_min"),
+                         "max_k": agg.column("k_max")})
+
+    from .analytics import _concat_nonempty
+    ds = read_events(sf_dir, columns=["event_type", "props"])
+    pt = _concat_nonempty(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.table({"event_type": pa.array([], pa.string()),
+                  "n": pa.array([], pa.int64()),
+                  "sum_k": pa.array([], pa.int64()),
+                  "min_k": pa.array([], pa.int64()),
+                  "max_k": pa.array([], pa.int64())}))
+    agg = pt.group_by("event_type").aggregate(
+        [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"),
+         ("max_k", "max")])
+    return ray.data.from_arrow(pa.table({
+        "event_type": agg.column("event_type"),
+        "n": agg.column("n_sum"),
+        "sum_k": agg.column("sum_k_sum"),
+        "min_k": agg.column("min_k_min"),
+        "max_k": agg.column("max_k_max")}))

@@ -184,3 +184,36 @@ def test_mode_tie_breaks_to_smallest_value(tmp_path):
         .sort_values("event_type").reset_index(drop=True)
     assert got.mode_c.tolist() == [100, 500]
     assert got.n.tolist() == [2, 1]
+
+
+def test_props_key_stats_matches_duckdb():
+    ry = _canon(temporal.props_key_stats(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_props_key_stats_skips_null_and_missing(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([0] * 5, pa.timestamp("us")),
+        "user_id": pa.array([0] * 5, pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(['{"k": 3}', None, "{}", '{"j": 9}',
+                           '{"k": 7}']),
+    }), str(tmp_path / "events.parquet"))
+    got = temporal.props_key_stats(str(tmp_path)).to_pandas()
+    assert got.n.tolist() == [2]
+    assert got.sum_k.tolist() == [10]
+    assert got.min_k.tolist() == [3]
+    assert got.max_k.tolist() == [7]
