@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_lag_values": partial(tp.lead_lag_values),
         "mode_value_by_type": partial(tp.mode_value_by_type),
         "props_key_stats": partial(tp.props_key_stats),
+        "interval_join_pairs": partial(tp.interval_join_pairs),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1419,6 +1420,15 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                 PARTITION BY event_type ORDER BY n DESC, v_c ASC) AS rn
               FROM c)
             SELECT event_type, v_c AS mode_c, n FROM r WHERE rn = 1""",
+        "interval_join_pairs": """
+            SELECT c.user_id, c.event_id AS left_id,
+                   p.event_id AS right_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                     AS gap_us
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click'
+              AND p.event_type = 'purchase'
+              AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 60 MINUTE""",
         "props_key_stats": """
             SELECT event_type, CAST(count(k) AS BIGINT) AS n,
                    CAST(sum(k) AS BIGINT) AS sum_k,

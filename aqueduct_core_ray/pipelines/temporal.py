@@ -1335,3 +1335,82 @@ def props_key_stats(sf_dir: str) -> ray.data.Dataset:
         "sum_k": agg.column("sum_k_sum"),
         "min_k": agg.column("min_k_min"),
         "max_k": agg.column("max_k_max")}))
+
+
+def interval_join_pairs(sf_dir: str, left_type: str = "click",
+                        right_type: str = "purchase",
+                        window_minutes: int = 60,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """INTERVAL JOIN (stream-stream windowed join, Flink semantics):
+    every (left, right) event pair of the same user where the right
+    event lands in ``[left.ts, left.ts + window)`` — ALL pairs, not
+    just the nearest (that one is ``asof_join_prior``). Returns
+    (user_id, left_id, right_id, gap_us).
+
+    Scale shape: ONE user-hash exchange co-locates each user's full
+    stream; per partition both sides sort once by composite (user rank,
+    ts, event_id) and each left row finds its right-window via TWO
+    segmented searchsorteds — emission is the vectorized repeat of
+    window widths, so cost is O(n log n + output), no per-user loop.
+    Output size is bounded by the window (pairs-per-left ≤ right events
+    in one hour), the inherent interval-join blowup knob."""
+    import pandas as pd
+
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def narrow(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "gap_us": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        typ = t.column("event_type").to_numpy(zero_copy_only=False)
+        is_l = typ == left_type
+        is_r = typ == right_type
+        # composite key: user rank shifts each user's stream into its
+        # own disjoint int64 range, so ONE searchsorted serves them all
+        u_uniq, u_code = np.unique(uid, return_inverse=True)
+        span = np.int64(ts.max() - ts.min() + win_us + 2)
+        base = ts.astype(np.int64) - np.int64(ts.min())
+        comp = u_code.astype(np.int64) * span + base
+        lc, le, lt, lu = comp[is_l], eid[is_l], ts[is_l], uid[is_l]
+        rc, re_, rt = comp[is_r], eid[is_r], ts[is_r]
+        if len(lc) == 0 or len(rc) == 0:
+            return empty
+        ro = np.lexsort((re_, rc))
+        rc, re_, rt = rc[ro], re_[ro], rt[ro]
+        lo = np.searchsorted(rc, lc, side="left")
+        hi = np.searchsorted(rc, lc + win_us, side="right")
+        # the composite window [lc, lc+win) cannot cross users: span
+        # exceeds any in-user offset by win_us + 1
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return empty
+        li = np.repeat(np.arange(len(lc)), cnt)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        ri = np.repeat(lo, cnt) + (np.arange(len(li))
+                                   - np.repeat(csum[:-1], cnt))
+        return pa.table({
+            "user_id": pa.array(lu[li]),
+            "left_id": pa.array(le[li]),
+            "right_id": pa.array(re_[ri]),
+            "gap_us": pa.array(rt[ri] - lt[li]),
+        })
+
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .fx_map_groups(per_part))

@@ -217,3 +217,42 @@ def test_props_key_stats_skips_null_and_missing(tmp_path):
     assert got.sum_k.tolist() == [10]
     assert got.min_k.tolist() == [3]
     assert got.max_k.tolist() == [7]
+
+
+def test_interval_join_matches_duckdb():
+    ry = _canon(temporal.interval_join_pairs(SF).to_pandas())
+    sq = _canon(_duck("""
+        SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        FROM events c JOIN events p ON c.user_id = p.user_id
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 60 MINUTE"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_interval_join_wide_window_partition_invariance():
+    a = _canon(temporal.interval_join_pairs(
+        SF, window_minutes=24 * 60, num_partitions=3).to_pandas())
+    b = _canon(temporal.interval_join_pairs(
+        SF, window_minutes=24 * 60, num_partitions=16).to_pandas())
+    assert len(a) > 5 and a.equals(b)
+
+
+def test_interval_join_window_boundary_inclusive(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    us = 60 * 60 * 1_000_000
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([0, 0, us, us + 1], pa.timestamp("us")),
+        "user_id": pa.array([7] * 4, pa.int64()),
+        "event_type": pa.array(["click", "purchase", "purchase",
+                                "purchase"]),
+        "value": pa.array([1.0] * 4),
+        "props": pa.array([""] * 4),
+    }), str(tmp_path / "events.parquet"))
+    got = temporal.interval_join_pairs(str(tmp_path)).to_pandas() \
+        .sort_values("right_id")
+    # gap 0 and gap == window are IN; window+1 is OUT (BETWEEN semantics)
+    assert got.right_id.tolist() == [1, 2]
+    assert got.gap_us.tolist() == [0, us]
