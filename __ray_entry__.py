@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # delta-vs-corpus incremental dedup (persisted band index) and
         # DSIR importance weights — hash-based, rows-only
         "incremental_dedup": partial(dedup.incremental_dedup),
+        # the same shape wired to the ENGINE: generation-2 delta matched
+        # against an index bootstrapped from generation-1's lake
+        "online_dedup_feed": partial(er.online_dedup_feed),
         "dsir_weights": partial(text.dsir_weights),
         "simhash_dedup": partial(dedup.simhash_dedup),
         "embedding_ann_dedup": partial(dedup.embedding_ann_dedup),

@@ -108,20 +108,70 @@ def _shingle_hashes(t: pa.Table, text_col: str, shingle: int
     return sh, sdoc
 
 
-def minhash_sigs(t: pa.Table, text_col: str = "text", k: int = 64,
-                 shingle: int = 3, seed: int = 1337) -> np.ndarray:
-    """(n_rows, k) uint64 MinHash signature matrix for one batch."""
-    sh, sdoc = _shingle_hashes(t, text_col, shingle)
-    counts = np.bincount(sdoc, minlength=t.num_rows)
-    starts = np.zeros(t.num_rows, dtype=np.int64)
+def _token_shingle_hashes(t: pa.Table, col: str, shingle: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """``_shingle_hashes`` for a LIST<int> token column (the lake's
+    pre-tokenized payload): windows of ``shingle`` consecutive token
+    ids, mixed with the same constants as the text path; rows shorter
+    than ``shingle`` contribute one whole-sequence fold shingle."""
+    lists = t.column(col).combine_chunks()
+    vals = lists.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    h = ((vals + np.uint64(1)) * np.uint64(_P2)) & _MASK
+    counts = pc.list_value_length(lists).fill_null(0) \
+        .to_numpy(zero_copy_only=False)
+    docidx = np.repeat(np.arange(len(counts)), counts)
+    if len(h) >= shingle:
+        sh = h[: len(h) - shingle + 1] * np.uint64(_P1)
+        for j in range(1, shingle):
+            sh = sh ^ (h[j: len(h) - shingle + 1 + j]
+                       * np.uint64(_P2 + 2 * j))
+        valid = docidx[: len(h) - shingle + 1] == docidx[shingle - 1:]
+        sh, sdoc = sh[valid], docidx[: len(h) - shingle + 1][valid]
+    else:
+        sh = np.empty(0, np.uint64)
+        sdoc = np.empty(0, np.int64)
+    have = np.bincount(sdoc, minlength=t.num_rows) > 0
+    if not have.all():
+        # short rows: one fold shingle over the whole sequence
+        missing = np.flatnonzero(~have)
+        folded = np.zeros(t.num_rows, np.uint64)
+        np.add.at(folded, docidx, (h * np.uint64(_P1)) & _MASK)
+        fh = ((folded + counts.astype(np.uint64) * np.uint64(_P3))
+              * np.uint64(_P2)) & _MASK
+        sh = np.concatenate([sh, fh[missing]])
+        sdoc = np.concatenate([sdoc, missing])
+        order = np.argsort(sdoc, kind="stable")
+        sh, sdoc = sh[order], sdoc[order]
+    return sh, sdoc
+
+
+def _sigs_from_hashes(sh: np.ndarray, sdoc: np.ndarray, n_rows: int,
+                      k: int, seed: int) -> np.ndarray:
+    """(n_rows, k) uint64 MinHash signatures from a flat shingle-hash
+    stream — the kernel shared by the text and token paths."""
+    counts = np.bincount(sdoc, minlength=n_rows)
+    starts = np.zeros(n_rows, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     rng = np.random.default_rng(np.random.PCG64(seed))
     a = rng.integers(1, 1 << 63, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
-    sig = np.empty((t.num_rows, k), dtype=np.uint64)
+    sig = np.empty((n_rows, k), dtype=np.uint64)
     for i in range(k):                      # k kernels, each fully vectorized
         sig[:, i] = np.minimum.reduceat((sh * a[i] + b[i]) & _MASK, starts)
     return sig
+
+
+def minhash_sigs(t: pa.Table, text_col: str = "text", k: int = 64,
+                 shingle: int = 3, seed: int = 1337) -> np.ndarray:
+    """(n_rows, k) uint64 MinHash signature matrix for one batch; a
+    LIST-typed column shingles over token ids instead of words."""
+    if pa.types.is_list(t.column(text_col).type) or \
+            pa.types.is_large_list(t.column(text_col).type):
+        sh, sdoc = _token_shingle_hashes(t, text_col, shingle)
+    else:
+        sh, sdoc = _shingle_hashes(t, text_col, shingle)
+    return _sigs_from_hashes(sh, sdoc, t.num_rows, k, seed)
 
 
 def _band_rows(doc_ids: np.ndarray, sig: np.ndarray, bands: int
@@ -1444,13 +1494,15 @@ def remove_dup_spans(sf_dir: str, gram: int = 32, stride: int = 16,
 # incremental MinHash dedup: delta vs a persisted corpus band index
 # --------------------------------------------------------------------- #
 
-def _to_bands_fn(k: int, bands: int, shingle: int, num_partitions: int):
+def _to_bands_fn(k: int, bands: int, shingle: int, num_partitions: int,
+                 column: str = "text"):
     """Banding kernel shared by the one-shot LSH dedup, the index
     builder and the delta matcher — identical params MUST produce
-    identical buckets or the index is useless."""
+    identical buckets or the index is useless. A LIST-typed ``column``
+    (e.g. the lake's ``tokens``) shingles over token ids."""
 
     def to_bands(t: pa.Table) -> pa.Table:
-        sig = minhash_sigs(t, k=k, shingle=shingle)
+        sig = minhash_sigs(t, text_col=column, k=k, shingle=shingle)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         out = _band_rows(ids, sig, bands)
         bp = (out.column("bucket").to_numpy(zero_copy_only=False)
@@ -1461,7 +1513,8 @@ def _to_bands_fn(k: int, bands: int, shingle: int, num_partitions: int):
 
 def build_minhash_index(docs: "str | ray.data.Dataset", index_root: str,
                         *, k: int = 64, bands: int = 16, shingle: int = 3,
-                        num_partitions: int = 16) -> int:
+                        num_partitions: int = 16,
+                        column: str = "text") -> int:
     """Build (or APPEND to) a persisted MinHash band index: (bucket,
     doc_id, sig) rows hive-partitioned by ``bpart = bucket % P`` under
     ``index_root`` — the corpus side of incremental near-dup detection.
@@ -1472,10 +1525,10 @@ def build_minhash_index(docs: "str | ray.data.Dataset", index_root: str,
     Append-safe: files are uuid-named, re-appending the same docs is
     idempotent for MATCHING (duplicate index rows produce the same
     pairs). Returns the number of band rows written."""
-    ds = (read_documents(docs, columns=["doc_id", "text"])
+    ds = (read_documents(docs, columns=["doc_id", column])
           if isinstance(docs, str) else docs)
     banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
-                                         num_partitions),
+                                         num_partitions, column),
                             batch_format="pyarrow")
     banded.write_parquet(index_root, partition_cols=["bpart"])
     import pyarrow.parquet as pq
@@ -1488,8 +1541,8 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
                         index_root: str, *, k: int = 64, bands: int = 16,
                         shingle: int = 3, num_partitions: int = 16,
                         min_est_pct: int = 50,
-                        max_matches: int | None = None
-                        ) -> ray.data.Dataset:
+                        max_matches: int | None = None,
+                        column: str = "text") -> ray.data.Dataset:
     """Match NEW documents against a persisted band index: per new doc
     the best near-duplicate already in the corpus (max estimated
     Jaccard, ties to the smallest corpus doc_id). Returns (doc_id,
@@ -1569,10 +1622,10 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.append_column("part", _int_part(d, num_partitions))
 
-    ds = (read_documents(new_docs, columns=["doc_id", "text"])
+    ds = (read_documents(new_docs, columns=["doc_id", column])
           if isinstance(new_docs, str) else new_docs)
     banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
-                                         num_partitions),
+                                         num_partitions, column),
                             batch_format="pyarrow")
     from ..stages.exchange import file_exchange_map_groups
     pairs = file_exchange_map_groups(banded, match, part_col="bpart")

@@ -214,21 +214,10 @@ def tokenize_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(tokenize_batch, batch_format="pyarrow")
 
 
-def replay_documents_lake(sf_dir: str, n_waves: int = 2,
-                          num_partitions: int = 8) -> ray.data.Dataset:
-    """Tokenized documents ingested as an insert-only change stream through
-    the engine — the flagship `entry()` pipeline.
-
-    Returns the STREAMING lake Dataset (`read_lake()`), not a driver
-    materialization: the lake lives in a deterministic per-(sf,params)
-    scratch root that is wiped and rebuilt per call, and left on disk for
-    the returned Dataset to stream from — the consumer sees partitioned
-    parquet exactly as a 100-TB deployment would."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    work = f"/tmp/aqr-docs-{tag}-w{n_waves}-p{num_partitions}"
-    shutil.rmtree(work, ignore_errors=True)
-    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
-    os.makedirs(log_dir, exist_ok=True)
+def _documents_changelog(sf_dir: str, log_dir: str) -> int:
+    """Write the documents table as a tokenized insert-only changelog
+    (lsn = doc_id + 1); returns the max lsn. Shared by the flagship
+    replay and the online-dedup feed."""
 
     def to_events(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -249,8 +238,26 @@ def replay_documents_lake(sf_dir: str, n_waves: int = 2,
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
     ds.map_batches(to_events, batch_format="pyarrow").write_parquet(log_dir)
-    max_lsn = int(ray.data.read_parquet(
+    return int(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).max("doc_id")) + 1
+
+
+def replay_documents_lake(sf_dir: str, n_waves: int = 2,
+                          num_partitions: int = 8) -> ray.data.Dataset:
+    """Tokenized documents ingested as an insert-only change stream through
+    the engine — the flagship `entry()` pipeline.
+
+    Returns the STREAMING lake Dataset (`read_lake()`), not a driver
+    materialization: the lake lives in a deterministic per-(sf,params)
+    scratch root that is wiped and rebuilt per call, and left on disk for
+    the returned Dataset to stream from — the consumer sees partitioned
+    parquet exactly as a 100-TB deployment would."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/aqr-docs-{tag}-w{n_waves}-p{num_partitions}"
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir, lake_dir = os.path.join(work, "log"), os.path.join(work, "lake")
+    os.makedirs(log_dir, exist_ok=True)
+    max_lsn = _documents_changelog(sf_dir, log_dir)
     eng = CDCEngine(lake_dir, num_partitions=num_partitions)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
     return eng.read_lake()                   # streaming, no driver gather
@@ -281,3 +288,33 @@ def generation_diff_events(sf_dir: str, num_partitions: int = 16):
     out = eng.diff_generations(0, 1).to_pandas()
     shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def online_dedup_feed(sf_dir: str, num_partitions: int = 8,
+                      min_est_pct: int = 80) -> ray.data.Dataset:
+    """ONLINE dedup demo over the flagship ingest: the documents
+    changelog replays in two generations — the band index bootstraps
+    from generation 1's lake, then generation 2's delta is matched
+    against it and appended (pipelines/online_dedup.py). Returns the
+    second generation's near-dup matches (doc_id, dup_of,
+    est_jaccard_pct) — docs whose token sequences near-duplicate
+    something ALREADY INGESTED. Rows-only (hash/LSH-based)."""
+    from .online_dedup import bootstrap_dedup_index, online_dedup_step
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    work = f"/tmp/aqr-odd-{tag}-p{num_partitions}"
+    shutil.rmtree(work, ignore_errors=True)
+    log_dir = os.path.join(work, "log")
+    lake_dir = os.path.join(work, "lake")
+    idx_dir = os.path.join(work, "idx")
+    os.makedirs(log_dir, exist_ok=True)
+    max_lsn = _documents_changelog(sf_dir, log_dir)
+    bounds = _wave_bounds(max_lsn, 2)
+    eng = CDCEngine(lake_dir, num_partitions=num_partitions)
+    eng.replay(log_dir, bounds[:1])
+    bootstrap_dedup_index(eng, idx_dir,
+                          num_partitions=num_partitions)
+    eng.replay(log_dir, bounds[1:])
+    matches, _, _ = online_dedup_step(eng, idx_dir,
+                                      min_est_pct=min_est_pct,
+                                      num_partitions=num_partitions)
+    return ray.data.from_arrow(matches)

@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "quantile_band_docs", "kmeans_embeddings",
     "min_cost_supplier", "dup_gram_coverage", "semdedup",
     "remove_dup_spans", "value_stats_by_type", "rolling_window_sum",
-    "incremental_dedup", "dsir_weights", "lead_lag_values",
+    "incremental_dedup", "online_dedup_feed", "dsir_weights", "lead_lag_values",
     "mode_value_by_type", "props_key_stats", "interval_join_pairs",
     "event_type_pivot", "orders_weekly_gapfill",
 ]
