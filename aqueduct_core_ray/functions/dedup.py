@@ -1627,10 +1627,16 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
     banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
                                          num_partitions, column),
                             batch_format="pyarrow")
+    id_type = pa.string() if isinstance(new_docs, ray.data.Dataset) \
+        else pa.int64()
+    empty = pa.table({"doc_id": pa.array([], id_type),
+                      "dup_of": pa.array([], id_type),
+                      "est_jaccard_pct": pa.array([], pa.int64())})
     from ..stages.exchange import file_exchange_map_groups
-    pairs = file_exchange_map_groups(banded, match, part_col="bpart")
+    pairs = file_exchange_map_groups(banded, match, part_col="bpart",
+                                     empty_result=empty)
     return (pairs.map_batches(tag_doc, batch_format="pyarrow")
-            .fx_map_groups(best_per_doc))
+            .fx_map_groups(best_per_doc, empty_result=empty))
 
 
 def incremental_dedup(sf_dir: str, *, k: int = 64, bands: int = 16,

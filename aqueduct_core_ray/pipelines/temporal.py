@@ -1297,7 +1297,13 @@ def props_key_stats(sf_dir: str) -> ray.data.Dataset:
         lst = pa.ListArray.from_arrays(
             pa.array([0, len(col)], pa.int32()), col)
         buf = pc.binary_join(lst, "\n")[0].as_py().encode()
-        parsed = pajson.read_json(io.BytesIO(buf))
+        parsed = pajson.read_json(
+            io.BytesIO(buf),
+            parse_options=pajson.ParseOptions(newlines_in_values=True))
+        if parsed.num_rows != t.num_rows:
+            raise ValueError(
+                f"props JSON parse desync: {parsed.num_rows} objects "
+                f"from {t.num_rows} rows (malformed props?)")
         if "k" not in parsed.column_names:
             return empty
         k = parsed.column("k")
@@ -1413,4 +1419,8 @@ def interval_join_pairs(sf_dir: str, left_type: str = "click",
     ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
                                       "event_type"])
     return (ds.map_batches(narrow, batch_format="pyarrow")
-            .fx_map_groups(per_part))
+            .fx_map_groups(per_part, empty_result=pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64())})))

@@ -96,6 +96,7 @@ def file_exchange_map_groups(
     fn: Callable[[pa.Table], pa.Table],
     root: "str | None" = None,
     part_col: str = "part",
+    empty_result: "pa.Table | None" = None,
 ) -> ray.data.Dataset:
     """Drop-in replacement for ``ds.groupby("part").map_groups(fn,
     batch_format="pyarrow")`` when ``part`` is already a bounded int
@@ -120,10 +121,23 @@ def file_exchange_map_groups(
                 (r["path"], int(r["batch"])))
         if not plan:
             shutil.rmtree(xdir, ignore_errors=True)
+            # empty exchange: the caller's typed empty wins (Ray's
+            # schema() is None for an empty mapped dataset, so there
+            # may be nothing to derive from); else derive the OUTPUT
+            # schema by applying fn to an empty input-shaped table
+            # (group fns that return typed empties keep their schema
+            # downstream), falling back to the input schema for fns
+            # that assume non-empty groups
+            if empty_result is not None:
+                return ray.data.from_arrow(empty_result)
             sample = ds.schema()
-            return ray.data.from_arrow(
-                pa.schema(sample.base_schema).empty_table()
-                if sample is not None else pa.table({}))
+            if sample is not None:
+                empty_in = pa.schema(sample.base_schema).empty_table()
+                try:
+                    return ray.data.from_arrow(fn(empty_in))
+                except Exception:
+                    return ray.data.from_arrow(empty_in)
+            return ray.data.from_arrow(pa.table({}))
         refs = [_run_partition.remote(fn, entries)
                 for _, entries in sorted(plan.items())]
         ray.wait(refs, num_returns=len(refs))  # files consumed: safe to rm
@@ -132,13 +146,15 @@ def file_exchange_map_groups(
         shutil.rmtree(xdir, ignore_errors=True)
 
 
-def _ds_fx_map_groups(self: ray.data.Dataset, fn, part_col: str = "part"
+def _ds_fx_map_groups(self: ray.data.Dataset, fn, part_col: str = "part",
+                      empty_result: "pa.Table | None" = None
                       ) -> ray.data.Dataset:
     """``ds.fx_map_groups(fn)`` == ``ds.groupby(part).map_groups(fn,
     batch_format="pyarrow")`` over the file exchange — an EXTENSION
     method (new attribute, nothing overridden) so the module-wide
     groupby chain shape survives the swap verbatim."""
-    return file_exchange_map_groups(self, fn, part_col=part_col)
+    return file_exchange_map_groups(self, fn, part_col=part_col,
+                                    empty_result=empty_result)
 
 
 ray.data.Dataset.fx_map_groups = _ds_fx_map_groups

@@ -24,7 +24,15 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        # NOT res.to_pandas(): Ray's to_pandas drops the schema of a
+        # zero-row dataset (column-less frame), which would fail the
+        # schema compare for legitimately-empty results
+        import ray
+        tabs = ray.get(res.to_arrow_refs())
+        if tabs:
+            return pa.concat_tables(
+                tabs, promote_options="default").to_pandas()
+        return pd.DataFrame()
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res

@@ -256,3 +256,78 @@ def test_interval_join_window_boundary_inclusive(tmp_path):
     # gap 0 and gap == window are IN; window+1 is OUT (BETWEEN semantics)
     assert got.right_id.tolist() == [1, 2]
     assert got.gap_us.tolist() == [0, us]
+
+
+def test_props_key_stats_handles_multiline_json(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(3), pa.int64()),
+        "ts": pa.array([0] * 3, pa.timestamp("us")),
+        "user_id": pa.array([0] * 3, pa.int64()),
+        "event_type": pa.array(["a"] * 3),
+        "value": pa.array([1.0] * 3),
+        # a pretty-printed object spans lines; alignment must hold
+        "props": pa.array(['{\n  "k": 5\n}', '{"k": 1}', '{"k": 2}']),
+    }), str(tmp_path / "events.parquet"))
+    got = temporal.props_key_stats(str(tmp_path)).to_pandas()
+    assert got.n.tolist() == [3]
+    assert got.sum_k.tolist() == [8]
+
+
+def test_interval_and_rolling_randomized_vs_duckdb(tmp_path):
+    """Randomized cross-check: adversarial event tables (duplicate
+    timestamps, ties, single-type users, empty sides) against DuckDB —
+    20 seeded trials."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(0, 40))
+        d = tmp_path / f"t{seed}"
+        d.mkdir()
+        ts = rng.integers(0, 4, n) * 30 * 60 * 1_000_000  # coarse: ties
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase", "view"], n)),
+            "value": pa.array(np.round(rng.uniform(0, 9, n), 2)),
+            "props": pa.array(["{}"] * n),
+        }), str(d / "events.parquet"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{d}/events.parquet')")
+        ry = _canon(temporal.interval_join_pairs(str(d)).to_pandas())
+        sq = _canon(con.execute("""
+            SELECT c.user_id, c.event_id AS left_id,
+                   p.event_id AS right_id,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                     AS gap_us
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 60 MINUTE
+            """).df())
+        if len(sq) == 0:
+            # Ray's to_pandas drops columns on zero-row datasets; the
+            # schema itself is pinned by the dedicated empty-edge tests
+            assert len(ry) == 0, f"seed {seed}"
+        else:
+            assert sq.equals(ry.astype(sq.dtypes.to_dict())), \
+                f"seed {seed}"
+        if n:
+            ry2 = _canon(temporal.rolling_window_sum(
+                str(d), window=3).to_pandas())
+            sq2 = _canon(con.execute("""
+                SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS rolling_c
+                FROM events""").df())
+            assert sq2.equals(ry2.astype(sq2.dtypes.to_dict())), \
+                f"seed {seed}"
