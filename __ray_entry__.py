@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_value_by_type": partial(tp.mode_value_by_type),
         "props_key_stats": partial(tp.props_key_stats),
         "interval_join_pairs": partial(tp.interval_join_pairs),
+        "mad_by_type": partial(tp.mad_by_type),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1432,6 +1433,20 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             WHERE c.event_type = 'click'
               AND p.event_type = 'purchase'
               AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 60 MINUTE""",
+        "mad_by_type": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+              FROM events),
+            m AS (
+              SELECT event_type, quantile_disc(v_c, 0.5) AS med
+              FROM v GROUP BY 1)
+            SELECT v.event_type,
+                   CAST(m.med AS BIGINT) AS median_c,
+                   CAST(quantile_disc(abs(v.v_c - m.med), 0.5)
+                        AS BIGINT) AS mad_c
+            FROM v JOIN m USING (event_type)
+            GROUP BY v.event_type, m.med""",
         "props_key_stats": """
             SELECT event_type, CAST(count(k) AS BIGINT) AS n,
                    CAST(sum(k) AS BIGINT) AS sum_k,

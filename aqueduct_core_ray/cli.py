@@ -23,6 +23,10 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
              --columns) to plain parquet for engine-less consumers
   vacuum     GC part files outside the keep window
   get        partition-pruned point reads by doc_id
+  dedup      online near-dup maintenance: --bootstrap seeds the token-
+             shingle band index from the lake; default step matches the
+             docs added/updated since the index watermark, appends
+             them, and prints the matches (pipelines/online_dedup.py)
   status     manifest + consumer-lag summary
   prune-outbox
              GC outbox segments below the slowest child's watermark
@@ -321,6 +325,30 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Online near-dup maintenance against a persisted band index:
+    --bootstrap seeds from the CURRENT lake; otherwise one
+    online_dedup_step over the generations since the index watermark."""
+    from .pipelines.online_dedup import (
+        bootstrap_dedup_index,
+        online_dedup_step,
+    )
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    if args.bootstrap:
+        n = bootstrap_dedup_index(eng, args.index)
+        print(json.dumps({"ok": True, "band_rows": n,
+                          "generation": eng.manifest.generation}))
+        return 0
+    matches, g_from, g_to = online_dedup_step(
+        eng, args.index, min_est_pct=args.min_est_pct)
+    print(json.dumps({"ok": True, "from_generation": g_from,
+                      "to_generation": g_to,
+                      "n_matches": matches.num_rows,
+                      "matches": matches.to_pylist()}, default=str))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Garbage-collect part files outside the newest --keep generations
     (every kept manifest stays fully readable — the time-travel
@@ -594,6 +622,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--columns", default=None,
                    help="comma-separated column subset")
     g.set_defaults(fn=cmd_get)
+
+    dd = sub.add_parser("dedup",
+                        help="online near-dup index maintenance "
+                             "(--bootstrap to seed)")
+    dd.add_argument("--lake", required=True)
+    dd.add_argument("--index", required=True)
+    dd.add_argument("--bootstrap", action="store_true")
+    dd.add_argument("--min-est-pct", type=int, default=50)
+    dd.set_defaults(fn=cmd_dedup)
 
     vc = sub.add_parser("vacuum",
                         help="GC part files outside the keep window")

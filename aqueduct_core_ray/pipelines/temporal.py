@@ -1424,3 +1424,66 @@ def interval_join_pairs(sf_dir: str, left_type: str = "click",
                 "left_id": pa.array([], pa.int64()),
                 "right_id": pa.array([], pa.int64()),
                 "gap_us": pa.array([], pa.int64())})))
+
+
+def mad_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Median absolute deviation per event_type (robust spread), both
+    in integer cents with ``quantile_disc`` rank semantics: median m =
+    element at rank ceil(n/2), MAD = median of |v − m|. Returns
+    (event_type, median_c, mad_c).
+
+    Scale shape: a DEPENDENT two-pass statistic computed from ONE
+    exchange — the same bounded (type, value_c) histogram as
+    exact_quantiles_by_type; the second "pass" (|v−m| distribution) is
+    pure driver arithmetic over the histogram rows (mirror-fold around
+    m + reduceat), so the events never move twice."""
+    from ..stages.exchange import fx_sum_by
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "value_c": pa.array(np.floor(v * 100.0 + 0.5)
+                                .astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        agg = g.group_by(["event_type", "value_c"]).aggregate(
+            [("n", "sum")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "value_c": agg.column("value_c"),
+            "n": agg.column("n_sum"),
+        })
+
+    hist = fx_sum_by(
+        read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_c"], ["n"]
+    ).to_pandas()                    # bounded: domain x types rows
+    out_t, out_m, out_d = [], [], []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("value_c")
+        vals = g["value_c"].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(cum, max(1, int(np.ceil(0.5 * n))),
+                                       side="left")])
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev, dcnt = dev[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], dev[1:] != dev[:-1]]))
+        du = dev[starts]
+        dc = np.add.reduceat(dcnt, starts)
+        dcum = dc.cumsum()
+        mad = int(du[np.searchsorted(dcum, max(1, int(np.ceil(0.5 * n))),
+                                     side="left")])
+        out_t.append(et)
+        out_m.append(med)
+        out_d.append(mad)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "median_c": pa.array(out_m, pa.int64()),
+        "mad_c": pa.array(out_d, pa.int64()),
+    }))

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "remove_dup_spans", "value_stats_by_type", "rolling_window_sum",
     "incremental_dedup", "online_dedup_feed", "dsir_weights", "lead_lag_values",
     "mode_value_by_type", "props_key_stats", "interval_join_pairs",
+    "mad_by_type",
     "event_type_pivot", "orders_weekly_gapfill",
 ]
 

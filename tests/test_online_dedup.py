@@ -130,3 +130,23 @@ def test_crash_replay_is_idempotent(lake):
     m2, _, _ = od.online_dedup_step(eng, idx)
     assert sorted(m1.to_pylist(), key=str) == \
         sorted(m2.to_pylist(), key=str)
+
+
+def test_cli_dedup_bootstrap_and_step(lake, capsys):
+    import json
+
+    from aqueduct_core_ray import cli
+    eng, toks, tmp = lake
+    idx = str(tmp / "idx")
+    assert cli.main(["dedup", "--lake", str(tmp / "lake"),
+                     "--index", idx, "--bootstrap"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["band_rows"] > 0
+    log1 = _log(tmp / "log1", [(1, 0, "new0", toks["doc0003"])])
+    eng.replay(log1, [(0, 1)])
+    assert cli.main(["dedup", "--lake", str(tmp / "lake"),
+                     "--index", idx]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_matches"] == 1
+    assert out["matches"][0]["doc_id"] == "new0"
+    assert out["matches"][0]["dup_of"] == "doc0003"

@@ -331,3 +331,21 @@ def test_interval_and_rolling_randomized_vs_duckdb(tmp_path):
                 FROM events""").df())
             assert sq2.equals(ry2.astype(sq2.dtypes.to_dict())), \
                 f"seed {seed}"
+
+
+def test_mad_by_type_matches_duckdb():
+    ry = _canon(temporal.mad_by_type(SF).to_pandas())
+    sq = _canon(_duck("""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+          FROM events),
+        m AS (
+          SELECT event_type, quantile_disc(v_c, 0.5) AS med
+          FROM v GROUP BY 1)
+        SELECT v.event_type, CAST(m.med AS BIGINT) AS median_c,
+               CAST(quantile_disc(abs(v.v_c - m.med), 0.5) AS BIGINT)
+                 AS mad_c
+        FROM v JOIN m USING (event_type)
+        GROUP BY v.event_type, m.med"""))
+    assert sq.equals(ry.astype(sq.dtypes.to_dict()))
