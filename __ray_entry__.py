@@ -242,8 +242,8 @@ def _replay_documents_stats(sf_dir: str):
     """Flagship lake minus the siphash-derived tokens column, streaming."""
     from aqueduct_core_ray.pipelines.events_replay import replay_documents_lake
 
-    return replay_documents_lake(sf_dir).select_columns(
-        ["doc_id", "n_tok", "source"])
+    return replay_documents_lake(
+        sf_dir, columns=["doc_id", "n_tok", "source"])
 
 
 def _curate(sf_dir: str):

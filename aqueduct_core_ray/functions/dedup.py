@@ -1531,10 +1531,10 @@ def build_minhash_index(docs: "str | ray.data.Dataset", index_root: str,
                                          num_partitions, column),
                             batch_format="pyarrow")
     banded.write_parquet(index_root, partition_cols=["bpart"])
-    import pyarrow.parquet as pq
-    return sum(pq.read_metadata(os.path.join(r, f)).num_rows
-               for r, _, fs in os.walk(index_root)
-               for f in fs if f.endswith(".parquet"))
+    # rows written THIS call = docs x bands (_band_rows emits exactly one
+    # row per (doc, band)) — never walk the index root: an online step's
+    # cost must track the delta, not the lifetime of the index
+    return int(ds.count()) * bands
 
 
 def match_minhash_index(new_docs: "str | ray.data.Dataset",
@@ -1542,7 +1542,8 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
                         shingle: int = 3, num_partitions: int = 16,
                         min_est_pct: int = 50,
                         max_matches: int | None = None,
-                        column: str = "text") -> ray.data.Dataset:
+                        column: str = "text",
+                        fold_best: bool = True) -> ray.data.Dataset:
     """Match NEW documents against a persisted band index: per new doc
     the best near-duplicate already in the corpus (max estimated
     Jaccard, ties to the smallest corpus doc_id). Returns (doc_id,
@@ -1560,8 +1561,8 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
     cap = max_matches or MAX_BUCKET
 
     def match(t: pa.Table) -> pa.Table:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "dup_of": pa.array([], pa.int64()),
+        empty = pa.table({"doc_id": pa.array([], t.column("doc_id").type),
+                          "dup_of": pa.array([], t.column("doc_id").type),
                           "est_jaccard_pct": pa.array([], pa.int64())})
         bp = int(t.column("bpart")[0].as_py())
         pdir = os.path.join(index_root, f"bpart={bp}")
@@ -1627,14 +1628,22 @@ def match_minhash_index(new_docs: "str | ray.data.Dataset",
     banded = ds.map_batches(_to_bands_fn(k, bands, shingle,
                                          num_partitions, column),
                             batch_format="pyarrow")
-    id_type = pa.string() if isinstance(new_docs, ray.data.Dataset) \
-        else pa.int64()
+    if isinstance(new_docs, str):
+        id_type = pa.int64()            # the documents table's doc_id
+    else:
+        sch = new_docs.schema()
+        id_type = (sch.base_schema.field("doc_id").type
+                   if sch is not None else pa.string())
     empty = pa.table({"doc_id": pa.array([], id_type),
                       "dup_of": pa.array([], id_type),
                       "est_jaccard_pct": pa.array([], pa.int64())})
     from ..stages.exchange import file_exchange_map_groups
     pairs = file_exchange_map_groups(banded, match, part_col="bpart",
                                      empty_result=empty)
+    if not fold_best:
+        # raw candidate pairs (band-duplicates included) — callers that
+        # filter pairs (e.g. the online keeper rule) fold afterwards
+        return pairs
     return (pairs.map_batches(tag_doc, batch_format="pyarrow")
             .fx_map_groups(best_per_doc, empty_result=empty))
 

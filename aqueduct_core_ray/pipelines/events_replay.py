@@ -176,10 +176,12 @@ def schema_evolution_lake(sf_dir: str, num_partitions: int = 8
     if eng.manifest.schema.field("vlen").type != pa.int64():
         raise RuntimeError("vlen was not widened to int64 by the wave-2 "
                            "schema reconciliation")
-    # full read_lake conforms every partition file to the evolved
-    # manifest schema first (an untouched partition may lag on disk)
-    return eng.read_lake().select_columns(
-        ["doc_id", "value", "vlen", "props", "source", "last_lsn"])
+    # project INSIDE read_lake (columns=), not via a chained
+    # select_columns: Ray Data passes zero-row blocks through map
+    # transforms unprojected, so an untouched (empty) partition would
+    # leak its on-disk bootstrap schema into the result block set
+    return eng.read_lake(
+        columns=["doc_id", "value", "vlen", "props", "source", "last_lsn"])
 
 
 # --------------------------------------------------------------------- #
@@ -243,7 +245,9 @@ def _documents_changelog(sf_dir: str, log_dir: str) -> int:
 
 
 def replay_documents_lake(sf_dir: str, n_waves: int = 2,
-                          num_partitions: int = 8) -> ray.data.Dataset:
+                          num_partitions: int = 8,
+                          columns: "list[str] | None" = None
+                          ) -> ray.data.Dataset:
     """Tokenized documents ingested as an insert-only change stream through
     the engine — the flagship `entry()` pipeline.
 
@@ -260,7 +264,8 @@ def replay_documents_lake(sf_dir: str, n_waves: int = 2,
     max_lsn = _documents_changelog(sf_dir, log_dir)
     eng = CDCEngine(lake_dir, num_partitions=num_partitions)
     eng.replay(log_dir, _wave_bounds(max_lsn, n_waves))
-    return eng.read_lake()                   # streaming, no driver gather
+    # columns= projects inside read_lake (uniform across empty blocks)
+    return eng.read_lake(columns=columns)    # streaming, no driver gather
 
 
 def cleanup_scratch() -> None:

@@ -18,11 +18,14 @@ may surface matches against its previous content (candidate-generation
 semantics, documented LSH property); self-matches are excluded by
 doc_id.
 
-Crash contract: the ``_GEN`` watermark file is written AFTER the
-append via atomic rename, so a crash between match and watermark
-replays the same generation window — band-row re-appends are
-duplicates the matcher already collapses (``best_per_doc``), and
-matches are recomputed identically. Idempotent, no loss.
+Ordering contract: the delta is APPENDED to the index first, then
+matched against it — so intra-delta near-dups are reported too (a wave
+carrying two copies flags the later doc against the earlier), with a
+deterministic keeper rule: an intra-delta pair is reported only as
+(larger doc_id, dup_of=smaller). Because the append happens first and
+is idempotent (duplicate band rows collapse in the matcher), a crash
+anywhere before the ``_GEN`` watermark write replays the window and
+produces the IDENTICAL match set. Idempotent, no loss.
 """
 
 from __future__ import annotations
@@ -111,14 +114,40 @@ def online_dedup_step(engine, index_root: str, *, k: int = 64,
     if delta.count() == 0:
         _write_gen(index_root, g_to)
         return _EMPTY_MATCHES, g_from, g_to
-    matches = match_minhash_index(
-        delta, index_root, k=k, bands=bands, shingle=shingle,
-        min_est_pct=min_est_pct, num_partitions=num_partitions,
-        column="tokens")
-    tabs = [t for t in ray.get(matches.to_arrow_refs()) if t.num_rows]
-    out = (pa.concat_tables(tabs) if tabs else _EMPTY_MATCHES)
+    # append FIRST (idempotent), then match: crash replays are exact,
+    # and intra-delta dups surface deterministically on every run
     build_minhash_index(delta, index_root, k=k, bands=bands,
                         shingle=shingle, num_partitions=num_partitions,
                         column="tokens")
+    pairs = match_minhash_index(
+        delta, index_root, k=k, bands=bands, shingle=shingle,
+        min_est_pct=min_est_pct, num_partitions=num_partitions,
+        column="tokens", fold_best=False)
+    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    out = (pa.concat_tables(tabs) if tabs else _EMPTY_MATCHES)
+    if out.num_rows:
+        # intra-delta keeper rule BEFORE the best fold (else a doc
+        # whose best candidate is a larger intra-delta sibling would
+        # lose its legitimate cross-generation match): within the
+        # delta only the LARGER id reports the smaller as its dup
+        delta_ids = set()
+        for t in ray.get(delta.to_arrow_refs()):
+            delta_ids.update(t.column("doc_id").to_pylist())
+        d = out.column("doc_id").to_pylist()
+        o = out.column("dup_of").to_pylist()
+        keep = [oo not in delta_ids or oo < dd
+                for dd, oo in zip(d, o)]
+        out = out.filter(pa.array(keep))
+    if out.num_rows:
+        import numpy as np
+        d = out.column("doc_id").to_numpy(zero_copy_only=False)
+        o = out.column("dup_of").to_numpy(zero_copy_only=False)
+        e = out.column("est_jaccard_pct").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, -e, d))
+        d, o, e = d[order], o[order], e[order]
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        out = pa.table({"doc_id": pa.array(d[first]),
+                        "dup_of": pa.array(o[first]),
+                        "est_jaccard_pct": pa.array(e[first])})
     _write_gen(index_root, g_to)
     return out, g_from, g_to

@@ -1386,26 +1386,40 @@ def interval_join_pairs(sf_dir: str, left_type: str = "click",
         typ = t.column("event_type").to_numpy(zero_copy_only=False)
         is_l = typ == left_type
         is_r = typ == right_type
-        # composite key: user rank shifts each user's stream into its
-        # own disjoint int64 range, so ONE searchsorted serves them all
-        u_uniq, u_code = np.unique(uid, return_inverse=True)
-        span = np.int64(ts.max() - ts.min() + win_us + 2)
-        base = ts.astype(np.int64) - np.int64(ts.min())
-        comp = u_code.astype(np.int64) * span + base
-        lc, le, lt, lu = comp[is_l], eid[is_l], ts[is_l], uid[is_l]
-        rc, re_, rt = comp[is_r], eid[is_r], ts[is_r]
-        if len(lc) == 0 or len(rc) == 0:
+        le, lt, lu = eid[is_l], ts[is_l], uid[is_l]
+        re_, rt, ru = eid[is_r], ts[is_r], uid[is_r]
+        if len(lt) == 0 or len(rt) == 0:
             return empty
-        ro = np.lexsort((re_, rc))
-        rc, re_, rt = rc[ro], re_[ro], rt[ro]
-        lo = np.searchsorted(rc, lc, side="left")
-        hi = np.searchsorted(rc, lc + win_us, side="right")
-        # the composite window [lc, lc+win) cannot cross users: span
-        # exceeds any in-user offset by win_us + 1
+        ro = np.lexsort((re_, rt, ru))
+        re_, rt, ru = re_[ro], rt[ro], ru[ro]
+
+        # merge-rank segmented searchsorted: position of each (user,
+        # value) query among the (user, ts)-sorted rights via ONE
+        # lexsort over the union — no user_rank*span composite key,
+        # which overflows int64 when users-per-partition x time-span
+        # is large (the 100-TB regime)
+        def seg_pos(qv: np.ndarray, queries_first: bool) -> np.ndarray:
+            m, q = len(ru), len(qv)
+            u_all = np.concatenate([ru, lu])
+            v_all = np.concatenate([rt, qv])
+            # tie tag: queries sort before equal rights for side=left
+            # (queries_first), after them for side=right
+            tag = np.empty(m + q, dtype=np.int8)
+            tag[:m] = 1 if queries_first else 0
+            tag[m:] = 0 if queries_first else 1
+            order = np.lexsort((tag, v_all, u_all))
+            is_q = order >= m
+            n_rights_before = np.cumsum(~is_q)
+            out = np.empty(q, dtype=np.int64)
+            out[order[is_q] - m] = n_rights_before[is_q]
+            return out
+
+        lo = seg_pos(lt, queries_first=True)           # side="left"
+        hi = seg_pos(lt + win_us, queries_first=False)  # side="right"
         cnt = hi - lo
         if cnt.sum() == 0:
             return empty
-        li = np.repeat(np.arange(len(lc)), cnt)
+        li = np.repeat(np.arange(len(lt)), cnt)
         csum = np.concatenate([[0], np.cumsum(cnt)])
         ri = np.repeat(lo, cnt) + (np.arange(len(li))
                                    - np.repeat(csum[:-1], cnt))

@@ -150,3 +150,35 @@ def test_cli_dedup_bootstrap_and_step(lake, capsys):
     assert out["n_matches"] == 1
     assert out["matches"][0]["doc_id"] == "new0"
     assert out["matches"][0]["dup_of"] == "doc0003"
+
+
+def test_intra_delta_dups_flagged_and_crash_stable(lake):
+    """A wave carrying two copies of NEW content flags the larger id
+    against the smaller, identically before and after a crash replay —
+    and a doc whose best candidate is its intra-delta sibling still
+    reports its cross-generation match."""
+    eng, toks, tmp = lake
+    idx = str(tmp / "idx")
+    od.bootstrap_dedup_index(eng, idx)
+    g0 = od._read_gen(idx)
+    fresh = _tokens(555)
+    log1 = _log(tmp / "log1", [
+        (1, 0, "newa", fresh),               # new content, twice
+        (2, 0, "newb", fresh),
+        (3, 0, "newc", toks["doc0003"]),     # copies corpus AND newd
+        (4, 0, "newd", toks["doc0003"]),
+    ])
+    eng.replay(log1, [(0, 4)])
+    m1, _, _ = od.online_dedup_step(eng, idx)
+    got = {r["doc_id"]: r["dup_of"] for r in m1.to_pylist()}
+    assert got["newb"] == "newa"             # intra-delta: larger -> smaller
+    assert "newa" not in got                 # keeper reports nothing
+    # newc/newd both dup corpus doc0003; the intra-delta pair must not
+    # shadow the cross-generation match for the smaller id
+    assert got["newc"] == "doc0003"
+    assert got["newd"] in ("doc0003", "newc")
+    # crash replay: identical output
+    od._write_gen(idx, g0)
+    m2, _, _ = od.online_dedup_step(eng, idx)
+    assert sorted(m1.to_pylist(), key=str) == \
+        sorted(m2.to_pylist(), key=str)
