@@ -1661,7 +1661,12 @@ def incremental_dedup(sf_dir: str, *, k: int = 64, bands: int = 16,
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{k}|{bands}|{shingle}|"
+    # content-keyed: size + mtime_ns of the source file are in the key
+    # (same fingerprint as sampling.export_training_shards), so
+    # regenerating the data at the same path invalidates the cache
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{st.st_size}|"
+                      f"{st.st_mtime_ns}|{k}|{bands}|{shingle}|"
                       f"{num_partitions}".encode()).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"aqr_mh_index_{key}")
 

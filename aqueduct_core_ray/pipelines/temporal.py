@@ -1000,9 +1000,13 @@ def value_stats_by_type(sf_dir: str) -> ray.data.Dataset:
     Scale shape: per-block Arrow group_by partials (≤ #types rows per
     block), driver fold of O(types × blocks) tiny rows with a second
     group_by carrying the min/max merges — zero exchanges (the
-    bounded-rollup economics measured in BASELINE.md). sumsq stays
-    int64-exact: cents ≤ ~5·10^4 ⇒ squares ≤ 2.5·10^9, 10^9 rows away
-    from overflow even at petabyte row counts per type."""
+    bounded-rollup economics measured in BASELINE.md). sumsq is
+    int64-exact up to ~3.7·10^9 rows per type (cents ≤ ~5·10^4 ⇒
+    squares ≤ 2.5·10^9; int64 max / 2.5·10^9 ≈ 3.7·10^9) — beyond
+    that a deployment must shard the fold by (type, row-range) and
+    carry the partials as decimal128, which Arrow sums exactly; this
+    single-fold path does not, by design, so the bound is the
+    contract, not a latent surprise."""
 
     def partial(t: pa.Table) -> pa.Table:
         v_c = np.floor(t.column("value").to_numpy(zero_copy_only=False)
@@ -1281,8 +1285,6 @@ def props_key_stats(sf_dir: str) -> ray.data.Dataset:
     driver-side (bounded rollup), the events table never shuffles.
     Rows with null/malformed-for-k props contribute to no aggregate
     (SQL count(k) semantics)."""
-    import io
-
     import pyarrow.json as pajson
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1296,9 +1298,13 @@ def props_key_stats(sf_dir: str) -> ray.data.Dataset:
         col = pc.fill_null(t.column("props"), "{}").combine_chunks()
         lst = pa.ListArray.from_arrays(
             pa.array([0, len(col)], pa.int32()), col)
-        buf = pc.binary_join(lst, "\n")[0].as_py().encode()
+        # join in binary space and hand the scalar's own buffer to the
+        # JSON reader — no str round-trip (as_py + encode would copy
+        # the whole payload twice more per batch)
+        buf = pc.binary_join(
+            lst.cast(pa.list_(pa.binary())), b"\n")[0].as_buffer()
         parsed = pajson.read_json(
-            io.BytesIO(buf),
+            pa.BufferReader(buf),
             parse_options=pajson.ParseOptions(newlines_in_values=True))
         if parsed.num_rows != t.num_rows:
             raise ValueError(

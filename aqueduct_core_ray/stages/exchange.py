@@ -135,7 +135,21 @@ def file_exchange_map_groups(
                 empty_in = pa.schema(sample.base_schema).empty_table()
                 try:
                     return ray.data.from_arrow(fn(empty_in))
-                except Exception:
+                except IndexError:
+                    # the one legitimate empty-probe failure: a group fn
+                    # that indexes its (guaranteed non-empty on the real
+                    # path) group, e.g. t.column(part)[0]. Anything else
+                    # (KeyError from a typo'd column, TypeError, ...) is
+                    # a real fn bug and must surface, not be masked by a
+                    # schema-flipped empty. Callers whose fn can't probe
+                    # empty input should pass empty_result instead.
+                    import warnings
+                    warnings.warn(
+                        f"file_exchange_map_groups: empty exchange and "
+                        f"{getattr(fn, '__name__', fn)!r} raised "
+                        f"IndexError on the empty probe; returning an "
+                        f"INPUT-schema empty (pass empty_result= for a "
+                        f"typed output schema)", RuntimeWarning)
                     return ray.data.from_arrow(empty_in)
             return ray.data.from_arrow(pa.table({}))
         refs = [_run_partition.remote(fn, entries)
