@@ -194,6 +194,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": partial(tp.props_key_stats),
         "interval_join_pairs": partial(tp.interval_join_pairs),
         "mad_by_type": partial(tp.mad_by_type),
+        # deterministic md5-thresholded split + per-source token-budget
+        # prefix sample (both md5-keyed so DuckDB reproduces the exact
+        # sampling decisions, not just the aggregate shape)
+        "train_val_split": partial(sampling.train_val_split),
+        "token_budget_sample": partial(sampling.token_budget_sample),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1456,6 +1461,38 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                          CAST(json_extract(props, '$.k') AS BIGINT) AS k
                   FROM events)
             GROUP BY event_type""",
+        # md5-thresholded deterministic split: thresholds are the SAME
+        # hex-string constants the engine computes ((cum<<128)//100 as
+        # 032x), compared lexicographically — no hex->int cast on
+        # either side
+        "train_val_split": f"""
+            WITH f AS (
+              SELECT doc_id, source,
+                     md5('split1|' || CAST(doc_id AS VARCHAR)) AS fp
+              FROM documents)
+            SELECT doc_id, source,
+                   CASE WHEN fp < '{(90 << 128) // 100:032x}' THEN 'train'
+                        WHEN fp < '{(95 << 128) // 100:032x}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM f""",
+        # per-source greedy prefix in md5 order until the token budget:
+        # the window cumsum reproduces the engine's segmented cumsum
+        # exactly (same order key, same whitespace-token convention)
+        "token_budget_sample": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n_tok,
+                     md5('budget|' || CAST(doc_id AS VARCHAR)) AS ok
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tok,
+                     sum(n_tok) OVER (PARTITION BY source
+                                      ORDER BY ok, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM w)
+            SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tok
+            FROM c WHERE cum <= 800""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

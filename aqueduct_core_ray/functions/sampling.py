@@ -293,3 +293,122 @@ def epoch_shuffle(sf_dir: str, seed: int = 0,
     return (read_documents(sf_dir)
             .map_batches(tag, batch_format="pyarrow")
             .fx_map_groups(order_partition, part_col="spart"))
+
+
+# --------------------------------------------------------------------- #
+def _md5_hex(prefix: str, ids: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """md5 hex of ``f"{prefix}{id}"`` per row, as a U32 numpy array.
+    No Arrow md5 kernel exists (same note as text.fingerprint_batch);
+    the digest input here is a ~10-byte id string, so the Python loop
+    is a bounded per-row cost, not a text-proportional one — and md5
+    is the one hash DuckDB shares, which is what makes these sampling
+    decisions ORACLE-CHECKABLE end to end."""
+    import hashlib
+
+    return np.array([hashlib.md5(f"{prefix}{i}".encode()).hexdigest()
+                     for i in ids.to_pylist()], dtype="U32")
+
+
+def train_val_split(sf_dir: str,
+                    ratios: "tuple[tuple[str, int], ...]" = (
+                        ("train", 90), ("val", 5), ("test", 5)),
+                    salt: str = "split1") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: each doc's bucket is
+    md5(salt '|' doc_id) compared against cumulative-ratio thresholds
+    in HEX-STRING space — md5 hex is a uniform 128-bit number and
+    lexicographic order on fixed-width hex equals numeric order, so
+    both engines compare the same string constants and no hex->int
+    cast exists anywhere (DuckDB twin: a CASE over md5(...) < '<thr>').
+
+    The assignment is pure per-row math: reproducible on any worker,
+    stable under reshuffling/repartitioning, and independent of every
+    other row — a doc keeps its split when the corpus grows, which is
+    the property eval-set hygiene depends on. Pure map_batches, zero
+    exchanges, streams at read speed. Returns (doc_id, source, split).
+    """
+    if sum(p for _, p in ratios) != 100:
+        raise ValueError("ratios must sum to 100")
+    names, bounds, cum = [], [], 0
+    for name, pct in ratios[:-1]:
+        cum += pct
+        names.append(name)
+        bounds.append(f"{(cum << 128) // 100:032x}")
+    last = ratios[-1][0]
+
+    def assign(t: pa.Table) -> pa.Table:
+        fp = _md5_hex(f"{salt}|", t.column("doc_id"))
+        split = np.full(len(fp), last, dtype=object)
+        unassigned = np.ones(len(fp), dtype=bool)
+        for name, thr in zip(names, bounds):
+            take = unassigned & (fp < thr)
+            split[take] = name
+            unassigned &= ~take
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "split": pa.array(split, pa.string())})
+
+    return read_documents(sf_dir, columns=["doc_id", "source"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+
+def token_budget_sample(sf_dir: str, budget: int = 800,
+                        salt: str = "budget",
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-source token-budget sampling: greedily keep docs in
+    md5(salt '|' doc_id) order (a deterministic, corpus-size-invariant
+    shuffle) until each source's cumulative whitespace-token count
+    reaches ``budget`` — the standard mixture-building primitive when
+    a data recipe says "at most N tokens from source X".
+
+    Scale shape: one pass computes (n_tok, order-key) per row, ONE
+    keyed exchange co-locates each source (hash(source) % P — the
+    partitioning assumption: a single source's rows fit one partition
+    task, the same contract as top_docs_per_source), and a segmented
+    cumsum takes the prefix. Returns (doc_id, source, n_tok, cum_tok)
+    for the kept docs; ``cum_tok`` is the running total the budget was
+    tested against, so downstream can audit the cut."""
+    import pyarrow.compute as pc
+
+    from .text import hash_str_array
+
+    def prep(t: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(
+            t.column("text"), r"\S+").cast(pa.int64())
+        part = (hash_str_array(t.column("source"))
+                % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "source": t.column("source"),
+                         "n_tok": n_tok,
+                         "ord": pa.array(
+                             _md5_hex(f"{salt}|", t.column("doc_id"))),
+                         "part": pa.array(part)})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "source": pa.array([], pa.string()),
+                      "n_tok": pa.array([], pa.int64()),
+                      "cum_tok": pa.array([], pa.int64())})
+
+    def take_prefix(g: pa.Table) -> pa.Table:
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        okey = g.column("ord").to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = g.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, okey, src))
+        src, did, tok = src[order], did[order], tok[order]
+        # segmented cumsum: subtract each source segment's prefix base
+        starts = np.flatnonzero(
+            np.concatenate([[True], src[1:] != src[:-1]]))
+        cum = np.cumsum(tok)
+        base = np.concatenate([[0], cum[starts[1:] - 1]]) if \
+            len(starts) > 1 else np.zeros(1, np.int64)
+        seg = np.repeat(base, np.diff(np.append(starts, len(src))))
+        cum = cum - seg
+        keep = cum <= budget
+        return pa.table({"doc_id": pa.array(did[keep]),
+                         "source": pa.array(src[keep]),
+                         "n_tok": pa.array(tok[keep]),
+                         "cum_tok": pa.array(cum[keep])})
+
+    return (read_documents(sf_dir, columns=["doc_id", "source", "text"])
+            .map_batches(prep, batch_format="pyarrow")
+            .fx_map_groups(take_prefix, empty_result=empty))

@@ -198,3 +198,68 @@ def test_epoch_shuffle_is_deterministic_permutation():
     same_adjacent = (src[1:] == src[:-1]).mean()
     n_sources = len(set(src))
     assert same_adjacent < 2.5 / n_sources + 0.2
+
+
+def test_train_val_split_deterministic_and_row_stable():
+    """Split ratios land near 90/5/5, the assignment is reproducible,
+    matches a direct per-row md5 recomputation, and a doc's split never
+    depends on the rest of the corpus (pure per-row math)."""
+    import hashlib
+
+    from aqueduct_core_ray.functions.sampling import train_val_split
+
+    rows = train_val_split(SF).take_all()
+    n = len(rows)
+    frac = {s: sum(r["split"] == s for r in rows) / n
+            for s in ("train", "val", "test")}
+    assert 0.84 <= frac["train"] <= 0.96
+    assert 0.01 <= frac["val"] <= 0.10
+    assert 0.01 <= frac["test"] <= 0.10
+    t90 = f"{(90 << 128) // 100:032x}"
+    t95 = f"{(95 << 128) // 100:032x}"
+    for r in rows[:50]:
+        fp = hashlib.md5(f"split1|{r['doc_id']}".encode()).hexdigest()
+        want = "train" if fp < t90 else ("val" if fp < t95 else "test")
+        assert r["split"] == want
+    again = train_val_split(SF).take_all()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_token_budget_sample_prefix_semantics():
+    """Every source's kept set is exactly the greedy md5-order prefix
+    whose running token total stays within the budget — checked against
+    a whole-corpus single-process reference."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.functions.sampling import token_budget_sample
+
+    budget = 800
+    got = {r["doc_id"]: r for r in
+           token_budget_sample(SF, budget=budget).take_all()}
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    n_tok = pc.count_substring_regex(
+        t.column("text"), r"\S+").to_pylist()
+    ref = {}
+    per_src = {}
+    for did, src, nt in zip(t.column("doc_id").to_pylist(),
+                            t.column("source").to_pylist(), n_tok):
+        per_src.setdefault(src, []).append(
+            (hashlib.md5(f"budget|{did}".encode()).hexdigest(), did, nt))
+    for src, items in per_src.items():
+        cum = 0
+        for _, did, nt in sorted(items):
+            cum += nt
+            if cum > budget:
+                break
+            ref[did] = (src, nt, cum)
+    assert set(got) == set(ref)
+    for did, (src, nt, cum) in ref.items():
+        assert (got[did]["source"], got[did]["n_tok"],
+                got[did]["cum_tok"]) == (src, nt, cum)
+    assert ref, "budget kept nothing — test corpus/budget mismatch"
+    assert len(ref) < t.num_rows, \
+        "budget excluded nothing — the cut must bite at test scale"
