@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling decisions, not just the aggregate shape)
         "train_val_split": partial(sampling.train_val_split),
         "token_budget_sample": partial(sampling.token_budget_sample),
+        # sparse-IR retrieval: Okapi BM25 against a fixed query-term
+        # set (dyadic k1/b constants + shared floor-permille rounding
+        # => the SQL oracle reproduces every score bit-exactly)
+        "bm25_topk": partial(text.bm25_topk),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1493,6 +1497,48 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
               FROM w)
             SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tok
             FROM c WHERE cum <= 800""",
+        # Okapi BM25 (Lucene smoothed idf), integer-permille per-term
+        # contributions: the identical float64 expression tree as
+        # text.bm25_topk — same left-assoc order, dyadic k1=1.5/b=0.75,
+        # ln on the same double input — so floor(x*1000+0.5) agrees
+        # bit-exactly on both engines
+        "bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+')) AS token
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM w GROUP BY doc_id),
+            g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT CAST(count(*) AS DOUBLE) /
+                                 (SELECT count(*) FROM documents)
+                          FROM w) AS avgdl),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM w WHERE token IN ('hash', 'merge', 'stream')
+                   GROUP BY 1, 2),
+            df AS (SELECT token,
+                          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM w WHERE token IN ('hash', 'merge', 'stream')
+                   GROUP BY 1),
+            c AS (SELECT tf.doc_id,
+                         floor(ln((g.n - df.df + 0.5) / (df.df + 0.5)
+                                  + 1.0)
+                               * ((tf.tf * (1.5 + 1.0))
+                                  / (tf.tf + 1.5 * ((1.0 - 0.75)
+                                     + 0.75 * dl.dl / g.avgdl)))
+                               * 1000.0 + 0.5) AS contrib
+                  FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+                  CROSS JOIN g),
+            s AS (SELECT doc_id,
+                         CAST(sum(contrib) AS BIGINT) AS score_permille
+                  FROM c GROUP BY doc_id),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY score_permille DESC, doc_id) AS rk
+                  FROM s)
+            SELECT doc_id, score_permille, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 20""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

@@ -897,3 +897,113 @@ def dsir_weights(sf_dir: str, target_lang: str = "en",
 
     return (read_documents(sf_dir, columns=["doc_id", "text", "lang"])
             .map_batches(score, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------- #
+def bm25_topk(sf_dir: str, query: tuple[str, ...] = ("hash", "merge",
+                                                     "stream"),
+              k: int = 20, k1: float = 1.5, b: float = 0.75
+              ) -> ray.data.Dataset:
+    """Distributed BM25 RETRIEVAL: score every document against a fixed
+    query-term set and return the top ``k`` — the classic sparse-IR
+    capability (quality-set mining, eval-neighbor retrieval) the dense
+    kNN operators (ann.py) don't cover. Okapi BM25 with the Lucene
+    smoothed idf ``ln((N - df + 0.5)/(df + 0.5) + 1)``; per-(doc, term)
+    contribution is the INTEGER PERMILLE
+    ``floor(idf * (tf*(k1+1))/(tf + k1*((1-b) + b*dl/avgdl)) * 1000
+    + 0.5)`` (both engines evaluate the identical float64 expression
+    tree, so the SQL oracle matches bit-exactly — k1/b default to
+    dyadic rationals so even the constants are exact); a doc's score
+    sums its terms' integer permilles. Ties rank by doc_id asc.
+    Returns (doc_id, score_permille, rk) for docs containing >=1 term.
+
+    Scale shape: NO exchange at all. The query set is tiny and each doc
+    lives in one block, so (1) a narrow pre-pass folds the three
+    globals — total token count, per-term df — as one partial row per
+    block (driver fold is O(blocks x |Q|)); n_docs comes from parquet
+    metadata. (2) the scoring pass computes per-block dense tf via one
+    ``index_in`` + ``np.add.at`` (docs x |Q|), scores vectorized, and
+    local-top-k's to ``k`` rows per block; the driver folds
+    <= k x blocks candidates. The unbounded vocabulary never moves —
+    only query-term hits do."""
+    import pyarrow.parquet as pq
+    qterms = list(query)
+    qn = len(qterms)
+    qset = pa.array(qterms, pa.string())
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def globals_partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        qi = pc.index_in(flat, value_set=qset)
+        valid = pc.is_valid(qi).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        cols = qi.to_numpy(zero_copy_only=False)
+        tf = np.zeros((len(counts), qn), np.int64)
+        if valid.any():
+            np.add.at(tf, (rows[valid],
+                           cols[valid].astype(np.int64)), 1)
+        out = {"total_tok": pa.array([int(counts.sum())], pa.int64())}
+        for j in range(qn):
+            out[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())],
+                                      pa.int64())
+        return pa.table(out)
+
+    gparts = [t for t in ray.get(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(globals_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    total_tok = sum(int(t.column("total_tok").to_numpy().sum())
+                    for t in gparts)
+    df = np.array([sum(int(t.column(f"df_{j}").to_numpy().sum())
+                       for t in gparts) for j in range(qn)], np.float64)
+    avgdl = total_tok / n_docs if n_docs else 1.0
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_local_topk(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        qi = pc.index_in(flat, value_set=qset)
+        valid = pc.is_valid(qi).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        cols = qi.to_numpy(zero_copy_only=False)
+        tf = np.zeros((len(counts), qn), np.float64)
+        if valid.any():
+            np.add.at(tf, (rows[valid], cols[valid].astype(np.int64)), 1)
+        dl = counts.astype(np.float64)
+        # identical float64 expression tree as the SQL oracle:
+        # (1-b) + b*dl/avgdl, tf*(k1+1), idf*tfn*1000
+        norm = (1.0 - b) + b * dl[:, None] / avgdl
+        tfn = (tf * (k1 + 1.0)) / (tf + k1 * norm)
+        contrib = np.where(tf > 0,
+                           np.floor(idf[None, :] * tfn * 1000.0 + 0.5),
+                           0.0)
+        score = contrib.sum(axis=1).astype(np.int64)
+        hit = tf.sum(axis=1) > 0
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)[hit]
+        sc = score[hit]
+        order = np.lexsort((did, -sc))[:k]
+        return pa.table({"doc_id": pa.array(did[order]),
+                         "score_permille": pa.array(sc[order])})
+
+    cand = (read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(score_local_topk, batch_format="pyarrow"))
+    tables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score_permille": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64())}))
+    allc = pa.concat_tables(tables, promote_options="default")
+    did = allc.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = allc.column("score_permille").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -sc))[:k]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(did[order].astype(np.int64)),
+        "score_permille": pa.array(sc[order].astype(np.int64)),
+        "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }))

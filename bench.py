@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "mode_value_by_type", "props_key_stats", "interval_join_pairs",
     "mad_by_type",
     "event_type_pivot", "orders_weekly_gapfill",
-    "train_val_split", "token_budget_sample",
+    "train_val_split", "token_budget_sample", "bm25_topk",
 ]
 
 

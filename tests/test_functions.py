@@ -1188,3 +1188,63 @@ def test_remove_dup_spans_keeps_one_copy(tmp_path):
     assert shared not in got[1]["text"]            # later copy cut
     assert got[2]["text"] == texts[2]
     assert got[2]["n_chars_removed"] == 0
+
+
+def _bm25_reference(texts, query, k=20, k1=1.5, b=0.75):
+    """Brute-force float64 BM25 with the operator's exact expression
+    tree (left-assoc order, floor-permille per-term contributions)."""
+    import math
+    from collections import Counter
+    # NB: '' splits to [''] under the regexp_split convention
+    docs = [t.strip().split() or [""] for t in texts]
+    n = len(docs)
+    total = sum(len(d) for d in docs)
+    avgdl = total / n
+    df = Counter(t for d in docs for t in set(d) if t in query)
+    scores = {}
+    for i, d in enumerate(docs):
+        tf = Counter(t for t in d if t in query)
+        if not tf:
+            continue
+        s = 0
+        for t, f in tf.items():
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            norm = (1.0 - b) + b * len(d) / avgdl
+            tfn = (f * (k1 + 1.0)) / (f + k1 * norm)
+            s += math.floor(idf * tfn * 1000.0 + 0.5)
+        scores[i] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(doc, sc, rk) for rk, (doc, sc) in enumerate(ranked, 1)]
+
+
+def test_bm25_topk_matches_reference(tmp_path):
+    texts = ["hash join hash hash", "merge stream", "scan filter agg",
+             "hash merge stream hash stream", "stream", ""]
+    sf = _mk_docs(tmp_path, texts)
+    q = ("hash", "merge", "stream")
+    out = (text.bm25_topk(sf, query=q, k=10).to_pandas()
+           .sort_values("rk").reset_index(drop=True))
+    exp = _bm25_reference(texts, set(q), k=10)
+    got = list(out[["doc_id", "score_permille", "rk"]]
+               .itertuples(index=False, name=None))
+    assert got == exp
+    # doc 2 (no query terms) and doc 5 (empty) must be absent
+    assert 2 not in set(out["doc_id"]) and 5 not in set(out["doc_id"])
+
+
+def test_bm25_topk_random_corpora(tmp_path):
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    q = ("aa", "cc")
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(1, 9)).tolist())
+                 for _ in range(rng.integers(4, 12))]
+        (tmp_path / f"t{trial}").mkdir()
+        sf = _mk_docs(tmp_path / f"t{trial}", texts)
+        out = (text.bm25_topk(sf, query=q, k=50).to_pandas()
+               .sort_values("rk").reset_index(drop=True))
+        exp = _bm25_reference(texts, set(q), k=50)
+        got = list(out[["doc_id", "score_permille", "rk"]]
+                   .itertuples(index=False, name=None))
+        assert got == exp
