@@ -224,6 +224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; pinned vs a whole-table numpy reference in
         # tests/test_functions.py)
         "kmeans_embeddings": partial(ann.kmeans_embeddings),
+        # trained hashed-feature logistic quality classifier (CCNet /
+        # GPT-3 filtering step): iterative full-batch quantized GD —
+        # not SQL-expressible; pinned bit-exactly vs a single-process
+        # numpy replica in tests/test_functions.py
+        "quality_classifier": _quality_classifier,
         "bpe_vocab": _bpe_vocab,
         "bpe_trained_token_count": _bpe_trained_token_count,
         "approx_top_tokens": partial(text.approx_top_tokens),
@@ -295,6 +300,13 @@ def _pack_sequences(sf_dir: str):
     from aqueduct_core_ray.functions.packing import pack_sequences
 
     return pack_sequences(sf_dir)
+
+
+def _quality_classifier(sf_dir: str):
+    from aqueduct_core_ray.functions.classifier import (
+        quality_classifier_score)
+
+    return quality_classifier_score(sf_dir)
 
 
 def _bpe_vocab(sf_dir: str):

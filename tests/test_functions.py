@@ -1248,3 +1248,80 @@ def test_bm25_topk_random_corpora(tmp_path):
         got = list(out[["doc_id", "score_permille", "rk"]]
                    .itertuples(index=False, name=None))
         assert got == exp
+
+
+# --------------------------------------------------------------------- #
+def _lr_reference(table, positive_source, dim, iters, lr):
+    """Single-process numpy replica of classifier.quality_classifier_score:
+    same _dsir_features, same integer micro-unit residual quantization,
+    same full-batch GD — must match the distributed fold BIT-EXACTLY."""
+    import math  # noqa: F401
+
+    import pyarrow.compute as pc
+
+    from aqueduct_core_ray.functions.text import _dsir_features
+    feats, fdoc = _dsir_features(table, dim)
+    y = pc.equal(table.column("source"), positive_source) \
+        .fill_null(False).to_numpy(zero_copy_only=False).astype(np.int8)
+    n = len(y)
+    w = np.zeros(dim + 1, np.float64)
+    for _ in range(iters):
+        z = np.bincount(fdoc, weights=w[feats], minlength=n) + w[dim]
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
+        rq = np.floor((p - y) * 1e6 + 0.5).astype(np.int64)
+        g = np.bincount(feats, weights=rq[fdoc].astype(np.float64),
+                        minlength=dim).astype(np.int64)
+        g = np.concatenate([g, [int(rq.sum())]])
+        w = w - lr * (g / 1e6) / n
+    z = np.bincount(fdoc, weights=w[feats], minlength=n) + w[dim]
+    return np.floor(z * 1e6 + 0.5).astype(np.int64), y
+
+
+def test_quality_classifier_separable(tmp_path):
+    from aqueduct_core_ray.functions.classifier import (
+        quality_classifier_score)
+    rng = np.random.default_rng(7)
+    texts, srcs = [], []
+    for i in range(120):
+        if i % 2 == 0:
+            texts.append(" ".join(rng.choice(
+                ["good", "clean", "prose", "fine"], 15).tolist()))
+            srcs.append("src0")
+        else:
+            texts.append(" ".join(rng.choice(
+                ["junk", "spam", "noise", "garble"], 15).tolist()))
+            srcs.append("src1")
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(srcs),
+                  "n_chars": pa.array([len(s) for s in texts],
+                                      pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (quality_classifier_score(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(texts)
+    # fully separable vocabulary: the trained model must classify
+    # every document correctly by logit sign
+    pred = (out["logit_micro"] > 0).astype(int)
+    assert (pred == out["label"]).all()
+    # bit-exact vs the single-process replica (proves the distributed
+    # integer-gradient fold is partitioning-invariant)
+    exp_logit, exp_y = _lr_reference(t, "src0", 1 << 16, 25, 2.0)
+    assert np.array_equal(out["logit_micro"].to_numpy(), exp_logit)
+    assert np.array_equal(out["label"].to_numpy(), exp_y.astype(np.int64))
+
+
+def test_quality_classifier_single_class_stable(tmp_path):
+    """All-one-class corpus: no NaN, logits saturate toward the class."""
+    from aqueduct_core_ray.functions.classifier import (
+        quality_classifier_score)
+    sf = _mk_docs(tmp_path, ["aa bb", "bb cc", "cc aa dd"])
+    # _mk_docs labels sources src0/src1/src2; use a positive_source
+    # that matches NOTHING -> y all zero
+    out = quality_classifier_score(
+        sf, positive_source="nope").to_pandas()
+    assert len(out) == 3
+    assert (out["label"] == 0).all()
+    assert np.isfinite(out["logit_micro"].to_numpy()).all()
+    assert (out["logit_micro"] < 0).all()
