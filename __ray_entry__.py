@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_docs": partial(er.tokenize_documents),
         "replay_documents_lake": partial(er.replay_documents_lake),
         "chunk_dedup": _chunk_dedup,
+        # MOSS winnowing fingerprints (Schleimer et al. 2003):
+        # hash-space selections, rows-only; pinned vs an independent
+        # naive winnower in tests/test_chunking.py
+        "winnow_dedup": _winnow_dedup,
         "stratified_sample": partial(sampling.stratified_sample),
         "weighted_sample": partial(sampling.weighted_sample),
         "pack_sequences": _pack_sequences,
@@ -319,6 +323,15 @@ def _bpe_trained_token_count(sf_dir: str):
     from aqueduct_core_ray.functions.bpe import trained_token_count
 
     return trained_token_count(sf_dir, num_merges=120)
+
+
+def _winnow_dedup(sf_dir: str):
+    from aqueduct_core_ray.functions.chunking import winnow_dedup
+
+    # min_docs=1 so the driver's rows-only check sees a stable
+    # non-empty result on any corpus (cross-doc fragments need crafted
+    # fixtures, covered in tests/test_chunking.py)
+    return winnow_dedup(sf_dir, min_docs=1)
 
 
 def _chunk_dedup(sf_dir: str):

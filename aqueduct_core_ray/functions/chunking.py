@@ -272,3 +272,169 @@ def chunk_dedup(sf_dir: str, k_bits: int = 8, max_chunk: int = 4096,
                                            min_docs))
 
     return per_fp.map_batches(rename, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS algorithm): k-gram hashes, sliding windows of w consecutive
+# hashes, select the minimum per window (rightmost on ties). Guarantee:
+# any substring match of length >= w + k - 1 shares at least one
+# selected fingerprint — the local-document-fingerprinting counterpart
+# to the global MinHash sketch (dedup.py) and the content-defined
+# chunks above.
+
+def _gram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Avalanched k-gram rolling hashes of one byte string (positions
+    0..len-k) — the single-doc twin of the batch kernel, shared with
+    the naive test reference so hash parity is by construction."""
+    n = len(data)
+    if n < k:
+        return np.empty(0, np.uint64)
+    b = np.frombuffer(data, np.uint8).astype(np.uint64)
+    powB = _pow_table(_B, n + 1)
+    powBinv = _pow_table(_BINV, n)
+    S = np.zeros(n + 1, np.uint64)
+    np.cumsum(b * powBinv, out=S[1:])
+    return _splitmix64((S[k:] - S[: n - k + 1]) * powB[k - 1: n])
+
+
+def winnow_batch(t: pa.Table, text_col: str = "text", k: int = 16,
+                 w: int = 8) -> pa.Table:
+    """(doc_id, pos, fp) winnowing selections for one batch — fully
+    vectorized over the batch's concatenated utf-8 buffer like
+    ``chunk_batch``: ONE rolling-hash pass yields every k-gram hash,
+    the sliding min runs as ``w`` shifted vector compares (later shift
+    wins ties = the paper's rightmost-min rule), windows straddling doc
+    boundaries are masked out, and docs too short for a full window
+    degrade per the paper (k <= len < k+w-1: one rightmost-min over all
+    grams; 0 < len < k: one whole-text fingerprint at pos 0)."""
+    col = t.column(text_col)
+    sa = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if sa.null_count:
+        sa = pc_fill_null_empty(sa)
+    n_docs = len(sa)
+    empty = pa.table({
+        "doc_id": pa.array([], t.column("doc_id").type),
+        "pos": pa.array([], pa.int64()),
+        "fp": pa.array([], pa.int64()),
+    })
+    if n_docs == 0:
+        return empty
+    off_dt = np.int64 if pa.types.is_large_string(sa.type) else np.int32
+    bufs = sa.buffers()
+    offs = np.frombuffer(bufs[1], off_dt)[sa.offset: sa.offset + n_docs + 1]
+    base = int(offs[0])
+    starts = offs[:-1].astype(np.int64) - base
+    ends = offs[1:].astype(np.int64) - base
+    doc_len = ends - starts
+    buf = np.frombuffer(bufs[2], np.uint8)[base: base + int(ends[-1])]
+    n = len(buf)
+    if n == 0:
+        return empty
+
+    powB = _pow_table(_B, n + 1)
+    powBinv = _pow_table(_BINV, n)
+    S = np.zeros(n + 1, np.uint64)
+    np.cumsum(buf.astype(np.uint64) * powBinv, out=S[1:])
+    docof = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
+
+    sel_doc: list[np.ndarray] = []
+    sel_pos: list[np.ndarray] = []
+    sel_fp: list[np.ndarray] = []
+
+    if n >= k:
+        L = n - k + 1
+        Kh = _splitmix64((S[k:] - S[:L]) * powB[k - 1: n])
+        gdoc = docof[:L]
+        valid = np.arange(L, dtype=np.int64) + k <= ends[gdoc]
+        INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+        Khm = np.where(valid, Kh, INF)
+        if L >= w:
+            Wn = L - w + 1
+            best = Khm[:Wn].copy()
+            besti = np.zeros(Wn, np.int64)
+            for s in range(1, w):
+                cand = Khm[s: Wn + s]
+                take = cand <= best          # later shift wins ties
+                best = np.where(take, cand, best)
+                besti = np.where(take, s, besti)
+            okw = (valid[:Wn] & valid[w - 1:]
+                   & (gdoc[:Wn] == gdoc[w - 1:]))
+            sel = np.unique((np.arange(Wn, dtype=np.int64)
+                             + besti)[okw])
+            if len(sel):
+                d = gdoc[sel]
+                sel_doc.append(d)
+                sel_pos.append(sel - starts[d])
+                sel_fp.append(Kh[sel])
+        # docs whose gram count is in [1, w): one rightmost-min window
+        shorty = np.flatnonzero((doc_len >= k) & (doc_len < k + w - 1))
+        if len(shorty):
+            m = doc_len[shorty] - k + 1
+            cum = np.cumsum(m) - m
+            idx = (np.repeat(starts[shorty], m)
+                   + np.arange(int(m.sum()), dtype=np.int64)
+                   - np.repeat(cum, m))
+            dseg = np.repeat(shorty, m)
+            order = np.lexsort((-idx, Kh[idx], dseg))
+            ds_ = dseg[order]
+            first = np.ones(len(order), bool)
+            first[1:] = ds_[1:] != ds_[:-1]
+            pick = order[first]
+            sel2 = idx[pick]
+            d2 = dseg[pick]
+            sel_doc.append(d2)
+            sel_pos.append(sel2 - starts[d2])
+            sel_fp.append(Kh[sel2])
+
+    # docs shorter than one gram: whole-text fingerprint at pos 0
+    tiny = np.flatnonzero((doc_len > 0) & (doc_len < k))
+    if len(tiny):
+        e, s0 = ends[tiny], starts[tiny]
+        h = _splitmix64((S[e] - S[s0]) * powB[e - 1]
+                        ^ (doc_len[tiny].astype(np.uint64) * _GOLD))
+        sel_doc.append(tiny)
+        sel_pos.append(np.zeros(len(tiny), np.int64))
+        sel_fp.append(h)
+
+    if not sel_doc:
+        return empty
+    d_all = np.concatenate(sel_doc)
+    p_all = np.concatenate(sel_pos)
+    f_all = np.concatenate(sel_fp)
+    order = np.lexsort((p_all, d_all))
+    return pa.table({
+        "doc_id": t.column("doc_id").take(pa.array(d_all[order],
+                                                   pa.int64())),
+        "pos": pa.array(p_all[order]),
+        "fp": pa.array(f_all[order].view(np.int64)),
+    })
+
+
+def winnow_dedup(sf_dir: str, k: int = 16, w: int = 8,
+                 min_docs: int = 2) -> ray.data.Dataset:
+    """Winnowing fingerprints appearing in >= ``min_docs`` DISTINCT
+    documents: (fp, n_docs, n_positions) — the MOSS shared-fragment
+    detector. Scale shape mirrors ``chunk_dedup``: only (fp, doc_id,
+    pos-count) rows reach the shuffle — never text — and both
+    aggregation stages are native groupbys."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    fps = ds.map_batches(winnow_batch, batch_format="pyarrow",
+                         fn_kwargs={"k": k, "w": w})
+    pair_occ = fps.groupby(["fp", "doc_id"]).count()
+    per_fp = pair_occ.groupby("fp").aggregate(Count(), Sum("count()"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "fp": t.column("fp"),
+            "n_docs": t.column("count()").cast(pa.int64()),
+            "n_positions": t.column("sum(count())").cast(pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out.column("n_docs"),
+                                           min_docs))
+
+    return per_fp.map_batches(rename, batch_format="pyarrow")
