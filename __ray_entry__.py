@@ -217,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": partial(sampling.stratified_sample),
         "weighted_sample": partial(sampling.weighted_sample),
         "pack_sequences": _pack_sequences,
+        # document-preserving next-fit packing (SFT shape: no doc ever
+        # split); manifest-only output, pinned vs a sequential
+        # reference in tests/test_packing.py
+        "pack_documents": _pack_documents,
         "mixture_resample": partial(
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
@@ -304,6 +308,12 @@ def _pack_sequences(sf_dir: str):
     from aqueduct_core_ray.functions.packing import pack_sequences
 
     return pack_sequences(sf_dir)
+
+
+def _pack_documents(sf_dir: str):
+    from aqueduct_core_ray.functions.packing import pack_documents
+
+    return pack_documents(sf_dir)
 
 
 def _quality_classifier(sf_dir: str):
