@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set (dyadic k1/b constants + shared floor-permille rounding
         # => the SQL oracle reproduces every score bit-exactly)
         "bm25_topk": partial(text.bm25_topk),
+        # exact Mann-Whitney U / ROC-AUC via bounded score histogram
+        # (midrank ties, doubled-integer arithmetic)
+        "rank_auc": partial(text.rank_auc),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1574,6 +1577,29 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                   FROM s)
             SELECT doc_id, score_permille, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 20""",
+        # Mann-Whitney U doubled to stay integer: midrank of a tie
+        # group = below + (n+1)/2, so 2*Σ_pos midrank folds as
+        # np*(2*below+n+1) over distinct-score groups
+        "rank_auc": """
+            WITH r AS (SELECT CAST(lang = 'en' AS BIGINT) AS y,
+                              n_chars AS s
+                       FROM documents),
+            g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(y) AS BIGINT) AS np
+                  FROM r GROUP BY s),
+            w AS (SELECT s, n, np,
+                         sum(n) OVER (ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) - n
+                             AS below
+                  FROM g),
+            t AS (SELECT CAST(sum(np * (2*below + n + 1)) AS BIGINT)
+                             AS sr2,
+                         CAST(sum(np) AS BIGINT) AS npos,
+                         CAST(sum(n) AS BIGINT) AS ntot
+                  FROM w)
+            SELECT npos AS n_pos, ntot - npos AS n_neg,
+                   CAST(sr2 - npos * (npos + 1) AS BIGINT) AS u_stat_x2
+            FROM t""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

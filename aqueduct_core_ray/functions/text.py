@@ -1007,3 +1007,65 @@ def bm25_topk(sf_dir: str, query: tuple[str, ...] = ("hash", "merge",
         "score_permille": pa.array(sc[order].astype(np.int64)),
         "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }))
+
+
+# --------------------------------------------------------------------- #
+def rank_auc(sf_dir: str, label_lang: str = "en") -> ray.data.Dataset:
+    """Distributed EXACT rank statistic: the Mann-Whitney U (= ROC-AUC
+    numerator) of ``n_chars`` as a predictor of ``lang == label_lang``
+    — the evaluation primitive behind every classifier/quality-score
+    validation step, computed WITHOUT a global sort. Midrank tie
+    handling, doubled to stay integer: for a tie group with ``below``
+    items under it and ``n`` members, ``2*avgrank = 2*below + n + 1``;
+    ``u_stat_x2 = Σ_groups np*(2*below + n + 1) - n_pos*(n_pos+1)``
+    (AUC = u_stat_x2 / (2*n_pos*n_neg), left to the consumer). Returns
+    one row (n_pos, n_neg, u_stat_x2). All integer arithmetic, so the
+    SQL oracle matches bit-exactly; the driver fold runs in Python ints
+    (arbitrary precision) — u_stat_x2 itself fits int64 up to ~2e9
+    balanced rows (2·n_pos·N bound), beyond which the output column
+    would need a decimal type.
+
+    Scale shape: per-block (score -> n, n_pos) histogram partials via
+    one Arrow group_by; the driver folds ≤ |distinct scores| rows per
+    block (score is a bounded integer metric — same bounded-histogram
+    concession as value_histogram / mad_by_type) and one cumsum gives
+    every tie-group's rank. No shuffle, no sort of the data itself."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.equal(t.column("lang"), label_lang).fill_null(False)
+        tb = pa.table({
+            "s": t.column("n_chars"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "yp": y.cast(pa.int64()),
+        })
+        g = tb.group_by("s").aggregate([("one", "sum"), ("yp", "sum")])
+        return g.rename_columns(["s", "n", "np"])
+
+    parts = (read_documents(sf_dir, columns=["lang", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow"))
+    hist: dict[int, list[int]] = {}
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        ss = t.column("s").to_numpy(zero_copy_only=False)
+        nn = t.column("n").to_numpy(zero_copy_only=False)
+        pp = t.column("np").to_numpy(zero_copy_only=False)
+        for s, n, p in zip(ss.tolist(), nn.tolist(), pp.tolist()):
+            e = hist.setdefault(s, [0, 0])
+            e[0] += n
+            e[1] += p
+    n_pos = n_tot = sr2 = 0
+    below = 0
+    for s in sorted(hist):
+        n, p = hist[s]
+        sr2 += p * (2 * below + n + 1)
+        below += n
+        n_pos += p
+        n_tot += n
+    u2 = sr2 - n_pos * (n_pos + 1)
+    return ray.data.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_tot - n_pos], pa.int64()),
+        "u_stat_x2": pa.array([u2], pa.int64()),
+    }))

@@ -1325,3 +1325,38 @@ def test_quality_classifier_single_class_stable(tmp_path):
     assert (out["label"] == 0).all()
     assert np.isfinite(out["logit_micro"].to_numpy()).all()
     assert (out["logit_micro"] < 0).all()
+
+
+def test_rank_auc_matches_bruteforce(tmp_path):
+    """u_stat_x2 must equal 2x the pairwise Mann-Whitney count
+    (wins + 0.5*ties over all pos x neg pairs), ties included."""
+    from aqueduct_core_ray.functions.text import rank_auc
+    rng = np.random.default_rng(5)
+    langs = ["en" if rng.random() < 0.4 else "fr" for _ in range(60)]
+    scores = rng.integers(0, 8, 60).tolist()     # heavy ties
+    t = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(["x"] * 60),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * 60),
+        "n_chars": pa.array(scores, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = rank_auc(str(tmp_path)).to_pandas().iloc[0]
+    pos = [s for s, l in zip(scores, langs) if l == "en"]
+    neg = [s for s, l in zip(scores, langs) if l != "en"]
+    u2 = sum(2 for p in pos for q in neg if p > q) \
+        + sum(1 for p in pos for q in neg if p == q)
+    assert int(out["n_pos"]) == len(pos)
+    assert int(out["n_neg"]) == len(neg)
+    assert int(out["u_stat_x2"]) == u2
+    # perfectly separable corpus: AUC exactly 1
+    t2 = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                      pa.array([100 + i if l == "en" else i
+                                for i, l in enumerate(langs)],
+                               pa.int64()))
+    d2 = tmp_path / "sep"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "documents.parquet"))
+    out2 = rank_auc(str(d2)).to_pandas().iloc[0]
+    assert int(out2["u_stat_x2"]) == 2 * len(pos) * len(neg)
