@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Mann-Whitney U / ROC-AUC via bounded score histogram
         # (midrank ties, doubled-integer arithmetic)
         "rank_auc": partial(text.rank_auc),
+        # exact Spearman rank-correlation components, same midrank
+        # convention over a joint bounded histogram
+        "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1600,6 +1603,28 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             SELECT npos AS n_pos, ntot - npos AS n_neg,
                    CAST(sr2 - npos * (npos + 1) AS BIGINT) AS u_stat_x2
             FROM t""",
+        # doubled midrank 2r = 2*rank()+cnt-1 (min-rank window form of
+        # the engine's 2*below+n+1); integer moment sums match
+        # bit-exactly
+        "spearman_chars_tokens": r"""
+            WITH d AS (
+              SELECT n_chars AS x,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS y
+              FROM documents),
+            r AS (SELECT
+                    2*rank() OVER (ORDER BY x)
+                      + count(*) OVER (PARTITION BY x) - 1 AS rx,
+                    2*rank() OVER (ORDER BY y)
+                      + count(*) OVER (PARTITION BY y) - 1 AS ry
+                  FROM d)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS s_x,
+                   CAST(sum(ry) AS BIGINT) AS s_y,
+                   CAST(sum(rx*ry) AS BIGINT) AS s_xy,
+                   CAST(sum(rx*rx) AS BIGINT) AS s_xx,
+                   CAST(sum(ry*ry) AS BIGINT) AS s_yy
+            FROM r""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

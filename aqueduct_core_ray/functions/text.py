@@ -1069,3 +1069,80 @@ def rank_auc(sf_dir: str, label_lang: str = "en") -> ray.data.Dataset:
         "n_neg": pa.array([n_tot - n_pos], pa.int64()),
         "u_stat_x2": pa.array([u2], pa.int64()),
     }))
+
+
+def spearman_chars_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Distributed EXACT Spearman rank-correlation components between
+    ``n_chars`` and the whitespace token count — the metric-redundancy
+    check a curation pipeline runs before dropping a correlated
+    feature. Midrank ties doubled to stay integer (``2r = 2*below + n
+    + 1``, the rank_auc convention); returns one row with the raw
+    integer sums (n, s_x=Σ2rx, s_y=Σ2ry, s_xy=Σ4rxry, s_xx=Σ4rx²,
+    s_yy=Σ4ry²) — rho = (n*s_xy - s_x*s_y) /
+    sqrt((n*s_xx - s_x²)(n*s_yy - s_y²)) is left to the consumer.
+    All integer arithmetic (driver folds in Python ints; the int64
+    output columns bound n at ~1e6 via the Σ4N³ term), so the SQL
+    oracle matches bit-exactly.
+
+    Scale shape: ONE pass — per-block joint (x, y) histogram partials
+    via one Arrow group_by; the driver folds distinct (x, y) pairs
+    (both are bounded integer metrics, so the joint support is the
+    same bounded-histogram concession as rank_auc / value_histogram),
+    derives both marginal midrank maps with one cumsum each, and the
+    moment sums are one vectorized pass over the folded support."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.count_substring_regex(t.column("text"), r"\S+") \
+            .cast(pa.int64())
+        tb = pa.table({
+            "x": t.column("n_chars"),
+            "y": y,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = tb.group_by(["x", "y"]).aggregate([("one", "sum")])
+        return g.rename_columns(["x", "y", "n"])
+
+    parts = (read_documents(sf_dir, columns=["text", "n_chars"])
+             .map_batches(partial, batch_format="pyarrow"))
+    joint: dict[tuple[int, int], int] = {}
+    for t in ray.get(parts.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        for x, y, n in zip(t.column("x").to_pylist(),
+                           t.column("y").to_pylist(),
+                           t.column("n").to_pylist()):
+            joint[(x, y)] = joint.get((x, y), 0) + n
+
+    cols = ["n", "s_x", "s_y", "s_xy", "s_xx", "s_yy"]
+    if not joint:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([0], pa.int64()) for c in cols}))
+
+    def midrank_x2(vals_counts: dict[int, int]) -> dict[int, int]:
+        out, below = {}, 0
+        for v in sorted(vals_counts):
+            n = vals_counts[v]
+            out[v] = 2 * below + n + 1
+            below += n
+        return out
+
+    mx: dict[int, int] = {}
+    my: dict[int, int] = {}
+    for (x, y), n in joint.items():
+        mx[x] = mx.get(x, 0) + n
+        my[y] = my.get(y, 0) + n
+    rx = midrank_x2(mx)
+    ry = midrank_x2(my)
+    n = s_x = s_y = s_xy = s_xx = s_yy = 0
+    for (x, y), c in joint.items():
+        a, b = rx[x], ry[y]
+        n += c
+        s_x += c * a
+        s_y += c * b
+        s_xy += c * a * b
+        s_xx += c * a * a
+        s_yy += c * b * b
+    vals = [n, s_x, s_y, s_xy, s_xx, s_yy]
+    return ray.data.from_arrow(pa.table(
+        {c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)}))

@@ -1360,3 +1360,50 @@ def test_rank_auc_matches_bruteforce(tmp_path):
     pq.write_table(t2, str(d2 / "documents.parquet"))
     out2 = rank_auc(str(d2)).to_pandas().iloc[0]
     assert int(out2["u_stat_x2"]) == 2 * len(pos) * len(neg)
+
+
+def test_spearman_matches_scipy_free_reference(tmp_path):
+    """rho derived from the integer component sums must equal a direct
+    midrank Spearman computed with numpy on the whole table."""
+    from aqueduct_core_ray.functions.text import spearman_chars_tokens
+    rng = np.random.default_rng(3)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 30, 80)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        # x correlated with y but with ties and noise
+        "n_chars": pa.array([len(s) // 3 for s in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = spearman_chars_tokens(str(tmp_path)).to_pandas().iloc[0]
+
+    def midranks(v):
+        v = np.asarray(v, np.float64)
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        pos = 1
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+            pos += j - i
+            i = j
+        return r
+    x = np.array([len(s) // 3 for s in texts], np.float64)
+    y = np.array([len(s.split()) for s in texts], np.float64)
+    rx, ry = midranks(x), midranks(y)
+    exp_rho = np.corrcoef(rx, ry)[0, 1]
+    n, s_x, s_y = int(out["n"]), int(out["s_x"]), int(out["s_y"])
+    s_xy, s_xx, s_yy = (int(out["s_xy"]), int(out["s_xx"]),
+                        int(out["s_yy"]))
+    got_rho = ((n * s_xy - s_x * s_y)
+               / np.sqrt(float(n * s_xx - s_x * s_x)
+                         * float(n * s_yy - s_y * s_y)))
+    assert abs(got_rho - exp_rho) < 1e-12
+    # the doubled midranks must sum to n*(n+1) exactly
+    assert s_x == n * (n + 1) and s_y == n * (n + 1)
