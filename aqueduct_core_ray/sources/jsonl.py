@@ -65,12 +65,33 @@ def conform_messages(t: pa.Table) -> pa.Table:
     return pa.table({k: cols[k] for k in order + rest + ["source", "ts"]})
 
 
-def read_jsonl_changelog(path: str | list[str]) -> ray.data.Dataset:
+def read_jsonl_changelog(path: str | list[str],
+                         compression: str | None = None
+                         ) -> ray.data.Dataset:
     """Reference-style JSONL message log as a CHANGE_EVENT Dataset —
     feed it to `CDCEngine.bootstrap`/`_apply` via parquet staging or
-    `replay_jsonl` below."""
-    return ray.data.read_json(path).map_batches(conform_messages,
-                                                batch_format="pyarrow")
+    `replay_jsonl` below.
+
+    ``compression``: the reference's wire codecs (T5,
+    PipeReadController's brotli/gzip content negotiation) map to
+    compressed JSONL segments at this ingress: 'gzip' | 'brotli' |
+    None, or 'detect' to infer from the file extension
+    (.gz/.gzip -> gzip, .br -> brotli). Decompression streams through
+    Arrow's codec layer inside each read task — no whole-file driver
+    inflate."""
+    kwargs = {}
+    if compression == "detect":
+        p0 = path[0] if isinstance(path, list) else path
+        if p0.endswith((".gz", ".gzip")):
+            compression = "gzip"
+        elif p0.endswith(".br"):
+            compression = "brotli"
+        else:
+            compression = None
+    if compression:
+        kwargs["arrow_open_stream_args"] = {"compression": compression}
+    return ray.data.read_json(path, **kwargs) \
+        .map_batches(conform_messages, batch_format="pyarrow")
 
 
 def stage_jsonl_to_log(path: str | list[str], out_dir: str) -> str:

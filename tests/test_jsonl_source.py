@@ -63,3 +63,22 @@ def test_missing_required_field(tmp_path):
         f.write(json.dumps({"msg_offset": 1, "type": "t"}) + "\n")
     with pytest.raises(Exception):
         read_jsonl_changelog(str(p)).take_all()
+
+
+@pytest.mark.parametrize("codec,ext", [("gzip", ".gz"),
+                                       ("brotli", ".br")])
+def test_compressed_wire_codecs(tmp_path, jsonl_path, codec, ext):
+    """T5 wire-codec analog: gzip/brotli-compressed JSONL segments
+    stream through the same ingress and conform identically."""
+    import pyarrow as pa
+    raw = open(jsonl_path, "rb").read()
+    comp = tmp_path / ("messages.jsonl" + ext)
+    with pa.output_stream(str(comp), compression=codec) as f:
+        f.write(raw)
+    plain = sorted(read_jsonl_changelog(jsonl_path).take_all(),
+                   key=lambda r: r["lsn"])
+    for mode in (codec, "detect"):
+        got = sorted(read_jsonl_changelog(str(comp),
+                                          compression=mode).take_all(),
+                     key=lambda r: r["lsn"])
+        assert got == plain
