@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling decisions, not just the aggregate shape)
         "train_val_split": partial(sampling.train_val_split),
         "token_budget_sample": partial(sampling.token_budget_sample),
+        # exact-k stratified sample in md5 order (deterministic,
+        # oracle-replayable per-row decisions)
+        "stratified_topk_sample": partial(sampling.stratified_topk_sample),
         # sparse-IR retrieval: Okapi BM25 against a fixed query-term
         # set (dyadic k1/b constants + shared floor-permille rounding
         # => the SQL oracle reproduces every score bit-exactly)
@@ -1625,6 +1628,19 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(sum(rx*rx) AS BIGINT) AS s_xx,
                    CAST(sum(ry*ry) AS BIGINT) AS s_yy
             FROM r""",
+        # md5-order per-source quota: row_number over (md5, doc_id)
+        # per source — ties impossible, so the k-cut is deterministic
+        "stratified_topk_sample": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     md5('strat1|' || CAST(doc_id AS VARCHAR)) AS fp
+              FROM documents),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY fp, doc_id) AS rk
+                  FROM f)
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 5""",
         "value_stats_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(v_c) AS BIGINT) AS sum_c,

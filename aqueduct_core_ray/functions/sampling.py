@@ -412,3 +412,53 @@ def token_budget_sample(sf_dir: str, budget: int = 800,
     return (read_documents(sf_dir, columns=["doc_id", "source", "text"])
             .map_batches(prep, batch_format="pyarrow")
             .fx_map_groups(take_prefix, empty_result=empty))
+
+
+def stratified_topk_sample(sf_dir: str, k: int = 5,
+                           salt: str = "strat1") -> ray.data.Dataset:
+    """EXACT-k stratified sample: the k documents per source that rank
+    first in md5(salt '|' doc_id) order — the deterministic,
+    oracle-checkable twin of the fraction-based ``stratified_sample``
+    (exact quota per group, reproducible across runs/partitionings,
+    and DuckDB replays the identical per-row decisions because md5 is
+    the one hash both engines share). Ties are impossible (md5 of
+    distinct ids), ordering is (fp, doc_id) for determinism anyway.
+    Returns (doc_id, source, rk).
+
+    Scale shape: same bounded local-top-k fold as top_docs_per_source —
+    per-block top-k per source (one lexsort), then a per-source final
+    top-k; candidate volume is ≤ k x sources x blocks rows, never the
+    corpus."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = _md5_hex(f"{salt}|", t.column("doc_id"))
+        order = np.lexsort((did, fp, src))
+        s = src[order]
+        idx = np.arange(len(s))
+        seg_start = np.ones(len(s), bool)
+        seg_start[1:] = s[1:] != s[:-1]
+        run_begin = np.maximum.accumulate(np.where(seg_start, idx, 0))
+        keep = (idx - run_begin) < k
+        sel = pa.array(order[keep])
+        return pa.table({"source": t.column("source").take(sel),
+                         "doc_id": t.column("doc_id").take(sel),
+                         "fp": pa.array(fp[order[keep]])})
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        fp = t.column("fp").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, fp))[:k]
+        sel = pa.array(order)
+        return pa.table({
+            "doc_id": t.column("doc_id").take(sel),
+            "source": t.column("source").take(sel),
+            "rk": pa.array(np.arange(1, len(order) + 1,
+                                     dtype=np.int64)),
+        })
+
+    ds = read_documents(sf_dir, columns=["doc_id", "source"])
+    cand = ds.map_batches(local_topk, batch_format="pyarrow")
+    return cand.groupby("source").map_groups(final_topk,
+                                             batch_format="pyarrow")

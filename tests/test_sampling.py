@@ -263,3 +263,39 @@ def test_token_budget_sample_prefix_semantics():
     assert ref, "budget kept nothing — test corpus/budget mismatch"
     assert len(ref) < t.num_rows, \
         "budget excluded nothing — the cut must bite at test scale"
+
+
+def test_stratified_topk_exact_quota_and_determinism(tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.functions.sampling import stratified_topk_sample
+    n = 90
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = stratified_topk_sample(str(d), k=4).to_pandas()
+    assert len(out) == 12
+    assert out.groupby("source").size().eq(4).all()
+    # exact md5-order quota per source (brute-force reference)
+    for g in range(3):
+        ids = [i for i in range(n) if i % 3 == g]
+        exp = sorted(ids, key=lambda i: (hashlib.md5(
+            f"strat1|{i}".encode()).hexdigest(), i))[:4]
+        got = (out[out.source == f"s{g}"].sort_values("rk")
+               ["doc_id"].tolist())
+        assert got == exp
+    # deterministic across runs
+    out2 = stratified_topk_sample(str(d), k=4).to_pandas()
+    assert out.sort_values(["source", "rk"]).reset_index(drop=True) \
+        .equals(out2.sort_values(["source", "rk"])
+                .reset_index(drop=True))
