@@ -498,6 +498,33 @@ def cmd_prune_outbox(args) -> int:
     return 0
 
 
+def cmd_register(args) -> int:
+    """Upsert this node in the root lake's registry and print the
+    follow list its tail should use (J5; see state/registry.py)."""
+    from .state.registry import NodeRegistry
+    reg = NodeRegistry(args.root, args.root_outbox
+                       or os.path.join(args.root, "outbox"),
+                       fanout=args.fanout,
+                       dead_after_s=args.dead_after)
+    follow = reg.register(args.node_id, args.outbox,
+                          location=args.location)
+    print(json.dumps({"ok": True, "node_id": args.node_id,
+                      "follow": follow}))
+    return 0
+
+
+def cmd_registry_tree(args) -> int:
+    """Print the current live hierarchy (O3 sort + balanced tree)."""
+    from .state.registry import NodeRegistry
+    reg = NodeRegistry(args.root, args.root_outbox
+                       or os.path.join(args.root, "outbox"),
+                       fanout=args.fanout,
+                       dead_after_s=args.dead_after)
+    print(json.dumps({"ok": True, "tree": reg.tree(),
+                      "nodes": reg.nodes()}))
+    return 0
+
+
 def cmd_bootstrap_wipe(args) -> int:
     if not os.path.exists(os.path.join(args.lake, "CURRENT")) \
             and not args.force:
@@ -685,6 +712,28 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--lake", required=True)
     w.add_argument("--force", action="store_true")
     w.set_defaults(fn=cmd_bootstrap_wipe)
+
+    for name, fn, hlp in (
+            ("register", cmd_register,
+             "upsert this node in the hierarchy registry and print "
+             "its follow list"),
+            ("registry-tree", cmd_registry_tree,
+             "print the live hierarchy tree")):
+        rg = sub.add_parser(name, help=hlp)
+        rg.add_argument("--root", required=True,
+                        help="root (cloud) lake directory holding the "
+                             "registry")
+        rg.add_argument("--root-outbox", default=None,
+                        help="follow-list terminator (default "
+                             "<root>/outbox)")
+        rg.add_argument("--fanout", type=int, default=2)
+        rg.add_argument("--dead-after", type=float, default=30.0)
+        if name == "register":
+            rg.add_argument("--node-id", required=True)
+            rg.add_argument("--outbox", required=True,
+                            help="this node's own outbox path")
+            rg.add_argument("--location", default="")
+        rg.set_defaults(fn=fn)
 
     args = ap.parse_args(argv)
     return args.fn(args)

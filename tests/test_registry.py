@@ -96,3 +96,26 @@ def test_registry_assigned_tail_end_to_end(tmp_path, ray_session):
                max_idle_polls=2)
     assert child.consistency_sum() == root.consistency_sum()
     assert child.read_lake().count() == root.read_lake().count()
+
+
+def test_registry_cli(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    def run(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "aqueduct_core_ray.cli", *argv],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr
+        return _json.loads(out.stdout)
+
+    root = str(tmp_path / "root")
+    r1 = run("register", "--root", root, "--node-id", "a",
+             "--outbox", "/o/a", "--fanout", "1")
+    assert r1["follow"] == [root + "/outbox"]
+    r2 = run("register", "--root", root, "--node-id", "b",
+             "--outbox", "/o/b", "--fanout", "1")
+    assert r2["follow"] == ["/o/a", root + "/outbox"]
+    t = run("registry-tree", "--root", root, "--fanout", "1")
+    assert t["tree"] == {"a": None, "b": "a"}
