@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Spearman rank-correlation components, same midrank
         # convention over a joint bounded histogram
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
+        "pmi_bigrams": partial(text.pmi_bigrams),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -1628,6 +1629,40 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(sum(rx*rx) AS BIGINT) AS s_xx,
                    CAST(sum(ry*ry) AS BIGINT) AS s_yy
             FROM r""",
+        # adjacent-bigram PMI: permille quantization after the exact
+        # left-to-right float64 ratio the engine computes
+        "pmi_bigrams": r"""
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id, regexp_split_to_array(
+                      regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                      '\s+') AS l
+                    FROM documents)),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+            big AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT doc_id, tok AS w1,
+                       lead(tok) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS w2
+                FROM toks) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_big FROM big),
+            scored AS (
+              SELECT w1, w2, cnt,
+                     CAST(floor(ln(cnt * n_tok * n_tok
+                                   / (n_big * u1.c * u2.c))
+                                * 1000 + 0.5) AS BIGINT) AS pmi_permille
+              FROM big JOIN uni u1 ON big.w1 = u1.tok
+                       JOIN uni u2 ON big.w2 = u2.tok
+                       CROSS JOIN n CROSS JOIN nb
+              WHERE cnt >= 5),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY pmi_permille DESC, w1, w2) AS rk
+                  FROM scored)
+            SELECT w1, w2, cnt, pmi_permille, rk FROM r
+            WHERE rk <= 20""",
         # md5-order per-source quota: row_number over (md5, doc_id)
         # per source — ties impossible, so the k-cut is deterministic
         "stratified_topk_sample": """

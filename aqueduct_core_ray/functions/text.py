@@ -1146,3 +1146,220 @@ def spearman_chars_tokens(sf_dir: str) -> ray.data.Dataset:
     vals = [n, s_x, s_y, s_xy, s_xx, s_yy]
     return ray.data.from_arrow(pa.table(
         {c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)}))
+
+
+# --------------------------------------------------------------------- #
+# Collocation mining — pointwise mutual information over adjacent
+# whitespace-token bigrams (the phrase-discovery staple of corpus
+# curation: "new york"-style units score high because their joint count
+# beats the independence prediction). Reference anchor: the same
+# derived-rollup family as aqueduct-core's DerivedTableSync
+# re-aggregations (offset-windowed recount, never row-at-a-time).
+# --------------------------------------------------------------------- #
+def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
+                num_partitions: int = 16) -> ray.data.Dataset:
+    """Top-``k`` adjacent-token bigrams by pointwise mutual information
+    ``ln( (c_xy/N_big) / ((c_x/N_tok)(c_y/N_tok)) )``, restricted to
+    bigrams seen at least ``min_count`` times. PMI is emitted as the
+    INTEGER PERMILLE ``floor(pmi * 1000 + 0.5)`` (the module's shared
+    float64 row-rounding convention — tfidf_top_terms,
+    unigram_logprob_score — so the DuckDB oracle matches bit-exactly,
+    including the ratio's left-to-right float64 evaluation order).
+    Ties break by (w1, w2) asc. Returns (w1, w2, cnt, pmi_permille, rk).
+
+    Scale shape: the vocabulary AND bigram space are unbounded, so
+    nothing is broadcast and no native sort-shuffle runs. One pass
+    emits per-block Arrow group_by partials as a tagged union —
+    unigram partials keyed hash(token)%%P, bigram partials keyed
+    hash(w1)%%P — into ONE file exchange whose partition then owns
+    every partial of its tokens: it folds GLOBAL unigram counts
+    (sort+reduceat), folds global bigram counts, attaches c_x to each
+    surviving (cnt >= min_count) bigram, and re-tags bigrams by
+    hash(w2)%%P while passing its global unigram rows through. The
+    second exchange attaches c_y the same way, scores PMI in place,
+    and local-top-k's — the driver folds <= k x P candidate rows. The
+    two corpus scalars (N_tok, N_big) fold from one narrow pre-pass
+    (one int64 row per block)."""
+    from ..stages.exchange import file_exchange_map_groups
+
+    P = np.uint64(num_partitions)
+
+    def _tok_arrays(t: pa.Table):
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return words.flatten(), lens.astype(np.int64)
+
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        _, lens = _tok_arrays(t)
+        return pa.table({
+            "n_tok": pa.array([int(lens.sum())], pa.int64()),
+            "n_big": pa.array([int((lens - 1).clip(min=0).sum())],
+                              pa.int64()),
+        })
+
+    parts = [t for t in ray.get(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(scalar_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    n_tok = float(sum(t.column("n_tok").to_numpy().sum() for t in parts))
+    n_big = float(sum(t.column("n_big").to_numpy().sum() for t in parts))
+
+    empty = pa.table({
+        "part": pa.array([], pa.int32()),
+        "kind": pa.array([], pa.int8()),
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "c1": pa.array([], pa.int64()),
+    })
+
+    def union_partials(t: pa.Table) -> pa.Table:
+        tok, lens = _tok_arrays(t)
+        if len(tok) == 0:
+            return empty
+        # unigram partial counts (one Arrow group_by, no row loops)
+        uni = pa.table({"w": tok}).group_by("w").aggregate([("w", "count")])
+        uw = uni.column("w")
+        # adjacent pairs: tok[i], tok[i+1] masked at doc boundaries
+        flat = tok.to_numpy(zero_copy_only=False)
+        keep = np.ones(max(len(flat) - 1, 0), dtype=bool)
+        ends = np.cumsum(lens)[:-1]            # first token of next doc
+        keep[ends - 1] = False                 # pair would straddle docs
+        w1, w2 = flat[:-1][keep], flat[1:][keep]
+        if len(w1):
+            big = (pa.table({"w1": pa.array(w1), "w2": pa.array(w2)})
+                   .group_by(["w1", "w2"]).aggregate([("w2", "count")]))
+        else:
+            big = None
+        cols = {
+            "part": [(hash_str_array(uw) % P).astype(np.int32)],
+            "kind": [np.zeros(len(uw), np.int8)],
+            "w1": [uw],
+            "w2": [pa.nulls(len(uw), pa.string())],
+            "cnt": [uni.column("w_count").cast(pa.int64())],
+            "c1": [np.zeros(len(uw), np.int64)],
+        }
+        if big is not None:
+            cols["part"].append(
+                (hash_str_array(big.column("w1")) % P).astype(np.int32))
+            cols["kind"].append(np.full(big.num_rows, 1, np.int8))
+            cols["w1"].append(big.column("w1"))
+            cols["w2"].append(big.column("w2"))
+            cols["cnt"].append(big.column("w2_count").cast(pa.int64()))
+            cols["c1"].append(np.zeros(big.num_rows, np.int64))
+        return pa.table({c: pa.chunked_array(
+            [pa.array(v) if isinstance(v, np.ndarray) else v
+             for v in vs]) for c, vs in cols.items()})
+
+    def _global_counts(keys: np.ndarray, cnt: np.ndarray):
+        """(sorted unique keys, global counts) via sort+reduceat."""
+        order = np.argsort(keys, kind="stable")
+        ks, cs = keys[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        return ks[starts], np.add.reduceat(cs, starts)
+
+    def attach_c1(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        w1 = g.column("w1").to_numpy(zero_copy_only=False)
+        umask = kind == 0
+        ukey, ucnt = _global_counts(w1[umask], cnt[umask])
+        # fold bigram partials to global counts
+        bt = (g.filter(pa.array(~umask))
+              .group_by(["w1", "w2"]).aggregate([("cnt", "sum")]))
+        bw1 = bt.column("w1").to_numpy(zero_copy_only=False)
+        bw2 = bt.column("w2").to_numpy(zero_copy_only=False)
+        bcnt = bt.column("cnt_sum").to_numpy(zero_copy_only=False)
+        sel = bcnt >= min_count
+        bw1, bw2, bcnt = bw1[sel], bw2[sel], bcnt[sel]
+        c1 = ucnt[np.searchsorted(ukey, bw1)] if len(bw1) else \
+            np.empty(0, np.int64)
+        out = {
+            "part": [(hash_str_array(ukey) % P).astype(np.int32),
+                     (hash_str_array(bw2) % P).astype(np.int32)],
+            "kind": [np.zeros(len(ukey), np.int8),
+                     np.full(len(bw1), 1, np.int8)],
+            "w1": [pa.array(ukey.astype(object), pa.string()),
+                   pa.array(bw1.astype(object), pa.string())],
+            "w2": [pa.nulls(len(ukey), pa.string()),
+                   pa.array(bw2.astype(object), pa.string())],
+            "cnt": [ucnt.astype(np.int64), bcnt.astype(np.int64)],
+            "c1": [np.zeros(len(ukey), np.int64), c1.astype(np.int64)],
+        }
+        return pa.table({c: pa.chunked_array(
+            [pa.array(v) if isinstance(v, np.ndarray) else v
+             for v in vs]) for c, vs in out.items()})
+
+    def score_topk(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)
+        umask = kind == 0
+        # unigram rows here are ALREADY global (attach_c1 re-emitted
+        # folded counts); dedupe defensively in case a token's rows
+        # rode along twice (idempotent: counts identical)
+        w2all = g.column("w2").to_numpy(zero_copy_only=False)
+        ukey, ucnt = _global_counts(
+            g.column("w1").to_numpy(zero_copy_only=False)[umask],
+            cnt[umask])
+        # a token seen twice folds to 2x — guard with max-dedupe via
+        # unique: attach_c1 emits each token exactly once per owning
+        # partition, so sums ARE the global counts; no correction.
+        bm = ~umask
+        if not bm.any():
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "pmi_permille": pa.array([], pa.int64()),
+            })
+        bw1 = g.column("w1").to_numpy(zero_copy_only=False)[bm]
+        bw2 = w2all[bm]
+        bcnt = cnt[bm].astype(np.float64)
+        c1 = g.column("c1").to_numpy(zero_copy_only=False)[bm] \
+            .astype(np.float64)
+        c2 = ucnt[np.searchsorted(ukey, bw2)].astype(np.float64)
+        # EXACT left-to-right float64 order of the SQL oracle:
+        # ((cnt*n_tok)*n_tok) / ((n_big*c1)*c2)
+        pmi = np.log(bcnt * n_tok * n_tok / (n_big * c1 * c2))
+        pmi_pm = np.floor(pmi * 1000.0 + 0.5).astype(np.int64)
+        order = np.lexsort((bw2, bw1, -pmi_pm))[:k]
+        return pa.table({
+            "w1": pa.array(bw1[order].astype(object), pa.string()),
+            "w2": pa.array(bw2[order].astype(object), pa.string()),
+            "cnt": pa.array(cnt[bm][order].astype(np.int64)),
+            "pmi_permille": pa.array(pmi_pm[order]),
+        })
+
+    ds = read_documents(sf_dir, columns=["text"]) \
+        .map_batches(union_partials, batch_format="pyarrow")
+    ds = file_exchange_map_groups(ds, attach_c1, empty_result=empty)
+    ds = file_exchange_map_groups(ds, score_topk, empty_result=pa.table({
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()),
+        "pmi_permille": pa.array([], pa.int64()),
+    }))
+    # driver fold of <= k x P candidates: exact global top-k
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return ray.data.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi_permille": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64())}))
+    cand = pa.concat_tables(tabs, promote_options="default")
+    w1 = cand.column("w1").to_numpy(zero_copy_only=False)
+    w2 = cand.column("w2").to_numpy(zero_copy_only=False)
+    pm = cand.column("pmi_permille").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w2, w1, -pm))[:k]
+    take = pa.array(order)
+    return ray.data.from_arrow(pa.table({
+        "w1": cand.column("w1").take(take),
+        "w2": cand.column("w2").take(take),
+        "cnt": cand.column("cnt").take(take),
+        "pmi_permille": cand.column("pmi_permille").take(take),
+        "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }))

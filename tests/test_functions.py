@@ -1407,3 +1407,39 @@ def test_spearman_matches_scipy_free_reference(tmp_path):
     assert abs(got_rho - exp_rho) < 1e-12
     # the doubled midranks must sum to n*(n+1) exactly
     assert s_x == n * (n + 1) and s_y == n * (n + 1)
+
+
+def test_pmi_bigrams_matches_oracle_sql():
+    """pmi_bigrams must reproduce the driver oracle bit-exactly at
+    sf0.001 (the permille quantization + left-to-right float64 ratio
+    contract)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF0001}/documents.parquet')")
+    sq = con.execute(entry.oracle_sql()["pmi_bigrams"]).df()
+    ry = text.pmi_bigrams(SF0001).to_pandas()
+    assert sq.sort_values("rk").reset_index(drop=True).equals(
+        ry.sort_values("rk").reset_index(drop=True)
+        .astype(sq.dtypes.to_dict()))
+
+
+def test_pmi_bigrams_crafted_collocation(tmp_path):
+    # "new york" always adjacent; "red" and "blue" never adjacent to
+    # each other -> "new york" must rank first with maximal PMI
+    texts = [" ".join(["new york red blue"] * 6)] * 4
+    sf = _mk_docs(tmp_path, texts)
+    out = text.pmi_bigrams(sf, k=5, min_count=2).to_pandas()
+    top = out[out.rk == 1].iloc[0]
+    # every bigram here is a deterministic chain; "blue new" misses the
+    # doc-final position so its count is lower than "new york"
+    assert (top.w1, top.w2) == ("new", "york")
+    assert not ((out.w1 == "york") & (out.w2 == "red")).empty
+    # doc-boundary guard: last token of doc i never pairs with first
+    # token of doc i+1 (all docs end in "blue", start with "new";
+    # counts of "blue new" must come only from WITHIN-doc adjacency)
+    within = out[(out.w1 == "blue") & (out.w2 == "new")]
+    if len(within):
+        assert int(within.iloc[0].cnt) == 4 * 5  # 5 per doc, not 6
