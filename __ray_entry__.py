@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # convention over a joint bounded histogram
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         "pmi_bigrams": partial(text.pmi_bigrams),
+        "substring_search": _substring_search,
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -284,6 +285,15 @@ def _curate(sf_dir: str):
     from aqueduct_core_ray.pipelines.curate import curate_corpus
 
     return curate_corpus(sf_dir)
+
+
+def _substring_search(sf_dir: str):
+    """Trigram-index substring search: sorted (needle, doc_id) matches
+    for the fixed needle set (one absent on purpose)."""
+    from aqueduct_core_ray.functions.search import substring_search
+
+    df = substring_search(sf_dir).to_pandas()
+    return df.sort_values(["needle", "doc_id"]).reset_index(drop=True)
 
 
 def _export_shards(sf_dir: str):
@@ -1663,6 +1673,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                   FROM scored)
             SELECT w1, w2, cnt, pmi_permille, rk FROM r
             WHERE rk <= 20""",
+        # trigram-index search must equal an exact substring scan
+        "substring_search": """
+            SELECT needle, doc_id
+            FROM (VALUES ('window join'), ('batch stream'), ('zzqx'))
+                 v(needle)
+            JOIN documents ON contains(text, needle)
+            ORDER BY needle, doc_id""",
         # md5-order per-source quota: row_number over (md5, doc_id)
         # per source — ties impossible, so the k-cut is deterministic
         "stratified_topk_sample": """

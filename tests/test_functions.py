@@ -1443,3 +1443,44 @@ def test_pmi_bigrams_crafted_collocation(tmp_path):
     within = out[(out.w1 == "blue") & (out.w2 == "new")]
     if len(within):
         assert int(within.iloc[0].cnt) == 4 * 5  # 5 per doc, not 6
+
+
+def test_substring_search_matches_scan(tmp_path):
+    """Index-accelerated search == brute substring scan, including a
+    multibyte-unicode doc and a needle absent from the corpus."""
+    texts = [
+        "alpha beta gamma delta",
+        "beta gamma ALPHA delta",
+        "the naïve café reopened – naïve café indeed",
+        "nothing here",
+        "gamma del",                     # trigram superset, not a match
+        "xx alpha beta xx",
+    ]
+    sf = _mk_docs(tmp_path, texts)
+    from aqueduct_core_ray.functions import search
+    out = search.substring_search(
+        sf, needles=("alpha beta", "naïve café", "zzz"),
+        index_root=str(tmp_path / "idx")).to_pandas()
+    got = {(r.needle, r.doc_id) for r in out.itertuples()}
+    want = {(n, i) for n in ("alpha beta", "naïve café", "zzz")
+            for i, t in enumerate(texts) if n in t}
+    assert got == want
+    assert ("zzz", 3) not in got
+
+
+def test_substring_search_false_positive_dies_at_verify(tmp_path):
+    # doc contains every trigram of "abcdef" but never the substring
+    sf = _mk_docs(tmp_path, ["abcd zz cdef zz bcde", "xx abcdef xx"])
+    from aqueduct_core_ray.functions import search
+    out = search.substring_search(
+        sf, needles=("abcdef",),
+        index_root=str(tmp_path / "idx")).to_pandas()
+    assert set(out.doc_id) == {1}
+
+
+def test_substring_search_short_needle_raises(tmp_path):
+    sf = _mk_docs(tmp_path, ["abc"])
+    from aqueduct_core_ray.functions import search
+    with pytest.raises(ValueError):
+        search.substring_search(sf, needles=("ab",),
+                                index_root=str(tmp_path / "idx"))
