@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         "pmi_bigrams": partial(text.pmi_bigrams),
         "substring_search": _substring_search,
+        "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
         #     iterative / engine-internal); weaker driver check ---
         "approx_distinct_users": partial(tp.approx_distinct_users_by_type),
@@ -243,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-expressible; pinned vs a whole-table numpy reference in
         # tests/test_functions.py)
         "kmeans_embeddings": partial(ann.kmeans_embeddings),
+        "pca_project": partial(ann.pca_project),
         # trained hashed-feature logistic quality classifier (CCNet /
         # GPT-3 filtering step): iterative full-batch quantized GD —
         # not SQL-expressible; pinned bit-exactly vs a single-process
@@ -1673,6 +1675,27 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                   FROM scored)
             SELECT w1, w2, cnt, pmi_permille, rk FROM r
             WHERE rk <= 20""",
+        # covariance fold: exact moment formula (Sxy - SxSy/n)/n in
+        # float64, integer-micros quantized on both sides
+        "embedding_covariance": """
+            WITH pairs AS (
+              SELECT a.range AS i, b.range AS j
+              FROM range(8) a, range(8) b WHERE a.range <= b.range),
+            m AS (
+              SELECT p.i, p.j,
+                     count(*) AS n,
+                     sum(CAST(embedding[CAST(p.i AS INT)+1] AS DOUBLE))
+                         AS sx,
+                     sum(CAST(embedding[CAST(p.j AS INT)+1] AS DOUBLE))
+                         AS sy,
+                     sum(CAST(embedding[CAST(p.i AS INT)+1] AS DOUBLE)
+                         * CAST(embedding[CAST(p.j AS INT)+1] AS DOUBLE))
+                         AS sxy
+              FROM embeddings CROSS JOIN pairs p GROUP BY 1, 2)
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
+                        AS BIGINT) AS cov_micros
+            FROM m ORDER BY i, j""",
         # trigram-index search must equal an exact substring scan
         "substring_search": """
             SELECT needle, doc_id

@@ -545,3 +545,103 @@ def _kmeans_fit(blocks, k: int, iters: int) -> "np.ndarray | None":
             break                              # integer fixed point
         C = Cn
     return C
+
+
+# --------------------------------------------------------------------- #
+# Distributed second-moment fold — covariance matrix + PCA projection.
+# The covariance fold is the canonical "bounded partials" shape: each
+# block contributes (n, sum-vector, X^T X) — 1 + d + d*d floats
+# regardless of block size — and the driver combines B such partials.
+# No shuffle, no materialization; at 100 TB the fold is the ONLY thing
+# that moves. PCA itself (eigh of a d x d matrix, d = 64) is driver
+# arithmetic on the folded result, then one broadcast projection pass.
+# --------------------------------------------------------------------- #
+def _moment_fold(sf_dir: str) -> "tuple[int, np.ndarray, np.ndarray]":
+    """(n, sum, X^T X) over the whole embeddings table, folded from
+    per-block partials (each a single-row table carrying flattened
+    float64 moments)."""
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.vstack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+            "xx": pa.array([(X.T @ X).ravel().tobytes()], pa.binary()),
+        })
+
+    tabs = [t for t in ray.get(
+        _read_embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    n = 0
+    s = xx = None
+    for t in tabs:
+        for r in range(t.num_rows):
+            n += int(t.column("n")[r].as_py())
+            sv = np.frombuffer(t.column("s")[r].as_py(), np.float64)
+            xv = np.frombuffer(t.column("xx")[r].as_py(), np.float64)
+            s = sv if s is None else s + sv
+            xx = xv if xx is None else xx + xv
+    d = len(s) if s is not None else 0
+    return n, (s if s is not None else np.zeros(0)), \
+        (xx.reshape(d, d) if xx is not None else np.zeros((0, 0)))
+
+
+def embedding_covariance(sf_dir: str, dims: int = 8) -> ray.data.Dataset:
+    """Population covariance of the first ``dims`` embedding dimensions,
+    quantized to INTEGER MICROS ``floor(cov * 1e6 + 0.5)`` (the shared
+    row-rounding convention, micros because covariances live well below
+    permille resolution). Returns (i, j, cov_micros) for i <= j —
+    the exact moment formula ``(Sxy - Sx*Sy/n)/n`` in float64, matching
+    the SQL oracle's expression tree."""
+    n, s, xx = _moment_fold(sf_dir)
+    rows_i, rows_j, rows_c = [], [], []
+    for i in range(min(dims, len(s))):
+        for j in range(i, min(dims, len(s))):
+            cov = (xx[i, j] - s[i] * s[j] / n) / n
+            rows_i.append(i)
+            rows_j.append(j)
+            rows_c.append(int(np.floor(cov * 1e6 + 0.5)))
+    return ray.data.from_arrow(pa.table({
+        "i": pa.array(rows_i, pa.int64()),
+        "j": pa.array(rows_j, pa.int64()),
+        "cov_micros": pa.array(rows_c, pa.int64()),
+    }))
+
+
+def pca_project(sf_dir: str, n_components: int = 2) -> ray.data.Dataset:
+    """Project every embedding onto the top ``n_components`` principal
+    axes of the folded covariance (rows-only check: eigenvectors are
+    not SQL-expressible). Deterministic sign: each eigenvector's
+    largest-|coordinate| entry is made positive. Projections are
+    emitted as integer micros so the result hashes stably. Returns
+    (vec_id, pc1_micros, ..., pcK_micros).
+
+    Scale shape: one moment fold (bounded partials), a d x d ``eigh``
+    on the driver, then ONE broadcast (ray.put of the (d, K) projection
+    matrix) and a streaming matmul pass — identical wiring to
+    knn_bruteforce's broadcast queries."""
+    n, s, xx = _moment_fold(sf_dir)
+    mu = s / n
+    cov = xx / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(cov)                    # ascending eigenvalues
+    comps = V[:, ::-1][:, :n_components]          # top-K columns
+    for c in range(comps.shape[1]):               # deterministic sign
+        k = np.argmax(np.abs(comps[:, c]))
+        if comps[k, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu_, C = ray.get(ref)
+        X = np.vstack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        P = (X - mu_) @ C
+        cols = {"vec_id": t.column("vec_id")}
+        for c in range(P.shape[1]):
+            cols[f"pc{c + 1}_micros"] = pa.array(
+                np.floor(P[:, c] * 1e6 + 0.5).astype(np.int64))
+        return pa.table(cols)
+
+    return _read_embeddings(sf_dir).map_batches(
+        project, batch_format="pyarrow")

@@ -1484,3 +1484,48 @@ def test_substring_search_short_needle_raises(tmp_path):
     with pytest.raises(ValueError):
         search.substring_search(sf, needles=("ab",),
                                 index_root=str(tmp_path / "idx"))
+
+
+def test_embedding_covariance_matches_numpy():
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(f"{SF0001}/embeddings.parquet")
+    X = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    n = len(X)
+    got = (ann.embedding_covariance(SF0001, dims=8).to_pandas()
+           .set_index(["i", "j"]))
+    for i in range(8):
+        for j in range(i, 8):
+            cov = (X[:, i] @ X[:, j]
+                   - X[:, i].sum() * X[:, j].sum() / n) / n
+            want = int(np.floor(cov * 1e6 + 0.5))
+            # block-order summation may differ from whole-array order
+            # by <= 1 quantum
+            assert abs(int(got.loc[(i, j), "cov_micros"]) - want) <= 1
+
+
+def test_pca_project_matches_whole_data_reference():
+    """Distributed moment fold + broadcast projection == single-process
+    PCA over the whole table (deterministic sign convention)."""
+    import pyarrow.parquet as _pq
+    t = _pq.read_table(f"{SF0001}/embeddings.parquet")
+    X = np.vstack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    mu = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    _, V = np.linalg.eigh(C)
+    comps = V[:, ::-1][:, :2]
+    for c in range(2):
+        k = np.argmax(np.abs(comps[:, c]))
+        if comps[k, c] < 0:
+            comps[:, c] = -comps[:, c]
+    P = (X - mu) @ comps
+    ref = np.floor(P * 1e6 + 0.5).astype(np.int64)
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    got = ann.pca_project(SF0001).to_pandas().sort_values("vec_id")
+    assert np.abs(got.pc1_micros.to_numpy() - ref[order, 0]).max() <= 1
+    assert np.abs(got.pc2_micros.to_numpy() - ref[order, 1]).max() <= 1
+    # PC1 must carry the most variance: its projected sample variance
+    # >= PC2's
+    assert got.pc1_micros.var() >= got.pc2_micros.var()
