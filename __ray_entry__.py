@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # convention over a joint bounded histogram
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         "pmi_bigrams": partial(text.pmi_bigrams),
+        "late_events": partial(tp.late_events, arrival="md5"),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1675,6 +1676,28 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                   FROM scored)
             SELECT w1, w2, cnt, pmi_permille, rk FROM r
             WHERE rk <= 20""",
+        # watermark accounting over the deterministic md5 arrival
+        # permutation (the natural log order is already sorted, so the
+        # late path would be vacuous)
+        "late_events": """
+            WITH w AS (
+              SELECT event_type, ts,
+                     max(ts) OVER (
+                         ORDER BY md5('arr|' || CAST(event_id AS VARCHAR))
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS wm
+              FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ts + INTERVAL 10 MINUTE < wm
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(coalesce(max(CASE WHEN wm IS NOT NULL
+                                  AND ts + INTERVAL 10 MINUTE < wm
+                                 THEN epoch_us(wm) - 600000000
+                                      - epoch_us(ts) END), 0)
+                        AS BIGINT) AS max_late_us
+            FROM w GROUP BY 1""",
         # covariance fold: exact moment formula (Sxy - SxSy/n)/n in
         # float64, integer-micros quantized on both sides
         "embedding_covariance": """

@@ -349,3 +349,50 @@ def test_mad_by_type_matches_duckdb():
         FROM v JOIN m USING (event_type)
         GROUP BY v.event_type, m.med"""))
     assert sq.equals(ry.astype(sq.dtypes.to_dict()))
+
+
+def test_late_events_crafted_disorder(tmp_path):
+    """Bounded out-of-orderness: a stream where one straggler arrives
+    after the watermark advanced beyond lateness must be flagged, and
+    in-bound disorder must NOT be."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.temporal import late_events
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    # arrival order = event_id. ts pattern (minutes): 0, 30, 25, 5, 31
+    #  - event 2 (t=25) is 5 min behind wm=30 -> within 10-min bound, ok
+    #  - event 3 (t=5)  is 25 min behind wm=30 -> LATE by 15 min
+    #  - event 4 (t=31) advances the watermark, not late
+    mins = [0, 30, 25, 5, 31]
+    t = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([base + m * 60 * us for m in mins],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "a"]),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    out = (late_events(str(sf), lateness_minutes=10)
+           .to_pandas().set_index("event_type"))
+    assert int(out.loc["a", "n_late"]) == 0
+    assert int(out.loc["b", "n_late"]) == 1
+    assert int(out.loc["b", "max_late_us"]) == 15 * 60 * us
+    assert int(out.loc["a", "n_events"]) == 4
+
+
+def test_late_events_md5_matches_natural_totals(tmp_path):
+    # arrival permutation must never change per-type event totals
+    from aqueduct_core_ray.pipelines.temporal import late_events
+    sf = "/root/testdata/sf0.001"
+    a = (late_events(sf, arrival="event_id").to_pandas()
+         .set_index("event_type").n_events.sort_index())
+    b = (late_events(sf, arrival="md5").to_pandas()
+         .set_index("event_type").n_events.sort_index())
+    assert a.equals(b)
