@@ -63,7 +63,10 @@ BENCH_QUERIES = [
     "mad_by_type",
     "event_type_pivot", "orders_weekly_gapfill",
     "train_val_split", "token_budget_sample", "bm25_topk",
-    "quality_classifier", "winnow_dedup", "pack_documents", "rank_auc", "spearman_chars_tokens", "stratified_topk_sample",
+    "quality_classifier", "winnow_dedup", "pack_documents", "rank_auc",
+    "spearman_chars_tokens", "stratified_topk_sample",
+    "pmi_bigrams", "substring_search", "embedding_covariance",
+    "pca_project", "late_events",
 ]
 
 
