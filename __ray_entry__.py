@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         "pmi_bigrams": partial(text.pmi_bigrams),
         "late_events": partial(tp.late_events, arrival="md5"),
+        "fuzzy_match_pairs": _fuzzy_match_pairs,
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -297,6 +298,15 @@ def _substring_search(sf_dir: str):
 
     df = substring_search(sf_dir).to_pandas()
     return df.sort_values(["needle", "doc_id"]).reset_index(drop=True)
+
+
+def _fuzzy_match_pairs(sf_dir: str):
+    """Blocked entity resolution: same-block doc pairs within 4 edits
+    on the 24-char prefix."""
+    from aqueduct_core_ray.functions.fuzzy import fuzzy_match_pairs
+
+    df = fuzzy_match_pairs(sf_dir).to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _export_shards(sf_dir: str):
@@ -1719,6 +1729,16 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # blocked fuzzy join: exact SQL-expressible predicate (same
+        # 12-char block + levenshtein(24-char prefix) <= 4)
+        "fuzzy_match_pairs": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 12) AS blk,
+                              substr(text, 1, 24) AS pfx
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.pfx, b.pfx) <= 4""",
         # trigram-index search must equal an exact substring scan
         "substring_search": """
             SELECT needle, doc_id

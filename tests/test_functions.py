@@ -1529,3 +1529,47 @@ def test_pca_project_matches_whole_data_reference():
     # PC1 must carry the most variance: its projected sample variance
     # >= PC2's
     assert got.pc1_micros.var() >= got.pc2_micros.var()
+
+
+def test_levenshtein_pairs_matches_reference():
+    import random
+
+    from aqueduct_core_ray.functions.fuzzy import levenshtein_pairs
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev, dp[j] = dp[j], cur
+        return dp[len(b)]
+
+    rng = random.Random(11)
+    A = ["".join(rng.choices("abcd", k=rng.randint(0, 10)))
+         for _ in range(200)]
+    B = ["".join(rng.choices("abcd", k=rng.randint(0, 10)))
+         for _ in range(200)]
+    got = levenshtein_pairs(A, B)
+    assert [ref(a, b) for a, b in zip(A, B)] == got.tolist()
+    # unicode: multibyte chars count as single edits
+    assert levenshtein_pairs(["naïve café"], ["naive cafe"])[0] == 2
+
+
+def test_fuzzy_match_pairs_crafted(tmp_path):
+    """Same-block near-duplicates match; different blocks never pair
+    even when identical beyond the block."""
+    texts = [
+        "customer_0001 john smith",      # 0 and 1: one-digit edit
+        "customer_0001 john smyth",
+        "customer_0002 john smith",      # different block: never pairs
+        "customer_0001 entirely other text beyond the edit bound",
+    ]
+    sf = _mk_docs(tmp_path, texts)
+    from aqueduct_core_ray.functions.fuzzy import fuzzy_match_pairs
+    out = fuzzy_match_pairs(sf, block_chars=13, prefix_chars=24,
+                            max_dist=3).to_pandas()
+    pairs = {(r.doc_a, r.doc_b): r.dist for r in out.itertuples()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1
+    assert not any(2 in p for p in pairs)
+    assert (0, 3) not in pairs          # same block, > max_dist
