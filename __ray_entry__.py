@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": partial(text.pmi_bigrams),
         "late_events": partial(tp.late_events, arrival="md5"),
         "fuzzy_match_pairs": _fuzzy_match_pairs,
+        "source_divergence": partial(text.source_divergence),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1729,6 +1730,39 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # pairwise JSD of per-source unigram distributions, integer
+        # micros; the engine's per-partition contribution sums land
+        # inside the micros tolerance
+        "source_divergence": """
+            WITH w AS (
+              SELECT source, unnest(regexp_split_to_array(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                  '\s+')) AS token
+              FROM documents),
+            c AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS cnt
+                  FROM w GROUP BY 1, 2),
+            n AS (SELECT source, sum(cnt) AS tot FROM c GROUP BY 1),
+            f AS (SELECT c.source, token, cnt / tot AS p
+                  FROM c JOIN n USING (source)),
+            pr AS (SELECT a.source AS src_a, b.source AS src_b
+                   FROM n a, n b WHERE a.source < b.source),
+            u AS (SELECT pr.src_a, pr.src_b, f.token
+                  FROM pr JOIN f ON f.source IN (pr.src_a, pr.src_b)
+                  GROUP BY 1, 2, 3),
+            v AS (SELECT u.src_a, u.src_b,
+                         coalesce(fa.p, 0) AS p, coalesce(fb.p, 0) AS q
+                  FROM u LEFT JOIN f fa ON fa.source = u.src_a
+                                       AND fa.token = u.token
+                         LEFT JOIN f fb ON fb.source = u.src_b
+                                       AND fb.token = u.token)
+            SELECT src_a, src_b,
+              CAST(floor(sum(
+                    CASE WHEN p > 0
+                         THEN 0.5*p*ln(p/((p+q)/2)) ELSE 0 END
+                  + CASE WHEN q > 0
+                         THEN 0.5*q*ln(q/((p+q)/2)) ELSE 0 END)
+                         * 1000000 + 0.5) AS BIGINT) AS jsd_micros
+            FROM v GROUP BY 1, 2""",
         # blocked fuzzy join: exact SQL-expressible predicate (same
         # 12-char block + levenshtein(24-char prefix) <= 4)
         "fuzzy_match_pairs": """

@@ -1363,3 +1363,123 @@ def pmi_bigrams(sf_dir: str, k: int = 20, min_count: int = 5,
         "pmi_permille": cand.column("pmi_permille").take(take),
         "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }))
+
+
+# --------------------------------------------------------------------- #
+# Corpus drift — Jensen-Shannon divergence between per-source token
+# distributions (the mixture-rebalancing / snapshot-drift audit: "did
+# source A's vocabulary shift vs source B between crawls?").
+# --------------------------------------------------------------------- #
+def source_divergence(sf_dir: str,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Pairwise JSD between every pair of sources' unigram
+    distributions, in INTEGER MICROS (floor(jsd * 1e6 + 0.5)) so the
+    DuckDB oracle matches. JSD(P,Q) = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m)
+    with m = (p+q)/2 over the UNION vocabulary (absent tokens
+    contribute p·ln(2) / q·ln(2) — handled naturally by m = p/2).
+    Returns (src_a, src_b, jsd_micros) with src_a < src_b.
+
+    Scale shape: the vocabulary is unbounded so nothing is broadcast —
+    per-block (source, token, cnt) Arrow group_by partials feed ONE
+    hash(token) exchange; the owning partition folds each token's
+    global per-source counts and emits ONE float64 JSD-contribution
+    row per (pair, partition) — the driver folds <= pairs x P tiny
+    rows. Per-source token totals come from the same partials' bounded
+    (#sources) fx_sum_by pre-fold. The contribution term is computed
+    with numpy's ln on each token (p·ln(p/m) summed per partition):
+    summation order differs from SQL's only across <= P + blocks
+    groups, inside the micros tolerance."""
+    from ..stages.exchange import file_exchange_map_groups, fx_sum_by
+
+    P = np.uint64(num_partitions)
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "source": pa.array(np.repeat(src, counts)),
+            "token": words.flatten(),
+        })
+        agg = g.group_by(["source", "token"]).aggregate([("token", "count")])
+        tok = agg.column("token")
+        return pa.table({
+            "part": pa.array((hash_str_array(tok) % P).astype(np.int32)),
+            "source": agg.column("source"),
+            "token": tok,
+            "cnt": agg.column("token_count").cast(pa.int64()),
+        })
+
+    partials = (read_documents(sf_dir, columns=["source", "text"])
+                .map_batches(pair_counts, batch_format="pyarrow"))
+    # per-source totals: bounded (#sources) — driver fold
+    totals_t = fx_sum_by(partials.drop_columns(["part", "token"])
+                         .map_batches(lambda t: t, batch_format="pyarrow"),
+                         ["source"], ["cnt"])
+    tot_tabs = [t for t in ray.get(totals_t.to_arrow_refs()) if t.num_rows]
+    totals: dict = {}
+    for t in tot_tabs:
+        for r in range(t.num_rows):
+            s = t.column("source")[r].as_py()
+            totals[s] = totals.get(s, 0) + int(t.column("cnt")[r].as_py())
+    sources = sorted(totals)
+    pairs = [(a, b) for i, a in enumerate(sources)
+             for b in sources[i + 1:]]
+
+    empty = pa.table({
+        "src_a": pa.array([], pa.string()),
+        "src_b": pa.array([], pa.string()),
+        "contrib": pa.array([], pa.float64()),
+    })
+
+    def per_token_part(g: pa.Table) -> pa.Table:
+        # fold this partition's tokens to global (source, token) counts
+        agg = (g.drop_columns(["part"]).group_by(["source", "token"])
+               .aggregate([("cnt", "sum")]))
+        src = agg.column("source").to_numpy(zero_copy_only=False)
+        tok = agg.column("token").to_numpy(zero_copy_only=False)
+        cnt = agg.column("cnt_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out_a, out_b, out_c = [], [], []
+        # dense per-source frequency vectors over this partition's
+        # distinct tokens (bounded: #sources columns)
+        utok, tok_idx = np.unique(tok, return_inverse=True)
+        freq = {}
+        for s in sources:
+            v = np.zeros(len(utok), np.float64)
+            m = src == s
+            v[tok_idx[m]] = cnt[m] / float(totals[s])
+            freq[s] = v
+        for a, b in pairs:
+            p_v, q_v = freq[a], freq[b]
+            m_v = (p_v + q_v) * 0.5
+            pm = p_v > 0
+            qm = q_v > 0
+            c = 0.5 * float(np.sum(p_v[pm] * np.log(p_v[pm] / m_v[pm]))) \
+                + 0.5 * float(np.sum(q_v[qm] * np.log(q_v[qm] / m_v[qm])))
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(c)
+        return pa.table({
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "contrib": pa.array(out_c, pa.float64()),
+        })
+
+    contrib = file_exchange_map_groups(partials, per_token_part,
+                                       empty_result=empty)
+    tabs = [t for t in ray.get(contrib.to_arrow_refs()) if t.num_rows]
+    acc: dict = {pr: 0.0 for pr in pairs}
+    for t in tabs:
+        for r in range(t.num_rows):
+            key = (t.column("src_a")[r].as_py(),
+                   t.column("src_b")[r].as_py())
+            acc[key] += float(t.column("contrib")[r].as_py())
+    return ray.data.from_arrow(pa.table({
+        "src_a": pa.array([a for a, _ in pairs], pa.string()),
+        "src_b": pa.array([b for _, b in pairs], pa.string()),
+        "jsd_micros": pa.array(
+            [int(np.floor(acc[pr] * 1e6 + 0.5)) for pr in pairs],
+            pa.int64()),
+    }))

@@ -1573,3 +1573,25 @@ def test_fuzzy_match_pairs_crafted(tmp_path):
     assert (0, 1) in pairs and pairs[(0, 1)] == 1
     assert not any(2 in p for p in pairs)
     assert (0, 3) not in pairs          # same block, > max_dist
+
+
+def test_source_divergence_identical_and_disjoint(tmp_path):
+    """JSD = 0 for identical distributions, ln(2) for disjoint ones."""
+    texts = ["apple banana apple", "apple banana apple",
+             "zebra yak zebra"]
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["a", "b", "c"]),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    out = (text.source_divergence(str(sf)).to_pandas()
+           .set_index(["src_a", "src_b"]).jsd_micros)
+    assert int(out.loc[("a", "b")]) == 0
+    ln2_micros = int(np.floor(np.log(2) * 1e6 + 0.5))
+    assert int(out.loc[("a", "c")]) == ln2_micros
+    assert int(out.loc[("b", "c")]) == ln2_micros
