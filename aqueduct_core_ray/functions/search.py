@@ -160,52 +160,69 @@ def substring_search(sf_dir: str,
 
     out_empty = pa.table({"needle": pa.array([], pa.string()),
                           "doc_id": pa.array([], pa.int64())})
-    results = [out_empty]
-    cand_ids: "list[np.ndarray]" = []
-    per_needle: "list[tuple[str, np.ndarray]]" = []
-    for needle in needles:
-        codes = _needle_codes(needle)
-        parts = np.unique(codes.view(np.uint64) % np.uint64(_P))
-        files = []
-        for p in parts:
-            d = os.path.join(idx, "post", f"part={int(p)}")
-            if os.path.isdir(d):
-                files += [os.path.join(d, f) for f in sorted(os.listdir(d))
-                          if f.endswith(".parquet")]
-        if not files:
-            continue
-        post = ray.data.read_parquet(files, columns=["tri", "doc_id"])
-        want = pa.array(codes)
-        n_tri = len(codes)
+    # ALL needles share ONE posting read and ONE exchange (a per-needle
+    # exchange pays the file-exchange barrier n times for nothing: the
+    # partition sets overlap and the fold is the same shape)
+    codes_per = [(n, _needle_codes(n)) for n in needles]
+    n_tri = {n: len(c) for n, c in codes_per}
+    parts = np.unique(np.concatenate(
+        [c.view(np.uint64) % np.uint64(_P) for _, c in codes_per]))
+    files = []
+    for p in parts:
+        d = os.path.join(idx, "post", f"part={int(p)}")
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+    if not files:
+        return ray.data.from_arrow(out_empty)
+    post = ray.data.read_parquet(files, columns=["tri", "doc_id"])
+    want_per = [(n, pa.array(c)) for n, c in codes_per]
 
-        def hits(t: pa.Table, want=want) -> pa.Table:
+    def hits(t: pa.Table) -> pa.Table:
+        outs = []
+        for needle, want in want_per:
             keep = pc.is_in(t.column("tri"), value_set=want)
             f = t.filter(keep)
-            return pa.table({"doc_id": f.column("doc_id"),
-                             "m": pa.array(np.ones(f.num_rows, np.int64))})
+            if f.num_rows:
+                outs.append(pa.table({
+                    "needle": pa.array([needle] * f.num_rows),
+                    "doc_id": f.column("doc_id"),
+                    "m": pa.array(np.ones(f.num_rows, np.int64)),
+                }))
+        return (pa.concat_tables(outs) if outs else pa.table({
+            "needle": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64())}))
 
-        # distinct (tri, doc) rows by construction -> sum(m) == number
-        # of DISTINCT needle trigrams the doc contains
-        counts = fx_sum_by(
-            post.map_batches(hits, batch_format="pyarrow"),
-            ["doc_id"], ["m"])
-        cand = counts.filter(lambda r: r["m"] == n_tri)
-        ids = np.sort(np.array([r["doc_id"] for r in cand.take_all()],
-                               dtype=np.int64))
-        if len(ids):
-            cand_ids.append(ids)
-            per_needle.append((needle, ids))
+    # distinct (tri, doc) rows by construction -> sum(m) == number of
+    # DISTINCT needle trigrams the doc contains
+    counts = fx_sum_by(post.map_batches(hits, batch_format="pyarrow"),
+                       ["needle", "doc_id"], ["m"])
 
+    def full_hits(t: pa.Table) -> pa.Table:
+        nd = t.column("needle").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        need = np.array([n_tri[x] for x in nd], np.int64)
+        return t.filter(pa.array(m == need)).drop_columns(["m"])
+
+    cand_rows = counts.map_batches(full_hits,
+                                   batch_format="pyarrow").take_all()
+    per_needle: "dict[str, list[int]]" = {}
+    for r in cand_rows:
+        per_needle.setdefault(r["needle"], []).append(int(r["doc_id"]))
+    per_needle = {n: np.sort(np.array(v, np.int64))
+                  for n, v in per_needle.items()}
     if not per_needle:
         return ray.data.from_arrow(out_empty)
+    cand_ids = list(per_needle.values())
 
     allids = np.unique(np.concatenate(cand_ids))
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filter=pc.field("doc_id").isin(pa.array(allids)))
 
-    needle_list = [n for n, _ in per_needle]
-    id_sets = ray.put({n: ids for n, ids in per_needle})
+    needle_list = sorted(per_needle)
+    id_sets = ray.put(per_needle)
 
     def verify(t: pa.Table) -> pa.Table:
         sets = ray.get(id_sets)
