@@ -1465,12 +1465,23 @@ class CDCEngine:
         return m
 
     def read_lake(self, columns: list[str] | None = None,
-                  generation: int | None = None) -> ray.data.Dataset:
+                  generation: int | None = None,
+                  filter: "pc.Expression | None" = None
+                  ) -> ray.data.Dataset:
         """The materialized table as a streaming Dataset (schema reconciled
         to the current manifest — untouched partitions may lag on disk).
         ``generation`` reads the lake AS OF a past commit (time travel):
         manifests are immutable, so the historical view is byte-stable
         as long as its part files survive vacuum's keep window.
+
+        ``filter`` is a pyarrow compute Expression over LAKE columns,
+        pushed into the parquet scan on the delta-free path (row groups
+        whose statistics exclude the predicate are never read) and
+        applied AFTER the partition-local merge on the sidecar path
+        (versions must be LWW-resolved before a value predicate may
+        drop rows). With an explicit ``columns`` list on a sidecar-
+        carrying lake, every column the filter references must be in
+        ``columns``.
 
         Partitions carrying delta sidecars are merged PARTITION-LOCALLY
         inside the read tasks (one task per such partition, same unified
@@ -1487,7 +1498,8 @@ class CDCEngine:
             if fenced and columns is not None and "last_op" not in columns:
                 read_cols = list(columns) + ["last_op"]
             files = [self.store.abs(p["path"]) for p in entries]
-            ds = ray.data.read_parquet(files, columns=read_cols)
+            ds = ray.data.read_parquet(files, columns=read_cols,
+                                       filter=filter)
             if columns is None:
                 from ..schema import reconcile_batch
                 schema = m.schema
@@ -1509,6 +1521,7 @@ class CDCEngine:
         import json as _json
         root, b64, pol = self.store.root, m.schema_b64, self.conflict
         cols = list(columns) if columns is not None else None
+        flt = filter
 
         def load(t: pa.Table) -> pa.Table:
             from ..stages.merge_apply import (
@@ -1521,6 +1534,8 @@ class CDCEngine:
             for ej in t.column("entry_json").to_pylist():
                 tab = _live(load_partition_table(root, _json.loads(ej),
                                                  schema, pol, cols))
+                if flt is not None:
+                    tab = tab.filter(flt)
                 if cols is not None:
                     tab = tab.select(cols)
                 outs.append(tab)

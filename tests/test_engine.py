@@ -339,3 +339,34 @@ def test_reshard_lake_preserves_state_and_continues(tmp_path):
     assert dst.consistency_sum() == ref.consistency_sum()
     assert (dst.lake_table().select(cols).to_pylist()
             == ref.lake_table().select(cols).to_pylist())
+
+
+def test_read_lake_filter_pushdown(tmp_path):
+    """read_lake(filter=...) returns exactly the predicate's rows on
+    BOTH read paths: with pending sidecars (filter after the
+    partition-local merge) and after absorbs (pushdown into the
+    parquet scan), with and without a column projection."""
+    spec = ChangelogSpec(n_docs=300, n_events=2_000, seed=9,
+                         chunk_size=500, n_waves=4)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(seed)
+    eng.replay(log, spec.wave_bounds[:2])      # leaves sidecars pending
+
+    full = eng.read_lake().to_pandas()
+    thr = int(full["n_tok"].median())
+    want = full[full["n_tok"] > thr]
+    got = eng.read_lake(filter=pc.field("n_tok") > thr).to_pandas()
+    assert len(got) == len(want)
+    assert set(got.doc_id) == set(want.doc_id)
+
+    eng.drain_absorbs()                        # delta-free now
+    got2 = eng.read_lake(filter=pc.field("n_tok") > thr).to_pandas()
+    assert set(got2.doc_id) == set(want.doc_id)
+    got3 = eng.read_lake(columns=["doc_id", "n_tok"],
+                         filter=pc.field("n_tok") > thr).to_pandas()
+    assert sorted(got3.columns) == ["doc_id", "n_tok"]
+    assert set(got3.doc_id) == set(want.doc_id)
+    # a filter that matches nothing returns an empty, well-typed table
+    assert eng.read_lake(filter=pc.field("n_tok") < -1).count() == 0
