@@ -28,6 +28,7 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
              docs added/updated since the index watermark, appends
              them, and prints the matches (pipelines/online_dedup.py)
   status     manifest + consumer-lag summary
+  search     trigram-index substring search over a documents table
   prune-outbox
              GC outbox segments below the slowest child's watermark
   bootstrap-wipe
@@ -525,6 +526,24 @@ def cmd_registry_tree(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Index-accelerated substring search over a documents table: build
+    (or reuse) the trigram posting index and print matching doc_ids per
+    needle (functions/search.py — partition-pruned read, distributed
+    intersect, exact verify)."""
+    _init_ray()
+    from .functions.search import substring_search
+    needles = tuple(args.needle)
+    df = (substring_search(args.sf_dir, needles=needles,
+                           index_root=args.index_root)
+          .to_pandas().sort_values(["needle", "doc_id"]))
+    out = {n: [int(d) for d in g.doc_id]
+           for n, g in df.groupby("needle")}
+    print(json.dumps({"ok": True,
+                      "matches": {n: out.get(n, []) for n in needles}}))
+    return 0
+
+
 def cmd_bootstrap_wipe(args) -> int:
     if not os.path.exists(os.path.join(args.lake, "CURRENT")) \
             and not args.force:
@@ -707,6 +726,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="explicit override; default derives from "
                          "registered consumers")
     po.set_defaults(fn=cmd_prune_outbox)
+
+    se = sub.add_parser("search",
+                        help="trigram-index substring search over "
+                             "documents.parquet")
+    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--needle", action="append", required=True,
+                    help="substring (>=3 chars); repeatable")
+    se.add_argument("--index-root", default=None)
+    se.set_defaults(fn=cmd_search)
 
     w = sub.add_parser("bootstrap-wipe", help="delete a lake root")
     w.add_argument("--lake", required=True)

@@ -310,3 +310,26 @@ def test_export_cli(inputs, tmp_path, capsys):
     rc, res = run(["export", "--lake", lake, "--out",
                    str(tmp_path / "nope"), "--generation", "99"], capsys)
     assert rc == 1 and not res[-1]["ok"]
+
+
+def test_search_cli(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = ["alpha beta gamma", "beta alpha gamma", "nothing here"]
+    t = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    rc = main(["search", "--sf-dir", str(sf),
+                   "--needle", "alpha beta", "--needle", "zzz",
+                   "--index-root", str(tmp_path / "idx")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["matches"]["alpha beta"] == [0]
+    assert out["matches"]["zzz"] == []
