@@ -101,3 +101,163 @@ def stage_jsonl_to_log(path: str | list[str], out_dir: str) -> str:
     the engine its lsn index for free)."""
     read_jsonl_changelog(path).write_parquet(out_dir)
     return out_dir
+
+
+# --------------------------------------------------------------------- #
+# Dead-letter quarantine — the validation layer a real ingest edge
+# needs: a publisher bug (truncated line, missing key, garbage
+# timestamp) must quarantine THAT message with a reason, not kill the
+# pipeline or poison the lake. Reference anchor: the pipe rejects
+# malformed Messages at the codec boundary (pipe-codec; Message's
+# required fields are non-null by construction) — here the reject path
+# is made durable and auditable.
+# --------------------------------------------------------------------- #
+_DL_SCHEMA = pa.schema([("line", pa.string()), ("reason", pa.string())])
+
+
+def _parse_lines(lines: "list[str]") -> "tuple[pa.Table | None, list[tuple[str, str]]]":
+    """Parse a batch of JSONL lines with pyarrow's C++ JSON reader,
+    BISECTING on failure to isolate bad lines — the happy path stays
+    one vectorized parse; a batch with b bad lines costs O(b log n)
+    extra parses, zero per-line Python in the common case."""
+    import io
+
+    from pyarrow import json as pa_json
+
+    good = [ln for ln in lines if ln.strip()]
+    if not good:
+        return None, []
+    try:
+        t = pa_json.read_json(
+            io.BytesIO(("\n".join(good)).encode("utf-8")))
+        return t, []
+    except pa.ArrowInvalid as e:
+        if len(good) == 1:
+            return None, [(good[0], f"json: {e}")]
+        mid = len(good) // 2
+        t1, bad1 = _parse_lines(good[:mid])
+        t2, bad2 = _parse_lines(good[mid:])
+        tabs = [t for t in (t1, t2) if t is not None]
+        merged = (pa.concat_tables(tabs, promote_options="default")
+                  if tabs else None)
+        return merged, bad1 + bad2
+
+
+def read_jsonl_changelog_quarantine(
+        path: "str | list[str]", dead_letter_dir: str,
+        compression: "str | None" = None) -> ray.data.Dataset:
+    """`read_jsonl_changelog` with a DEAD-LETTER path instead of a
+    poison pill: structurally-bad lines (broken JSON) and semantically-
+    bad messages (missing/null msg_offset / msg_key / type, unparseable
+    created_utc) are written to ``dead_letter_dir`` as parquet rows
+    (original line + reason) from inside the read tasks; the good rows
+    stream on as ordinary CHANGE_EVENTs. Inspect the quarantine with
+    ``read_dead_letters``. Exactly-once note: re-running the same
+    ingest appends duplicate dead-letter rows (the quarantine is an
+    audit log, not state); the GOOD path stays exactly-once through
+    the engine's ordinary wave fencing."""
+    import json as _json
+    import os
+    import uuid
+
+    os.makedirs(dead_letter_dir, exist_ok=True)
+    kwargs = {}
+    if compression == "detect":
+        p0 = path[0] if isinstance(path, list) else path
+        if p0.endswith((".gz", ".gzip")):
+            compression = "gzip"
+        elif p0.endswith(".br"):
+            compression = "brotli"
+        else:
+            compression = None
+    if compression:
+        kwargs["arrow_open_stream_args"] = {"compression": compression}
+
+    def conform_or_quarantine(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        lines = t.column("text").to_pylist()
+        parsed, bad = _parse_lines(lines)
+        rows_bad = list(bad)
+        good = None
+        if parsed is not None:
+            n = parsed.num_rows
+            ok = np.ones(n, bool)
+            reasons = np.array([""] * n, object)
+            for req in ("msg_offset", "msg_key", "type"):
+                if req not in parsed.column_names:
+                    ok[:] = False
+                    reasons[:] = f"missing field {req}"
+                    break
+                nul = pc.is_null(parsed.column(req)) \
+                    .to_numpy(zero_copy_only=False)
+                reasons[nul & ok] = f"null {req}"
+                ok &= ~nul
+            if "created_utc" in parsed.column_names and ok.any():
+                ts = parsed.column("created_utc")
+                if pa.types.is_string(ts.type):
+                    import pandas as pd
+                    co = pd.to_datetime(
+                        ts.to_pandas(), format="%Y-%m-%dT%H:%M:%SZ",
+                        errors="coerce", utc=True)
+                    badts = co.isna().to_numpy()
+                    reasons[badts & ok] = "bad created_utc"
+                    ok &= ~badts
+            elif "created_utc" not in parsed.column_names:
+                ok[:] = False
+                reasons[:] = "missing field created_utc"
+            if (~ok).any():
+                sel = np.flatnonzero(~ok)
+                recs = parsed.take(pa.array(sel)).to_pylist()
+                rows_bad += [
+                    (_json.dumps(r, default=str), str(reasons[i]))
+                    for i, r in zip(sel, recs)]
+            if ok.any():
+                keep = parsed.filter(pa.array(ok))
+                # pin tombstone semantics independent of block
+                # boundaries: a line OMITTING the data key is the same
+                # as "data": null (Message.data is the one nullable
+                # field — absent == null under JSON object semantics).
+                # Without this, column inference per parse block would
+                # make the SAME line op=0 or op=1 depending on which
+                # lines happened to share its block.
+                if "data" not in keep.column_names:
+                    keep = keep.append_column(
+                        "data", pa.nulls(keep.num_rows, pa.string()))
+                good = conform_messages(keep)
+        if rows_bad:
+            dl = pa.table({
+                "line": pa.array([l for l, _ in rows_bad], pa.string()),
+                "reason": pa.array([r for _, r in rows_bad], pa.string()),
+            })
+            pq.write_table(dl, os.path.join(
+                dead_letter_dir, f"dl-{uuid.uuid4().hex}.parquet"))
+        if good is None:
+            # typed empty in the conformed envelope shape
+            probe = conform_messages(pa.table({
+                "msg_offset": pa.array([], pa.int64()),
+                "msg_key": pa.array([], pa.string()),
+                "type": pa.array([], pa.string()),
+                "created_utc": pa.array([], pa.timestamp("us")),
+                "data": pa.array([], pa.string()),
+            }))
+            return probe
+        return good
+
+    return ray.data.read_text(path, **kwargs) \
+        .map_batches(conform_or_quarantine, batch_format="pyarrow")
+
+
+def read_dead_letters(dead_letter_dir: str) -> pa.Table:
+    """The quarantine as one (line, reason) table — empty when the
+    ingest was clean."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(dead_letter_dir, "*.parquet")))
+    if not files:
+        return _DL_SCHEMA.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files],
+                            promote_options="default")

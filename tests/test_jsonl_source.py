@@ -82,3 +82,52 @@ def test_compressed_wire_codecs(tmp_path, jsonl_path, codec, ext):
                                           compression=mode).take_all(),
                      key=lambda r: r["lsn"])
         assert got == plain
+
+
+def test_quarantine_dead_letter_path(tmp_path):
+    """Broken JSON, null key, and garbage timestamps quarantine with
+    reasons; good rows (including an omitted-data tombstone) stream on
+    as CHANGE_EVENTs."""
+    from aqueduct_core_ray.sources.jsonl import (
+        read_dead_letters,
+        read_jsonl_changelog_quarantine,
+    )
+    lines = [
+        '{"msg_offset": 1, "msg_key": "a", "type": "t",'
+        ' "created_utc": "2024-01-01T00:00:00Z", "data": "x"}',
+        'THIS IS NOT JSON {{{',
+        '{"msg_offset": 2, "msg_key": null, "type": "t",'
+        ' "created_utc": "2024-01-01T00:00:01Z", "data": "y"}',
+        '{"msg_offset": 3, "msg_key": "c", "type": "t",'
+        ' "created_utc": "NOT A TIME", "data": null}',
+        '{"msg_offset": 4, "msg_key": "d", "type": "t",'
+        ' "created_utc": "2024-01-01T00:00:02Z"}',
+    ]
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(lines))
+    dl_dir = str(tmp_path / "dl")
+    good = (read_jsonl_changelog_quarantine(str(src), dl_dir)
+            .to_pandas().sort_values("lsn"))
+    assert good.lsn.tolist() == [1, 4]
+    assert good.op.tolist() == [0, 1]      # omitted data key == null
+    dl = read_dead_letters(dl_dir).to_pandas()
+    assert len(dl) == 3
+    reasons = " | ".join(dl.reason)
+    assert "json" in reasons and "null msg_key" in reasons \
+        and "bad created_utc" in reasons
+    # quarantined lines are preserved verbatim for replay-after-fix
+    assert any("NOT JSON" in l for l in dl.line)
+
+
+def test_quarantine_clean_input_writes_nothing(tmp_path):
+    from aqueduct_core_ray.sources.jsonl import (
+        read_dead_letters,
+        read_jsonl_changelog_quarantine,
+    )
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"msg_offset": 1, "msg_key": "a", "type": "t",'
+                   ' "created_utc": "2024-01-01T00:00:00Z",'
+                   ' "data": "x"}')
+    dl_dir = str(tmp_path / "dl")
+    good = read_jsonl_changelog_quarantine(str(src), dl_dir).to_pandas()
+    assert len(good) == 1 and read_dead_letters(dl_dir).num_rows == 0
