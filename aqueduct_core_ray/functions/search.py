@@ -246,3 +246,251 @@ def substring_search(sf_dir: str,
                 if outs else out_empty)
 
     return docs.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+# CDC-maintained search index — the trigram index kept fresh against a
+# LIVE lake in O(delta) per generation, fed by the engine's own
+# changefeed (diff_generations payload read). The classic search-on-CDC
+# segment design: each refresh appends ONE posting segment for the docs
+# that changed; stale postings (old versions, deleted docs) are never
+# eagerly purged — they surface only as candidates and die at the
+# verification point read against the CURRENT lake. Reference anchor:
+# the reference's derived tables re-sync from change batches
+# (DerivedTableSync); this is the same contract for a search structure.
+# --------------------------------------------------------------------- #
+class LakeTrigramIndex:
+    """Substring-search index over one STRING column of a committed
+    lake, maintained incrementally:
+
+    - ``refresh()``: first call scans the lake once (segment 0); later
+      calls read ONLY the changefeed since the indexed generation and
+      append one segment — O(changed docs), never O(lake).
+    - ``search(needles)``: candidates from ALL segments (distinct
+      trigram count per (needle, doc) == |needle trigrams|), verified
+      with a partition-pruned point read of the CURRENT lake
+      (``CDCEngine.get_docs``) — stale postings cost candidates, never
+      wrong answers.
+    - crash-idempotent: segment names are derived from the generation
+      range they cover and the state file is published by atomic
+      rename, so a refresh interrupted anywhere re-runs to the same
+      result.
+    """
+
+    def __init__(self, engine, index_dir: str, column: str = "data",
+                 num_partitions: int = _P):
+        self.engine = engine
+        self.index_dir = index_dir
+        self.column = column
+        self.P = num_partitions
+        os.makedirs(index_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.index_dir, "_STATE.json")
+
+    def _load_state(self) -> "dict | None":
+        import json
+        try:
+            with open(self._state_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_state(self, state: dict) -> None:
+        import json
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)
+
+    # -- posting build ---------------------------------------------------
+    def _postings(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.column).to_pylist()
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if x is None else x for x in texts]
+        di, code = _trigram_codes(texts)
+        pairs = pa.table({"tri": pa.array(code),
+                          "doc_id": pa.array(dids[di])})
+        distinct = pairs.group_by(["tri", "doc_id"]).aggregate([])
+        part = (distinct.column("tri").to_numpy(zero_copy_only=False)
+                .view(np.uint64) % np.uint64(self.P)).astype(np.int32)
+        return distinct.append_column("part", pa.array(part))
+
+    def _write_segment(self, ds: "ray.data.Dataset", name: str) -> int:
+        """Build under a temp name, atomic-rename into place; returns
+        posting row count (0 = no segment written)."""
+        import shutil
+        import uuid
+
+        seg = os.path.join(self.index_dir, name)
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)              # crashed predecessor rerun
+        tmp = f"{seg}.build-{uuid.uuid4().hex[:8]}"
+        post = ds.map_batches(self._postings, batch_format="pyarrow")
+        n = 0
+        try:
+            post.write_parquet(tmp, partition_cols=["part"])
+            import glob
+            import pyarrow.parquet as pq
+            n = sum(pq.read_metadata(f).num_rows for f in
+                    glob.glob(os.path.join(tmp, "**", "*.parquet"),
+                              recursive=True))
+            if n == 0:
+                shutil.rmtree(tmp, ignore_errors=True)
+                return 0
+            os.rename(tmp, seg)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n
+
+    # -- maintenance -----------------------------------------------------
+    def refresh(self) -> dict:
+        m = self.engine.manifest
+        if m is None:
+            return {"mode": "noop", "reason": "no committed manifest"}
+        gen = m.generation
+        state = self._load_state()
+        if state is None:
+            rows = self.engine.read_lake(columns=["doc_id", self.column])
+            n = self._write_segment(rows, f"seg-full-g{gen:06d}")
+            segs = [f"seg-full-g{gen:06d}"] if n else []
+            self._save_state({"generation": gen, "segments": segs})
+            return {"mode": "full", "generation": gen, "postings": n}
+        if state["generation"] >= gen:
+            return {"mode": "noop", "generation": gen}
+        diff = self.engine.diff_generations(
+            state["generation"], gen, payload_columns=[self.column])
+
+        def changed_rows(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t.column("change"),
+                            value_set=pa.array(["added", "updated"]))
+            f = t.filter(keep)
+            return pa.table({"doc_id": f.column("doc_id"),
+                             self.column: f.column(self.column)})
+
+        name = f"seg-g{state['generation']:06d}-g{gen:06d}"
+        n = self._write_segment(
+            diff.map_batches(changed_rows, batch_format="pyarrow"), name)
+        segs = list(state["segments"]) + ([name] if n else [])
+        self._save_state({"generation": gen, "segments": segs})
+        return {"mode": "delta", "generation": gen, "postings": n,
+                "segments": len(segs)}
+
+    def compact(self) -> dict:
+        """Fold every segment into one full segment at the current
+        indexed generation (drops all stale postings)."""
+        import shutil
+
+        state = self._load_state()
+        if state is None:
+            return {"mode": "noop"}
+        gen = int(state["generation"])
+        rows = self.engine.read_lake(columns=["doc_id", self.column])
+        n = self._write_segment(rows, f"seg-full-g{gen:06d}")
+        old = [s for s in state["segments"] if s != f"seg-full-g{gen:06d}"]
+        self._save_state({"generation": gen,
+                          "segments": [f"seg-full-g{gen:06d}"] if n
+                          else []})
+        for s in old:
+            shutil.rmtree(os.path.join(self.index_dir, s),
+                          ignore_errors=True)
+        return {"mode": "compacted", "postings": n,
+                "dropped_segments": len(old)}
+
+    # -- query -----------------------------------------------------------
+    def search(self, needles: "tuple[str, ...]") -> pa.Table:
+        """(needle, doc_id) over the CURRENT lake state. Exact: every
+        candidate is verified against the live row."""
+        from ..stages.exchange import file_exchange_map_groups
+        from .text import hash_str_array
+
+        for n in needles:
+            if len(n) < 3:
+                raise ValueError(f"needle {n!r} shorter than 3 chars")
+        state = self._load_state()
+        out_empty = pa.table({"needle": pa.array([], pa.string()),
+                              "doc_id": pa.array([], pa.string())})
+        if state is None or not state["segments"]:
+            return out_empty
+        codes_per = [(n, _needle_codes(n)) for n in needles]
+        n_tri = {n: len(c) for n, c in codes_per}
+        parts = np.unique(np.concatenate(
+            [c.view(np.uint64) % np.uint64(self.P) for _, c in codes_per]))
+        files = []
+        for seg in state["segments"]:
+            for p in parts:
+                d = os.path.join(self.index_dir, seg, f"part={int(p)}")
+                if os.path.isdir(d):
+                    files += [os.path.join(d, f)
+                              for f in sorted(os.listdir(d))
+                              if f.endswith(".parquet")]
+        if not files:
+            return out_empty
+        post = ray.data.read_parquet(files, columns=["tri", "doc_id"])
+        want_per = [(n, pa.array(c)) for n, c in codes_per]
+        P = np.uint64(self.P)
+
+        def hits(t: pa.Table) -> pa.Table:
+            outs = []
+            for needle, want in want_per:
+                keep = pc.is_in(t.column("tri"), value_set=want)
+                f = t.filter(keep)
+                if f.num_rows:
+                    outs.append(pa.table({
+                        "needle": pa.array([needle] * f.num_rows),
+                        "doc_id": f.column("doc_id"),
+                        "tri": f.column("tri"),
+                    }))
+            if not outs:
+                sch = pa.schema([("needle", pa.string()),
+                                 ("doc_id", t.schema.field("doc_id").type),
+                                 ("tri", pa.int64())])
+                return sch.empty_table()
+            o = pa.concat_tables(outs)
+            h = hash_str_array(
+                o.column("doc_id").to_numpy(zero_copy_only=False)
+                .astype(str))
+            return o.append_column(
+                "part", pa.array((h % P).astype(np.int32)))
+
+        def full_hits(g: pa.Table) -> pa.Table:
+            # DISTINCT (needle, doc, tri) across SEGMENTS (an updated
+            # doc's postings exist in several segments), then count
+            distinct = (g.drop_columns(["part"])
+                        .group_by(["needle", "doc_id", "tri"])
+                        .aggregate([]))
+            cnt = (distinct.group_by(["needle", "doc_id"])
+                   .aggregate([("tri", "count")]))
+            nd = cnt.column("needle").to_numpy(zero_copy_only=False)
+            m = cnt.column("tri_count").to_numpy(zero_copy_only=False)
+            need = np.array([n_tri[x] for x in nd], np.int64)
+            return (cnt.filter(pa.array(m == need))
+                    .drop_columns(["tri_count"]))
+
+        cand = file_exchange_map_groups(
+            post.map_batches(hits, batch_format="pyarrow"), full_hits,
+            empty_result=pa.table({"needle": pa.array([], pa.string()),
+                                   "doc_id": pa.array([], pa.string())}))
+        rows = cand.take_all()
+        per_needle: "dict[str, list]" = {}
+        for r in rows:
+            per_needle.setdefault(r["needle"], []).append(r["doc_id"])
+        if not per_needle:
+            return out_empty
+        allids = sorted({d for v in per_needle.values() for d in v})
+        live = self.engine.get_docs(allids, columns=["doc_id",
+                                                     self.column])
+        lv_ids = live.column("doc_id").to_pylist()
+        lv_txt = live.column(self.column).to_pylist()
+        txt_of = {i: ("" if t is None else t)
+                  for i, t in zip(lv_ids, lv_txt)}
+        out_n, out_d = [], []
+        for needle in sorted(per_needle):
+            for d in sorted(per_needle[needle]):
+                if needle in txt_of.get(d, ""):
+                    out_n.append(needle)
+                    out_d.append(d)
+        return pa.table({"needle": pa.array(out_n, pa.string()),
+                         "doc_id": pa.array(out_d)})
