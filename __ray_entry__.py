@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": partial(tp.late_events, arrival="md5"),
         "fuzzy_match_pairs": _fuzzy_match_pairs,
         "source_divergence": partial(text.source_divergence),
+        "skyline_docs": partial(text.skyline_docs),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1730,6 +1731,18 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # density-frontier skyline: NOT EXISTS dominance, ties at a
+        # frontier point all survive
+        "skyline_docs": r"""
+            WITH d AS (SELECT doc_id, n_chars,
+                              CAST(len(regexp_extract_all(text, '\S+'))
+                                   AS BIGINT) AS n_tok
+                       FROM documents)
+            SELECT doc_id, n_chars, n_tok FROM d a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d b
+              WHERE b.n_chars <= a.n_chars AND b.n_tok >= a.n_tok
+                AND (b.n_chars < a.n_chars OR b.n_tok > a.n_tok))""",
         # pairwise JSD of per-source unigram distributions, integer
         # micros; the engine's per-partition contribution sums land
         # inside the micros tolerance

@@ -1483,3 +1483,95 @@ def source_divergence(sf_dir: str,
             [int(np.floor(acc[pr] * 1e6 + 0.5)) for pr in pairs],
             pa.int64()),
     }))
+
+
+# --------------------------------------------------------------------- #
+# Skyline (Pareto frontier) — multi-criteria "best documents" without a
+# scoring formula: keep every doc no other doc dominates on ALL axes.
+# --------------------------------------------------------------------- #
+def skyline_docs(sf_dir: str) -> ray.data.Dataset:
+    """Pareto-optimal documents on the DENSITY frontier (n_tok max,
+    n_chars MIN — "most tokens for the fewest characters"): a doc
+    survives unless some other doc has n_chars <= AND n_tok >= with at
+    least one strict. Duplicated coordinate pairs do not dominate each
+    other, so all ties at a frontier point survive. Returns
+    (doc_id, n_chars, n_tok) sorted by doc_id.
+
+    Scale shape: the classic DISTRIBUTED SKYLINE — dominance is
+    transitive-free but CLOSED under subsetting (a globally dominated
+    doc is dominated by some member of any superset's skyline), so a
+    per-block local skyline is a sound filter: candidates shrink to
+    the union of block skylines (frontier-sized, typically O(distinct
+    frontier points)), and one driver pass over that bounded set
+    finishes. The local skyline itself is one sort + one running-max
+    sweep — O(n log n) per block, no pairwise loop."""
+
+    def _skyline(ch: np.ndarray, tk: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask: sort by n_chars desc then n_tok desc;
+        sweeping in that order, a row is dominated iff some EARLIER row
+        with STRICTLY larger n_chars has n_tok >= its n_tok, or an
+        earlier equal-n_chars row has STRICTLY larger n_tok... both
+        collapse to: running max of n_tok over rows that STRICTLY
+        dominate-or-tie in a way that matters. Do it exactly: group by
+        n_chars desc; a row survives iff its n_tok > max(n_tok of all
+        strictly-larger n_chars groups) OR equals its own group's max
+        n_tok when that max == the running max boundary... Simpler and
+        still O(n log n): a row (c, t) is dominated iff
+        max(n_tok over rows with n_chars > c) >= t AND NOT (that max
+        == t AND no row with n_chars > c, n_tok == t ... ) — dominance
+        needs (>=, >=) with one strict: a row with n_chars' > c and
+        n_tok' >= t ALWAYS dominates. A row with n_chars' == c
+        dominates iff n_tok' > t. So: dominated iff
+        (max_tok_strictly_larger_chars >= t) OR
+        (max_tok_same_chars > t)."""
+        order = np.lexsort((-tk, -ch))
+        ch_s, tk_s = ch[order], tk[order]
+        # running max of n_tok over all STRICTLY larger n_chars groups
+        grp_start = np.concatenate([[True], ch_s[1:] != ch_s[:-1]])
+        gid = np.cumsum(grp_start) - 1
+        n_grp = gid[-1] + 1 if len(gid) else 0
+        grp_max = np.full(n_grp, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(grp_max, gid, tk_s)
+        prev_max = np.full(n_grp, np.iinfo(np.int64).min, np.int64)
+        if n_grp > 1:
+            np.maximum.accumulate(grp_max[:-1], out=prev_max[1:])
+        dominated = (prev_max[gid] >= tk_s) | (grp_max[gid] > tk_s)
+        keep = np.empty(len(ch), bool)
+        keep[order] = ~dominated
+        return keep
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        ch = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = pc.count_substring_regex(t.column("text"), r"\S+") \
+            .cast(pa.int64())
+        tk = n.to_numpy(zero_copy_only=False)
+        keep = _skyline(-ch, tk)            # minimize n_chars
+        sel = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id").take(sel),
+            "n_chars": pa.array(ch[keep]),
+            "n_tok": pa.array(tk[keep]),
+        })
+
+    cand_tabs = [t for t in ray.get(
+        read_documents(sf_dir, columns=["doc_id", "text", "n_chars"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    if not cand_tabs:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64())}))
+    cand = pa.concat_tables(cand_tabs, promote_options="default")
+    ch = cand.column("n_chars").to_numpy(zero_copy_only=False)
+    tk = cand.column("n_tok").to_numpy(zero_copy_only=False)
+    keep = _skyline(-ch, tk)                # minimize n_chars
+    sel = np.flatnonzero(keep)
+    did = cand.column("doc_id").to_numpy(zero_copy_only=False)[sel]
+    order = np.argsort(did)
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(did[order]),
+        "n_chars": pa.array(ch[sel][order]),
+        "n_tok": pa.array(tk[sel][order]),
+    }))

@@ -66,7 +66,8 @@ BENCH_QUERIES = [
     "quality_classifier", "winnow_dedup", "pack_documents", "rank_auc",
     "spearman_chars_tokens", "stratified_topk_sample",
     "pmi_bigrams", "substring_search", "embedding_covariance",
-    "pca_project", "late_events",
+    "pca_project", "late_events", "fuzzy_match_pairs",
+    "source_divergence",
 ]
 
 

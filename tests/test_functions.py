@@ -1595,3 +1595,34 @@ def test_source_divergence_identical_and_disjoint(tmp_path):
     ln2_micros = int(np.floor(np.log(2) * 1e6 + 0.5))
     assert int(out.loc[("a", "c")]) == ln2_micros
     assert int(out.loc[("b", "c")]) == ln2_micros
+
+
+def test_skyline_docs_crafted(tmp_path):
+    """Density frontier: dominated docs drop, coordinate ties both
+    survive, block-local skyline union is a sound candidate filter."""
+    texts = [
+        "a b c d e f g h",                      # 8 tok, short: frontier
+        "a b c d e f g h",                      # identical: tie survives
+        "a b",                                  # 2 tok, shorter: frontier
+        "a b c d e f g h xxxxxxxxxxxxxxxxxxx",  # 8+1 tok but much longer
+        "word " * 40,                           # 40 tok, long: frontier
+    ]
+    sf = _mk_docs(tmp_path, texts)
+    out = text.skyline_docs(sf).to_pandas()
+    got = set(out.doc_id)
+    # doc 3 (longer, 9 tok) IS on the frontier unless something with
+    # <= chars has >= 9 tok — doc 4 has 40 tok but more chars; check
+    # via brute force instead of hand-reasoning:
+    import itertools
+    n_chars = [len(s) for s in texts]
+    n_tok = [len(s.split()) for s in texts]
+    want = set()
+    for i in range(len(texts)):
+        dominated = any(
+            n_chars[j] <= n_chars[i] and n_tok[j] >= n_tok[i]
+            and (n_chars[j] < n_chars[i] or n_tok[j] > n_tok[i])
+            for j in range(len(texts)) if j != i)
+        if not dominated:
+            want.add(i)
+    assert got == want
+    assert {0, 1} <= got        # identical frontier pair both survive
