@@ -28,6 +28,7 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
              docs added/updated since the index watermark, appends
              them, and prints the matches (pipelines/online_dedup.py)
   status     manifest + consumer-lag summary
+  migrate    schema-migration backfill (rename/drop payload columns)
   search     trigram-index substring search over a documents table
   prune-outbox
              GC outbox segments below the slowest child's watermark
@@ -423,6 +424,46 @@ def cmd_reshard(args) -> int:
     return 0
 
 
+def cmd_migrate(args) -> int:
+    """SCHEMA MIGRATION backfill: rewrite the lake with payload columns
+    renamed / dropped (CDCEngine.migrate_lake — same atomic wave
+    machinery as reshard; watermark and state carry over)."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    if eng.manifest is not None:
+        marks = [n for n in eng.manifest.schema.names
+                 if n.startswith("last_") and n != "last_lsn"]
+        if marks:
+            print(json.dumps({
+                "ok": False,
+                "error": f"lake schema carries {marks}: built under a "
+                         "non-default conflict policy — migrate "
+                         "programmatically via "
+                         "CDCEngine(conflict=...).migrate_lake()"}))
+            return 1
+    rename = {}
+    for spec in (args.rename or []):
+        if ":" not in spec:
+            print(json.dumps({"ok": False,
+                              "error": f"--rename wants old:new, "
+                                       f"got {spec!r}"}))
+            return 1
+        old_c, new_c = spec.split(":", 1)
+        rename[old_c] = new_c
+    try:
+        dst = eng.migrate_lake(args.dst, num_partitions=args.partitions,
+                               rename=rename, drop=args.drop or [])
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 1
+    m = dst.manifest
+    print(json.dumps({"ok": True, "dst": args.dst,
+                      "watermark": m.watermark,
+                      "columns": list(m.schema.names)}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """EXPORT: materialize the live table (tombstones excluded, schema
     reconciled, optionally as of --generation) to a plain parquet
@@ -726,6 +767,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="explicit override; default derives from "
                          "registered consumers")
     po.set_defaults(fn=cmd_prune_outbox)
+
+    mg = sub.add_parser("migrate",
+                        help="schema-migration backfill: rename/drop "
+                             "payload columns into a new lake root")
+    mg.add_argument("--lake", required=True)
+    mg.add_argument("--dst", required=True)
+    mg.add_argument("--partitions", type=int, default=None)
+    mg.add_argument("--rename", action="append", metavar="OLD:NEW")
+    mg.add_argument("--drop", action="append", metavar="COL")
+    mg.set_defaults(fn=cmd_migrate)
 
     se = sub.add_parser("search",
                         help="trigram-index substring search over "

@@ -437,7 +437,8 @@ class CDCEngine:
                carry_named_offsets: "dict[str, int] | None" = None,
                carry_hour_max: "dict[str, int] | None" = None,
                lineage_note: "dict[str, Any] | None" = None
-               ) -> dict[str, Any]:
+               ,
+               base_schema: "pa.Schema | None" = None) -> dict[str, Any]:
         t0 = time.perf_counter()
         self._phase_t = {}          # per-wave phase telemetry (exchange)
         cur = self.manifest
@@ -456,7 +457,9 @@ class CDCEngine:
         # caller computed one; ds.schema() samples a single fragment)
         if incoming_schema is None:
             ds_schema = ds.schema() if ds is not None else None
-        base = cur.schema if cur else default_lake_schema()
+        base = cur.schema if cur else (
+            base_schema if base_schema is not None
+            else default_lake_schema())
         if incoming_schema is None and ds_schema is None:
             lake_schema = base           # empty wave: keep current schema
         else:
@@ -1707,7 +1710,11 @@ class CDCEngine:
                          chain_compact=self.chain_compact)
 
     def reshard_lake(self, dst_root: str,
-                     num_partitions: int) -> "CDCEngine":
+                     num_partitions: int,
+                     _migrate=None,
+                     _base_schema: "pa.Schema | None" = None,
+                     _derivations: "tuple | None" = None
+                     ) -> "CDCEngine":
         """RESHARD: rewrite this lake into a new root at a DIFFERENT
         partition count — the cluster-resize operation the immutable
         per-lake partition count otherwise forbids. The destination
@@ -1733,7 +1740,10 @@ class CDCEngine:
         if os.path.exists(os.path.join(dst_root, "CURRENT")):
             raise ValueError(f"{dst_root} is already a committed lake")
         dst = CDCEngine(dst_root, num_partitions=num_partitions,
-                        derivations=self.derivations, salt=self.salt,
+                        derivations=(self.derivations
+                                     if _derivations is None
+                                     else _derivations),
+                        salt=self.salt,
                         sources=self.sources,
                         merge_strategy=self.merge_strategy,
                         conflict=self.conflict,
@@ -1768,10 +1778,14 @@ class CDCEngine:
                 for pid, e in src.partitions.items()]
         ds = (ray.data.from_arrow_refs(refs) if refs
               else ray.data.from_arrow(ev_schema.empty_table()))
+        if _migrate is not None:
+            mig_fn, ev_schema = _migrate(ev_schema)
+            ds = ds.map_batches(mig_fn, batch_format="pyarrow")
         # the source's checkpoint state rides the reshard wave's OWN
         # manifest commit — the whole reshard is one atomic publish
         dst._apply(ds, lo=-1, hi=src.watermark, wave_id="reshard",
                    incoming_schema=ev_schema,
+                   base_schema=_base_schema,
                    carry_named_offsets=dict(src.named_offsets),
                    carry_hour_max=dict(src.hour_max),
                    lineage_note={
@@ -1779,6 +1793,96 @@ class CDCEngine:
                        "source_generation": src.generation,
                        "source_partitions": src.num_partitions})
         return dst
+
+    def migrate_lake(self, dst_root: str,
+                     num_partitions: "int | None" = None,
+                     rename: "dict[str, str] | None" = None,
+                     cast: "dict[str, pa.DataType] | None" = None,
+                     drop: "list[str] | None" = None) -> "CDCEngine":
+        """SCHEMA MIGRATION: rewrite the lake into a new root with
+        payload columns renamed / cast / dropped — the backfill half of
+        schema evolution (the additive half is already automatic:
+        schema.reconcile_batch widens the lake when a wave brings new
+        columns). Runs through the same machinery as ``reshard_lake``
+        (per-partition pseudo events -> one atomic wave), so the
+        destination keeps the watermark, named offsets and tombstone
+        fences, and a ``tail()`` against the same log CONTINUES
+        exactly-once — the log's OLD column names keep applying because
+        reconcile_batch treats them as new columns; run migrations when
+        the publisher's rename ships too.
+
+        Envelope columns (lsn/op/doc_id/ts/last_lsn and the conflict
+        policy's order field) cannot be renamed, cast, or dropped."""
+        rename = dict(rename or {})
+        cast = dict(cast or {})
+        drop = list(drop or [])
+        from ..stages.merge_apply import FENCE_COL
+        protected = {"lsn", "op", "doc_id", "ts", "last_lsn", FENCE_COL,
+                     self.conflict.order_col}
+        if self.conflict.lake_order_field:
+            protected.add(self.conflict.lake_order_field)
+        touched = set(rename) | set(cast) | set(drop)
+        bad = touched & protected
+        if bad:
+            raise ValueError(f"cannot migrate envelope columns: "
+                             f"{sorted(bad)}")
+        clash = set(rename.values()) & (
+            set(self.manifest.schema.names) - set(rename))
+        if clash:
+            raise ValueError(f"rename target(s) already exist: "
+                             f"{sorted(clash)}")
+
+        # the derived DAG must follow the migration: remap every
+        # derivation's key/agg columns through `rename`; dropping a
+        # column a derivation consumes is refused (drop the derivation
+        # first, then migrate)
+        from .dag import Derivation
+        migrated_derivs = []
+        for d in self.derivations:
+            used = {c for c, _ in d.aggs if c != "*"}
+            if d.key:
+                used.add(d.key)
+            dead = used & set(drop)
+            if dead:
+                raise ValueError(
+                    f"cannot drop column(s) {sorted(dead)}: derivation "
+                    f"{d.name!r} aggregates them")
+            migrated_derivs.append(Derivation(
+                name=d.name,
+                key=rename.get(d.key, d.key) if d.key else None,
+                aggs=tuple((rename.get(c, c), fn) for c, fn in d.aggs),
+                upstream=d.upstream))
+
+        def make(ev_schema: pa.Schema):
+            fields = []
+            for f in ev_schema:
+                if f.name in drop:
+                    continue
+                name = rename.get(f.name, f.name)
+                typ = cast.get(f.name, f.type)
+                fields.append(pa.field(name, typ))
+            out_schema = pa.schema(fields)
+
+            def mig(t: pa.Table) -> pa.Table:
+                cols = {}
+                for f in ev_schema:
+                    if f.name in drop:
+                        continue
+                    c = t.column(f.name)
+                    if f.name in cast:
+                        c = c.cast(cast[f.name])
+                    cols[rename.get(f.name, f.name)] = c
+                return pa.table(cols)
+
+            return mig, out_schema
+
+        # a MINIMAL base schema so dropped/renamed source columns do
+        # not reappear as default-schema nulls in the fresh destination
+        return self.reshard_lake(
+            dst_root,
+            num_partitions or self.manifest.num_partitions,
+            _migrate=make, _base_schema=pa.schema([]),
+            _derivations=tuple(migrated_derivs))
 
     # -------------------------------------------------- background absorbs
     def _collect_ready_absorbs(self, cur: "Manifest | None"

@@ -333,3 +333,23 @@ def test_search_cli(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] and out["matches"]["alpha beta"] == [0]
     assert out["matches"]["zzz"] == []
+
+
+def test_migrate_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    run(["replay", "--lake", str(tmp_path / "lake"), "--seed", seed,
+         "--log", log, "--waves", "1"], capsys)
+    rc = main(["migrate", "--lake", str(tmp_path / "lake"),
+               "--dst", str(tmp_path / "lake2"),
+               "--rename", "n_tok:token_count", "--drop", "tokens"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"]
+    assert "token_count" in out["columns"]
+    assert "n_tok" not in out["columns"]
+    assert "tokens" not in out["columns"]
+    # envelope protection surfaces as a clean error, not a traceback
+    rc = main(["migrate", "--lake", str(tmp_path / "lake"),
+               "--dst", str(tmp_path / "lake3"),
+               "--rename", "doc_id:key"])
+    assert rc == 1

@@ -370,3 +370,55 @@ def test_read_lake_filter_pushdown(tmp_path):
     assert set(got3.doc_id) == set(want.doc_id)
     # a filter that matches nothing returns an empty, well-typed table
     assert eng.read_lake(filter=pc.field("n_tok") < -1).count() == 0
+
+
+def test_migrate_lake_rename_cast_drop(tmp_path):
+    """Schema migration backfill: renamed/cast/dropped payload columns
+    with watermark + state preserved; envelope columns protected."""
+    spec = ChangelogSpec(n_docs=200, n_events=1_500, seed=5,
+                         chunk_size=500, n_waves=3)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    seed = write_seed_lake(spec, str(tmp_path / "seed" / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, spec.wave_bounds[:2])
+    eng.drain_absorbs()
+
+    dst = eng.migrate_lake(str(tmp_path / "lake2"),
+                           rename={"n_tok": "token_count"},
+                           cast={"source": pa.string()},
+                           drop=["tokens"])
+    assert dst.watermark == eng.watermark
+    old = eng.lake_table()
+    new = dst.lake_table()
+    assert new.num_rows == old.num_rows
+    assert "token_count" in new.column_names
+    assert "n_tok" not in new.column_names
+    assert "tokens" not in new.column_names
+    a = old.select(["doc_id", "n_tok"]).rename_columns(
+        ["doc_id", "token_count"]).sort_by("doc_id")
+    b = new.select(["doc_id", "token_count"]).sort_by("doc_id")
+    assert a.equals(b)
+
+    # the migrated lake CONTINUES the same log exactly-once
+    out = dst.replay(log, spec.wave_bounds)
+    assert sum(1 for w in out if w.get("skipped")) == 2
+    ref = CDCEngine(str(tmp_path / "ref"), num_partitions=4)
+    ref.bootstrap(seed)
+    ref.replay(log, spec.wave_bounds)
+    # rows and per-doc last_lsn agree with an uninterrupted replay
+    assert (dst.lake_table().select(["doc_id", "last_lsn"])
+            .sort_by("doc_id").equals(
+                ref.lake_table().select(["doc_id", "last_lsn"])
+                .sort_by("doc_id")))
+
+    # envelope columns are protected
+    with pytest.raises(ValueError):
+        eng.migrate_lake(str(tmp_path / "lake3"),
+                         rename={"doc_id": "key"})
+    with pytest.raises(ValueError):
+        eng.migrate_lake(str(tmp_path / "lake3"), drop=["lsn"])
+    # rename collision with an existing column is refused
+    with pytest.raises(ValueError):
+        eng.migrate_lake(str(tmp_path / "lake3"),
+                         rename={"n_tok": "source"})
