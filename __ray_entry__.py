@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_pairs": _fuzzy_match_pairs,
         "source_divergence": partial(text.source_divergence),
         "skyline_docs": partial(text.skyline_docs),
+        "session_paths": partial(tp.session_paths),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1731,6 +1732,31 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # top-k session journeys (first 5 event types per session,
+        # 30-min gap rule)
+        "session_paths": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+            s AS (SELECT *, sum(CASE WHEN pts IS NULL
+                                      OR ts - pts > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM e),
+            r AS (SELECT user_id, sid, event_type,
+                         row_number() OVER (PARTITION BY user_id, sid
+                                            ORDER BY ts, event_id) AS rn
+                  FROM s),
+            p AS (SELECT string_agg(event_type, chr(62)
+                                    ORDER BY rn) AS path
+                  FROM r WHERE rn <= 5 GROUP BY user_id, sid),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS cnt
+                  FROM p GROUP BY 1),
+            rk AS (SELECT *, row_number() OVER (
+                       ORDER BY cnt DESC, path) AS rk FROM c)
+            SELECT path, cnt, rk FROM rk WHERE rk <= 10""",
         # density-frontier skyline: NOT EXISTS dominance, ties at a
         # frontier point all survive
         "skyline_docs": r"""

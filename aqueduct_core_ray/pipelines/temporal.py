@@ -1636,3 +1636,93 @@ def late_events(sf_dir: str, lateness_minutes: int = 10,
     return fx_agg_by(ds, ["event_type"],
                      [("n_events", "sum"), ("n_late", "sum"),
                       ("max_late_us", "max")])
+
+
+def session_paths(sf_dir: str, gap_minutes: int = 30, k: int = 10,
+                  max_len: int = 5,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Top-``k`` most common session JOURNEYS: each session's first
+    ``max_len`` event types joined with '>' (the funnel/path-mining
+    staple — "what do users actually do in a visit"). Sessions follow
+    the same gap rule as ``sessionize``; ties break by path asc.
+    Returns (path, cnt, rk).
+
+    Scale shape: one hash shuffle on user_id co-locates each user's
+    stream; a single per-partition lexsort + shifted-gap pass assigns
+    session ids, and the path strings build in ``max_len`` VECTORIZED
+    object-array concatenations (a (sessions x max_len) position
+    scatter — no per-session join loop). Path counts fold over one
+    hash(path) exchange; each path's final count lives in one block,
+    so a per-block local top-k bounds the driver fold at k x blocks."""
+    import pandas as pd
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ety = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, ety = uid[order], ts[order], ety[order]
+        new_user = np.ones(len(uid), bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.ones(len(uid), bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = new_user | gap
+        sid = np.cumsum(starts) - 1            # dense session index
+        # position within session: 0..len-1 via global arange minus
+        # each session's start offset
+        pos = np.arange(len(uid)) - np.flatnonzero(starts)[sid]
+        keep = pos < max_len
+        n_sess = int(sid[-1]) + 1 if len(sid) else 0
+        mat = np.full((n_sess, max_len), "", object)
+        mat[sid[keep], pos[keep]] = ety[keep]
+        path = mat[:, 0].copy()
+        for j in range(1, max_len):
+            has = mat[:, j] != ""
+            if has.any():
+                path[has] = path[has] + ">" + mat[has, j]
+        agg = (pa.table({"path": pa.array(path, pa.string())})
+               .group_by("path").aggregate([("path", "count")]))
+        return pa.table({"path": agg.column("path"),
+                         "cnt": agg.column("path_count").cast(pa.int64())})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        pth = t.column("path").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pth, -cnt))[:k]
+        sel = pa.array(order)
+        return pa.table({"path": t.column("path").take(sel),
+                         "cnt": t.column("cnt").take(sel)})
+
+    from ..stages.exchange import fx_sum_by
+    ds = read_events(sf_dir, columns=["event_id", "user_id", "ts",
+                                      "event_type"])
+    counted = fx_sum_by(
+        ds.map_batches(part_col, batch_format="pyarrow")
+        .fx_map_groups(per_part),
+        ["path"], ["cnt"]).map_batches(local_topk,
+                                       batch_format="pyarrow")
+    tabs = [t for t in ray.get(counted.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return ray.data.from_arrow(pa.table({
+            "path": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64())}))
+    cand = pa.concat_tables(tabs, promote_options="default")
+    cnt = cand.column("cnt").to_numpy(zero_copy_only=False)
+    pth = cand.column("path").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pth, -cnt))[:k]
+    sel = pa.array(order)
+    return ray.data.from_arrow(pa.table({
+        "path": cand.column("path").take(sel),
+        "cnt": cand.column("cnt").take(sel),
+        "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+    }))

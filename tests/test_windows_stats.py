@@ -396,3 +396,43 @@ def test_late_events_md5_matches_natural_totals(tmp_path):
     b = (late_events(sf, arrival="md5").to_pandas()
          .set_index("event_type").n_events.sort_index())
     assert a.equals(b)
+
+
+def test_session_paths_crafted(tmp_path):
+    """Path construction: within-gap events chain in order, a gap
+    starts a fresh session, paths truncate at max_len."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.temporal import session_paths
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    rows = [
+        # user 1: a>b>c then (2h gap) d
+        (0, 1, 0, "a"), (1, 1, 5, "b"), (2, 1, 10, "c"),
+        (3, 1, 150, "d"),
+        # user 2: a>b>c (same shape as user 1's first session)
+        (4, 2, 0, "a"), (5, 2, 3, "b"), (6, 2, 6, "c"),
+        # user 3: six events -> truncated to first 5
+        (7, 3, 0, "x"), (8, 3, 1, "x"), (9, 3, 2, "x"),
+        (10, 3, 3, "x"), (11, 3, 4, "x"), (12, 3, 5, "x"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * 60 * us for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    out = (session_paths(str(sf), gap_minutes=30, k=10, max_len=5)
+           .to_pandas().set_index("path"))
+    assert int(out.loc["a>b>c", "cnt"]) == 2
+    assert int(out.loc["d", "cnt"]) == 1
+    assert int(out.loc["x>x>x>x>x", "cnt"]) == 1   # truncated at 5
+    assert int(out.iloc[0].rk) == 1
