@@ -1772,7 +1772,7 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # pairwise JSD of per-source unigram distributions, integer
         # micros; the engine's per-partition contribution sums land
         # inside the micros tolerance
-        "source_divergence": """
+        "source_divergence": r"""
             WITH w AS (
               SELECT source, unnest(regexp_split_to_array(
                   regexp_replace(text, '^\s+|\s+$', '', 'g'),

@@ -67,7 +67,7 @@ BENCH_QUERIES = [
     "spearman_chars_tokens", "stratified_topk_sample",
     "pmi_bigrams", "substring_search", "embedding_covariance",
     "pca_project", "late_events", "fuzzy_match_pairs",
-    "source_divergence",
+    "source_divergence", "skyline_docs", "session_paths",
 ]
 
 
