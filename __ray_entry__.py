@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": partial(text.source_divergence),
         "skyline_docs": partial(text.skyline_docs),
         "session_paths": partial(tp.session_paths),
+        "cumulative_users_by_day": partial(tp.cumulative_users_by_day),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1732,6 +1733,17 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # cumulative-adoption curve: running distinct collapses to
+        # first-seen-day per user
+        "cumulative_users_by_day": """
+            WITH g AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+                       FROM events GROUP BY 1),
+            d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                  FROM g GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM d""",
         # top-k session journeys (first 5 event types per session,
         # 30-min gap rule)
         "session_paths": """

@@ -1726,3 +1726,57 @@ def session_paths(sf_dir: str, gap_minutes: int = 30, k: int = 10,
         "cnt": cand.column("cnt").take(sel),
         "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
     }))
+
+
+def cumulative_users_by_day(sf_dir: str,
+                            num_partitions: int = 16
+                            ) -> ray.data.Dataset:
+    """GROWTH ACCOUNTING: for each calendar day, how many DISTINCT
+    users have been seen up to and including that day (the cumulative-
+    adoption curve). Exact. Returns (day, new_users, cum_users) for
+    every day with at least one first-seen user.
+
+    Scale shape: "running distinct" collapses to "first-seen day per
+    user" (distinct-ness is a per-user property): one hash exchange on
+    user_id, per-partition vectorized min-reduce gives each user's
+    first day, per-partition (day, new_users) histogram partials are
+    BOUNDED (#days), and the driver folds + cumsums <= days rows. No
+    global sort, no set state."""
+    import pandas as pd
+
+    def part_col(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        part = (pd.util.hash_array(uid.copy(), categorize=False)
+                % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = pc.floor_temporal(g.column("ts"), unit="day") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        u_s, d_s = uid[order], day[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u_s[1:] != u_s[:-1]]))
+        first_day = d_s[starts]                 # min day per user
+        days, counts = np.unique(first_day, return_counts=True)
+        return pa.table({"day_us": pa.array(days),
+                         "new_users": pa.array(counts.astype(np.int64))})
+
+    ds = read_events(sf_dir, columns=["user_id", "ts"])
+    parts = [t for t in ray.get(
+        ds.map_batches(part_col, batch_format="pyarrow")
+        .fx_map_groups(per_part).to_arrow_refs()) if t.num_rows]
+    acc: dict = {}
+    for t in parts:
+        for d, n in zip(t.column("day_us").to_pylist(),
+                        t.column("new_users").to_pylist()):
+            acc[d] = acc.get(d, 0) + int(n)
+    days = sorted(acc)
+    new = np.array([acc[d] for d in days], np.int64)
+    cum = np.cumsum(new)
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "new_users": pa.array(new),
+        "cum_users": pa.array(cum),
+    }))

@@ -436,3 +436,39 @@ def test_session_paths_crafted(tmp_path):
     assert int(out.loc["d", "cnt"]) == 1
     assert int(out.loc["x>x>x>x>x", "cnt"]) == 1   # truncated at 5
     assert int(out.iloc[0].rk) == 1
+
+
+def test_cumulative_users_by_day_crafted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.temporal import (
+        cumulative_users_by_day,
+    )
+
+    us = 1_000_000
+    day = 86400 * us
+    base = 1_700_006_400 * us            # some mid-day epoch
+    base -= base % day                   # midnight align
+    rows = [
+        (0, 1, 0), (1, 2, 0),            # day 0: users 1, 2
+        (2, 1, 1),                       # day 1: user 1 again (not new)
+        (3, 3, 2), (4, 4, 2), (5, 1, 2),  # day 2: users 3, 4 new
+        (6, 5, 5),                       # day 5: user 5
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + r[2] * day + r[0] * us for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["e"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    out = cumulative_users_by_day(str(sf)).to_pandas()
+    assert out.new_users.tolist() == [2, 2, 1]
+    assert out.cum_users.tolist() == [2, 4, 5]
+    assert len(out) == 3                 # day 1 adds nothing: no row
