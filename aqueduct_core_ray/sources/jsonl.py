@@ -261,3 +261,19 @@ def read_dead_letters(dead_letter_dir: str) -> pa.Table:
         return _DL_SCHEMA.empty_table()
     return pa.concat_tables([pq.read_table(f) for f in files],
                             promote_options="default")
+
+
+def read_csv_changelog(path: "str | list[str]") -> ray.data.Dataset:
+    """CSV flavor of the Message ingress (same field contract as the
+    JSONL adapter; bulk exports and legacy publishers speak CSV). An
+    UNQUOTED empty ``data`` field reads as null == tombstone
+    (strings_can_be_null — the csv analog of ``data: null``); a quoted
+    empty string stays a real (empty) payload."""
+    from pyarrow import csv as pa_csv
+
+    return ray.data.read_csv(
+        path,
+        convert_options=pa_csv.ConvertOptions(
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False),
+    ).map_batches(conform_messages, batch_format="pyarrow")

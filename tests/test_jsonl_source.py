@@ -131,3 +131,23 @@ def test_quarantine_clean_input_writes_nothing(tmp_path):
     dl_dir = str(tmp_path / "dl")
     good = read_jsonl_changelog_quarantine(str(src), dl_dir).to_pandas()
     assert len(good) == 1 and read_dead_letters(dl_dir).num_rows == 0
+
+
+def test_csv_changelog_ingress(tmp_path):
+    """CSV Message export replays identically: unquoted-empty data is
+    the tombstone, quoted-empty is a real payload."""
+    from aqueduct_core_ray.sources.jsonl import read_csv_changelog
+    csv = (
+        "msg_offset,msg_key,type,created_utc,data\n"
+        '1,a,t1,2024-01-01T00:00:01Z,v1\n'
+        '2,b,t1,2024-01-01T00:00:02Z,""\n'      # quoted empty: payload
+        "3,a,t1,2024-01-01T00:00:03Z,\n"        # unquoted: tombstone
+    )
+    p = tmp_path / "log.csv"
+    p.write_text(csv)
+    rows = sorted(read_csv_changelog(str(p)).take_all(),
+                  key=lambda r: r["lsn"])
+    assert [r["op"] for r in rows] == [0, 0, 1]
+    assert rows[0]["data"] == "v1" and rows[1]["data"] == ""
+    assert rows[2]["doc_id"] == "a"
+    assert str(rows[0]["ts"]).startswith("2024-01-01")
