@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_pairs": _fuzzy_match_pairs,
         "source_divergence": partial(text.source_divergence),
         "skyline_docs": partial(text.skyline_docs),
+        "type_token_ratio": partial(text.type_token_ratio),
         "session_paths": partial(tp.session_paths),
         "cumulative_users_by_day": partial(tp.cumulative_users_by_day),
         "substring_search": _substring_search,
@@ -1769,6 +1770,20 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
             rk AS (SELECT *, row_number() OVER (
                        ORDER BY cnt DESC, path) AS rk FROM c)
             SELECT path, cnt, rk FROM rk WHERE rk <= 10""",
+        # per-doc lexical diversity: distinct/total whitespace tokens
+        "type_token_ratio": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                  '\s+')) AS token
+              FROM documents),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                         CAST(count(DISTINCT token) AS BIGINT) AS n_types
+                  FROM w GROUP BY 1)
+            SELECT doc_id, n_tok, n_types,
+                   CAST(floor(CAST(n_types AS DOUBLE) / n_tok * 1000000
+                              + 0.5) AS BIGINT) AS ttr_micros
+            FROM c""",
         # density-frontier skyline: NOT EXISTS dominance, ties at a
         # frontier point all survive
         "skyline_docs": r"""

@@ -1575,3 +1575,43 @@ def skyline_docs(sf_dir: str) -> ray.data.Dataset:
         "n_chars": pa.array(ch[sel][order]),
         "n_tok": pa.array(tk[sel][order]),
     }))
+
+
+def type_token_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document LEXICAL DIVERSITY: distinct whitespace tokens /
+    total tokens (the type-token ratio quality signal — low TTR flags
+    repetitive/templated text). Returns (doc_id, n_tok, n_types,
+    ttr_micros) with floor(ratio * 1e6 + 0.5); empty docs report 0/0/0.
+
+    Scale shape: ENTIRELY block-local (each doc's ratio needs only its
+    own tokens) — one Arrow split kernel + one (doc, token) group_by
+    per block, zero exchanges."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        n_tok = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "d": pa.array(np.repeat(np.arange(len(dids),
+                                              dtype=np.int64), n_tok)),
+            "token": words.flatten(),
+        })
+        distinct = pairs.group_by(["d", "token"]).aggregate([])
+        types = np.zeros(len(dids), np.int64)
+        dd = distinct.column("d").to_numpy(zero_copy_only=False)
+        np.add.at(types, dd, 1)
+        ratio = np.zeros(len(dids), np.float64)
+        nz = n_tok > 0
+        ratio[nz] = types[nz] / n_tok[nz]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pa.array(n_tok),
+            "n_types": pa.array(types),
+            "ttr_micros": pa.array(
+                np.floor(ratio * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(per_block, batch_format="pyarrow")

@@ -1626,3 +1626,12 @@ def test_skyline_docs_crafted(tmp_path):
             want.add(i)
     assert got == want
     assert {0, 1} <= got        # identical frontier pair both survive
+
+
+def test_type_token_ratio_crafted(tmp_path):
+    sf = _mk_docs(tmp_path, ["a a a a", "a b c d", "x y x y"])
+    out = (text.type_token_ratio(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.n_tok.tolist() == [4, 4, 4]
+    assert out.n_types.tolist() == [1, 4, 2]
+    assert out.ttr_micros.tolist() == [250000, 1000000, 500000]
