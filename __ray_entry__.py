@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": partial(text.type_token_ratio),
         "session_paths": partial(tp.session_paths),
         "cumulative_users_by_day": partial(tp.cumulative_users_by_day),
+        "interp_quantiles": partial(tp.interp_quantiles_by_type),
         "substring_search": _substring_search,
         "embedding_covariance": partial(ann.embedding_covariance),
         # --- rows-only (not SQL-expressible: approximate / hash-based /
@@ -1734,6 +1735,14 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                    CAST(floor((sxy - sx*sy/n)/n * 1000000 + 0.5)
                         AS BIGINT) AS cov_micros
             FROM m ORDER BY i, j""",
+        # quantile_cont twin of exact_quantiles (same bounded
+        # histogram; linear interpolation at q*(n-1), milli-cents)
+        "interp_quantiles": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value*100 + 0.5) AS BIGINT)
+                                AS value_c
+                       FROM events)
+            SELECT event_type, 0.25 AS q, CAST(floor(quantile_cont(value_c, 0.25) * 1000 + 0.5) AS BIGINT) AS value_mc FROM v GROUP BY 1 UNION ALL SELECT event_type, 0.5 AS q, CAST(floor(quantile_cont(value_c, 0.5) * 1000 + 0.5) AS BIGINT) AS value_mc FROM v GROUP BY 1 UNION ALL SELECT event_type, 0.9 AS q, CAST(floor(quantile_cont(value_c, 0.9) * 1000 + 0.5) AS BIGINT) AS value_mc FROM v GROUP BY 1 UNION ALL SELECT event_type, 0.99 AS q, CAST(floor(quantile_cont(value_c, 0.99) * 1000 + 0.5) AS BIGINT) AS value_mc FROM v GROUP BY 1""",
         # cumulative-adoption curve: running distinct collapses to
         # first-seen-day per user
         "cumulative_users_by_day": """

@@ -1780,3 +1780,61 @@ def cumulative_users_by_day(sf_dir: str,
         "new_users": pa.array(new),
         "cum_users": pa.array(cum),
     }))
+
+
+def interp_quantiles_by_type(sf_dir: str,
+                             qs: "tuple[float, ...]" = (0.25, 0.5,
+                                                        0.9, 0.99)
+                             ) -> ray.data.Dataset:
+    """INTERPOLATED grouped quantiles (SQL ``quantile_cont`` semantics:
+    linear interpolation at 0-based position ``q*(n-1)``) — the
+    continuous companion to ``exact_quantiles_by_type``, sharing its
+    bounded (type, value_c) histogram exchange (no sort, events never
+    leave their blocks). Returns (event_type, q, value_mc) with the
+    interpolated cents value quantized to MILLI-CENTS
+    (floor(v * 1000 + 0.5)) so the SQL oracle matches."""
+    from ..stages.exchange import fx_sum_by
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "value_c": pa.array(np.floor(v * 100.0 + 0.5)
+                                .astype(np.int64)),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        agg = g.group_by(["event_type", "value_c"]).aggregate(
+            [("n", "sum")])
+        return pa.table({
+            "event_type": agg.column("event_type"),
+            "value_c": agg.column("value_c"),
+            "n": agg.column("n_sum"),
+        })
+
+    hist = fx_sum_by(
+        read_events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "value_c"], ["n"]
+    ).to_pandas()                    # bounded: domain x types rows
+    out_t, out_q, out_v = [], [], []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("value_c")
+        cum = g["n"].to_numpy().cumsum()
+        vals = g["value_c"].to_numpy().astype(np.float64)
+        n = int(cum[-1])
+        for q in qs:
+            pos = q * (n - 1)                  # double, both engines
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            v_lo = vals[np.searchsorted(cum, lo + 1, side="left")]
+            v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1,
+                                        side="left")]
+            interp = v_lo + (v_hi - v_lo) * frac
+            out_t.append(et)
+            out_q.append(float(q))
+            out_v.append(int(np.floor(interp * 1000.0 + 0.5)))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "q": pa.array(out_q, pa.float64()),
+        "value_mc": pa.array(out_v, pa.int64()),
+    }))

@@ -472,3 +472,29 @@ def test_cumulative_users_by_day_crafted(tmp_path):
     assert out.new_users.tolist() == [2, 2, 1]
     assert out.cum_users.tolist() == [2, 4, 5]
     assert len(out) == 3                 # day 1 adds nothing: no row
+
+
+def test_interp_quantiles_matches_numpy(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.temporal import (
+        interp_quantiles_by_type,
+    )
+
+    vals = [1.0, 2.0, 3.0, 10.0]           # q=0.5 -> 2.5 interpolated
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(4)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 4),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    out = (interp_quantiles_by_type(str(sf), qs=(0.5,)).to_pandas()
+           .set_index("q"))
+    assert int(out.loc[0.5, "value_mc"]) == 250000   # 2.5 cents*100*1000
