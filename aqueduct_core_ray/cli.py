@@ -756,6 +756,9 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="manifest + consumer-lag summary")
     s.add_argument("--lake", required=True)
     s.add_argument("--stale-after", type=float, default=300.0)
+    s.add_argument("--detail", action="store_true",
+                   help="per-partition size skew + sidecar-chain "
+                        "depth histogram (capacity planning)")
     s.set_defaults(fn=cmd_status)
 
     po = sub.add_parser("prune-outbox",

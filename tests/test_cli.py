@@ -353,3 +353,16 @@ def test_migrate_cli(inputs, tmp_path, capsys):
                "--dst", str(tmp_path / "lake3"),
                "--rename", "doc_id:key"])
     assert rc == 1
+
+
+def test_status_detail(inputs, tmp_path, capsys):
+    log, seed = inputs
+    run(["replay", "--lake", str(tmp_path / "lake"), "--seed", seed,
+         "--log", log, "--waves", "2"], capsys)
+    rc = main(["status", "--lake", str(tmp_path / "lake"), "--detail"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    d = out["detail"]
+    assert d["bytes_max"] >= d["bytes_p50"] >= d["bytes_min"] > 0
+    assert sum(d["chain_depth_hist"].values()) == out["partitions"]
+    assert len(d["largest_partitions"]) >= 1
