@@ -515,7 +515,7 @@ def cmd_status(args) -> int:
                   for d in (p.get("deltas") or []))
     max_chain = max((len(p.get("deltas") or [])
                      for p in man.partitions.values()), default=0)
-    print(json.dumps({
+    out = {
         "ok": True, "generation": man.generation,
         "watermark": man.watermark, "wave_id": man.wave_id,
         "partitions": len(man.partitions), "rows": rows, "bytes": nbytes,
@@ -523,7 +523,37 @@ def cmd_status(args) -> int:
         "max_sidecar_chain": max_chain,   # compact --fold shortens this
         "last_waves": man.lineage[-3:],
         "consumers": eng.chain_status(stale_after_s=args.stale_after),
-    }))
+    }
+    if getattr(args, "detail", False):
+        # capacity-planning view: per-partition size skew + sidecar
+        # chain depth distribution (hot partitions / compaction debt)
+        sizes = sorted(int(p["bytes"]) for p in man.partitions.values())
+        chains = [len(p.get("deltas") or [])
+                  for p in man.partitions.values()]
+        depth_hist: dict = {}
+        for c in chains:
+            depth_hist[str(c)] = depth_hist.get(str(c), 0) + 1
+        top = sorted(man.partitions.items(),
+                     key=lambda kv: -int(kv[1]["bytes"]))[:5]
+        p50 = sizes[len(sizes) // 2] if sizes else 0
+        out["detail"] = {
+            "bytes_min": sizes[0] if sizes else 0,
+            "bytes_p50": p50,
+            "bytes_max": sizes[-1] if sizes else 0,
+            "skew_max_over_p50": (round(sizes[-1] / p50, 2)
+                                  if p50 else 0),
+            "chain_depth_hist": depth_hist,
+            "largest_partitions": [
+                {"pid": pid, "bytes": int(e["bytes"]),
+                 "rows": int(e["rows"]),
+                 "chain": len(e.get("deltas") or [])}
+                for pid, e in top],
+            "staged_dirs": (sorted(os.listdir(
+                os.path.join(args.lake, "_staged")))
+                if os.path.isdir(os.path.join(args.lake, "_staged"))
+                else []),
+        }
+    print(json.dumps(out))
     return 0
 
 
