@@ -47,7 +47,15 @@ def conform_messages(t: pa.Table) -> pa.Table:
     cols["lsn"] = cols["lsn"].cast(pa.int64())
     ts = cols["ts"]
     if pa.types.is_string(ts.type):
-        ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%SZ", unit="us")
+        try:
+            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%SZ", unit="us")
+        except pa.ArrowInvalid:
+            # fractional seconds (Arrow %S emits them; real publishers
+            # send them): pandas ISO8601 parse, still vectorized
+            import pandas as pd
+            parsed = pd.to_datetime(
+                ts.to_pandas(), utc=True, format="ISO8601")
+            ts = pa.Array.from_pandas(parsed.dt.tz_localize(None))
     cols["ts"] = ts.cast(pa.timestamp("us"))
     if "data" in t.column_names:
         data = t.column("data")
@@ -277,3 +285,67 @@ def read_csv_changelog(path: "str | list[str]") -> ray.data.Dataset:
             strings_can_be_null=True,
             quoted_strings_can_be_null=False),
     ).map_batches(conform_messages, batch_format="pyarrow")
+
+
+def write_message_jsonl(log_dir: str, out_dir: str,
+                        compression: "str | None" = None) -> str:
+    """The INVERSE wire adapter: a parquet change log (or outbox) as
+    reference-style Message JSONL segments, so reference consumers can
+    tail THIS engine's output (round-trips with
+    ``read_jsonl_changelog``). Each change event becomes one line with
+    msg_offset/msg_key/type/created_utc, tombstones (op=1) emit
+    ``data: null``, and any extra payload columns ride along as extra
+    JSON fields (the reference codec ignores unknown fields).
+
+    Vectorized: per read task one pandas ``to_json(lines=True)`` (C
+    serializer) writes one segment file — no per-row Python. With
+    ``compression`` ('gzip' | 'brotli') segments stream through
+    Arrow's codec layer (same wire codecs as the ingress)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = {"gzip": ".jsonl.gz", "brotli": ".jsonl.br"}.get(
+        compression, ".jsonl")
+
+    def emit(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        iso = pc.strftime(t.column("ts").cast(pa.timestamp("us")),
+                          format="%Y-%m-%dT%H:%M:%SZ")
+        cols = {"msg_offset": t.column("lsn").cast(pa.int64()),
+                "msg_key": t.column("doc_id"),
+                "type": t.column("source"),
+                "created_utc": iso}
+        tomb = pc.equal(t.column("op"), pa.scalar(1, pa.int8()))
+        if "data" in t.column_names:
+            cols["data"] = pc.if_else(tomb, pa.nulls(t.num_rows,
+                                                     pa.string()),
+                                      t.column("data"))
+        else:
+            # no opaque payload: null marker for tombstones only; the
+            # real payload columns follow as extra fields
+            cols["data"] = pc.if_else(
+                tomb, pa.nulls(t.num_rows, pa.string()),
+                pa.array(["{}"] * t.num_rows, pa.string()))
+        for name in t.column_names:
+            if name not in ("lsn", "op", "doc_id", "ts", "source",
+                            "data", "part", "salt"):
+                cols[name] = t.column(name)
+        df = pa.table(cols).to_pandas()
+        path = os.path.join(out_dir,
+                            f"seg-{uuid.uuid4().hex}{ext}")
+        payload = df.to_json(orient="records", lines=True,
+                             force_ascii=False)
+        if compression:
+            with pa.output_stream(path, compression=compression) as f:
+                f.write(payload.encode("utf-8"))
+        else:
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(payload)
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = (ray.data.read_parquet(log_dir)
+                .map_batches(emit, batch_format="pyarrow").take_all())
+    assert sum(r["rows"] for r in manifest) >= 0
+    return out_dir

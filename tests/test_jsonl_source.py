@@ -151,3 +151,72 @@ def test_csv_changelog_ingress(tmp_path):
     assert rows[0]["data"] == "v1" and rows[1]["data"] == ""
     assert rows[2]["doc_id"] == "a"
     assert str(rows[0]["ts"]).startswith("2024-01-01")
+
+
+def test_message_jsonl_roundtrip(tmp_path):
+    """write_message_jsonl is the exact inverse of the ingress: a
+    parquet change log exported as Message JSONL reads back with
+    identical envelope fields, microsecond timestamps, tombstones,
+    and payload columns."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec,
+        write_changelog,
+    )
+    from aqueduct_core_ray.sources.jsonl import (
+        read_jsonl_changelog,
+        write_message_jsonl,
+    )
+
+    spec = ChangelogSpec(n_docs=80, n_events=400, seed=3,
+                         chunk_size=200, n_waves=1)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    out = write_message_jsonl(log, str(tmp_path / "jsonl"))
+    files = sorted(glob.glob(f"{out}/*.jsonl"))
+    assert files
+    import ray
+    back = pa.concat_tables(
+        ray.get(read_jsonl_changelog(files).to_arrow_refs()),
+        promote_options="default").sort_by("lsn")
+    import ray.data as rd
+    orig = pa.concat_tables(
+        ray.get(rd.read_parquet(log).to_arrow_refs()),
+        promote_options="default").sort_by("lsn")
+    for c in ("lsn", "doc_id", "source"):
+        assert back.column(c).to_pylist() == orig.column(c).to_pylist()
+    assert back.column("op").to_pylist() == \
+        orig.column("op").to_pylist()
+    assert (back.column("ts").cast(pa.timestamp("us")).to_pylist()
+            == orig.column("ts").to_pylist())
+    live = [i for i, o in enumerate(orig.column("op").to_pylist())
+            if o == 0]
+    bt = back.column("tokens").to_pylist()
+    ot = orig.column("tokens").to_pylist()
+    assert all(bt[i] == ot[i] for i in live)
+    assert any(o == 1 for o in orig.column("op").to_pylist())
+
+
+def test_message_jsonl_gzip_segment(tmp_path):
+    import glob
+
+    from aqueduct_core_ray.sources.changelog import (
+        ChangelogSpec,
+        write_changelog,
+    )
+    from aqueduct_core_ray.sources.jsonl import (
+        read_jsonl_changelog,
+        write_message_jsonl,
+    )
+    spec = ChangelogSpec(n_docs=40, n_events=150, seed=4,
+                         chunk_size=150, n_waves=1)
+    log = write_changelog(spec, str(tmp_path / "log"))
+    out = write_message_jsonl(log, str(tmp_path / "gz"),
+                              compression="gzip")
+    files = sorted(glob.glob(f"{out}/*.jsonl.gz"))
+    assert files
+    n = read_jsonl_changelog(files, compression="detect").count()
+    assert n == 150
