@@ -598,13 +598,31 @@ def cmd_registry_tree(args) -> int:
 
 
 def cmd_search(args) -> int:
-    """Index-accelerated substring search over a documents table: build
-    (or reuse) the trigram posting index and print matching doc_ids per
-    needle (functions/search.py — partition-pruned read, distributed
-    intersect, exact verify)."""
+    """Index-accelerated substring search. Two modes:
+    --sf-dir: static documents table (one-time trigram index, reused).
+    --lake:   LIVE lake column via the CDC-maintained LakeTrigramIndex
+              (refresh reads only the changefeed since the indexed
+              generation, then the query verifies against current
+              rows)."""
     _init_ray()
-    from .functions.search import substring_search
     needles = tuple(args.needle)
+    if args.lake:
+        from .functions.search import LakeTrigramIndex
+        from .pipelines.replay import CDCEngine
+        eng = CDCEngine(args.lake, num_partitions=None)
+        idx_dir = args.index_root or os.path.join(args.lake, "_trigram")
+        idx = LakeTrigramIndex(eng, idx_dir, column=args.column)
+        r = idx.refresh()
+        t = idx.search(needles)
+        out = {}
+        for n, d in zip(t.column("needle").to_pylist(),
+                        t.column("doc_id").to_pylist()):
+            out.setdefault(n, []).append(d)
+        print(json.dumps({"ok": True, "refresh": r,
+                          "matches": {n: out.get(n, [])
+                                      for n in needles}}))
+        return 0
+    from .functions.search import substring_search
     df = (substring_search(args.sf_dir, needles=needles,
                            index_root=args.index_root)
           .to_pandas().sort_values(["needle", "doc_id"]))
@@ -814,7 +832,11 @@ def main(argv: list[str] | None = None) -> int:
     se = sub.add_parser("search",
                         help="trigram-index substring search over "
                              "documents.parquet")
-    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--sf-dir", default=None)
+    se.add_argument("--lake", default=None,
+                    help="search a LIVE lake column via the "
+                         "CDC-maintained index instead of --sf-dir")
+    se.add_argument("--column", default="data")
     se.add_argument("--needle", action="append", required=True,
                     help="substring (>=3 chars); repeatable")
     se.add_argument("--index-root", default=None)

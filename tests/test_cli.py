@@ -366,3 +366,27 @@ def test_status_detail(inputs, tmp_path, capsys):
     assert d["bytes_max"] >= d["bytes_p50"] >= d["bytes_min"] > 0
     assert sum(d["chain_depth_hist"].values()) == out["partitions"]
     assert len(d["largest_partitions"]) >= 1
+
+
+def test_search_cli_lake_mode(tmp_path, capsys):
+    from aqueduct_core_ray.sources.jsonl import stage_jsonl_to_log
+    lines = [
+        {"msg_offset": 1, "msg_key": "a", "type": "t",
+         "created_utc": "2024-01-01T00:00:01Z",
+         "data": "alpha beta gamma"},
+        {"msg_offset": 2, "msg_key": "b", "type": "t",
+         "created_utc": "2024-01-01T00:00:02Z", "data": "other text"},
+    ]
+    src = tmp_path / "m.jsonl"
+    with open(src, "w") as f:
+        for r in lines:
+            f.write(json.dumps(r) + "\n")
+    log = stage_jsonl_to_log(str(src), str(tmp_path / "log"))
+    run(["replay", "--lake", str(tmp_path / "lake"), "--log", log,
+         "--waves", "1"], capsys)
+    rc = main(["search", "--lake", str(tmp_path / "lake"),
+               "--needle", "alpha beta"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["matches"]["alpha beta"] == ["a"]
+    assert out["refresh"]["mode"] == "full"
