@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC replay preserved every doc row (the tokens column itself
         # is siphash-derived, so only rows-only checkable)
         "replay_documents_stats": _replay_documents_stats,
+        # sync-verification checksum of the replayed lake (oracle:
+        # bit-exact md5 bucket signatures re-derived from the raw log)
+        "lake_checksum": partial(er.lake_checksum),
         # round-4 late-session additions (oracle-backed): TPC-H
         # Q22/Q11/Q16 flavors, Markov transitions, retention cohorts,
         # and corpus-LM scoring
@@ -1968,4 +1971,19 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                      PARTITION BY query_id
                      ORDER BY score DESC, vec_id ASC) AS BIGINT) AS knn_rank
             FROM s QUALIFY knn_rank <= 5""",
+        # sync-verification checksum: per-bucket XOR of full-payload row
+        # signatures over the lake's live rows (pt-table-checksum shape);
+        # same md5/int64 and cents-stringify conventions as
+        # CDCEngine.checksum, so the lake must be byte-equivalent to the
+        # log's LWW state for every bucket signature to match
+        "lake_checksum": _LOG_CTE + """
+            SELECT ('0x' || substr(md5(doc_id), 1, 1))::BIGINT AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   bit_xor(('0x' || substr(md5(
+                       doc_id || '|' || CAST(last_lsn AS VARCHAR) || '|' ||
+                       CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR) || '|' || coalesce(props, '')
+                       || '|' || source), 1, 15))::BIGINT) AS xor_sig
+            FROM lww WHERE op = 0
+            GROUP BY 1""",
     }

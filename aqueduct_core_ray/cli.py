@@ -327,6 +327,32 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_checksum(args) -> int:
+    """Sync-verification checksums (CDCEngine.checksum): per-bucket
+    (n_rows, xor_sig) over the live lake; with --against, compare two
+    lakes bucket-by-bucket and exit 1 on divergence — the O(buckets)
+    parent/child convergence audit (ship 16 rows, not the table)."""
+    from .pipelines.replay import CDCEngine
+    cols = args.columns.split(",") if args.columns else None
+    mine = CDCEngine(args.lake, num_partitions=None).checksum(columns=cols)
+    if not args.against:
+        print(json.dumps({"ok": True, "lake": args.lake,
+                          "buckets": mine.to_pylist()}))
+        return 0
+    theirs = CDCEngine(args.against,
+                       num_partitions=None).checksum(columns=cols)
+    a = {r["bucket"]: (r["n_rows"], r["xor_sig"])
+         for r in mine.to_pylist()}
+    b = {r["bucket"]: (r["n_rows"], r["xor_sig"])
+         for r in theirs.to_pylist()}
+    diverged = sorted(k for k in (a.keys() | b.keys())
+                      if a.get(k) != b.get(k))
+    print(json.dumps({"ok": not diverged, "lake": args.lake,
+                      "against": args.against,
+                      "diverged_buckets": diverged}))
+    return 0 if not diverged else 1
+
+
 def cmd_dedup(args) -> int:
     """Online near-dup maintenance against a persisted band index:
     --bootstrap seeds from the CURRENT lake; otherwise one
@@ -757,6 +783,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--columns", default=None,
                    help="comma-separated column subset")
     g.set_defaults(fn=cmd_get)
+
+    ck = sub.add_parser("checksum",
+                        help="per-bucket content signatures; --against "
+                             "compares two lakes (exit 1 on divergence)")
+    ck.add_argument("--lake", required=True)
+    ck.add_argument("--against", default=None,
+                    help="second lake to compare bucket signatures with")
+    ck.add_argument("--columns", default=None,
+                    help="comma-separated signature columns "
+                         "(default: all lake columns)")
+    ck.set_defaults(fn=cmd_checksum)
 
     dd = sub.add_parser("dedup",
                         help="online near-dup index maintenance "

@@ -323,3 +323,20 @@ def online_dedup_feed(sf_dir: str, num_partitions: int = 8,
                                       min_est_pct=min_est_pct,
                                       num_partitions=num_partitions)
     return ray.data.from_arrow(matches)
+
+
+def lake_checksum(sf_dir: str, n_waves: int = 4,
+                  num_partitions: int = 16) -> pa.Table:
+    """Replay the events changelog, then emit the lake's per-bucket
+    SYNC-VERIFICATION checksums (CDCEngine.checksum): 16 md5-bucketed
+    (n_rows, xor_sig) rows over the full live-row payload in the fixed
+    column order doc_id|last_lsn|value|props|source. The DuckDB oracle
+    re-derives every signature from the raw log's LWW state, so a hash
+    match proves the materialized lake is byte-equivalent to the
+    relational truth — the strongest single-table convergence check the
+    engine exposes (covers value/props corruption, not just lsn drift)."""
+    eng, _ = replay_events_engine(sf_dir, n_waves, num_partitions)
+    out = eng.checksum(
+        columns=["doc_id", "last_lsn", "value", "props", "source"])
+    shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
+    return out

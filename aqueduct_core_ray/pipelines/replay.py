@@ -27,6 +27,7 @@ import os
 import time
 from typing import Any, Iterable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -2394,3 +2395,108 @@ class CDCEngine:
             return 0, 0
         return (int(res.get("sum(last_lsn)") or 0),
                 int(res.get("count()") or 0))
+
+    # ------------------------------------------------------------------ #
+    def checksum(self, columns: "list[str] | None" = None,
+                 n_buckets: int = 16) -> pa.Table:
+        """SYNC-VERIFICATION CHECKSUM: per-bucket content signatures of
+        the live lake — the pt-table-checksum shape for the reference's
+        hierarchy contract (every till converges to the cloud's state,
+        SyncSpec/SQLiteQueries.java:57-64). Two lakes are content-equal
+        iff their checksum tables are equal, so a parent and child (or
+        two replicas after failover) verify sync by exchanging
+        O(n_buckets) rows instead of shipping data. Unlike
+        ``consistency_sum`` (Σ last_lsn), the signature covers the FULL
+        row payload — a corrupted value/props byte flips the bucket's
+        XOR even when every lsn matches.
+
+        Row signature: int64 from the first 15 hex chars of
+        md5('|'.join(cell strings)) over ``columns`` in order, with the
+        repo's shared stringify convention (null -> '', float -> cents
+        via floor(x*100+0.5), list<int> -> comma-joined) so a DuckDB
+        oracle reproduces every bit (see __ray_entry__ lake_checksum).
+        Bucket: first md5 hex digit of doc_id mod ``n_buckets``. XOR is
+        the bucket aggregate — order- and partitioning-insensitive, no
+        overflow at any scale.
+
+        Scale shape: one streaming lake read, per-block (bucket, count,
+        xor) partials inside ``map_batches``, then a driver fold over
+        the BOUNDED n_buckets x blocks partial rows — zero exchanges.
+        The per-row md5 loop is inherent to a cryptographic checksum
+        (this is the audit path, not the ingest hot path)."""
+        m = self.manifest
+        cols = list(columns) if columns is not None else [
+            c for c in (m.schema.names if m else []) if c != "last_op"]
+        if m is None or not cols:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "xor_sig": pa.array([], pa.int64())})
+        read_cols = list(dict.fromkeys(cols + ["doc_id"]))
+        ds = self.read_lake(columns=read_cols)
+        from functools import partial as _partial
+        partials = ds.map_batches(
+            _partial(_checksum_partials, columns=cols,
+                     bucket_col="doc_id", n_buckets=n_buckets),
+            batch_format="pyarrow")
+        rows = partials.take_all()              # bounded: n_buckets x blocks
+        agg: dict[int, list[int]] = {}
+        for r in rows:
+            b = int(r["bucket"])
+            e = agg.setdefault(b, [0, 0])
+            e[0] += int(r["n_rows"])
+            e[1] ^= int(r["xor_sig"])
+        bs = sorted(agg)
+        return pa.table({
+            "bucket": pa.array(bs, pa.int64()),
+            "n_rows": pa.array([agg[b][0] for b in bs], pa.int64()),
+            "xor_sig": pa.array([agg[b][1] for b in bs], pa.int64())})
+
+
+def _cell_strings(col: "pa.ChunkedArray | pa.Array") -> list:
+    """Stable per-type stringify shared bit-for-bit with the DuckDB
+    twin: null -> '', string -> raw, int/bool -> str, float -> integer
+    cents str (floor(x*100+0.5), NaN -> ''), list<int> -> comma-joined."""
+    t = col.type
+    if pa.types.is_floating(t):
+        v = col.to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5)
+        return ["" if x != x else str(int(cv))
+                for x, cv in zip(v.tolist(), c.tolist())]
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ["" if v is None else ",".join(str(i) for i in v)
+                for v in col.to_pylist()]
+    return ["" if v is None else str(v) for v in col.to_pylist()]
+
+
+def _checksum_partials(t: pa.Table, columns: "list[str]",
+                       bucket_col: str, n_buckets: int) -> pa.Table:
+    """Per-block checksum partials: (bucket, n_rows, xor_sig). See
+    CDCEngine.checksum for the signature/bucket conventions."""
+    import hashlib
+
+    if t.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "xor_sig": pa.array([], pa.int64())})
+    cells = [_cell_strings(t.column(c)) for c in columns]
+    keys = _cell_strings(t.column(bucket_col))
+    n = t.num_rows
+    sigs = np.empty(n, dtype=np.int64)
+    buckets = np.empty(n, dtype=np.int64)
+    md5 = hashlib.md5
+    for i in range(n):
+        s = "|".join(c[i] for c in cells)
+        sigs[i] = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        buckets[i] = int(md5(keys[i].encode("utf-8")).hexdigest()[0],
+                         16) % n_buckets
+    out_b: list[int] = []
+    out_n: list[int] = []
+    out_x: list[int] = []
+    for b in np.unique(buckets):
+        mask = buckets == b
+        out_b.append(int(b))
+        out_n.append(int(mask.sum()))
+        out_x.append(int(np.bitwise_xor.reduce(sigs[mask])))
+    return pa.table({"bucket": pa.array(out_b, pa.int64()),
+                     "n_rows": pa.array(out_n, pa.int64()),
+                     "xor_sig": pa.array(out_x, pa.int64())})

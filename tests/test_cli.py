@@ -390,3 +390,27 @@ def test_search_cli_lake_mode(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ok"] and out["matches"]["alpha beta"] == ["a"]
     assert out["refresh"]["mode"] == "full"
+
+
+def test_checksum_compare(inputs, tmp_path, capsys):
+    """`checksum --against`: exit 0 + ok on two converged replicas
+    (different partition counts), exit 1 + the diverged bucket list when
+    one replica lags a wave."""
+    log, seed = inputs
+    a, b, c = (str(tmp_path / n) for n in ("a", "b", "c"))
+    run(["replay", "--log", log, "--lake", a, "--seed", seed,
+         "--partitions", "6", "--waves", "2"], capsys)
+    run(["replay", "--log", log, "--lake", b, "--seed", seed,
+         "--partitions", "3", "--waves", "2"], capsys)
+    run(["replay", "--log", log, "--lake", c, "--seed", seed,
+         "--partitions", "6", "--waves", "1",
+         "--watermark", str(SPEC.n_events // 2)], capsys)
+
+    rc, out = run(["checksum", "--lake", a], capsys)
+    assert rc == 0 and len(out[0]["buckets"]) == 16
+
+    rc, out = run(["checksum", "--lake", a, "--against", b], capsys)
+    assert rc == 0 and out[0]["ok"] and not out[0]["diverged_buckets"]
+
+    rc, out = run(["checksum", "--lake", a, "--against", c], capsys)
+    assert rc == 1 and not out[0]["ok"] and out[0]["diverged_buckets"]

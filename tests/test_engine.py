@@ -422,3 +422,26 @@ def test_migrate_lake_rename_cast_drop(tmp_path):
     with pytest.raises(ValueError):
         eng.migrate_lake(str(tmp_path / "lake3"),
                          rename={"n_tok": "source"})
+
+
+def test_checksum_sync_verification(log_dir, seed_path, tmp_path):
+    """CDCEngine.checksum: (1) partitioning-invariant — two replicas with
+    different shard counts produce identical bucket signatures; (2) the
+    bucket counts sum to the live-row count; (3) a replica lagging one
+    wave is detected (some bucket signature differs)."""
+    eng = CDCEngine(str(tmp_path / "a"), num_partitions=8)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    rep = CDCEngine(str(tmp_path / "b"), num_partitions=3)
+    rep.bootstrap(seed_path)
+    rep.replay(log_dir, SPEC.wave_bounds)
+
+    a, b = eng.checksum(), rep.checksum()
+    assert a.equals(b)
+    assert sum(a.column("n_rows").to_pylist()) == eng.consistency_stats()[1]
+
+    lag = CDCEngine(str(tmp_path / "c"), num_partitions=8)
+    lag.bootstrap(seed_path)
+    lag.replay(log_dir, SPEC.wave_bounds[:-1])
+    c = lag.checksum()
+    assert not a.equals(c)
