@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sync-verification checksum of the replayed lake (oracle:
         # bit-exact md5 bucket signatures re-derived from the raw log)
         "lake_checksum": partial(er.lake_checksum),
+        # point-in-time restore: two-wave replay rolled back to
+        # generation 0 must equal the log PREFIX's LWW state
+        "restore_lake": partial(er.restore_lake),
         # round-4 late-session additions (oracle-backed): TPC-H
         # Q22/Q11/Q16 flavors, Markov transitions, retention cohorts,
         # and corpus-LM scoring
@@ -1986,4 +1989,24 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                        || '|' || source), 1, 15))::BIGINT) AS xor_sig
             FROM lww WHERE op = 0
             GROUP BY 1""",
+        # point-in-time restore: after the bit-exact two-wave schedule
+        # (split at (max(event_id)+1)//2, see generation_diff_events),
+        # restoring to generation 0 must yield the PREFIX's LWW state
+        "restore_lake": r"""
+            WITH log AS (
+              SELECT event_id + 1 AS lsn,
+                     'u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                         AS doc_id,
+                     CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END AS BIGINT) AS op,
+                     value, props, event_type AS source
+              FROM events),
+            half AS (SELECT (max(event_id) + 1) // 2 AS w FROM events),
+            l1 AS (SELECT l.* FROM log l, half WHERE l.lsn <= half.w),
+            t1 AS (SELECT doc_id, max(lsn) AS last_lsn
+                   FROM l1 GROUP BY doc_id)
+            SELECT l.doc_id, l.value, l.props, l.source, t.last_lsn
+            FROM l1 l JOIN t1 t
+              ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn
+            WHERE l.op = 0""",
     }

@@ -327,6 +327,21 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_restore(args) -> int:
+    """Point-in-time restore (CDCEngine.restore): one metadata commit
+    that rolls the lake back to a past generation; exit 1 if the target
+    generation's files fell outside vacuum's keep window."""
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    try:
+        r = eng.restore(args.to_generation)
+    except ValueError as exc:
+        print(json.dumps({"ok": False, "error": str(exc)}))
+        return 1
+    print(json.dumps({"ok": True, **r}))
+    return 0
+
+
 def cmd_checksum(args) -> int:
     """Sync-verification checksums (CDCEngine.checksum): per-bucket
     (n_rows, xor_sig) over the live lake; with --against, compare two
@@ -783,6 +798,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--columns", default=None,
                    help="comma-separated column subset")
     g.set_defaults(fn=cmd_get)
+
+    rs = sub.add_parser("restore",
+                        help="roll the lake back to a past generation "
+                             "(O(partitions) metadata commit)")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--to-generation", type=int, required=True,
+                    dest="to_generation")
+    rs.set_defaults(fn=cmd_restore)
 
     ck = sub.add_parser("checksum",
                         help="per-bucket content signatures; --against "

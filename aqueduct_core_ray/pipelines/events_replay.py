@@ -340,3 +340,23 @@ def lake_checksum(sf_dir: str, n_waves: int = 4,
         columns=["doc_id", "last_lsn", "value", "props", "source"])
     shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
     return out
+
+
+def restore_lake(sf_dir: str, num_partitions: int = 16) -> pa.Table:
+    """POINT-IN-TIME RESTORE with a SQL oracle: replay the events
+    changelog in TWO waves split at ``max_lsn // 2`` (the same
+    bit-exact schedule as ``generation_diff_events``), then RESTORE to
+    generation 0 — the returned lake must equal the LWW state of the
+    log PREFIX, proving the rollback commit points at exactly the
+    post-wave-1 table (no file rewritten: restore is O(partitions)
+    metadata). The restored engine's watermark moves back with the
+    manifest, so a re-replay would re-apply wave 2 through the normal
+    fence (pinned in tests/test_timetravel.py)."""
+    eng, _ = replay_events_engine(sf_dir, n_waves=2,
+                                  num_partitions=num_partitions,
+                                  derivations=())
+    eng.restore(0)
+    out = eng.lake_table().select(
+        ["doc_id", "value", "props", "source", "last_lsn"])
+    shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
+    return out

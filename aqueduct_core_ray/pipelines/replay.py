@@ -2452,6 +2452,80 @@ class CDCEngine:
             "xor_sig": pa.array([agg[b][1] for b in bs], pa.int64())})
 
 
+    # ------------------------------------------------------------------ #
+    def restore(self, generation: int) -> "dict[str, Any]":
+        """POINT-IN-TIME RESTORE (the lakehouse RESTORE/flashback
+        primitive): commit a NEW generation whose table state, schema,
+        watermark and named offsets are a PAST generation's — the
+        bad-wave rollback. One O(partitions) metadata commit: no file
+        is copied or rewritten (the new manifest points at the target
+        generation's immutable part files), history stays readable via
+        ``manifest_at`` until vacuum, and because the watermark moves
+        BACK with the manifest, a subsequent ``replay`` of the same log
+        re-applies the rolled-back events through the normal fence
+        (deterministic merge => re-converges; or replay a FIXED log to
+        take a different path — the undo story for a poisoned wave).
+
+        Raises ValueError if any part/delta file of the target
+        generation fell outside ``vacuum``'s keep window. Reference
+        anchor: aqueduct's only rollback is wipe-and-resync
+        (NODE_REQUESTS bootstrap, SelfRegistrationTask.java:74-78);
+        retained immutable state lets the lake restore in O(metadata)
+        instead of re-shipping the whole log."""
+        import copy as _copy
+        src = self.manifest_at(generation)
+        cur = self.manifest
+        if src is None or cur is None:
+            raise ValueError(f"generation {generation} is not available")
+        missing = []
+        for e in src.partitions.values():
+            for rel in [e["path"]] + [d["path"]
+                                      for d in (e.get("deltas") or [])]:
+                if not os.path.exists(self.store.abs(rel)):
+                    missing.append(rel)
+        if missing:
+            raise ValueError(
+                f"cannot restore g{generation}: {len(missing)} part "
+                f"file(s) vacuumed away, e.g. {missing[0]}")
+        # in-flight background absorbs were computed against the
+        # pre-restore basis — wait them out and drop them (the same
+        # stale-basis hazard as the bootstrap wipe, see
+        # _consume_bootstrap_request)
+        if self._bg:
+            import ray as _ray
+            try:
+                _ray.wait([v["ref"] for v in self._bg.values()],
+                          num_returns=len(self._bg))
+            except Exception:
+                pass
+            for v in self._bg.values():
+                self.store.drop_staged(v["wid"])
+            self._bg.clear()
+        wave_id = f"restore-g{generation:06d}"
+        lineage = list(cur.lineage) + [{
+            "wave_id": wave_id, "lo": -1, "hi": src.watermark,
+            "generation": cur.generation + 1,
+            "restore_of": generation,
+            "rolled_back_from": cur.generation,
+        }]
+        man = Manifest(
+            generation=cur.generation + 1, watermark=src.watermark,
+            wave_id=wave_id, schema_b64=src.schema_b64,
+            num_partitions=src.num_partitions,
+            partitions=_copy.deepcopy(src.partitions),
+            partials=_copy.deepcopy(src.partials),
+            lineage=lineage[-200:],
+            named_offsets=dict(src.named_offsets),
+            hour_max=dict(src.hour_max),
+        )
+        self.store.commit(man)
+        self._cached_manifest = man
+        self.num_partitions = src.num_partitions
+        return {"wave_id": wave_id, "generation": man.generation,
+                "restored_generation": generation,
+                "watermark": man.watermark}
+
+
 def _cell_strings(col: "pa.ChunkedArray | pa.Array") -> list:
     """Stable per-type stringify shared bit-for-bit with the DuckDB
     twin: null -> '', string -> raw, int/bool -> str, float -> integer

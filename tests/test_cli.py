@@ -414,3 +414,16 @@ def test_checksum_compare(inputs, tmp_path, capsys):
 
     rc, out = run(["checksum", "--lake", a, "--against", c], capsys)
     assert rc == 1 and not out[0]["ok"] and out[0]["diverged_buckets"]
+
+
+def test_restore_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "2"], capsys)
+    rc, out = run(["restore", "--lake", lake, "--to-generation", "1"],
+                  capsys)
+    assert rc == 0 and out[0]["restored_generation"] == 1
+    rc, out = run(["restore", "--lake", lake, "--to-generation", "99"],
+                  capsys)
+    assert rc == 1 and "generation 99" in out[0]["error"]

@@ -229,3 +229,42 @@ def test_diff_payload_unknown_column_ignored_and_empty_diff_schema(
     # g -> g empty diff still carries the payload columns in its schema
     e = lake.diff_generations(g_cur, g_cur, payload_columns=["n_tok"])
     assert e.count() == 0 and "n_tok" in e.schema().names
+
+
+def _sorted_df(t: pa.Table) -> pd.DataFrame:
+    return (t.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_restore_rolls_back_and_reconverges(tmp_path):
+    """restore(g): the lake equals generation g's view, the watermark
+    moves back with it, a re-replay of the same log re-converges to the
+    pre-restore final state, and restoring an unknown generation
+    raises."""
+    log = write_changelog(SPEC, str(tmp_path / "log"))
+    seed = write_seed_lake(SPEC, str(tmp_path / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    final = _sorted_df(eng.lake_table())
+    final_cs = eng.checksum()
+    g_cur = eng.manifest.generation
+
+    g_mid = 2
+    want_mid = (eng.read_lake(generation=g_mid).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    r = eng.restore(g_mid)
+    assert r["generation"] == g_cur + 1
+    assert eng.watermark == eng.manifest_at(g_mid).watermark
+    got_mid = _sorted_df(eng.lake_table())
+    pd.testing.assert_frame_equal(got_mid[want_mid.columns], want_mid)
+    # rolled-back history is still readable (restore never deletes)
+    assert eng.read_lake(generation=g_cur).count() == len(final)
+
+    # re-replay the SAME schedule: skipped waves skip, the rest
+    # re-apply deterministically -> identical final state + signatures
+    eng.replay(log, SPEC.wave_bounds)
+    pd.testing.assert_frame_equal(_sorted_df(eng.lake_table()), final)
+    assert eng.checksum().equals(final_cs)
+
+    with pytest.raises(ValueError):
+        eng.restore(eng.manifest.generation + 5)
