@@ -1586,7 +1586,8 @@ class CDCEngine:
 
     def diff_generations(self, g_old: int,
                          g_new: int | None = None,
-                         payload_columns: list[str] | None = None
+                         payload_columns: list[str] | None = None,
+                         before_image: bool = False
                          ) -> ray.data.Dataset:
         """TIME-TRAVEL DIFF: which docs changed between two committed
         generations — (doc_id, change ∈ added|updated|deleted, lsn_old,
@@ -1596,7 +1597,11 @@ class CDCEngine:
         (the Delta-CDF read shape): each named lake column is appended
         carrying the NEW-generation value for added/updated docs, null
         for deleted — so a downstream consumer can apply the changes
-        without a second lake read.
+        without a second lake read. ``before_image=True`` additionally
+        appends ``<col>_old`` before-image columns (the Debezium
+        before/after envelope) for updated/deleted docs — what O(delta)
+        maintenance of subtractable/XOR aggregates needs
+        (state/checksums.py).
 
         Scale shape: the driver compares MANIFEST ENTRIES (base path +
         delta chain) per partition and fans out one raw diff task per
@@ -1628,7 +1633,7 @@ class CDCEngine:
             refs.append(_DIFF_TASK.remote(
                 int(pid), self.store.root, a, b,
                 m_old.schema_b64, m_new.schema_b64, self.conflict,
-                pay or None))
+                pay or None, before_image))
         if not refs:
             empty = pa.table({
                 "doc_id": pa.array([], pa.string()),
@@ -1639,6 +1644,10 @@ class CDCEngine:
             for c in pay:
                 empty = empty.append_column(
                     c, pa.nulls(0, m_new.schema.field(c).type))
+            if before_image:
+                for c in pay:
+                    empty = empty.append_column(
+                        f"{c}_old", pa.nulls(0, m_new.schema.field(c).type))
             return ray.data.from_arrow(empty)
         return ray.data.from_arrow_refs(refs)
 
@@ -2436,7 +2445,7 @@ class CDCEngine:
         from functools import partial as _partial
         partials = ds.map_batches(
             _partial(_checksum_partials, columns=cols,
-                     bucket_col="doc_id", n_buckets=n_buckets),
+                     n_buckets=n_buckets),
             batch_format="pyarrow")
         rows = partials.take_all()              # bounded: n_buckets x blocks
         agg: dict[int, list[int]] = {}
@@ -2526,51 +2535,7 @@ class CDCEngine:
                 "watermark": man.watermark}
 
 
-def _cell_strings(col: "pa.ChunkedArray | pa.Array") -> list:
-    """Stable per-type stringify shared bit-for-bit with the DuckDB
-    twin: null -> '', string -> raw, int/bool -> str, float -> integer
-    cents str (floor(x*100+0.5), NaN -> ''), list<int> -> comma-joined."""
-    t = col.type
-    if pa.types.is_floating(t):
-        v = col.to_numpy(zero_copy_only=False)
-        c = np.floor(v * 100.0 + 0.5)
-        return ["" if x != x else str(int(cv))
-                for x, cv in zip(v.tolist(), c.tolist())]
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return ["" if v is None else ",".join(str(i) for i in v)
-                for v in col.to_pylist()]
-    return ["" if v is None else str(v) for v in col.to_pylist()]
-
-
-def _checksum_partials(t: pa.Table, columns: "list[str]",
-                       bucket_col: str, n_buckets: int) -> pa.Table:
-    """Per-block checksum partials: (bucket, n_rows, xor_sig). See
-    CDCEngine.checksum for the signature/bucket conventions."""
-    import hashlib
-
-    if t.num_rows == 0:
-        return pa.table({"bucket": pa.array([], pa.int64()),
-                         "n_rows": pa.array([], pa.int64()),
-                         "xor_sig": pa.array([], pa.int64())})
-    cells = [_cell_strings(t.column(c)) for c in columns]
-    keys = _cell_strings(t.column(bucket_col))
-    n = t.num_rows
-    sigs = np.empty(n, dtype=np.int64)
-    buckets = np.empty(n, dtype=np.int64)
-    md5 = hashlib.md5
-    for i in range(n):
-        s = "|".join(c[i] for c in cells)
-        sigs[i] = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
-        buckets[i] = int(md5(keys[i].encode("utf-8")).hexdigest()[0],
-                         16) % n_buckets
-    out_b: list[int] = []
-    out_n: list[int] = []
-    out_x: list[int] = []
-    for b in np.unique(buckets):
-        mask = buckets == b
-        out_b.append(int(b))
-        out_n.append(int(mask.sum()))
-        out_x.append(int(np.bitwise_xor.reduce(sigs[mask])))
-    return pa.table({"bucket": pa.array(out_b, pa.int64()),
-                     "n_rows": pa.array(out_n, pa.int64()),
-                     "xor_sig": pa.array(out_x, pa.int64())})
+# Signature kernels live in state/checksums.py (single source of truth
+# shared with the O(delta)-maintained LakeChecksumIndex); re-exported
+# here for the engine's map_batches closure.
+from ..state.checksums import checksum_partials as _checksum_partials  # noqa: E402

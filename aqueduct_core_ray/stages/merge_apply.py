@@ -873,7 +873,8 @@ def diff_partition(pid: int, lake_root: str,
                    new_entry: "dict[str, Any] | None",
                    old_schema_b64: str, new_schema_b64: str,
                    policy: ConflictPolicy,
-                   payload_columns: "list[str] | None" = None) -> pa.Table:
+                   payload_columns: "list[str] | None" = None,
+                   before_image: bool = False) -> pa.Table:
     """TIME-TRAVEL DIFF of one partition between two generations:
     (doc_id, change ∈ added|updated|deleted, lsn_old, lsn_new). Runs as
     a raw Ray task from ``CDCEngine.diff_generations`` — one task per
@@ -888,12 +889,20 @@ def diff_partition(pid: int, lake_root: str,
     Delta-CDF shape): each named lake column is appended with the
     NEW-generation value for added/updated docs and null for deleted —
     the new side is read ONCE with the extra columns, there is no
-    second pass."""
+    second pass. ``before_image=True`` additionally appends
+    ``<col>_old`` columns carrying the OLD-generation value for
+    updated/deleted docs (null for added; null throughout when the old
+    schema predates the column) — the Debezium before/after envelope,
+    enabling O(delta) maintenance of XOR/merge-subtractable aggregates
+    downstream (see state/checksums.py)."""
     import pandas as pd
 
     new_schema = schema_from_b64(new_schema_b64)
+    old_schema = schema_from_b64(old_schema_b64)
     pay_cols = [c for c in (payload_columns or [])
                 if c in new_schema.names and c != "doc_id"]
+    old_pay_cols = ([c for c in pay_cols if c in old_schema.names]
+                    if before_image else [])
     new_payload: "pa.Table | None" = None
 
     def side(entry, b64, extra_cols=()):
@@ -914,7 +923,7 @@ def diff_partition(pid: int, lake_root: str,
                 zero_copy_only=False).astype(np.int64), dtype="Int64"),
         }), t)
 
-    a, _ = side(old_entry, old_schema_b64)
+    a, old_payload = side(old_entry, old_schema_b64, old_pay_cols)
     a = a.rename(columns={"lsn": "lsn_old"})
     b, new_payload = side(new_entry, new_schema_b64, pay_cols)
     b = b.rename(columns={"lsn": "lsn_new"})
@@ -949,6 +958,22 @@ def diff_partition(pid: int, lake_root: str,
             if col.type != typ:
                 col = col.cast(typ)
         out = out.append_column(c, col)
+    if before_image:
+        for c in pay_cols:
+            typ = new_schema.field(c).type
+            if (c not in old_pay_cols or old_payload is None
+                    or old_payload.num_rows == 0):
+                colo: "pa.Array | pa.ChunkedArray" = pa.nulls(
+                    out.num_rows, typ)
+            else:
+                idx = pd.Index(old_payload.column("doc_id")
+                               .to_numpy(zero_copy_only=False))
+                pos = idx.get_indexer(m["doc_id"].to_numpy())
+                colo = old_payload.column(c).combine_chunks().take(
+                    pa.array(pos.astype(np.int64), mask=pos < 0))
+                if colo.type != typ:
+                    colo = colo.cast(typ)
+            out = out.append_column(f"{c}_old", colo)
     return out
 
 

@@ -1,0 +1,78 @@
+"""Before-image changefeed (Debezium envelope) + the O(delta)-maintained
+checksum index: delta-refreshed signatures must equal a full rescan."""
+
+import pandas as pd
+import pytest
+
+from aqueduct_core_ray.pipelines.replay import CDCEngine
+from aqueduct_core_ray.sources.changelog import (
+    ChangelogSpec,
+    write_changelog,
+    write_seed_lake,
+)
+from aqueduct_core_ray.state.checksums import LakeChecksumIndex
+
+SPEC = ChangelogSpec(n_docs=250, n_events=2_000, seed=11, chunk_size=500,
+                     n_waves=4)
+COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn"]
+
+
+@pytest.fixture(scope="module")
+def parts(tmp_path_factory):
+    log = write_changelog(SPEC, str(tmp_path_factory.mktemp("log")))
+    seed = write_seed_lake(
+        SPEC, str(tmp_path_factory.mktemp("s") / "seed.parquet"))
+    return log, seed
+
+
+def test_before_image_changefeed(parts, tmp_path):
+    """diff_generations(before_image=True): <col>_old carries the OLD
+    generation's value for updated/deleted docs, null for added; <col>
+    keeps the after-image contract."""
+    log, seed = parts
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=6)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    g = eng.manifest.generation
+    old = (eng.read_lake(columns=["doc_id", "n_tok"], generation=0)
+           .to_pandas().set_index("doc_id"))
+    new = (eng.read_lake(columns=["doc_id", "n_tok"])
+           .to_pandas().set_index("doc_id"))
+    diff = eng.diff_generations(
+        0, g, payload_columns=["n_tok"], before_image=True).to_pandas()
+    assert "n_tok_old" in diff.columns
+    assert (diff.change == "updated").any()
+    assert (diff.change == "deleted").any()
+    for r in diff.itertuples():
+        if r.change == "added":
+            assert pd.isna(r.n_tok_old)
+            assert r.n_tok == new.loc[r.doc_id, "n_tok"]
+        elif r.change == "deleted":
+            assert pd.isna(r.n_tok)
+            assert r.n_tok_old == old.loc[r.doc_id, "n_tok"]
+        else:
+            assert r.n_tok_old == old.loc[r.doc_id, "n_tok"]
+            assert r.n_tok == new.loc[r.doc_id, "n_tok"]
+
+
+def test_checksum_index_matches_full_scan(parts, tmp_path):
+    """Delta-maintained signatures == CDCEngine.checksum's full rescan
+    after waves carrying updates and deletes; refresh is idempotent; a
+    fresh bootstrap at the same generation agrees."""
+    log, seed = parts
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=6)
+    eng.bootstrap(seed)
+    bounds = SPEC.wave_bounds
+    eng.replay(log, bounds[:1])
+    idx = LakeChecksumIndex(eng, str(tmp_path / "cks"), columns=COLS)
+    assert idx.refresh()["mode"] == "full"
+    assert idx.signatures().equals(eng.checksum(columns=COLS))
+
+    eng.replay(log, bounds[1:])
+    assert idx.refresh()["mode"] == "delta"
+    assert idx.signatures().equals(eng.checksum(columns=COLS))
+    assert idx.refresh()["mode"] == "noop"
+
+    idx2 = LakeChecksumIndex(eng, str(tmp_path / "cks2"), columns=COLS)
+    idx2.refresh()
+    assert idx2.signatures().equals(idx.signatures())
