@@ -200,6 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": partial(tp.props_key_stats),
         "interval_join_pairs": partial(tp.interval_join_pairs),
         "mad_by_type": partial(tp.mad_by_type),
+        # robust k-MAD outlier flags (integer-exact, one streaming
+        # filter pass over broadcast per-type constants)
+        "value_outliers": partial(tp.value_outliers),
+        # ANALYZE-style column profile (nulls, exact distinct, min/max,
+        # length totals) of the documents table
+        "profile_documents": partial(text.profile_documents),
         # deterministic md5-thresholded split + per-source token-budget
         # prefix sample (both md5-keyed so DuckDB reproduces the exact
         # sampling decisions, not just the aggregate shape)
@@ -1536,6 +1542,55 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
                         AS BIGINT) AS mad_c
             FROM v JOIN m USING (event_type)
             GROUP BY v.event_type, m.med""",
+        "profile_documents": """
+            SELECT 'doc_id' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   CAST(min(doc_id) AS BIGINT) AS min_int,
+                   CAST(max(doc_id) AS BIGINT) AS max_int,
+                   CAST(NULL AS BIGINT) AS sum_len
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS BIGINT),
+                   CAST(max(n_chars) AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(source) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(sum(length(source)) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'text', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(text) AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(sum(length(text)) AS BIGINT)
+            FROM documents""",
+        "value_outliers": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+              FROM events),
+            m AS (
+              SELECT event_type, quantile_disc(value_c, 0.5) AS med
+              FROM v GROUP BY 1),
+            s AS (
+              SELECT v.event_type, m.med,
+                     CAST(quantile_disc(abs(v.value_c - m.med), 0.5)
+                          AS BIGINT) AS mad
+              FROM v JOIN m USING (event_type)
+              GROUP BY v.event_type, m.med)
+            SELECT v.event_id, v.event_type, v.value_c,
+                   CAST(abs(v.value_c - s.med) AS BIGINT) AS dev_c
+            FROM v JOIN s USING (event_type)
+            WHERE abs(v.value_c - s.med) > 5 * s.mad""",
         "props_key_stats": """
             SELECT event_type, CAST(count(k) AS BIGINT) AS n,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -1615,3 +1615,97 @@ def type_token_ratio(sf_dir: str) -> ray.data.Dataset:
 
     return read_documents(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(per_block, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- #
+def profile_documents(sf_dir: str) -> pa.Table:
+    """ANALYZE-style column profile of the documents table — per column
+    (doc_id, n_chars, source, text): row/null counts, EXACT distinct
+    count, integer min/max (null for strings), total character length
+    (null for ints). The data-quality audit every ingest pipeline
+    fronts with.
+
+    Scale shape: one column-pruned read per pass. Scalar stats are
+    per-block partials folded driver-side (cols x blocks rows).
+    Distinct counts shuffle per-block-DEDUPED (column, hash64) pairs —
+    64-bit siphash digests move, never the values — through one
+    groupby; collision odds are ~n^2/2^64 (negligible; exact at
+    testdata scale, where the DuckDB oracle compare is bit-for-bit)."""
+    cols = ["doc_id", "n_chars", "source", "text"]
+    ds = read_documents(sf_dir, columns=cols)
+
+    def scalar_partials(t: pa.Table) -> pa.Table:
+        names, rows, nulls, mns, mxs, lens = [], [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            rows.append(t.num_rows)
+            nulls.append(col.null_count)
+            if pa.types.is_integer(col.type):
+                mm = pc.min_max(col)
+                mns.append(mm["min"].as_py())
+                mxs.append(mm["max"].as_py())
+                lens.append(None)
+            else:
+                mns.append(None)
+                mxs.append(None)
+                lens.append(pc.sum(pc.utf8_length(col)).as_py() or 0)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(rows, pa.int64()),
+            "n_nulls": pa.array(nulls, pa.int64()),
+            "min_int": pa.array(mns, pa.int64()),
+            "max_int": pa.array(mxs, pa.int64()),
+            "sum_len": pa.array(lens, pa.int64()),
+        })
+
+    sc = (ds.map_batches(scalar_partials, batch_format="pyarrow")
+          .to_pandas())                       # bounded: cols x blocks
+    agg = sc.groupby("col_name").agg(
+        n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+        min_int=("min_int", "min"), max_int=("max_int", "max"),
+        sum_len=("sum_len", lambda s: s.sum(min_count=1)))
+
+    def hash_pairs(t: pa.Table) -> pa.Table:
+        outs_c, outs_h = [], []
+        for c in cols:
+            arr = (t.column(c).drop_null()
+                   .to_numpy(zero_copy_only=False))
+            if not np.issubdtype(arr.dtype, np.integer):
+                arr = np.asarray(arr, dtype=object)
+            h = np.unique(pd.util.hash_array(arr, categorize=False))
+            outs_c.append(np.full(len(h), c, dtype=object))
+            outs_h.append(h.view(np.int64))
+        return pa.table({
+            "col_name": pa.array(np.concatenate(outs_c), pa.string()),
+            "h": pa.array(np.concatenate(outs_h), pa.int64()),
+        })
+
+    def count_unique(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": g.column("col_name").slice(0, 1),
+            "n_distinct": pa.array(
+                [pc.count_distinct(g.column("h")).as_py()], pa.int64()),
+        })
+
+    nd = (read_documents(sf_dir, columns=cols)
+          .map_batches(hash_pairs, batch_format="pyarrow")
+          .groupby("col_name")
+          .map_groups(count_unique, batch_format="pyarrow")
+          .to_pandas().set_index("col_name"))
+
+    agg = agg.join(nd).reset_index().sort_values("col_name")
+
+    def int_col(s) -> pa.Array:
+        return pa.array([None if pd.isna(x) else int(x) for x in s],
+                        pa.int64())
+
+    return pa.table({
+        "col_name": pa.array(agg["col_name"].tolist(), pa.string()),
+        "n_rows": int_col(agg["n_rows"]),
+        "n_nulls": int_col(agg["n_nulls"]),
+        "n_distinct": int_col(agg["n_distinct"]),
+        "min_int": int_col(agg["min_int"]),
+        "max_int": int_col(agg["max_int"]),
+        "sum_len": int_col(agg["sum_len"]),
+    })

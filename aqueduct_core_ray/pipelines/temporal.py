@@ -1446,11 +1446,10 @@ def interval_join_pairs(sf_dir: str, left_type: str = "click",
                 "gap_us": pa.array([], pa.int64())})))
 
 
-def mad_by_type(sf_dir: str) -> ray.data.Dataset:
-    """Median absolute deviation per event_type (robust spread), both
-    in integer cents with ``quantile_disc`` rank semantics: median m =
-    element at rank ceil(n/2), MAD = median of |v − m|. Returns
-    (event_type, median_c, mad_c).
+def _median_mad_table(sf_dir: str) -> pa.Table:
+    """(event_type, median_c, mad_c) with ``quantile_disc`` rank
+    semantics: median m = element at rank ceil(n/2), MAD = median of
+    |v − m|. Shared by ``mad_by_type`` and ``value_outliers``.
 
     Scale shape: a DEPENDENT two-pass statistic computed from ONE
     exchange — the same bounded (type, value_c) histogram as
@@ -1502,11 +1501,56 @@ def mad_by_type(sf_dir: str) -> ray.data.Dataset:
         out_t.append(et)
         out_m.append(med)
         out_d.append(mad)
-    return ray.data.from_arrow(pa.table({
+    return pa.table({
         "event_type": pa.array(out_t, pa.string()),
         "median_c": pa.array(out_m, pa.int64()),
         "mad_c": pa.array(out_d, pa.int64()),
-    }))
+    })
+
+
+def mad_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Median absolute deviation per event_type (robust spread) —
+    see ``_median_mad_table`` for semantics and scale shape."""
+    return ray.data.from_arrow(_median_mad_table(sf_dir))
+
+
+def value_outliers(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Robust per-type outlier detection: flag events where
+    |value_c − median_c| > k·mad_c (the k-MAD rule — the
+    quality-monitoring staple, robust where a z-score rule is wrecked
+    by the outliers it hunts). All integer arithmetic, so the SQL
+    oracle reproduces every flag bit-exactly. Returns the flagged rows
+    (event_id, event_type, value_c, dev_c).
+
+    Scale shape: the bounded-histogram exchange yields the per-type
+    (median, mad) constants (#types rows — driver-held by nature);
+    they ride the flag closure into ONE streaming filter pass over the
+    column-pruned events read. No second exchange, no driver rows
+    beyond the constants."""
+    stats = _median_mad_table(sf_dir)
+    types = np.array(stats.column("event_type").to_pylist())
+    order = np.argsort(types)
+    types = types[order]
+    meds = stats.column("median_c").to_numpy()[order]
+    mads = stats.column("mad_c").to_numpy()[order]
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(types, et)
+        dev = np.abs(v - meds[pos])
+        keep = dev > k * mads[pos]
+        return pa.table({
+            "event_id": t.column("event_id").filter(pa.array(keep)),
+            "event_type": t.column("event_type").filter(pa.array(keep)),
+            "value_c": pa.array(v[keep]),
+            "dev_c": pa.array(dev[keep]),
+        })
+
+    return (read_events(sf_dir, columns=["event_id", "event_type",
+                                         "value"])
+            .map_batches(flag, batch_format="pyarrow"))
 
 
 def late_events(sf_dir: str, lateness_minutes: int = 10,

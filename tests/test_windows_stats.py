@@ -498,3 +498,33 @@ def test_interp_quantiles_matches_numpy(tmp_path):
     out = (interp_quantiles_by_type(str(sf), qs=(0.5,)).to_pandas()
            .set_index("q"))
     assert int(out.loc[0.5, "value_mc"]) == 250000   # 2.5 cents*100*1000
+
+
+def test_value_outliers_matches_duckdb():
+    import __ray_entry__ as entry
+    ry = _canon(temporal.value_outliers(SF).to_pandas())
+    dk = _canon(_duck(entry.oracle_sql()["value_outliers"]))
+    pd.testing.assert_frame_equal(ry, dk, check_dtype=False)
+    # every flagged row satisfies the 5-MAD rule against the exact stats
+    stats = temporal.mad_by_type(SF).to_pandas().set_index("event_type")
+    for r in ry.itertuples():
+        assert r.dev_c > 5 * stats.loc[r.event_type, "mad_c"]
+
+
+def test_profile_documents_matches_duckdb():
+    import duckdb as _d
+
+    import __ray_entry__ as entry
+    from aqueduct_core_ray.functions.text import profile_documents
+    ry = _canon(profile_documents(SF).to_pandas())
+    con = _d.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    dk = _canon(con.execute(entry.oracle_sql()["profile_documents"]).df())
+    pd.testing.assert_frame_equal(ry, dk, check_dtype=False)
+    # structural invariants: one row per profiled column, zero nulls in
+    # the synthetic corpus, doc_id fully distinct
+    assert set(ry.col_name) == {"doc_id", "n_chars", "source", "text"}
+    assert (ry.n_nulls == 0).all()
+    row = ry.set_index("col_name").loc["doc_id"]
+    assert row.n_distinct == row.n_rows
