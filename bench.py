@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "pmi_bigrams", "substring_search", "embedding_covariance",
     "pca_project", "late_events", "fuzzy_match_pairs",
     "source_divergence", "skyline_docs", "session_paths",
+    "lake_checksum", "restore_lake", "value_outliers",
+    "profile_documents",
 ]
 
 
