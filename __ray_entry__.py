@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": partial(tp.event_transitions),
         "retention_cohorts": partial(tp.retention_cohorts),
         "unigram_logprob_score": partial(text.unigram_logprob_score),
+        "bigram_logprob_score": partial(text.bigram_logprob_score),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1303,6 +1304,42 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # Laplace-smoothed bigram LM scoring: same permille rounding
+        # convention; first token scores against the start-of-doc
+        # distribution, V = exact distinct vocabulary
+        "bigram_logprob_score": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+') AS w
+              FROM documents),
+            v AS (SELECT count(DISTINCT token) AS vocab
+                  FROM (SELECT unnest(w) AS token FROM d)),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+                   FROM (SELECT doc_id, w,
+                                unnest(range(1, len(w))) AS i
+                         FROM d)),
+            cb AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+            ca AS (SELECT a, count(*) AS c_a FROM bg GROUP BY 1),
+            ft AS (SELECT doc_id, w[1] AS a FROM d),
+            cf AS (SELECT a, count(*) AS c_f FROM ft GROUP BY 1),
+            bs AS (SELECT g.doc_id,
+                          CAST(floor(ln((cb.c_ab * 1.0 + 1)
+                                        / (ca.c_a + v.vocab))
+                                     * 1000 + 0.5) AS BIGINT) AS sp
+                   FROM bg g JOIN cb USING (a, b) JOIN ca USING (a)
+                   CROSS JOIN v),
+            fs AS (SELECT f.doc_id,
+                          CAST(floor(ln((cf.c_f * 1.0 + 1)
+                                        / (nd.n_docs + v.vocab))
+                                     * 1000 + 0.5) AS BIGINT) AS sp
+                   FROM ft f JOIN cf USING (a)
+                   CROSS JOIN nd CROSS JOIN v)
+            SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_permille
+            FROM (SELECT * FROM bs UNION ALL SELECT * FROM fs)
+            GROUP BY doc_id""",
         "unigram_logprob_score": r"""
             WITH w AS (
               SELECT doc_id,

@@ -1709,3 +1709,122 @@ def profile_documents(sf_dir: str) -> pa.Table:
         "max_int": int_col(agg["max_int"]),
         "sum_len": int_col(agg["sum_len"]),
     })
+
+
+def bigram_logprob_score(sf_dir: str,
+                         num_partitions: int = 32) -> ray.data.Dataset:
+    """Corpus-LM quality scoring, one order up from
+    ``unigram_logprob_score``: train a Laplace-smoothed BIGRAM language
+    model on the whole corpus and score every document by total
+    log-likelihood — the KenLM-perplexity-filter shape of CCNet-style
+    curation. Per-bigram log-prob is the integer permille
+    ``floor(ln((c(a,b)+1)/(c(a)+V)) * 1000 + 0.5)`` (c(a) = occurrences
+    of ``a`` as a bigram left element, V = exact distinct vocabulary);
+    each document's FIRST token scores against the start-of-doc
+    distribution ``floor(ln((c_first(a)+1)/(n_docs+V)) * 1000 + 0.5)``.
+    Shared float64 row-rounding convention (tfidf_top_terms), so the
+    SQL oracle matches bit-exactly. Returns (doc_id, score_permille).
+
+    Scale shape: the bigram vocabulary is unbounded so nothing is
+    broadcast — ONE exchange keyed by hash(LEFT token) co-locates every
+    (a, b) bigram row AND every first-token row of ``a``; the owning
+    partition folds c(a,b) (lexsort + reduceat), c(a) and c_first(a)
+    in place and scores rows locally; a native groupby(doc).sum
+    finishes. The only driver scalars are n_docs and V (V's distinct
+    fold moves 64-bit token digests, never tokens; collision odds
+    ~V^2/2^64)."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tok_hashes(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        h = np.unique(hash_str_array(words.flatten()))
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    vocab = float(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(tok_hashes, batch_format="pyarrow")
+        .groupby("h").count().count())
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        cnt = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = words.flatten().to_numpy(zero_copy_only=False)
+        dids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        nb = np.maximum(cnt - 1, 0)              # bigrams per doc
+        seg = np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)
+        a_idx = np.repeat(starts, nb) + seg
+        first = flat[starts]                     # every doc has >=1 token
+        g = pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [np.repeat(dids, nb), dids])),
+            "a": pa.array(np.concatenate([flat[a_idx], first])),
+            "b": pa.array(np.concatenate(
+                [flat[a_idx + 1], np.full(len(dids), "", object)])),
+            "kind": pa.array(np.concatenate(
+                [np.ones(len(a_idx), np.int8),
+                 np.zeros(len(dids), np.int8)])),
+            "tf": pa.array(np.ones(len(a_idx) + len(dids), np.int64)),
+        })
+        agg = g.group_by(["doc_id", "a", "b", "kind"]).aggregate(
+            [("tf", "sum")])
+        return pa.table({
+            "apart": pa.array((hash_str_array(agg.column("a"))
+                               % np.uint64(num_partitions))
+                              .astype(np.int32)),
+            "doc_id": agg.column("doc_id"),
+            "a": agg.column("a"),
+            "b": agg.column("b"),
+            "kind": agg.column("kind"),
+            "tf": agg.column("tf_sum"),
+        })
+
+    def score_rows(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = np.zeros(len(a), np.int64)
+
+        def fold(keys_tuple, vals, mask):
+            """Global sums of ``vals`` over rows selected by ``mask``,
+            grouped by the key tuple, scattered back to those rows."""
+            idx = np.flatnonzero(mask)
+            order = idx[np.lexsort(tuple(k[idx] for k in keys_tuple))]
+            change = np.zeros(len(order), bool)
+            change[0:1] = True
+            for k in keys_tuple:
+                change[1:] |= k[order][1:] != k[order][:-1]
+            starts = np.flatnonzero(change)
+            sums = np.add.reduceat(vals[order], starts)
+            sizes = np.diff(np.append(starts, len(order)))
+            out = np.empty(len(order), np.int64)
+            out[:] = np.repeat(sums, sizes)
+            full = np.zeros(len(a), np.int64)
+            full[order] = out
+            return full
+
+        bi = kind == 1
+        if bi.any():
+            c_ab = fold((b, a), tf, bi)
+            c_a = fold((a,), tf, bi)
+            lp = np.floor(np.log((c_ab[bi] + 1.0) / (c_a[bi] + vocab))
+                          * 1000.0 + 0.5).astype(np.int64)
+            sp[bi] = tf[bi] * lp
+        ft = kind == 0
+        if ft.any():
+            c_f = fold((a,), tf, ft)
+            lp = np.floor(np.log((c_f[ft] + 1.0) / (n_docs + vocab))
+                          * 1000.0 + 0.5).astype(np.int64)
+            sp[ft] = tf[ft] * lp
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "score_permille": pa.array(sp)})
+
+    from ..stages.exchange import fx_sum_by
+    return fx_sum_by(
+        docs.map_batches(gram_rows, batch_format="pyarrow")
+        .fx_map_groups(score_rows, part_col="apart"),
+        ["doc_id"], ["score_permille"])

@@ -1635,3 +1635,43 @@ def test_type_token_ratio_crafted(tmp_path):
     assert out.n_tok.tolist() == [4, 4, 4]
     assert out.n_types.tolist() == [1, 4, 2]
     assert out.ttr_micros.tolist() == [250000, 1000000, 500000]
+
+
+def test_bigram_logprob_score_random_corpora(tmp_path):
+    """Seeded randomized cross-check of the distributed bigram-LM doc
+    scoring (Laplace smoothing, start-of-doc distribution for the first
+    token) against brute-force Python, at two partition counts."""
+    import math
+    from collections import Counter
+    rng = np.random.default_rng(31)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab,
+                                     size=rng.integers(1, 12)).tolist())
+                 for _ in range(rng.integers(3, 9))]
+        (tmp_path / f"t{trial}").mkdir()
+        sf = _mk_docs(tmp_path / f"t{trial}", texts)
+        docs = [t.split() for t in texts]
+        V = len({tok for d in docs for tok in d})
+        nd = len(docs)
+        c_ab = Counter((d[i], d[i + 1]) for d in docs
+                       for i in range(len(d) - 1))
+        c_a = Counter(d[i] for d in docs for i in range(len(d) - 1))
+        c_f = Counter(d[0] for d in docs)
+
+        def score(d):
+            s = math.floor(math.log((c_f[d[0]] + 1) / (nd + V))
+                           * 1000 + 0.5)
+            for i in range(len(d) - 1):
+                s += math.floor(
+                    math.log((c_ab[(d[i], d[i + 1])] + 1)
+                             / (c_a[d[i]] + V)) * 1000 + 0.5)
+            return s
+
+        want = [score(d) for d in docs]
+        for P in (2, 7):
+            out = (text.bigram_logprob_score(sf, num_partitions=P)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            assert list(out["doc_id"]) == list(range(len(docs)))
+            assert list(out["score_permille"]) == want, (trial, P)
