@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": partial(tp.retention_cohorts),
         "unigram_logprob_score": partial(text.unigram_logprob_score),
         "bigram_logprob_score": partial(text.bigram_logprob_score),
+        # Zipf-law OLS fit over the top-100 token frequencies
+        "zipf_fit": partial(text.zipf_fit),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1304,6 +1306,30 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # Zipf OLS over the rank-ordered top-k term frequencies (micro
+        # quantization absorbs float64 summation-order noise)
+        "zipf_fit": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+')) AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+            r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, token)
+                     AS rk FROM c),
+            t AS (SELECT ln(rk * 1.0) AS x, ln(cnt * 1.0) AS y
+                  FROM r WHERE rk <= 100 ORDER BY rk),
+            s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM t)
+            SELECT CAST(n AS BIGINT) AS k_used,
+                   CAST(floor((n * sxy - sx * sy)
+                              / (n * sxx - sx * sx) * 1e6 + 0.5)
+                        AS BIGINT) AS slope_micro,
+                   CAST(floor((sy - (n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx) * sx) / n
+                              * 1e6 + 0.5) AS BIGINT) AS intercept_micro
+            FROM s""",
         # Laplace-smoothed bigram LM scoring: same permille rounding
         # convention; first token scores against the start-of-doc
         # distribution, V = exact distinct vocabulary

@@ -327,6 +327,17 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """One-shot maintenance (CDCEngine.optimize): settle absorbs,
+    absorb sidecar debt, vacuum, prune outbox to the slowest consumer."""
+    _init_ray()
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    r = eng.optimize(keep_generations=args.keep)
+    print(json.dumps({"ok": True, **r}))
+    return 0
+
+
 def cmd_restore(args) -> int:
     """Point-in-time restore (CDCEngine.restore): one metadata commit
     that rolls the lake back to a past generation; exit 1 if the target
@@ -798,6 +809,14 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--columns", default=None,
                    help="comma-separated column subset")
     g.set_defaults(fn=cmd_get)
+
+    op = sub.add_parser("optimize",
+                        help="one-shot maintenance: settle absorbs, "
+                             "absorb sidecars, vacuum, prune outbox")
+    op.add_argument("--lake", required=True)
+    op.add_argument("--keep", type=int, default=2,
+                    help="generations kept readable (default 2)")
+    op.set_defaults(fn=cmd_optimize)
 
     rs = sub.add_parser("restore",
                         help="roll the lake back to a past generation "

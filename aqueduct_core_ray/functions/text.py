@@ -1828,3 +1828,75 @@ def bigram_logprob_score(sf_dir: str,
         docs.map_batches(gram_rows, batch_format="pyarrow")
         .fx_map_groups(score_rows, part_col="apart"),
         ["doc_id"], ["score_permille"])
+
+
+def zipf_fit(sf_dir: str, k: int = 100) -> pa.Table:
+    """Zipf's-law fit of the corpus token-frequency distribution:
+    ordinary least squares of ln(count) on ln(rank) over the top-``k``
+    tokens (ties rank by token asc — the doc_frequency convention). A
+    healthy natural-language corpus fits slope ~ -1; a flat or cliffed
+    slope flags templated/synthetic text — the corpus-health scalar
+    next to source_divergence. Returns ONE row
+    (k_used, slope_micro, intercept_micro): both coefficients
+    floor(x * 1e6 + 0.5)-quantized — the quantum is ~1e8 times any
+    float64 summation-order noise, so the SQL oracle reproduces them.
+
+    Scale shape: identical to doc_frequency — per-block (token, count)
+    partials, one native distributed sum keyed by token, per-block
+    local top-k bounding the driver fold at k x blocks rows; the
+    regression itself is O(k) driver arithmetic."""
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(t.column("text"))
+        words = pc.split_pattern_regex(txt, r"\s+").combine_chunks()
+        agg = pa.table({"token": words.flatten()}).group_by(
+            "token").aggregate([("token", "count")])
+        return pa.table({"token": agg.column("token"),
+                         "cnt": agg.column("token_count")})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -cnt))[:k]
+        return pa.table({
+            "token": t.column("token").take(pa.array(order)),
+            "cnt": pa.array(cnt[order].astype(np.int64)),
+        })
+
+    from ..stages.exchange import fx_sum_by
+    cand_ds = fx_sum_by(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(tf_partial, batch_format="pyarrow"),
+        ["token"], ["cnt"]
+    ).map_batches(local_topk, batch_format="pyarrow")
+    tables = [t for t in ray.get(cand_ds.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"k_used": pa.array([], pa.int64()),
+                      "slope_micro": pa.array([], pa.int64()),
+                      "intercept_micro": pa.array([], pa.int64())})
+    if not tables:
+        return empty
+    cand = pa.concat_tables(tables, promote_options="default")
+    cnt = cand.column("cnt").to_numpy(zero_copy_only=False)
+    tok = cand.column("token").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -cnt))[:k]
+    n = len(order)
+    if n < 2:
+        return empty
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(cnt[order].astype(np.float64))
+    # plain-sum OLS in rank order — the exact float64 expression the
+    # SQL oracle evaluates over the same rank-ordered k rows
+    # closed-form OLS from rank-ordered sums; the 1e-6 quantization
+    # dwarfs any float64 summation-order difference vs the SQL twin
+    # (~1e-14 relative over k<=100 terms)
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "k_used": pa.array([n], pa.int64()),
+        "slope_micro": pa.array(
+            [int(np.floor(slope * 1e6 + 0.5))], pa.int64()),
+        "intercept_micro": pa.array(
+            [int(np.floor(intercept * 1e6 + 0.5))], pa.int64()),
+    })

@@ -2462,6 +2462,36 @@ class CDCEngine:
 
 
     # ------------------------------------------------------------------ #
+    def optimize(self, keep_generations: int = 2) -> "dict[str, Any]":
+        """ONE-SHOT MAINTENANCE (the lakehouse OPTIMIZE verb): pay down
+        every deferred cost in dependency order — (1) settle in-flight
+        background absorbs, (2) absorb remaining delta sidecars into
+        their bases (exact accounting restored; read fan back to one
+        file per partition), (3) vacuum part files and orphaned staging
+        outside the keep window, (4) prune the outbox below the slowest
+        registered consumer (skipped when no consumer is registered —
+        never prune blindly). Idempotent: a second call reports zeros.
+        This is the between-ingest-bursts maintenance window a fleet
+        scheduler runs; each step is the same code path as its
+        dedicated verb (drain_absorbs / compact_partitions / vacuum /
+        prune_outbox), so OPTIMIZE adds policy, not machinery."""
+        settled = self.drain_absorbs()
+        compacted = self.compact_partitions()
+        removed = self.vacuum(keep_generations=keep_generations)
+        pruned = 0
+        if os.path.isdir(self.outbox_dir):    # also on a maintenance
+            # reopen, where emit_changelog wasn't passed
+            hwms = [int(r["hwm"]) for r in self.consumer_hwms().values()]
+            if hwms:
+                pruned = self.prune_outbox(min(hwms) + 1)
+        return {"settled_absorbs": settled,
+                "compacted_partitions": compacted,
+                "vacuumed_files": removed,
+                "pruned_outbox_segments": pruned,
+                "generation": (self.manifest.generation
+                               if self.manifest else -1)}
+
+    # ------------------------------------------------------------------ #
     def restore(self, generation: int) -> "dict[str, Any]":
         """POINT-IN-TIME RESTORE (the lakehouse RESTORE/flashback
         primitive): commit a NEW generation whose table state, schema,

@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "pca_project", "late_events", "fuzzy_match_pairs",
     "source_divergence", "skyline_docs", "session_paths",
     "lake_checksum", "restore_lake", "value_outliers",
-    "profile_documents", "bigram_logprob_score",
+    "profile_documents", "bigram_logprob_score", "zipf_fit",
 ]
 
 

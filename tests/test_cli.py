@@ -427,3 +427,14 @@ def test_restore_cli(inputs, tmp_path, capsys):
     rc, out = run(["restore", "--lake", lake, "--to-generation", "99"],
                   capsys)
     assert rc == 1 and "generation 99" in out[0]["error"]
+
+
+def test_optimize_cli(inputs, tmp_path, capsys):
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "2"], capsys)
+    rc, out = run(["optimize", "--lake", lake, "--keep", "1"], capsys)
+    assert rc == 0 and out[0]["ok"]
+    rc, out = run(["verify", "--lake", lake], capsys)
+    assert rc == 0 and out[0]["ok"]

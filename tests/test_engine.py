@@ -445,3 +445,31 @@ def test_checksum_sync_verification(log_dir, seed_path, tmp_path):
     lag.replay(log_dir, SPEC.wave_bounds[:-1])
     c = lag.checksum()
     assert not a.equals(c)
+
+
+def test_optimize_pays_down_maintenance_debt(log_dir, seed_path, tmp_path):
+    """optimize(): absorbs sidecar debt (exact accounting restored),
+    vacuums old generations, is idempotent, and never changes the
+    logical table."""
+    import pandas as pd
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=8,
+                    sidecar_frac=5.0, max_deltas=16, bg_absorb=False)
+    eng.bootstrap(seed_path)
+    eng.replay(log_dir, SPEC.wave_bounds)
+    assert eng.dirty_pids()                  # sidecar debt exists
+
+    def snap(e):
+        return (e.lake_table().select(COLS).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    before = snap(eng)
+    r = eng.optimize(keep_generations=1)
+    assert r["compacted_partitions"] > 0
+    assert r["vacuumed_files"] > 0
+    assert not eng.dirty_pids()
+    pd.testing.assert_frame_equal(snap(eng), before)
+
+    r2 = eng.optimize(keep_generations=1)
+    assert r2["compacted_partitions"] == 0
+    assert r2["vacuumed_files"] == 0
+    assert r2["settled_absorbs"] == 0
