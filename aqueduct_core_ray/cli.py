@@ -360,7 +360,21 @@ def cmd_checksum(args) -> int:
     parent/child convergence audit (ship 16 rows, not the table)."""
     from .pipelines.replay import CDCEngine
     cols = args.columns.split(",") if args.columns else None
-    mine = CDCEngine(args.lake, num_partitions=None).checksum(columns=cols)
+    eng = CDCEngine(args.lake, num_partitions=None)
+    if args.index:
+        # maintained path: O(delta) refresh off the before-image
+        # changefeed instead of an O(lake) rescan
+        from .state.checksums import LakeChecksumIndex
+        idx = LakeChecksumIndex(eng, args.index, columns=cols)
+        r = idx.refresh()
+        mine = idx.signatures()
+        if not args.against:
+            print(json.dumps({"ok": True, "lake": args.lake,
+                              "refresh": r,
+                              "buckets": mine.to_pylist()}))
+            return 0
+    else:
+        mine = eng.checksum(columns=cols)
     if not args.against:
         print(json.dumps({"ok": True, "lake": args.lake,
                           "buckets": mine.to_pylist()}))
@@ -835,6 +849,9 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--columns", default=None,
                     help="comma-separated signature columns "
                          "(default: all lake columns)")
+    ck.add_argument("--index", default=None,
+                    help="maintained-signature dir: O(delta) changefeed "
+                         "refresh instead of a full lake rescan")
     ck.set_defaults(fn=cmd_checksum)
 
     dd = sub.add_parser("dedup",

@@ -438,3 +438,21 @@ def test_optimize_cli(inputs, tmp_path, capsys):
     assert rc == 0 and out[0]["ok"]
     rc, out = run(["verify", "--lake", lake], capsys)
     assert rc == 0 and out[0]["ok"]
+
+
+def test_checksum_maintained_index_cli(inputs, tmp_path, capsys):
+    """checksum --index: first call bootstraps (full), later calls
+    delta-refresh; maintained buckets equal the full-rescan buckets."""
+    log, seed = inputs
+    lake, idx = str(tmp_path / "lake"), str(tmp_path / "cks")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "1",
+         "--watermark", str(SPEC.n_events // 2)], capsys)
+    rc, out = run(["checksum", "--lake", lake, "--index", idx], capsys)
+    assert rc == 0 and out[0]["refresh"]["mode"] == "full"
+    run(["replay", "--log", log, "--lake", lake,
+         "--partitions", "4", "--waves", "1"], capsys)
+    rc, out = run(["checksum", "--lake", lake, "--index", idx], capsys)
+    assert rc == 0 and out[0]["refresh"]["mode"] == "delta"
+    rc, full = run(["checksum", "--lake", lake], capsys)
+    assert rc == 0 and out[0]["buckets"] == full[0]["buckets"]
