@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_score": partial(text.bigram_logprob_score),
         # Zipf-law OLS fit over the top-100 token frequencies
         "zipf_fit": partial(text.zipf_fit),
+        # the generic fx_join primitive on real fact tables
+        "order_lines_join": partial(an.order_lines_join),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1306,6 +1308,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # generic co-partitioned equi-join on the fact tables
+        "order_lines_join": """
+            SELECT l_orderkey AS o_orderkey, l_linenumber,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                       AS qty_c,
+                   o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
         # Zipf OLS over the rank-ordered top-k term frequencies (micro
         # quantization absorbs float64 summation-order noise)
         "zipf_fit": r"""

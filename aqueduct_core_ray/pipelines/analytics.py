@@ -3007,3 +3007,35 @@ def orders_weekly_gapfill(sf_dir: str) -> ray.data.Dataset:
                                ).cast(pa.timestamp("us")),
         "n_orders": pa.array(n),
         "sum_total_c": pa.array(s)}))
+
+
+def order_lines_join(sf_dir: str,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """The GENERIC join primitive exercised end-to-end: inner-join
+    lineitem to orders on the order key via ``stages.exchange.fx_join``
+    (one co-partitioned file exchange, both fact tables move exactly
+    once) and return the joined line grain — proof the reusable join
+    reproduces SQL join semantics on real tables, not just the
+    hand-fused pipelines elsewhere in this module. Money in integer
+    cents as everywhere."""
+    from ..stages.exchange import fx_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def conform(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "qty_c": pa.array(np.floor(q * 100.0 + 0.5)
+                              .astype(np.int64)),
+        })
+
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(conform, batch_format="pyarrow")
+    return fx_join(lines, orders, on="o_orderkey", how="inner",
+                   num_partitions=num_partitions)

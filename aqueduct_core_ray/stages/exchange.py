@@ -220,3 +220,109 @@ def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
     """``ds.groupby(keys).sum(sums)`` over the file exchange."""
     return fx_agg_by(ds, keys, [(c, "sum") for c in sums],
                      num_partitions)
+
+
+def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
+            on: "list[str] | str", how: str = "inner",
+            num_partitions: int = 16,
+            suffix: str = "_r") -> ray.data.Dataset:
+    """Generic co-partitioned hash EQUI-JOIN over the file exchange —
+    the reusable primitive behind the module's hand-built join
+    pipelines. Both sides are tagged ``hash(key) % num_partitions``
+    and flow through ONE exchange; each partition task splits its rows
+    by side and merges vectorized (arrow-backed frames, so int64 keys
+    and values survive null-introduction without a float64 upcast).
+
+    ``how``: inner | left | semi | anti. SQL null-key semantics (a
+    null key never matches). Non-key right columns that collide with a
+    left name get ``suffix``; semi/anti return the left columns only,
+    each left row at most once per its own multiplicity.
+
+    Scale shape: one exchange, both sides move exactly once, join
+    state is per-partition (skew follows the key distribution — salt
+    upstream for a hot key, same contract as the engine's merge)."""
+    import pandas as pd
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    ls = pa.schema(left.schema().base_schema)
+    rs = pa.schema(right.schema().base_schema)
+    for k in keys:
+        if k not in ls.names or k not in rs.names:
+            raise ValueError(f"join key {k!r} missing from a side")
+    l_cols = [c for c in ls.names if c not in ("part", "__side")]
+    r_ren = {c: (c + suffix if (c in ls.names and c not in keys) else c)
+             for c in rs.names if c not in ("part", "__side")}
+    r_cols = [r_ren[c] for c in rs.names
+              if c not in ("part", "__side") and c not in keys]
+    out_left_only = how in ("semi", "anti")
+    combined = pa.schema(
+        [ls.field(c) for c in l_cols]
+        + [pa.field(r_ren[c], rs.field(c).type) for c in rs.names
+           if c not in ("part", "__side") and c not in keys]
+        + [pa.field("__side", pa.int8()), pa.field("part", pa.int32())])
+
+    def tag(side: int):
+        def _tag(t: pa.Table) -> pa.Table:
+            h = None
+            for k in keys:
+                hk = pd.util.hash_array(
+                    t.column(k).to_numpy(zero_copy_only=False).copy(),
+                    categorize=False)
+                h = hk if h is None else (
+                    (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
+            part = pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int32))
+            cols = {}
+            for f in combined:
+                if f.name == "__side":
+                    cols[f.name] = pa.array(
+                        np.full(t.num_rows, side, np.int8))
+                elif f.name == "part":
+                    cols[f.name] = part
+                else:
+                    src = f.name
+                    if side == 1:
+                        inv = {v: k for k, v in r_ren.items()}
+                        src = inv.get(f.name, f.name)
+                        have = src in rs.names and (
+                            f.name in r_cols or src in keys)
+                    else:
+                        have = f.name in ls.names
+                    cols[f.name] = (t.column(src).cast(f.type) if have
+                                    else pa.nulls(t.num_rows, f.type))
+            return pa.table(cols, schema=combined)
+        return _tag
+
+    def join_part(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        body = g.drop_columns(["__side", "part"])
+        lt = body.filter(pa.array(side == 0)).select(l_cols)
+        rt = body.filter(pa.array(side == 1)).select(keys + r_cols)
+        ldf = lt.to_pandas(types_mapper=pd.ArrowDtype)
+        rdf = rt.to_pandas(types_mapper=pd.ArrowDtype)
+        rdf = rdf.dropna(subset=keys)          # null keys never match
+        if how in ("inner", "semi", "anti"):
+            lnn = ldf.dropna(subset=keys) if how != "anti" else ldf
+        else:
+            lnn = ldf
+        if how == "inner":
+            out = lnn.merge(rdf, on=keys, how="inner")
+        elif how == "left":
+            out = lnn.merge(rdf, on=keys, how="left")
+        else:
+            rk = rdf[keys].drop_duplicates()
+            m = lnn.merge(rk, on=keys, how="left", indicator=True)
+            keep = (m["_merge"] == "both") if how == "semi" else \
+                   (m["_merge"] == "left_only")
+            out = lnn[keep.to_numpy()]
+        want = l_cols if out_left_only else l_cols + r_cols
+        return pa.Table.from_pandas(out[want], preserve_index=False)
+
+    out_schema = pa.schema(
+        [combined.field(c)
+         for c in (l_cols if out_left_only else l_cols + r_cols)])
+    tagged = (left.map_batches(tag(0), batch_format="pyarrow")
+              .union(right.map_batches(tag(1), batch_format="pyarrow")))
+    return file_exchange_map_groups(
+        tagged, join_part, empty_result=out_schema.empty_table())

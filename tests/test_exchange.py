@@ -95,3 +95,62 @@ def test_fx_agg_by_ignores_stray_part_column():
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert got.equals(want)
     assert list(want["v"]) == [15, 8, 4]
+
+
+def test_fx_join_matches_pandas_all_hows(ray_session):
+    """Randomized fx_join vs a pandas reference: inner/left/semi/anti,
+    duplicate keys (multiplicity), null keys (SQL never-match), name
+    collisions (right suffix), at two partition counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from aqueduct_core_ray.stages.exchange import fx_join
+
+    rng = np.random.default_rng(47)
+    for trial in range(3):
+        nl, nr = int(rng.integers(20, 120)), int(rng.integers(20, 120))
+        lk = rng.integers(0, 15, nl).astype("float64")
+        rk = rng.integers(0, 15, nr).astype("float64")
+        lk[rng.random(nl) < 0.1] = np.nan          # null join keys
+        rk[rng.random(nr) < 0.1] = np.nan
+        ldf = pd.DataFrame({
+            "k": pd.array([None if np.isnan(x) else int(x) for x in lk],
+                          dtype="Int64"),
+            "v": np.arange(nl, dtype=np.int64),
+            "tag": rng.choice(["a", "b"], nl)})
+        rdf = pd.DataFrame({
+            "k": pd.array([None if np.isnan(x) else int(x) for x in rk],
+                          dtype="Int64"),
+            "w": np.arange(nr, dtype=np.int64) * 10,
+            "tag": rng.choice(["x", "y"], nr)})   # collides with left
+        lds = ray.data.from_arrow(pa.Table.from_pandas(ldf))
+        rds = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+
+        rnn = rdf.dropna(subset=["k"])
+        want = {
+            "inner": ldf.dropna(subset=["k"]).merge(
+                rnn.rename(columns={"tag": "tag_r"}), on="k",
+                how="inner"),
+            "left": ldf.merge(
+                rnn.rename(columns={"tag": "tag_r"}), on="k",
+                how="left"),
+            "semi": ldf.dropna(subset=["k"])[
+                ldf.dropna(subset=["k"])["k"].isin(rnn["k"])],
+            "anti": ldf[~ldf["k"].isin(rnn["k"])],
+        }
+        for how, exp in want.items():
+            for P in (3, 8):
+                got = (fx_join(lds, rds, on="k", how=how,
+                               num_partitions=P)
+                       .to_pandas())
+                cols = sorted(got.columns)
+                assert cols == sorted(exp.columns), (how, cols)
+                g = (got[cols].astype("object")
+                     .sort_values(cols).reset_index(drop=True))
+                e = (exp[cols].astype("object")
+                     .sort_values(cols).reset_index(drop=True))
+                assert len(g) == len(e), (trial, how, P, len(g), len(e))
+                assert g.where(pd.notna(g), None).equals(
+                    e.where(pd.notna(e), None)), (trial, how, P)
