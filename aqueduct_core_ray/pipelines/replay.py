@@ -184,6 +184,26 @@ class CDCEngine:
                                                   # cost. Pass False for the
                                                   # strictly-synchronous
                                                   # wave behavior.
+        post_commit: "tuple | list" = (),         # callables f(engine,
+                                                  # wave_record) invoked
+                                                  # after EVERY durable wave
+                                                  # commit — the in-process
+                                                  # CDC-consumer hook that
+                                                  # keeps derived structures
+                                                  # (search/dedup/checksum
+                                                  # indexes) fresh in-stream.
+                                                  # The commit is already
+                                                  # durable when hooks run
+                                                  # (a hook failure aborts
+                                                  # the wave LOOP, never the
+                                                  # commit); hooks must be
+                                                  # idempotent — a resumed
+                                                  # wave skips, so hooks
+                                                  # should key off the
+                                                  # committed generation
+                                                  # (LakeChecksumIndex /
+                                                  # LakeTrigramIndex
+                                                  # .refresh() already do).
     ):
         topo_check(derivations)
         if merge_strategy not in ("exchange", "groupby"):
@@ -210,6 +230,7 @@ class CDCEngine:
         if bg_absorb and merge_strategy != "exchange":
             raise ValueError("bg_absorb requires the exchange strategy")
         self.bg_absorb = bg_absorb
+        self.post_commit = tuple(post_commit)
         # pid -> {"ref", "wid", "basis_path", "absorbed"} for absorbs in
         # flight; in-memory only — a crash just discards the async work
         # (staged orphans are dropped on discard, committed state is
@@ -698,9 +719,12 @@ class CDCEngine:
             "bg_absorbed": len(adopted), "bg_launched": bg_launched,
             **getattr(self, "_phase_t", {}),
         })
-        return {"wave_id": wave_id, "generation": gen, "watermark": hi,
-                "parts_touched": len(stats), "events": n_events,
-                "wall_s": wall}
+        rec = {"wave_id": wave_id, "generation": gen, "watermark": hi,
+               "parts_touched": len(stats), "events": n_events,
+               "wall_s": wall}
+        for cb in self.post_commit:       # commit is durable already
+            cb(self, rec)
+        return rec
 
     # ------------------------------------------------------------------ #
     @property

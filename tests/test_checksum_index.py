@@ -76,3 +76,27 @@ def test_checksum_index_matches_full_scan(parts, tmp_path):
     idx2 = LakeChecksumIndex(eng, str(tmp_path / "cks2"), columns=COLS)
     idx2.refresh()
     assert idx2.signatures().equals(idx.signatures())
+
+
+def test_post_commit_hook_maintains_index_in_stream(parts, tmp_path):
+    """CDCEngine(post_commit=...): the checksum index refreshes after
+    EVERY wave commit (bootstrap included) with no manual calls — the
+    in-process CDC-consumer hook. Final maintained signatures equal a
+    full rescan, and the hook saw every generation."""
+    log, seed = parts
+    seen = []
+    holder = {}
+
+    def keep_fresh(eng, rec):
+        holder.setdefault(
+            "idx", LakeChecksumIndex(eng, str(tmp_path / "cks"),
+                                     columns=COLS))
+        holder["idx"].refresh()
+        seen.append(rec["generation"])
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=6,
+                    post_commit=(keep_fresh,))
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    assert seen == sorted(seen) and len(seen) >= 1 + SPEC.n_waves
+    assert holder["idx"].signatures().equals(eng.checksum(columns=COLS))
