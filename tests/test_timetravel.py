@@ -268,3 +268,18 @@ def test_restore_rolls_back_and_reconverges(tmp_path):
 
     with pytest.raises(ValueError):
         eng.restore(eng.manifest.generation + 5)
+
+
+def test_restore_refuses_vacuumed_generation(tmp_path):
+    """After vacuum shrinks the keep window, restore to a collected
+    generation fails loudly (never a silent partial rollback)."""
+    log = write_changelog(SPEC, str(tmp_path / "log"))
+    seed = write_seed_lake(SPEC, str(tmp_path / "s.parquet"))
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    eng.replay(log, SPEC.wave_bounds)
+    eng.vacuum(keep_generations=1)
+    with pytest.raises(ValueError, match="vacuumed|generation"):
+        eng.restore(0)
+    # CURRENT remains intact and readable
+    assert eng.read_lake().count() > 0
