@@ -61,6 +61,12 @@ def test_parent_child_grandchild_converge(inputs, tmp_path):
         assert eng.lake_table().select(COLS).to_pylist() == want
     assert (parent.consistency_sum() == child.consistency_sum()
             == grandchild.consistency_sum())
+    # the full-payload sync-verification instrument: every level's
+    # bucket signature table is identical (compares O(16) rows, covers
+    # value corruption the lsn-sum cannot see)
+    cs = parent.checksum(columns=COLS)
+    assert cs.equals(child.checksum(columns=COLS))
+    assert cs.equals(grandchild.checksum(columns=COLS))
 
 
 def test_child_resumes_mid_stream(inputs, tmp_path):
