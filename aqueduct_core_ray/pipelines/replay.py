@@ -2584,9 +2584,31 @@ class CDCEngine:
         self.store.commit(man)
         self._cached_manifest = man
         self.num_partitions = src.num_partitions
+        # hierarchy contract: the outbox must not keep serving
+        # rolled-back waves — truncate segments past the restored
+        # watermark, re-publish the watermark marker, and flag every
+        # registered consumer for wipe-and-re-tail (a child may have
+        # already applied events this lake just rolled back; bootstrap
+        # is the only convergent remedy, same as the reference's
+        # NODE_REQUESTS path)
+        n_truncated = 0
+        consumers: "list[str]" = []
+        if os.path.isdir(self.outbox_dir):
+            ob = self.outbox_dir
+            for fn, (_, mx, *_) in list(self._segment_index(ob).items()):
+                if mx > man.watermark:
+                    os.remove(os.path.join(ob, fn))
+                    self._seg_cache.pop((ob, fn), None)
+                    n_truncated += 1
+            self._publish_outbox_watermark()
+            consumers = sorted(self.consumer_hwms())
+            for cid in consumers:
+                self.request_bootstrap(cid)
         return {"wave_id": wave_id, "generation": man.generation,
                 "restored_generation": generation,
-                "watermark": man.watermark}
+                "watermark": man.watermark,
+                "outbox_segments_truncated": n_truncated,
+                "consumers_rebootstrapped": consumers}
 
 
 # Signature kernels live in state/checksums.py (single source of truth

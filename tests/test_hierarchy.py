@@ -314,3 +314,38 @@ def test_parent_initiated_bootstrap_request(inputs, tmp_path):
     # no pending request -> tail is a no-op consume (idempotent)
     assert not child2._consume_bootstrap_request(parent.outbox_dir,
                                                  "till-1")
+
+
+def test_restore_rebootstraps_children(inputs, tmp_path):
+    """Rolling a parent back must not leave children diverged: restore
+    truncates outbox segments past the restored watermark, re-publishes
+    the gate, and flags every registered consumer for wipe-and-re-tail;
+    the child's next tail() re-converges to the ROLLED-BACK state
+    (bucket-signature equality)."""
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=700, poll_interval_s=0.05,
+               max_idle_polls=1, consumer_id="till")
+    assert child.consistency_sum() == parent.consistency_sum()
+
+    target_wm = SPEC.wave_bounds[1][1]       # roll back past wave 3
+    g = next(g for g in range(parent.manifest.generation + 1)
+             if parent.manifest_at(g).watermark == target_wm)
+    r = parent.restore(g)
+    assert r["watermark"] == target_wm
+    assert r["outbox_segments_truncated"] >= 1
+    assert r["consumers_rebootstrapped"] == ["till"]
+    with open(f"{parent.outbox_dir}/_WATERMARK") as f:
+        assert int(f.read()) == target_wm
+
+    child2 = CDCEngine(str(tmp_path / "till"), num_partitions=3)
+    child2.tail(parent.outbox_dir, wave_size=700, poll_interval_s=0.05,
+                max_idle_polls=1, consumer_id="till")
+    assert child2.watermark == target_wm
+    assert child2.consistency_sum() == parent.consistency_sum()
+    assert parent.checksum(columns=COLS).equals(
+        child2.checksum(columns=COLS))
