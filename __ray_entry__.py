@@ -262,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sampling.mixture_resample,
             weights={"src0": 2.0, "src1": 1.0}),
         "export_shards": _export_shards,
+        # the composed end-to-end training-data pipeline: curate ->
+        # tokenize -> pack -> sharded export; one-row manifest
+        # (rows-only: packing partitions are siphash-routed)
+        "train_pipeline": _train_pipeline,
         # trained-BPE vocabulary (iterative greedy algorithm — not
         # SQL-expressible; pinned against an independent naive BPE in
         # tests/test_bpe.py) + token counts under the trained merges
@@ -2137,3 +2141,9 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
               ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn
             WHERE l.op = 0""",
     }
+
+
+def _train_pipeline(sf_dir: str):
+    from aqueduct_core_ray.pipelines.curate import train_pipeline
+
+    return train_pipeline(sf_dir)

@@ -26,9 +26,12 @@ import ray.data
 from ..pipelines.events_replay import tokenize_documents
 
 
-def pack_sequences(sf_dir: str, context_len: int = 512,
+def pack_tokenized(ds: ray.data.Dataset, context_len: int = 512,
                    num_partitions: int = 8) -> ray.data.Dataset:
-    """(pack_id, tokens, n_tok, n_docs) rows; all packs are exactly
+    """Concat-and-chunk packing of an ALREADY-TOKENIZED dataset in the
+    input_hint shape — the composable core behind ``pack_sequences``
+    (and the composed ``pipelines.curate.train_pipeline``). Returns
+    (pack_id, tokens, n_tok, n_docs) rows; all packs are exactly
     ``context_len`` tokens except each partition's final partial."""
 
     def part_col(t: pa.Table) -> pa.Table:
@@ -81,9 +84,15 @@ def pack_sequences(sf_dir: str, context_len: int = 512,
             "n_docs": pa.array(per_pack),
         })
 
-    ds = tokenize_documents(sf_dir).map_batches(part_col,
-                                                batch_format="pyarrow")
+    ds = ds.map_batches(part_col, batch_format="pyarrow")
     return ds.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, context_len: int = 512,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """documents.parquet -> tokenize -> pack (see pack_tokenized)."""
+    return pack_tokenized(tokenize_documents(sf_dir), context_len,
+                          num_partitions)
 
 
 def pack_documents(sf_dir: str, context_len: int = 512,

@@ -81,7 +81,7 @@ def mixture_resample(sf_dir: str,
 # --------------------------------------------------------------------- #
 def write_shards(ds: "ray.data.Dataset", out_dir: str,
                  n_shards: int, seed: int,
-                 marker_payload: dict) -> dict:
+                 marker_payload: dict, key_col: str = "doc_id") -> dict:
     """Shared sharded-writer contract: keyed-hash shard tags in one
     streaming pass, hive-partitioned parquet, atomic ``_EXPORTED``
     marker written only after every file lands. A present marker whose
@@ -102,8 +102,13 @@ def write_shards(ds: "ray.data.Dataset", out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(ids + np.int64(seed), categorize=False)
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            h = pd.util.hash_array(ids + np.int64(seed),
+                                   categorize=False)
+        else:                       # string keys (e.g. pack_id)
+            h = pd.util.hash_array(np.asarray(ids, dtype=object),
+                                   categorize=False) ^ np.uint64(seed)
         return t.append_column(
             "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
 

@@ -77,15 +77,14 @@ def _flags_stage(block_ref, lang: str, shingle: int, min_hits: int):
     return flags
 
 
-def curate_corpus(sf_dir: str, out_dir: str | None = None,
-                  lang: str = "en", shingle: int = 8, min_hits: int = 3,
+def _curated_docs(sf_dir: str, lang: str = "en", shingle: int = 8,
+                  min_hits: int = 3,
                   benchmark: "list[str] | None" = None,
-                  num_partitions: int = 16,
-                  n_shards: int = 8) -> pa.Table:
-    """Run the full curation pipeline; returns the per-stage attrition
-    table (stage, n_docs) — deterministic for a given corpus/config.
-    When ``out_dir`` is given the surviving corpus is also written as
-    resumable training shards."""
+                  num_partitions: int = 16
+                  ) -> "tuple[ray.data.Dataset, dict]":
+    """The curation core shared by ``curate_corpus`` and
+    ``train_pipeline``: returns (deduped surviving-docs Dataset with
+    columns doc_id/text/source/fp, per-stage attrition aggregate)."""
     from ray.data.aggregate import Count, Sum
 
     block_ref = ray.put(build_ngram_blocklist(sf_dir, benchmark,
@@ -155,7 +154,20 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
 
     deduped = (docs_tagged.union(surv_tagged)
                .fx_map_groups(filter_group))
+    return deduped, agg
 
+
+def curate_corpus(sf_dir: str, out_dir: str | None = None,
+                  lang: str = "en", shingle: int = 8, min_hits: int = 3,
+                  benchmark: "list[str] | None" = None,
+                  num_partitions: int = 16,
+                  n_shards: int = 8) -> pa.Table:
+    """Run the full curation pipeline; returns the per-stage attrition
+    table (stage, n_docs) — deterministic for a given corpus/config.
+    When ``out_dir`` is given the surviving corpus is also written as
+    resumable training shards."""
+    deduped, agg = _curated_docs(sf_dir, lang, shingle, min_hits,
+                                 benchmark, num_partitions)
     if out_dir is not None:
         # export THROUGH the shared sharded-writer contract; the row
         # count comes from the written files' metadata, so the curated
@@ -189,4 +201,71 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None,
                             int(agg["sum(clean)"]),
                             int(agg["sum(keep)"]),
                             int(n_dedup)], pa.int64()),
+    })
+
+
+def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
+                   lang: str = "en", shingle: int = 8, min_hits: int = 3,
+                   benchmark: "list[str] | None" = None,
+                   num_partitions: int = 16,
+                   context_len: int = 256, n_shards: int = 4) -> pa.Table:
+    """THE composed end-to-end training-data pipeline — every stage a
+    repo operator, nothing bespoke:
+
+        read -> language ID -> quality -> decontaminate -> exact dedup
+             -> tokenize -> concat-and-chunk pack(context_len)
+             -> resumable sharded export
+
+    Returns a ONE-ROW manifest: per-stage doc attrition, pack count,
+    total packed tokens (conservation: equals the surviving docs' token
+    count — pinned in tests), shard count, and whether a matching
+    export was reused (`skipped`).
+
+    Scale shape: curation is `_curated_docs` (one flag pass + one
+    fp-only dedup exchange), tokenization is one map_batches, packing
+    is one hash exchange with vectorized in-partition chunking, export
+    is the shared atomic-marker sharded writer keyed on pack_id; the
+    summary re-reads ONLY the written shards' two int32 columns
+    (~8 bytes per pack)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..functions.packing import pack_tokenized
+    from ..functions.sampling import write_shards
+    from .events_replay import tokenize_batch
+
+    deduped, agg = _curated_docs(sf_dir, lang, shingle, min_hits,
+                                 benchmark, num_partitions)
+    tokenized = deduped.map_batches(tokenize_batch,
+                                    batch_format="pyarrow")
+    packed = pack_tokenized(tokenized, context_len, num_partitions)
+
+    if out_dir is None:
+        out_dir = os.path.join(
+            "/tmp/aqr_trainpipe",
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"-c{context_len}-s{n_shards}")
+    stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    payload = {"pipeline": "train", "lang": lang, "shingle": int(shingle),
+               "min_hits": int(min_hits), "context_len": int(context_len),
+               "n_shards": int(n_shards),
+               "size": stat.st_size, "mtime_ns": stat.st_mtime_ns,
+               "benchmark": sorted(benchmark) if benchmark else None}
+    st = write_shards(packed, out_dir, n_shards, 23, payload,
+                      key_col="pack_id")
+    meta = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=["n_tok", "n_docs"])
+    return pa.table({
+        "docs_in": pa.array([int(agg["count()"])], pa.int64()),
+        "docs_kept": pa.array([int(agg["sum(keep)"])], pa.int64()),
+        "docs_packed": pa.array(
+            [int(pc.sum(meta.column("n_docs")).as_py() or 0)],
+            pa.int64()),
+        "n_packs": pa.array([meta.num_rows], pa.int64()),
+        "total_tokens": pa.array(
+            [int(pc.sum(meta.column("n_tok")).as_py() or 0)], pa.int64()),
+        "n_shards": pa.array([int(n_shards)], pa.int64()),
+        "reused_export": pa.array([int(st.get("skipped", 0))],
+                                  pa.int64()),
     })

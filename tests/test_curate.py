@@ -80,3 +80,32 @@ def test_curate_export_is_resumable(corpus, tmp_path):
                   benchmark=["benchmark text sharing nothing here"],
                   num_partitions=2, n_shards=2)
     assert os.path.getmtime(os.path.join(out, "_EXPORTED")) == m
+
+
+def test_train_pipeline_conserves_tokens(tmp_path):
+    """Composed curate->tokenize->pack->export: per-stage attrition is
+    monotone, packed tokens exactly equal the surviving docs' token
+    count, every doc lands in exactly one pack, and a re-run reuses the
+    export with an identical manifest."""
+    from aqueduct_core_ray.pipelines.curate import (
+        _curated_docs,
+        train_pipeline,
+    )
+    from aqueduct_core_ray.pipelines.events_replay import tokenize_batch
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tp")
+    t = train_pipeline(sf, out_dir=out, context_len=256).to_pylist()[0]
+    assert t["docs_in"] >= t["docs_kept"] >= t["docs_packed"] > 0
+
+    ded, _ = _curated_docs(sf)
+    want = int(ded.map_batches(tokenize_batch, batch_format="pyarrow")
+               .sum("n_tok"))
+    assert t["total_tokens"] == want
+    assert t["n_packs"] >= -(-want // 256)
+    assert t["docs_packed"] == ded.count()
+
+    t2 = train_pipeline(sf, out_dir=out, context_len=256).to_pylist()[0]
+    assert t2["reused_export"] == 1
+    for k in ("docs_packed", "n_packs", "total_tokens"):
+        assert t2[k] == t[k]
