@@ -236,7 +236,9 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
     ``how``: inner | left | semi | anti. SQL null-key semantics (a
     null key never matches). Non-key right columns that collide with a
     left name get ``suffix``; semi/anti return the left columns only,
-    each left row at most once per its own multiplicity.
+    each left row at most once per its own multiplicity. ``part`` and
+    ``__side`` are the exchange's reserved column names (the
+    module-wide contract) — inbound columns so named are dropped.
 
     Scale shape: one exchange, both sides move exactly once, join
     state is per-partition (skew follows the key distribution — salt
