@@ -100,3 +100,35 @@ def test_post_commit_hook_maintains_index_in_stream(parts, tmp_path):
     eng.replay(log, SPEC.wave_bounds)
     assert seen == sorted(seen) and len(seen) >= 1 + SPEC.n_waves
     assert holder["idx"].signatures().equals(eng.checksum(columns=COLS))
+
+
+def test_checksum_index_random_schedules(tmp_path):
+    """Seeded-random churn specs, partition counts and wave schedules:
+    after EVERY wave the delta-maintained signatures equal a full
+    rescan — the XOR algebra holds under arbitrary interleavings of
+    inserts, updates and tombstones."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        spec = ChangelogSpec(n_docs=int(rng.integers(20, 60)),
+                             n_events=int(rng.integers(100, 300)),
+                             seed=int(rng.integers(1, 1000)),
+                             chunk_size=50, n_waves=1)
+        log = write_changelog(spec, str(tmp_path / f"log{trial}"))
+        seedp = write_seed_lake(spec,
+                                str(tmp_path / f"s{trial}.parquet"))
+        eng = CDCEngine(str(tmp_path / f"lake{trial}"),
+                        num_partitions=int(rng.integers(2, 7)))
+        eng.bootstrap(seedp)
+        idx = LakeChecksumIndex(eng, str(tmp_path / f"cks{trial}"),
+                                columns=COLS)
+        idx.refresh()
+        cuts = sorted(set(rng.integers(
+            1, spec.n_events, size=3).tolist()) | {spec.n_events})
+        lo = 0
+        for hi in cuts:
+            eng.replay(log, [(lo, hi)])
+            idx.refresh()
+            assert idx.signatures().equals(
+                eng.checksum(columns=COLS)), (trial, lo, hi)
+            lo = hi
