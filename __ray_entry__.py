@@ -2123,15 +2123,7 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # point-in-time restore: after the bit-exact two-wave schedule
         # (split at (max(event_id)+1)//2, see generation_diff_events),
         # restoring to generation 0 must yield the PREFIX's LWW state
-        "restore_lake": r"""
-            WITH log AS (
-              SELECT event_id + 1 AS lsn,
-                     'u' || lpad(CAST(user_id AS VARCHAR), 6, '0')
-                         AS doc_id,
-                     CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0
-                          END AS BIGINT) AS op,
-                     value, props, event_type AS source
-              FROM events),
+        "restore_lake": _LOG_CTE + """,
             half AS (SELECT (max(event_id) + 1) // 2 AS w FROM events),
             l1 AS (SELECT l.* FROM log l, half WHERE l.lsn <= half.w),
             t1 AS (SELECT doc_id, max(lsn) AS last_lsn

@@ -358,6 +358,7 @@ def cmd_checksum(args) -> int:
     (n_rows, xor_sig) over the live lake; with --against, compare two
     lakes bucket-by-bucket and exit 1 on divergence — the O(buckets)
     parent/child convergence audit (ship 16 rows, not the table)."""
+    _init_ray()
     from .pipelines.replay import CDCEngine
     cols = args.columns.split(",") if args.columns else None
     eng = CDCEngine(args.lake, num_partitions=None)
@@ -368,9 +369,15 @@ def cmd_checksum(args) -> int:
         idx = LakeChecksumIndex(eng, args.index, columns=cols)
         r = idx.refresh()
         mine = idx.signatures()
+        # an existing index pins its column set at bootstrap; any
+        # comparison below must use THOSE columns, not --columns, or
+        # two content-identical lakes would report divergence
+        st = idx._load_state()
+        if st is not None:
+            cols = st["columns"]
         if not args.against:
             print(json.dumps({"ok": True, "lake": args.lake,
-                              "refresh": r,
+                              "refresh": r, "columns": cols,
                               "buckets": mine.to_pylist()}))
             return 0
     else:

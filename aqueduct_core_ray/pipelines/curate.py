@@ -250,6 +250,9 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
     payload = {"pipeline": "train", "lang": lang, "shingle": int(shingle),
                "min_hits": int(min_hits), "context_len": int(context_len),
                "n_shards": int(n_shards),
+               # pack boundaries depend on the partitioning — a re-run
+               # at a different P must NOT reuse the export
+               "num_partitions": int(num_partitions),
                "size": stat.st_size, "mtime_ns": stat.st_mtime_ns,
                "benchmark": sorted(benchmark) if benchmark else None}
     st = write_shards(packed, out_dir, n_shards, 23, payload,

@@ -189,7 +189,10 @@ def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
 
     def tag(t: pa.Table) -> pa.Table:
         # a stray inbound "part" (e.g. the empty-input schema of an
-        # upstream exchange) would collide with the tag column below
+        # upstream exchange) would collide with the tag column below.
+        # Keys are hashed at their numpy dtype: callers feed NON-NULL
+        # engine-generated keys (tokens/fps/types), so the nullable-int
+        # float64 degradation fx_join guards against cannot arise here.
         if "part" in t.column_names and "part" not in keys:
             t = t.drop_columns(["part"])
         h = None
@@ -264,13 +267,24 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
            if c not in ("part", "__side") and c not in keys]
         + [pa.field("__side", pa.int8()), pa.field("part", pa.int32())])
 
+    inv_ren = {v: k for k, v in r_ren.items()}
+
     def tag(side: int):
         def _tag(t: pa.Table) -> pa.Table:
             h = None
             for k in keys:
+                # hash the CANONICAL STRING of each key, not its numpy
+                # dtype image: a block whose int64 key column carries
+                # one null degrades to float64 under to_numpy, and
+                # pandas hashes int64(1) and float64(1.0) differently —
+                # dtype-dependent hashing would route the same key to
+                # different partitions per block/side and silently drop
+                # matches (found in review)
+                import pyarrow.compute as _pc
+                sk = _pc.cast(t.column(k), pa.string())
                 hk = pd.util.hash_array(
-                    t.column(k).to_numpy(zero_copy_only=False).copy(),
-                    categorize=False)
+                    np.asarray(sk.to_numpy(zero_copy_only=False),
+                               dtype=object), categorize=False)
                 h = hk if h is None else (
                     (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
             part = pa.array((h % np.uint64(num_partitions))
@@ -285,8 +299,7 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
                 else:
                     src = f.name
                     if side == 1:
-                        inv = {v: k for k, v in r_ren.items()}
-                        src = inv.get(f.name, f.name)
+                        src = inv_ren.get(f.name, f.name)
                         have = src in rs.names and (
                             f.name in r_cols or src in keys)
                     else:

@@ -151,6 +151,28 @@ class LakeChecksumIndex:
             return {"mode": "noop", "generation": st["generation"]}
         cols = st["columns"]
         nb = int(st["n_buckets"])
+        # the delta path reads the INDEXED generation's part files;
+        # vacuum may have collected them — detect staleness up front
+        # and fall back to a full rebuild instead of crashing mid-diff
+        try:
+            m_old = self.engine.manifest_at(int(st["generation"]))
+            stale = m_old is None or any(
+                not os.path.exists(self.engine.store.abs(rel))
+                for e in m_old.partitions.values()
+                for rel in [e["path"]]
+                + [d["path"] for d in (e.get("deltas") or [])])
+        except (ValueError, FileNotFoundError):
+            stale = True
+        if stale:
+            full = self.engine.checksum(columns=cols, n_buckets=nb)
+            buckets = {str(r["bucket"]): [int(r["n_rows"]),
+                                          int(r["xor_sig"])]
+                       for r in full.to_pylist()}
+            self._save_state({"generation": gen, "columns": cols,
+                              "n_buckets": nb, "buckets": buckets})
+            return {"mode": "rebuild", "generation": gen,
+                    "reason": "indexed generation vacuumed",
+                    "buckets": len(buckets)}
         pay = [c for c in cols if c != "doc_id"]
         diff = self.engine.diff_generations(
             st["generation"], gen, payload_columns=pay,

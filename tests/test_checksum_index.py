@@ -132,3 +132,21 @@ def test_checksum_index_random_schedules(tmp_path):
             assert idx.signatures().equals(
                 eng.checksum(columns=COLS)), (trial, lo, hi)
             lo = hi
+
+
+def test_checksum_index_rebuilds_after_vacuum(parts, tmp_path):
+    """Review-finding regression: if vacuum collected the indexed
+    generation's files, refresh() falls back to a FULL rebuild instead
+    of crashing in the diff."""
+    log, seed = parts
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.bootstrap(seed)
+    bounds = SPEC.wave_bounds
+    eng.replay(log, bounds[:1])
+    idx = LakeChecksumIndex(eng, str(tmp_path / "cks"), columns=COLS)
+    assert idx.refresh()["mode"] == "full"
+    eng.replay(log, bounds[1:])
+    eng.optimize(keep_generations=1)         # vacuums the indexed gen
+    r = idx.refresh()
+    assert r["mode"] in ("rebuild", "delta")
+    assert idx.signatures().equals(eng.checksum(columns=COLS))

@@ -109,3 +109,17 @@ def test_train_pipeline_conserves_tokens(tmp_path):
     assert t2["reused_export"] == 1
     for k in ("docs_packed", "n_packs", "total_tokens"):
         assert t2[k] == t[k]
+
+
+def test_train_pipeline_repartition_invalidates_export(tmp_path):
+    """Review-finding regression: pack boundaries depend on
+    num_partitions, so a re-run at a different P must rewrite the
+    export, never reuse it."""
+    from aqueduct_core_ray.pipelines.curate import train_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tp")
+    a = train_pipeline(sf, out_dir=out, num_partitions=16).to_pylist()[0]
+    b = train_pipeline(sf, out_dir=out, num_partitions=4).to_pylist()[0]
+    assert b["reused_export"] == 0
+    assert a["total_tokens"] == b["total_tokens"]   # content conserved

@@ -154,3 +154,32 @@ def test_fx_join_matches_pandas_all_hows(ray_session):
                 assert len(g) == len(e), (trial, how, P, len(g), len(e))
                 assert g.where(pd.notna(g), None).equals(
                     e.where(pd.notna(e), None)), (trial, how, P)
+
+
+def test_fx_join_nullable_int_keys_one_side(ray_session):
+    """Regression (review finding): a block whose int64 key column
+    carries a null degrades to float64 under to_numpy; dtype-dependent
+    hashing would route the same key differently per block/side and
+    silently drop matches. Nulls on the LEFT only, multi-block right —
+    every non-null key must still match."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from aqueduct_core_ray.stages.exchange import fx_join
+
+    ldf = pd.DataFrame({
+        "k": pd.array([1, 2, None, 3, 4], dtype="Int64"),
+        "v": [10, 20, 30, 40, 50]})
+    rdf = pd.DataFrame({"k": pd.array(range(1, 5), dtype="Int64"),
+                        "w": [100, 200, 300, 400]})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(ldf))
+    rds = ray.data.from_arrow(pa.Table.from_pandas(rdf)).repartition(3)
+
+    inner = (fx_join(lds, rds, on="k", how="inner", num_partitions=5)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(inner["k"]) == [1, 2, 3, 4]          # no dropped match
+    assert list(inner["w"]) == [100, 200, 300, 400]
+    anti = fx_join(lds, rds, on="k", how="anti",
+                   num_partitions=5).to_pandas()
+    assert len(anti) == 1 and pd.isna(anti["k"]).all()  # null never matches
