@@ -279,7 +279,9 @@ def cmd_diff(args) -> int:
             return 1
     try:
         ds = eng.diff_generations(args.from_gen, args.to_gen,
-                                  payload_columns=cols)
+                                  payload_columns=cols,
+                                  before_image=getattr(
+                                      args, "before_image", False))
     except ValueError as e:
         print(json.dumps({"ok": False, "error": str(e)}))
         return 1
@@ -821,6 +823,10 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--out", default=None,
                     help="write the (payload-carrying) changefeed to "
                          "this parquet directory")
+    df.add_argument("--before-image", action="store_true",
+                    dest="before_image",
+                    help="also attach <col>_old before-images "
+                         "(Debezium before/after envelope)")
     df.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser("get", help="point-read live rows by doc_id")

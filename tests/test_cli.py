@@ -456,3 +456,19 @@ def test_checksum_maintained_index_cli(inputs, tmp_path, capsys):
     assert rc == 0 and out[0]["refresh"]["mode"] == "delta"
     rc, full = run(["checksum", "--lake", lake], capsys)
     assert rc == 0 and out[0]["buckets"] == full[0]["buckets"]
+
+
+def test_diff_before_image_cli(inputs, tmp_path, capsys):
+    import glob
+
+    import pyarrow.dataset as pads
+    log, seed = inputs
+    lake, out = str(tmp_path / "lake"), str(tmp_path / "feed")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "2"], capsys)
+    rc, o = run(["diff", "--lake", lake, "--from-gen", "0",
+                 "--columns", "n_tok", "--before-image",
+                 "--out", out], capsys)
+    assert rc == 0 and o[-1]["ok"]
+    t = pads.dataset(glob.glob(out + "/*.parquet")).to_table()
+    assert "n_tok" in t.column_names and "n_tok_old" in t.column_names
