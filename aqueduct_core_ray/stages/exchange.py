@@ -228,7 +228,7 @@ def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
 def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
             on: "list[str] | str", how: str = "inner",
             num_partitions: int = 16,
-            suffix: str = "_r") -> ray.data.Dataset:
+            suffix: str = "_r", salt: int = 1) -> ray.data.Dataset:
     """Generic co-partitioned hash EQUI-JOIN over the file exchange —
     the reusable primitive behind the module's hand-built join
     pipelines. Both sides are tagged ``hash(key) % num_partitions``
@@ -244,8 +244,14 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
     module-wide contract) — inbound columns so named are dropped.
 
     Scale shape: one exchange, both sides move exactly once, join
-    state is per-partition (skew follows the key distribution — salt
-    upstream for a hot key, same contract as the engine's merge)."""
+    state is per-partition. ``salt`` > 1 is the HOT-KEY defuser (the
+    north rule's salted repartitioning applied to the join): each
+    LEFT row lands in one of ``salt`` sub-buckets of its key's
+    partition while every RIGHT row is replicated into all ``salt``
+    sub-buckets — a hot key's probe side fans across ``salt`` tasks at
+    the cost of ``salt``x the (small) build side, and every (l, r)
+    pair still meets exactly once, so the OUTPUT is identical for any
+    salt (pinned in tests)."""
     import pandas as pd
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "semi", "anti"):
@@ -287,8 +293,25 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                dtype=object), categorize=False)
                 h = hk if h is None else (
                     (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
-            part = pa.array((h % np.uint64(num_partitions))
-                            .astype(np.int32))
+            base = (h % np.uint64(num_partitions)).astype(np.int64)
+            if salt > 1 and side == 0:
+                # deterministic-enough sub-bucket spread; ANY
+                # assignment is correct (each left row joins in
+                # exactly one sub-bucket)
+                sub = (h // np.uint64(num_partitions)
+                       % np.uint64(salt)).astype(np.int64)
+                part = pa.array((base * salt + sub).astype(np.int32))
+            elif salt > 1:
+                # right side: replicate into every sub-bucket
+                n = t.num_rows
+                rep = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                         salt))
+                t = t.take(rep)
+                base = np.repeat(base, salt)
+                sub = np.tile(np.arange(salt, dtype=np.int64), n)
+                part = pa.array((base * salt + sub).astype(np.int32))
+            else:
+                part = pa.array(base.astype(np.int32))
             cols = {}
             for f in combined:
                 if f.name == "__side":

@@ -183,3 +183,34 @@ def test_fx_join_nullable_int_keys_one_side(ray_session):
     anti = fx_join(lds, rds, on="k", how="anti",
                    num_partitions=5).to_pandas()
     assert len(anti) == 1 and pd.isna(anti["k"]).all()  # null never matches
+
+
+def test_fx_join_salted_output_invariant(ray_session):
+    """salt>1 (hot-key defusal: left sub-bucketed, right replicated)
+    must produce EXACTLY the salt=1 output for every how — including a
+    heavily skewed key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from aqueduct_core_ray.stages.exchange import fx_join
+
+    rng = np.random.default_rng(53)
+    keys = np.concatenate([np.zeros(60, np.int64),     # hot key 0
+                           rng.integers(1, 9, 40)])
+    ldf = pd.DataFrame({"k": keys, "v": np.arange(100, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.arange(0, 9, dtype=np.int64),
+                        "w": np.arange(0, 90, 10, dtype=np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(4)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+
+    for how in ("inner", "left", "semi", "anti"):
+        base = (fx_join(lds, rds, on="k", how=how, num_partitions=4)
+                .to_pandas())
+        salted = (fx_join(lds, rds, on="k", how=how, num_partitions=4,
+                          salt=3).to_pandas())
+        cols = sorted(base.columns)
+        b = base[cols].sort_values(cols).reset_index(drop=True)
+        s = salted[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s, b), how
