@@ -235,11 +235,7 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
     from ..functions.sampling import write_shards
     from .events_replay import tokenize_batch
 
-    deduped, agg = _curated_docs(sf_dir, lang, shingle, min_hits,
-                                 benchmark, num_partitions)
-    tokenized = deduped.map_batches(tokenize_batch,
-                                    batch_format="pyarrow")
-    packed = pack_tokenized(tokenized, context_len, num_partitions)
+    import json
 
     if out_dir is None:
         out_dir = os.path.join(
@@ -255,11 +251,31 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
                "num_partitions": int(num_partitions),
                "size": stat.st_size, "mtime_ns": stat.st_mtime_ns,
                "benchmark": sorted(benchmark) if benchmark else None}
+    marker = os.path.join(out_dir, "_EXPORTED")
+    man_path = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(marker) and os.path.exists(man_path):
+        # true O(1) reuse: a matching export carries its manifest, so
+        # curation/tokenization never re-execute for an unchanged
+        # (source, params) identity
+        with open(marker) as f:
+            st0 = json.load(f)
+        if st0.get("src") == payload:
+            with open(man_path) as f:
+                cached = json.load(f)
+            cached["reused_export"] = 1
+            return pa.table({k: pa.array([int(v)], pa.int64())
+                             for k, v in cached.items()})
+
+    deduped, agg = _curated_docs(sf_dir, lang, shingle, min_hits,
+                                 benchmark, num_partitions)
+    tokenized = deduped.map_batches(tokenize_batch,
+                                    batch_format="pyarrow")
+    packed = pack_tokenized(tokenized, context_len, num_partitions)
     st = write_shards(packed, out_dir, n_shards, 23, payload,
                       key_col="pack_id")
     meta = pads.dataset(out_dir, partitioning="hive").to_table(
         columns=["n_tok", "n_docs"])
-    return pa.table({
+    out = pa.table({
         "docs_in": pa.array([int(agg["count()"])], pa.int64()),
         "docs_kept": pa.array([int(agg["sum(keep)"])], pa.int64()),
         "docs_packed": pa.array(
@@ -272,3 +288,10 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
         "reused_export": pa.array([int(st.get("skipped", 0))],
                                   pa.int64()),
     })
+    row = {k: int(out.column(k)[0].as_py()) for k in out.column_names
+           if k != "reused_export"}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+    os.replace(tmp, man_path)
+    return out
