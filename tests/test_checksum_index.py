@@ -150,3 +150,33 @@ def test_checksum_index_rebuilds_after_vacuum(parts, tmp_path):
     r = idx.refresh()
     assert r["mode"] in ("rebuild", "delta")
     assert idx.signatures().equals(eng.checksum(columns=COLS))
+
+
+def test_post_commit_hook_failure_never_loses_the_commit(parts, tmp_path):
+    """A hook exception aborts the wave loop AFTER the durable commit;
+    a resumed engine (no hook) skips the committed waves and finishes
+    to the exact same state as an uninterrupted run."""
+    log, seed = parts
+    calls = []
+
+    def boom(eng, rec):
+        calls.append(rec["generation"])
+        if len(calls) == 2:                   # fail on the 2nd commit
+            raise RuntimeError("hook down")
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_partitions=4,
+                    post_commit=(boom,))
+    eng.bootstrap(seed)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        eng.replay(log, SPEC.wave_bounds)
+    committed = eng.manifest.watermark
+    assert committed == SPEC.wave_bounds[0][1]   # wave 1 IS durable
+
+    res = CDCEngine(str(tmp_path / "lake"), num_partitions=4)
+    out = res.replay(log, SPEC.wave_bounds)
+    assert any(r.get("skipped") for r in out)    # committed wave skipped
+    ref = CDCEngine(str(tmp_path / "ref"), num_partitions=4)
+    ref.bootstrap(seed)
+    ref.replay(log, SPEC.wave_bounds)
+    assert res.checksum(columns=COLS).equals(ref.checksum(columns=COLS))
