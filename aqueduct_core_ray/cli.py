@@ -329,6 +329,40 @@ def cmd_get(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Operator console: ad-hoc DuckDB SQL over the LIVE lake view
+    (tombstones excluded, sidecars merged, optional time travel via
+    --generation). The lake materializes into the console process —
+    this is the test/ops-scale workbench; at data scale use `export`
+    (or the distributed query surface) instead."""
+    _init_ray()
+    import duckdb
+
+    import ray as _ray
+    from .pipelines.replay import CDCEngine
+    eng = CDCEngine(args.lake, num_partitions=None)
+    ds = eng.read_lake(generation=args.generation)
+    import pyarrow as pa
+    tabs = _ray.get(ds.to_arrow_refs())
+    lake = (pa.concat_tables(tabs, promote_options="default")
+            if tabs else None)
+    if lake is None:
+        print(json.dumps({"ok": False, "error": "lake is empty"}))
+        return 1
+    con = duckdb.connect()
+    con.register("lake", lake)
+    try:
+        out = con.execute(args.query).arrow()
+    except Exception as exc:              # surface SQL errors as JSON
+        print(json.dumps({"ok": False, "error": str(exc)}))
+        return 1
+    rows = out.to_pylist()
+    print(json.dumps({"ok": True, "rows": len(rows),
+                      "columns": out.column_names,
+                      "data": rows[:args.limit]}, default=str))
+    return 0
+
+
 def cmd_optimize(args) -> int:
     """One-shot maintenance (CDCEngine.optimize): settle absorbs,
     absorb sidecar debt, vacuum, prune outbox to the slowest consumer."""
@@ -836,6 +870,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--columns", default=None,
                    help="comma-separated column subset")
     g.set_defaults(fn=cmd_get)
+
+    sq = sub.add_parser("sql",
+                        help="ad-hoc DuckDB SQL over the live lake "
+                             "view (table name: lake); ops/test scale")
+    sq.add_argument("--lake", required=True)
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--generation", type=int, default=None,
+                    help="time-travel: query a past generation")
+    sq.add_argument("--limit", type=int, default=100,
+                    help="max rows printed (default 100)")
+    sq.set_defaults(fn=cmd_sql)
 
     op = sub.add_parser("optimize",
                         help="one-shot maintenance: settle absorbs, "

@@ -472,3 +472,25 @@ def test_diff_before_image_cli(inputs, tmp_path, capsys):
     assert rc == 0 and o[-1]["ok"]
     t = pads.dataset(glob.glob(out + "/*.parquet")).to_table()
     assert "n_tok" in t.column_names and "n_tok_old" in t.column_names
+
+
+def test_sql_console_cli(inputs, tmp_path, capsys):
+    """`sql`: ad-hoc DuckDB over the live lake view, incl. time travel
+    and loud SQL errors."""
+    log, seed = inputs
+    lake = str(tmp_path / "lake")
+    run(["replay", "--log", log, "--lake", lake, "--seed", seed,
+         "--partitions", "4", "--waves", "2"], capsys)
+    rc, out = run(["sql", "--lake", lake, "--query",
+                   "SELECT count(*) AS n, max(last_lsn) AS m FROM lake"],
+                  capsys)
+    assert rc == 0 and out[0]["ok"]
+    assert out[0]["data"][0]["m"] == SPEC.n_events
+    # time travel: generation 0 is the bootstrap (all lsn 0)
+    rc, out = run(["sql", "--lake", lake, "--generation", "0",
+                   "--query", "SELECT max(last_lsn) AS m FROM lake"],
+                  capsys)
+    assert rc == 0 and out[0]["data"][0]["m"] == 0
+    rc, out = run(["sql", "--lake", lake, "--query", "SELEC nope"],
+                  capsys)
+    assert rc == 1 and not out[0]["ok"]
