@@ -122,3 +122,32 @@ def test_refresh_rerun_after_simulated_crash(lake_with_index):
     r2 = idx.refresh()
     assert r2["mode"] == "delta" and r2["postings"] == r1["postings"]
     assert _matches(idx, "alpha beta") == ["a", "e"]
+
+
+def test_post_commit_hook_maintains_search_index_during_tail(tmp_path):
+    """Streaming composition: a child tail()s a parent outbox with a
+    post_commit hook refreshing the trigram index — a doc published in
+    the LAST wave is immediately searchable, with zero manual refresh
+    calls."""
+    recs = [_msg(i, f"k{i}", f"filler text {i}") for i in range(1, 5)]
+    recs.append(_msg(5, "k5", "zebra quartz unique"))
+    log = stage_jsonl_to_log(
+        _write_jsonl(tmp_path / "w.jsonl", recs),
+        str(tmp_path / "log"))
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=2,
+                       emit_changelog=True)
+    parent.replay(log, [(0, 3), (3, 5)])
+
+    holder = {}
+
+    def keep_indexed(eng, rec):
+        holder.setdefault("idx", LakeTrigramIndex(
+            eng, str(tmp_path / "idx"), column="data")).refresh()
+
+    child = CDCEngine(str(tmp_path / "till"), num_partitions=2,
+                      post_commit=(keep_indexed,))
+    child.tail(parent.outbox_dir, wave_size=2, poll_interval_s=0.05,
+               max_idle_polls=1)
+    assert child.watermark == 5
+    hits = holder["idx"].search(("zebra quartz",)).to_pylist()
+    assert [h["doc_id"] for h in hits] == ["k5"]
