@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": partial(text.zipf_fit),
         # the generic fx_join primitive on real fact tables
         "order_lines_join": partial(an.order_lines_join),
+        # fx_join's ANTI mode: slow-mover parts (NOT IN window)
+        "parts_unsold_in_window": partial(an.parts_unsold_in_window),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1312,6 +1314,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # fx_join anti mode == SQL NOT IN over the window-filtered fact
+        "parts_unsold_in_window": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE p_partkey NOT IN (
+              SELECT l_partkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-07-01')""",
         # generic co-partitioned equi-join on the fact tables
         "order_lines_join": """
             SELECT l_orderkey AS o_orderkey, l_linenumber,

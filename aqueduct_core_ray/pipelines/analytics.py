@@ -3039,3 +3039,29 @@ def order_lines_join(sf_dir: str,
     ).map_batches(conform, batch_format="pyarrow")
     return fx_join(lines, orders, on="o_orderkey", how="inner",
                    num_partitions=num_partitions)
+
+
+def parts_unsold_in_window(sf_dir: str,
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """fx_join's ANTI mode on real fact tables: parts with NO lineitem
+    shipped in 1997-H1 (the slow-mover report). The probe side is the
+    filtered fact projection; part (the left/output side) moves once —
+    the generic primitive reproducing SQL NOT IN semantics."""
+    from ..stages.exchange import fx_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t.column("l_partkey")})
+
+    import pyarrow.dataset as pads
+    sold = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_shipdate"],
+        filter=((pads.field("l_shipdate")
+                 >= pa.scalar(np.datetime64("1997-01-01", "us")))
+                & (pads.field("l_shipdate")
+                   < pa.scalar(np.datetime64("1997-07-01", "us"))))
+    ).map_batches(conform, batch_format="pyarrow")
+    return fx_join(part, sold, on="p_partkey", how="anti",
+                   num_partitions=num_partitions)
