@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines_join": partial(an.order_lines_join),
         # fx_join's ANTI mode: slow-mover parts (NOT IN window)
         "parts_unsold_in_window": partial(an.parts_unsold_in_window),
+        # fx_join's SEMI mode: customers active in 1997 (IN-subquery)
+        "active_customers_in_window": partial(
+            an.active_customers_in_window),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1314,6 +1317,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # fx_join semi mode == SQL IN-subquery
+        "active_customers_in_window": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate <  TIMESTAMP '1998-01-01')""",
         # fx_join anti mode == SQL NOT IN over the window-filtered fact
         "parts_unsold_in_window": """
             SELECT p_partkey, p_brand FROM part

@@ -3065,3 +3065,30 @@ def parts_unsold_in_window(sf_dir: str,
     ).map_batches(conform, batch_format="pyarrow")
     return fx_join(part, sold, on="p_partkey", how="anti",
                    num_partitions=num_partitions)
+
+
+def active_customers_in_window(sf_dir: str,
+                               num_partitions: int = 16
+                               ) -> ray.data.Dataset:
+    """fx_join's SEMI mode: customers with at least one 1997 order
+    (IN-subquery semantics, each customer once) — the left table moves
+    once, the probe side is the filtered orders key projection."""
+    from ..stages.exchange import fx_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t.column("o_custkey")})
+
+    import pyarrow.dataset as pads
+    active = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=((pads.field("o_orderdate")
+                 >= pa.scalar(np.datetime64("1997-01-01", "us")))
+                & (pads.field("o_orderdate")
+                   < pa.scalar(np.datetime64("1998-01-01", "us"))))
+    ).map_batches(conform, batch_format="pyarrow")
+    return fx_join(cust, active, on="c_custkey", how="semi",
+                   num_partitions=num_partitions)
