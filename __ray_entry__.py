@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines_join": partial(an.order_lines_join),
         # fx_join's ANTI mode: slow-mover parts (NOT IN window)
         "parts_unsold_in_window": partial(an.parts_unsold_in_window),
+        # fx_join's LEFT mode: region-0 customer annotation (real nulls)
+        "orders_region0_left": partial(an.orders_region0_left),
         # fx_join's SEMI mode: customers active in 1997 (IN-subquery)
         "active_customers_in_window": partial(
             an.active_customers_in_window),
@@ -1317,6 +1319,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         # corpus unigram-LM doc scoring: per-token integer-permille
         # log-prob (shared floor(ln(cnt/total)*1000+0.5) convention),
         # summed per doc with token multiplicity
+        # fx_join left mode == SQL LEFT JOIN (null right side)
+        "orders_region0_left": """
+            SELECT o.o_orderkey, o.o_custkey, c.r0_custkey
+            FROM orders o LEFT JOIN (
+              SELECT c_custkey AS o_custkey, c_custkey AS r0_custkey
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_regionkey = 0) c USING (o_custkey)""",
         # fx_join semi mode == SQL IN-subquery
         "active_customers_in_window": """
             SELECT c_custkey, c_mktsegment FROM customer

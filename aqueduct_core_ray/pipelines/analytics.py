@@ -3092,3 +3092,38 @@ def active_customers_in_window(sf_dir: str,
     ).map_batches(conform, batch_format="pyarrow")
     return fx_join(cust, active, on="c_custkey", how="semi",
                    num_partitions=num_partitions)
+
+
+def orders_region0_left(sf_dir: str,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """fx_join's LEFT mode with real null rows: every order, annotated
+    with its customer key ONLY when that customer sits in region 0
+    (nation is a 25-row dimension — folded driver-side into the probe
+    filter; the probe ships bare customer keys). Orders outside the
+    region carry a null — the outer-join shape the driver's
+    order-insensitive hash compare must reproduce."""
+    import pyarrow.parquet as pq
+
+    from ..stages.exchange import fx_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    keys = set(nat.filter(
+        pc.equal(nat.column("n_regionkey"), 0))
+        .column("n_nationkey").to_pylist())
+
+    def conform(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("c_nationkey"),
+                     value_set=pa.array(sorted(keys), pa.int64()))
+        f = t.filter(m)
+        return pa.table({"o_custkey": f.column("c_custkey"),
+                         "r0_custkey": f.column("c_custkey")})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]
+    ).map_batches(conform, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    return fx_join(orders, cust, on="o_custkey", how="left",
+                   num_partitions=num_partitions)
