@@ -214,3 +214,48 @@ def test_fx_join_salted_output_invariant(ray_session):
         b = base[cols].sort_values(cols).reset_index(drop=True)
         s = salted[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(s, b), how
+
+
+def test_fx_join_composite_keys(ray_session):
+    """Multi-column join keys: same pandas-equality law, plus the
+    combined-key hash must not collapse distinct (k1,k2) pairs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from aqueduct_core_ray.stages.exchange import fx_join
+
+    rng = np.random.default_rng(61)
+    ldf = pd.DataFrame({
+        "k1": rng.integers(0, 5, 80),
+        "k2": rng.choice(["a", "b", "c"], 80),
+        "v": np.arange(80, dtype=np.int64)})
+    rdf = pd.DataFrame({
+        "k1": rng.integers(0, 5, 40),
+        "k2": rng.choice(["a", "b", "c"], 40),
+        "w": np.arange(40, dtype=np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+    for how in ("inner", "left", "semi", "anti"):
+        got = fx_join(lds, rds, on=["k1", "k2"], how=how,
+                      num_partitions=4).to_pandas()
+        if how == "inner":
+            exp = ldf.merge(rdf, on=["k1", "k2"], how="inner")
+        elif how == "left":
+            exp = ldf.merge(rdf, on=["k1", "k2"], how="left")
+        else:
+            keys = rdf[["k1", "k2"]].drop_duplicates()
+            m = ldf.merge(keys, on=["k1", "k2"], how="left",
+                          indicator=True)
+            keep = (m["_merge"] == "both") if how == "semi" else \
+                   (m["_merge"] == "left_only")
+            exp = ldf[keep.to_numpy()]
+        cols = sorted(got.columns)
+        g = (got[cols].astype("object").sort_values(cols)
+             .reset_index(drop=True))
+        e = (exp[cols].astype("object").sort_values(cols)
+             .reset_index(drop=True))
+        assert len(g) == len(e), how
+        assert g.where(pd.notna(g), None).equals(
+            e.where(pd.notna(e), None)), how
