@@ -87,3 +87,57 @@ def test_dropped_added_and_widened(tmp_path):
           "n_tok": None, "source": "web", "ts": 0}], BASE))
     eng.apply_wave(w4, hi=4)
     assert "newA" not in {r["doc_id"] for r in eng.lake_table().to_pylist()}
+
+
+def test_binary_media_payload_through_engine(tmp_path):
+    """Multimodal-lake CDC: an opaque ``media: binary`` payload column
+    added MID-STREAM flows through scan -> exchange -> LWW merge ->
+    commit byte-exactly — updates replace blobs, deletes remove them,
+    pre-evolution rows read null, and two partition counts agree on the
+    content signatures."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aqueduct_core_ray.pipelines.replay import CDCEngine
+    from aqueduct_core_ray.schema import CHANGE_EVENT
+
+    blob_a0 = bytes(range(256))                 # full byte alphabet
+    blob_a1 = b"\x00\x89PNG\r\n\x1a\n" * 7      # binary magic + repeats
+    blob_c = b"\xff\xfe" + bytes(100)
+    log = tmp_path / "log"
+    log.mkdir()
+    base = pa.Table.from_pylist([
+        {"lsn": 1, "op": 0, "doc_id": "a", "tokens": [1], "n_tok": 1,
+         "source": "web", "ts": 1_000_000},
+        {"lsn": 2, "op": 0, "doc_id": "b", "tokens": [2], "n_tok": 1,
+         "source": "web", "ts": 2_000_000},
+    ], schema=CHANGE_EVENT)
+    ev_schema = pa.schema(list(CHANGE_EVENT)
+                          + [pa.field("media", pa.binary())])
+    evolved = pa.Table.from_pylist([
+        {"lsn": 3, "op": 0, "doc_id": "a", "tokens": [9], "n_tok": 1,
+         "source": "web", "ts": 3_000_000, "media": blob_a0},
+        {"lsn": 4, "op": 0, "doc_id": "c", "tokens": [3], "n_tok": 1,
+         "source": "web", "ts": 4_000_000, "media": blob_c},
+        {"lsn": 5, "op": 0, "doc_id": "a", "tokens": [9], "n_tok": 1,
+         "source": "web", "ts": 5_000_000, "media": blob_a1},
+        {"lsn": 6, "op": 1, "doc_id": "c", "tokens": None,
+         "n_tok": None, "source": "web", "ts": 6_000_000, "media": None},
+    ], schema=ev_schema)
+    pq.write_table(base, str(log / "chunk-00000.parquet"))
+    pq.write_table(evolved, str(log / "chunk-00001.parquet"))
+
+    engines = []
+    for i, P in enumerate((2, 5)):
+        eng = CDCEngine(str(tmp_path / f"lake{i}"), num_partitions=P,
+                        derivations=())
+        eng.replay(str(log), [(0, 3), (3, 6)])
+        rows = {r["doc_id"]: r for r in eng.lake_table().to_pylist()}
+        assert set(rows) == {"a", "b"}            # c tombstoned
+        assert rows["a"]["media"] == blob_a1      # LWW replaced blob
+        assert rows["b"]["media"] is None         # pre-evolution row
+        assert eng.manifest.schema.field("media").type == pa.binary()
+        engines.append(eng)
+    cols = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "media"]
+    assert engines[0].checksum(columns=cols).equals(
+        engines[1].checksum(columns=cols))
