@@ -30,6 +30,14 @@ Commands (SURVEY.md §7.0; the `ray job submit` surface of the engine):
   status     manifest + consumer-lag summary
   migrate    schema-migration backfill (rename/drop payload columns)
   search     trigram-index substring search over a documents table
+  checksum   per-bucket content signatures; --against compares two
+             lakes in O(16) rows (exit 1 on divergence); --index keeps
+             a maintained signature set fresh O(delta)
+  restore    point-in-time rollback to a past generation (one metadata
+             commit; truncates the outbox + re-bootstraps consumers)
+  optimize   one-shot maintenance: settle absorbs, absorb sidecar
+             debt, vacuum, prune outbox — idempotent
+  sql        ad-hoc DuckDB console over the live lake view (ops scale)
   prune-outbox
              GC outbox segments below the slowest child's watermark
   bootstrap-wipe
