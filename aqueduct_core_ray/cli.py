@@ -285,6 +285,11 @@ def cmd_diff(args) -> int:
                               "error": f"unknown columns {missing}; "
                               f"lake has {eng.manifest.schema.names}"}))
             return 1
+    if getattr(args, "before_image", False) and not cols:
+        print(json.dumps({"ok": False,
+                          "error": "--before-image requires --columns "
+                                   "(which payload to envelope)"}))
+        return 2
     try:
         ds = eng.diff_generations(args.from_gen, args.to_gen,
                                   payload_columns=cols,
@@ -349,7 +354,11 @@ def cmd_sql(args) -> int:
     import ray as _ray
     from .pipelines.replay import CDCEngine
     eng = CDCEngine(args.lake, num_partitions=None)
-    ds = eng.read_lake(generation=args.generation)
+    try:
+        ds = eng.read_lake(generation=args.generation)
+    except ValueError as exc:          # vacuumed / unknown generation
+        print(json.dumps({"ok": False, "error": str(exc)}))
+        return 1
     import pyarrow as pa
     tabs = _ray.get(ds.to_arrow_refs())
     lake = (pa.concat_tables(tabs, promote_options="default")
@@ -364,10 +373,10 @@ def cmd_sql(args) -> int:
     except Exception as exc:              # surface SQL errors as JSON
         print(json.dumps({"ok": False, "error": str(exc)}))
         return 1
-    rows = out.to_pylist()
-    print(json.dumps({"ok": True, "rows": len(rows),
+    print(json.dumps({"ok": True, "rows": out.num_rows,
                       "columns": out.column_names,
-                      "data": rows[:args.limit]}, default=str))
+                      "data": out.slice(0, args.limit).to_pylist()},
+                     default=str))
     return 0
 
 

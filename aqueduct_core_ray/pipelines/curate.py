@@ -238,10 +238,17 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
     import json
 
     if out_dir is None:
+        # the default dir is keyed on the FULL parameter identity so
+        # differing-param runs coexist instead of thrashing each
+        # other's cached export (found in review)
+        import hashlib as _hl
+        ident = _hl.md5(repr((lang, shingle, min_hits, num_partitions,
+                              sorted(benchmark) if benchmark else None
+                              )).encode()).hexdigest()[:8]
         out_dir = os.path.join(
             "/tmp/aqr_trainpipe",
             f"{os.path.basename(os.path.normpath(sf_dir))}"
-            f"-c{context_len}-s{n_shards}")
+            f"-c{context_len}-s{n_shards}-{ident}")
     stat = os.stat(os.path.join(sf_dir, "documents.parquet"))
     payload = {"pipeline": "train", "lang": lang, "shingle": int(shingle),
                "min_hits": int(min_hits), "context_len": int(context_len),

@@ -295,11 +295,12 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
                     (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
             base = (h % np.uint64(num_partitions)).astype(np.int64)
             if salt > 1 and side == 0:
-                # deterministic-enough sub-bucket spread; ANY
+                # ROW-VARYING sub-bucket (a key-derived sub-bucket
+                # would send every row of the hot key to one task —
+                # found in review): cycle within the batch; ANY
                 # assignment is correct (each left row joins in
-                # exactly one sub-bucket)
-                sub = (h // np.uint64(num_partitions)
-                       % np.uint64(salt)).astype(np.int64)
+                # exactly one sub-bucket, the right side is in all)
+                sub = np.arange(t.num_rows, dtype=np.int64) % salt
                 part = pa.array((base * salt + sub).astype(np.int32))
             elif salt > 1:
                 # right side: replicate into every sub-bucket

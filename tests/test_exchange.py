@@ -213,7 +213,7 @@ def test_fx_join_salted_output_invariant(ray_session):
         cols = sorted(base.columns)
         b = base[cols].sort_values(cols).reset_index(drop=True)
         s = salted[cols].sort_values(cols).reset_index(drop=True)
-        pd.testing.assert_frame_equal(s, b), how
+        pd.testing.assert_frame_equal(s, b, obj=f"how={how}")
 
 
 def test_fx_join_composite_keys(ray_session):
@@ -259,3 +259,34 @@ def test_fx_join_composite_keys(ray_session):
         assert len(g) == len(e), how
         assert g.where(pd.notna(g), None).equals(
             e.where(pd.notna(e), None)), how
+
+
+def test_fx_join_salt_actually_spreads_hot_key(ray_session):
+    """The defusal property itself: with salt=4, one hot key's left
+    rows must occupy MULTIPLE sub-buckets (a key-derived sub-bucket
+    once routed them all to one task — review finding)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from aqueduct_core_ray.stages.exchange import fx_join
+
+    # count distinct parts the hot key's rows land in by joining it
+    # against a right side that tags sub-bucket via the part column…
+    # simpler: drive the tag closure directly through fx_join's
+    # internals is private — instead assert via task-level row counts:
+    # a salted inner join of 1 hot key x 1 right row must run >1
+    # partition task, observable as >1 output block.
+    import ray.data
+    ldf = pd.DataFrame({"k": np.zeros(4000, np.int64),
+                        "v": np.arange(4000, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.zeros(1, np.int64),
+                        "w": np.array([7], np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(2)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+    out = fx_join(lds, rds, on="k", how="inner", num_partitions=2,
+                  salt=4)
+    blocks = [t for t in __import__("ray").get(out.to_arrow_refs())
+              if t.num_rows]
+    assert sum(t.num_rows for t in blocks) == 4000   # every pair met once
+    assert len(blocks) > 1      # the hot key fanned across >1 task
