@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines_join": partial(an.order_lines_join),
         # fx_join's ANTI mode: slow-mover parts (NOT IN window)
         "parts_unsold_in_window": partial(an.parts_unsold_in_window),
+        # near-dup cluster-size distribution (duplication report)
+        "dup_cluster_sizes": partial(dedup.dup_cluster_sizes),
         # fx_join's LEFT mode: region-0 customer annotation (real nulls)
         "orders_region0_left": partial(an.orders_region0_left),
         # fx_join's SEMI mode: customers active in 1997 (IN-subquery)
@@ -699,6 +701,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "duplicate_clusters": _DUP_CLUSTERS_SQL,
+        "dup_cluster_sizes": f"""
+            WITH cc AS ({_DUP_CLUSTERS_SQL})
+            SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+                  FROM cc GROUP BY 1)
+            GROUP BY size""",
         "near_dedup_keep": _NEAR_KEEP_SQL,
         # TPC-H Q4 flavor: lateness vs o_orderdate (no commit/receipt
         # dates in this corpus), EXISTS == max(l_shipdate) test

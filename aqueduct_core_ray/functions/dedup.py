@@ -1694,3 +1694,24 @@ def incremental_dedup(sf_dir: str, *, k: int = 64, bands: int = 16,
         docs.map_batches(delta_side, batch_format="pyarrow"), root,
         k=k, bands=bands, shingle=shingle, min_est_pct=min_est_pct,
         num_partitions=num_partitions)
+
+
+def dup_cluster_sizes(sf_dir: str, shingle: int = 3,
+                      min_jaccard_pct: int = 80,
+                      num_partitions: int = 16) -> pa.Table:
+    """Duplication REPORT: the near-dup cluster-size distribution
+    (size, n_clusters) — how much of the corpus duplication is pairs
+    vs deep pile-ups, the number a curation run publishes next to its
+    attrition table. Built on :func:`duplicate_clusters`; the fold is
+    over cluster labels only (bounded by the pair graph, a small
+    fraction of the corpus by construction)."""
+    cc = duplicate_clusters(sf_dir, shingle, min_jaccard_pct,
+                            num_partitions)
+    sizes = cc.groupby("cluster_id").count()
+    df = sizes.to_pandas()                 # bounded: #clusters rows
+    g = (df.groupby("count()").size().reset_index(name="n_clusters")
+         .rename(columns={"count()": "size"}).sort_values("size"))
+    return pa.table({
+        "size": pa.array(g["size"].astype("int64")),
+        "n_clusters": pa.array(g["n_clusters"].astype("int64")),
+    })
