@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_unsold_in_window": partial(an.parts_unsold_in_window),
         # near-dup cluster-size distribution (duplication report)
         "dup_cluster_sizes": partial(dedup.dup_cluster_sizes),
+        # train->val split-leakage audit (md5-split + gram hits)
+        "split_leakage": _split_leakage,
         # fx_join's LEFT mode: region-0 customer annotation (real nulls)
         "orders_region0_left": partial(an.orders_region0_left),
         # fx_join's SEMI mode: customers active in 1997 (IN-subquery)
@@ -701,6 +703,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r2""",
         "ngram_jaccard_dedup": _NGRAM_JACCARD_SQL,
         "duplicate_clusters": _DUP_CLUSTERS_SQL,
+        # train->val leakage: same 'G|'/'T|' gram-space equivalence as
+        # _GRAM_HITS_CTES, split via train_val_split's md5 thresholds
+        "split_leakage": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                         regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                         '\s+') AS w,
+                     regexp_replace(text, '^\s+|\s+$', '', 'g') AS txt,
+                     md5('split1|' || CAST(doc_id AS VARCHAR)) AS fp
+              FROM documents),
+            vg AS (SELECT DISTINCT g FROM (
+              SELECT unnest(CASE WHEN len(w) >= 8
+                THEN list_transform(range(1, len(w) - 6),
+                     i -> 'G|' || array_to_string(w[i:i+7], ' '))
+                ELSE ['T|' || txt] END) AS g
+              FROM d WHERE fp >= 'e6666666666666666666666666666666' AND fp < 'f3333333333333333333333333333333')),
+            tg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+                THEN list_transform(range(1, len(w) - 6),
+                     i -> 'G|' || array_to_string(w[i:i+7], ' '))
+                ELSE ['T|' || txt] END) AS g
+              FROM d WHERE fp < 'e6666666666666666666666666666666')
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM tg t JOIN vg USING (g) GROUP BY t.doc_id""",
         "dup_cluster_sizes": f"""
             WITH cc AS ({_DUP_CLUSTERS_SQL})
             SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
@@ -2169,6 +2195,13 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
               ON l.doc_id = t.doc_id AND l.lsn = t.last_lsn
             WHERE l.op = 0""",
     }
+
+
+def _split_leakage(sf_dir: str):
+    from aqueduct_core_ray.functions.dedup import split_leakage
+
+    df = split_leakage(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _train_pipeline(sf_dir: str):

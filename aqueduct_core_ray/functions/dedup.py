@@ -1715,3 +1715,55 @@ def dup_cluster_sizes(sf_dir: str, shingle: int = 3,
         "size": pa.array(g["size"].astype("int64")),
         "n_clusters": pa.array(g["n_clusters"].astype("int64")),
     })
+
+
+def split_leakage(sf_dir: str, shingle: int = 8,
+                  salt: str = "split1") -> ray.data.Dataset:
+    """TRAIN->VAL SPLIT-LEAKAGE AUDIT — the split-hygiene twin of
+    benchmark decontamination: per TRAIN document, count the word
+    ``shingle``-grams it shares with ANY val document under the
+    repo's deterministic md5 split (train_val_split's exact 90/5/5
+    convention, so the SQL oracle reproduces every assignment AND
+    every gram hit). A val set leaked into train silently inflates
+    every eval on it. Returns (doc_id, n_hits) for leaky train docs.
+
+    Scale shape: the val gram set folds from per-block uniques (val is
+    a few percent of the corpus BY DESIGN — the same bounded-broadcast
+    contract as decontaminate's benchmark list), broadcasts once, and
+    scoring is one searchsorted pass per train block — no shuffle."""
+    from .sampling import _md5_hex
+    from .text import read_documents
+
+    lo = f"{(90 << 128) // 100:032x}"
+    hi = f"{(95 << 128) // 100:032x}"
+
+    def val_grams(t: pa.Table) -> pa.Table:
+        fp = _md5_hex(f"{salt}|", t.column("doc_id"))
+        sub = t.filter(pa.array((fp >= lo) & (fp < hi)))
+        h = (np.unique(_shingle_hashes(sub, "text", shingle)[0])
+             if sub.num_rows else np.array([], np.uint64))
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    parts = ray.get(
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(val_grams, batch_format="pyarrow")
+        .to_arrow_refs())
+    # sort in UNSIGNED space: int64 is only the Arrow transport type —
+    # a signed-sorted array breaks count_blocklist_hits' searchsorted
+    bl = np.unique(np.concatenate(
+        [t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+         for t in parts if t.num_rows]
+        or [np.array([], np.uint64)]))
+
+    def score(t: pa.Table) -> pa.Table:
+        fp = _md5_hex(f"{salt}|", t.column("doc_id"))
+        sub = t.filter(pa.array(fp < lo))            # train side only
+        hits = count_blocklist_hits(sub, bl, shingle)
+        keep = pa.array(hits > 0)
+        return pa.table({
+            "doc_id": sub.column("doc_id").filter(keep),
+            "n_hits": pa.array(hits[hits > 0]),
+        })
+
+    return (read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow"))
