@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "lake_checksum", "restore_lake", "value_outliers",
     "profile_documents", "bigram_logprob_score", "zipf_fit",
     "order_lines_join", "train_pipeline", "parts_unsold_in_window", "active_customers_in_window",
-    "orders_region0_left",
+    "orders_region0_left", "split_leakage",
 ]
 
 
