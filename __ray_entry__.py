@@ -63,15 +63,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING CONTRACT: the driver's correctness harness checks the
     # FIRST 50 entries only (CORRECTNESS_r0{1,2,3}.json cap). Entries
     # 1-50 below are therefore exactly 50 oracle-backed queries (every
-    # key has an oracle_sql() twin and is expected to hash-match).
-    # The remaining ORACLE-BACKED entries come next — in-window-check
-    # variants (routing override, rollup, BPE tokenizer twin, flagship
-    # stats twin) plus the round-4 additions (TPC-H Q4/Q6/Q7/Q8/Q9/
-    # Q12/Q13/Q15/Q18/Q19 flavors, doc_frequency, tfidf, epoch
-    # shuffle); all are still verified by scripts/check_correctness.py's
-    # full oracle sweep. The rows-only / approximate / engine-internal
-    # block closes the dict. Do not insert new entries above the
-    # window boundary without recounting.
+    # key has an oracle_sql() twin and is expected to hash-match);
+    # entry 50 is small_quantity_revenue by explicit VERDICT-r3
+    # requirement. The remaining ORACLE-BACKED entries come next
+    # (70+ more: the TPC-H flavors, temporal/window/statistics ops,
+    # sync-verification checksum, restore, the four fx_join modes,
+    # split leakage, ...); all are verified by
+    # scripts/check_correctness.py's full oracle sweep at sf0.001 AND
+    # sf0.01. The rows-only / approximate / engine-internal block
+    # closes the dict. Do not insert new entries above the window
+    # boundary without re-running the contract check
+    # (all(k in oracle_sql() for k in list(queries())[:50])).
     return {
         # --- CDC engine surface (SURVEY.md §2) — oracle-backed ---
         "cdc_replay_events": lq_replay,
