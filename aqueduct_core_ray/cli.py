@@ -730,6 +730,11 @@ def cmd_search(args) -> int:
               (refresh reads only the changefeed since the indexed
               generation, then the query verifies against current
               rows)."""
+    if not args.lake and not args.sf_dir:
+        print(json.dumps({"ok": False,
+                          "error": "one of --sf-dir or --lake is "
+                                   "required"}))
+        return 2
     _init_ray()
     needles = tuple(args.needle)
     if args.lake:

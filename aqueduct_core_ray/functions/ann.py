@@ -162,8 +162,14 @@ def _default_index_root(sf_dir: str) -> str:
     breaks anything that snapshots, checksums, or syncs the dataset.
     The /tmp default is single-node only — on a cluster set
     ``AQR_IVF_ROOT`` (or pass ``index_root``) to a path on the SHARED
-    store, since every worker must read the same index."""
-    return os.environ.get("AQR_IVF_ROOT") or "/tmp/aqr_ivf"
+    store, since every worker must read the same index. On a
+    multi-node cluster the default REFUSES to run (loud failure
+    instead of an index other nodes can't see)."""
+    env = os.environ.get("AQR_IVF_ROOT")
+    from ..stages.exchange import _guard_shared_root
+    _guard_shared_root(env or "/tmp/aqr_ivf", explicit=bool(env),
+                       kind="IVF index root", env="AQR_IVF_ROOT")
+    return env or "/tmp/aqr_ivf"
 
 
 def _ivf_index_dir(sf_dir: str, n_cells: int, seed: int,

@@ -1668,7 +1668,14 @@ def incremental_dedup(sf_dir: str, *, k: int = 64, bands: int = 16,
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{st.st_size}|"
                       f"{st.st_mtime_ns}|{k}|{bands}|{shingle}|"
                       f"{num_partitions}".encode()).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"aqr_mh_index_{key}")
+    base = os.environ.get("AQR_MH_INDEX_ROOT")
+    from ..stages.exchange import _guard_shared_root
+    _guard_shared_root(base or tempfile.gettempdir(),
+                       explicit=bool(base),
+                       kind="minhash index root",
+                       env="AQR_MH_INDEX_ROOT")
+    root = os.path.join(base or tempfile.gettempdir(),
+                        f"aqr_mh_index_{key}")
 
     def corpus_side(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)

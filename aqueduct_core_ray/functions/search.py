@@ -80,6 +80,11 @@ def _trigram_index_dir(sf_dir: str, index_root: "str | None") -> str:
 
     root = (index_root or os.environ.get("AQR_TRIGRAM_ROOT")
             or "/tmp/aqr_trigram")
+    from ..stages.exchange import _guard_shared_root
+    _guard_shared_root(
+        root, explicit=bool(index_root
+                            or os.environ.get("AQR_TRIGRAM_ROOT")),
+        kind="trigram index root", env="AQR_TRIGRAM_ROOT")
     doc = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(doc)

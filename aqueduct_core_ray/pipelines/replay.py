@@ -1847,6 +1847,10 @@ class CDCEngine:
 
         Envelope columns (lsn/op/doc_id/ts/last_lsn and the conflict
         policy's order field) cannot be renamed, cast, or dropped."""
+        if self.manifest is None:
+            # keep the CLI's JSON error contract (cmd_migrate catches
+            # ValueError) instead of an AttributeError traceback
+            raise ValueError("lake has no committed manifest")
         rename = dict(rename or {})
         cast = dict(cast or {})
         drop = list(drop or [])

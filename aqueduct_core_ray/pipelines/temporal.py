@@ -1599,10 +1599,24 @@ def late_events(sf_dir: str, lateness_minutes: int = 10,
             rng = np.array([int(a[0], 16) for a in ak], np.int64)
             return rng, ak
     else:
-        # max event_id from row-group stats — metadata only
+        # max event_id from row-group stats — metadata only. Resolve
+        # the physical column index BY NAME (writers may reorder
+        # columns) and fall back to a data scan when a writer omitted
+        # statistics.
         pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
-        max_id = max(pf.metadata.row_group(i).column(0).statistics.max
-                     for i in range(pf.metadata.num_row_groups))
+        ci = pf.schema_arrow.get_field_index("event_id")
+        if ci < 0:
+            raise ValueError("events.parquet has no event_id column")
+        stats = [pf.metadata.row_group(i).column(ci).statistics
+                 for i in range(pf.metadata.num_row_groups)]
+        if all(s is not None and s.has_min_max for s in stats):
+            max_id = max(int(s.max) for s in stats)
+        else:
+            import pyarrow.compute as _pc
+            max_id = int(_pc.max(
+                pq.read_table(f"{sf_dir}/events.parquet",
+                              columns=["event_id"])
+                .column("event_id")).as_py())
         span = max(1, (int(max_id) + num_partitions) // num_partitions)
         n_rng = num_partitions
 

@@ -205,10 +205,21 @@ def read_jsonl_changelog_quarantine(
                 ts = parsed.column("created_utc")
                 if pa.types.is_string(ts.type):
                     import pandas as pd
+                    tss = ts.to_pandas()
                     co = pd.to_datetime(
-                        ts.to_pandas(), format="%Y-%m-%dT%H:%M:%SZ",
+                        tss, format="%Y-%m-%dT%H:%M:%SZ",
                         errors="coerce", utc=True)
                     badts = co.isna().to_numpy()
+                    if badts.any():
+                        # SAME acceptance as conform_messages' parse:
+                        # fractional-second ISO8601 timestamps are valid
+                        # wire values (Arrow %S emits them), not
+                        # quarantine fodder — only genuinely unparseable
+                        # strings dead-letter
+                        retry = pd.to_datetime(
+                            tss[badts], format="ISO8601",
+                            errors="coerce", utc=True)
+                        badts[badts] = retry.isna().to_numpy()
                     reasons[badts & ok] = "bad created_utc"
                     ok &= ~badts
             elif "created_utc" not in parsed.column_names:

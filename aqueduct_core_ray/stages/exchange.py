@@ -38,10 +38,13 @@ def _write_block_slices(t: pa.Table, *, xdir: str,
                         part_col: str = "part") -> pa.Table:
     """Writer side: one IPC file per input block, one record batch per
     part present in the block (zero-copy slices after a single stable
-    argsort). Returns the block's manifest rows (part, path, batch)."""
+    argsort). Returns the block's manifest rows (part, path, batch,
+    bytes) — the per-slice byte count is what lets the driver pack
+    buckets to a byte budget and split oversized partitions."""
     empty = pa.table({"part": pa.array([], pa.int32()),
                       "path": pa.array([], pa.string()),
-                      "batch": pa.array([], pa.int32())})
+                      "batch": pa.array([], pa.int32()),
+                      "bytes": pa.array([], pa.int64())})
     if t.num_rows == 0:
         return empty
     part = t.column(part_col).to_numpy(zero_copy_only=False)
@@ -53,34 +56,41 @@ def _write_block_slices(t: pa.Table, *, xdir: str,
     path = os.path.join(xdir, f"block-{uuid.uuid4().hex}.arrow")
     tmp = path + ".tmp"
     st = st.combine_chunks()
+    nbytes = []
     with pa.OSFile(tmp, "wb") as sink:
         with pa.ipc.new_file(sink, st.schema) as w:
             for s, n in zip(starts, sizes):
                 # EXACTLY one record batch per part slice — the manifest
                 # addresses slices by batch index, so write_table's
                 # chunk-dependent batch count would desync it
-                batches = st.slice(int(s), int(n)).to_batches()
+                sl = st.slice(int(s), int(n))
+                batches = sl.to_batches()
                 assert len(batches) == 1      # single-chunk by combine
                 w.write_batch(batches[0])
+                # nbytes respects slice offsets (referenced ranges only)
+                nbytes.append(sl.nbytes)
     os.replace(tmp, path)
     return pa.table({
         "part": pa.array(sp[starts].astype(np.int32)),
         "path": pa.array([path] * len(starts)),
         "batch": pa.array(np.arange(len(starts), dtype=np.int32)),
+        "bytes": pa.array(np.asarray(nbytes, dtype=np.int64)),
     })
 
 
-@ray.remote(num_cpus=1)
-def _run_partition(fn: Callable[[pa.Table], pa.Table],
-                   entries: "list[tuple[str, int]]") -> pa.Table:
+def _read_entries(entries: "list[tuple[str, int]]") -> pa.Table:
     tabs = []
+    by_path: "dict[str, list[int]]" = {}
     for path, bi in entries:
+        by_path.setdefault(path, []).append(bi)
+    for path, bis in by_path.items():
         # buffered pread, not mmap — same finding as the engine's merge
         # fan (per-page fault overhead under mmap_lock dominates on
-        # fresh tmpfs pages)
+        # fresh tmpfs pages). One open per file per task, not per slice.
         with pa.OSFile(path, "rb") as src:
             reader = pa.ipc.open_file(src)
-            tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
+            for bi in bis:
+                tabs.append(pa.Table.from_batches([reader.get_batch(bi)]))
     # align by NAME order when blocks disagree (e.g. tagged-union
     # streams of different vintages); schemas are compared by column
     # names, never hashed — a Schema carrying parquet/pandas metadata
@@ -88,7 +98,97 @@ def _run_partition(fn: Callable[[pa.Table], pa.Table],
     names0 = tabs[0].column_names
     if any(t.column_names != names0 for t in tabs[1:]):
         tabs = [t.select(sorted(t.column_names)) for t in tabs]
-    return fn(pa.concat_tables(tabs, promote_options="default"))
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+@ray.remote(num_cpus=1)
+def _run_partition(fn: Callable[[pa.Table], pa.Table],
+                   entries: "list[tuple[str, int]]") -> pa.Table:
+    return fn(_read_entries(entries))
+
+
+@ray.remote(num_cpus=1)
+def _refold_partials(refold_fn: Callable[[pa.Table], pa.Table],
+                     *partials: pa.Table) -> pa.Table:
+    """Second fold over chunk partials of one oversized partition."""
+    return refold_fn(pa.concat_tables(list(partials),
+                                      promote_options="default"))
+
+
+def _alive_node_count() -> int:
+    """Separate function so tests can monkeypatch a multi-node view."""
+    if not ray.is_initialized():
+        return 1
+    try:
+        return sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        return 1
+
+
+def _guard_shared_root(base: str, *, explicit: bool, kind: str,
+                       env: str) -> None:
+    """LOUD multi-node guard: a node-local default root (under the
+    system tempdir) silently produces wrong/empty exchanges on a real
+    cluster — workers write files the readers can't see. Refuse to run
+    rather than return garbage. An EXPLICIT root (argument or env var)
+    is the operator asserting the path is shared storage."""
+    if explicit or _alive_node_count() <= 1:
+        return
+    tmp = os.path.realpath(tempfile.gettempdir())
+    if os.path.realpath(base).startswith(tmp):
+        raise RuntimeError(
+            f"{kind} defaults to node-local {base!r} but the cluster "
+            f"has {_alive_node_count()} alive nodes — files written "
+            f"there are invisible to other nodes. Set ${env} (or pass "
+            f"an explicit root) to a path on SHARED storage.")
+
+
+def _cluster_cpus() -> int:
+    if ray.is_initialized():
+        try:
+            return max(1, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            pass
+    return 8
+
+
+def _default_target_bytes() -> int:
+    return int(os.environ.get("AQR_FX_TARGET_PART_BYTES",
+                              256 * 1024 * 1024))
+
+
+def _auto_virtual_parts() -> int:
+    """Virtual bucket count for stat-derived exchanges: enough buckets
+    that byte-budget packing (not the modulus) decides task count, and
+    that one bucket is a small fraction of the data. Raise
+    ``AQR_FX_VIRTUAL_PARTS`` on very large clusters (task parallelism
+    is capped by the bucket count)."""
+    env = os.environ.get("AQR_FX_VIRTUAL_PARTS")
+    if env:
+        return max(1, int(env))
+    return min(4096, max(64, 4 * _cluster_cpus()))
+
+
+def _pack_bins(plan: "dict[int, list[tuple[str, int, int]]]",
+               budget: int):
+    """First-fit-decreasing packing of whole buckets into byte-budgeted
+    bins. A single bucket larger than the budget gets its own bin (the
+    split/refold guard handles it downstream)."""
+    sized = sorted(((sum(b for _, _, b in es), p, es)
+                    for p, es in plan.items()), reverse=True)
+    bins: "list[list]" = []      # [used_bytes, entries]
+    for nb, _p, es in sized:
+        placed = False
+        if nb <= budget:
+            for b in bins:
+                if b[0] + nb <= budget:
+                    b[0] += nb
+                    b[1].extend(es)
+                    placed = True
+                    break
+        if not placed:
+            bins.append([nb, list(es)])
+    return bins
 
 
 def file_exchange_map_groups(
@@ -97,6 +197,10 @@ def file_exchange_map_groups(
     root: "str | None" = None,
     part_col: str = "part",
     empty_result: "pa.Table | None" = None,
+    pack: bool = False,
+    refold_fn: "Callable[[pa.Table], pa.Table] | None" = None,
+    target_bytes: "int | None" = None,
+    _plan_out: "dict | None" = None,
 ) -> ray.data.Dataset:
     """Drop-in replacement for ``ds.groupby("part").map_groups(fn,
     batch_format="pyarrow")`` when ``part`` is already a bounded int
@@ -105,20 +209,42 @@ def file_exchange_map_groups(
     (part column included, exactly like map_groups). Skips Ray's
     sort-shuffle fixed floor; the exchange itself is still a barrier.
     Exchange files are deleted before returning — the result rows ride
-    the object store."""
+    the object store.
+
+    Scale controls (the manifest carries per-slice byte counts, so
+    both decisions are STAT-DRIVEN, no second pass over the data):
+
+    - ``pack=True``: parts are packed whole into byte-budgeted tasks
+      (first-fit-decreasing at ``target_bytes`` per task, floored so
+      small inputs still fan out ~2 tasks/CPU). Only valid when ``fn``
+      is part-mix-agnostic (a group_by fold, a side-split join — NOT a
+      per-bucket algorithm); the default keeps the one-task-per-part
+      map_groups contract.
+    - ``refold_fn``: when a single partition exceeds ``target_bytes``
+      (unbounded-cardinality or hot key), its slices are split into
+      byte-budgeted chunks, ``fn`` folds each chunk, and ``refold_fn``
+      folds the concatenated partials — the memory guard that keeps
+      any one task's working set bounded. ``refold_fn(concat(fn(c1),
+      fn(c2), ...))`` must equal ``fn(c1 + c2 + ...)``.
+    - ``_plan_out``: test/telemetry hook — filled with the planned
+      task/split counts."""
     base = (root or os.environ.get("AQR_EXCHANGE_ROOT")
             or tempfile.gettempdir())
+    _guard_shared_root(base, explicit=bool(
+        root or os.environ.get("AQR_EXCHANGE_ROOT")),
+        kind="exchange root", env="AQR_EXCHANGE_ROOT")
     xdir = os.path.join(base, f"aqr_xchg_{uuid.uuid4().hex}")
     os.makedirs(xdir, exist_ok=True)
+    budget = target_bytes or _default_target_bytes()
     try:
         from functools import partial as _p
         manifest = ds.map_batches(
             _p(_write_block_slices, xdir=xdir, part_col=part_col),
             batch_format="pyarrow", batch_size=None).take_all()
-        plan: dict[int, list[tuple[str, int]]] = {}
+        plan: dict[int, list[tuple[str, int, int]]] = {}
         for r in manifest:                     # bounded: blocks x parts
             plan.setdefault(int(r["part"]), []).append(
-                (r["path"], int(r["batch"])))
+                (r["path"], int(r["batch"]), int(r["bytes"])))
         if not plan:
             shutil.rmtree(xdir, ignore_errors=True)
             # empty exchange: the caller's typed empty wins (Ray's
@@ -152,8 +278,39 @@ def file_exchange_map_groups(
                         f"typed output schema)", RuntimeWarning)
                     return ray.data.from_arrow(empty_in)
             return ray.data.from_arrow(pa.table({}))
-        refs = [_run_partition.remote(fn, entries)
-                for _, entries in sorted(plan.items())]
+        if pack:
+            total = sum(b for es in plan.values() for _, _, b in es)
+            # aim for ~2 tasks/CPU while small; cap at budget when big
+            eff = max(1 << 20, min(budget,
+                                   total // (2 * _cluster_cpus()) or 1))
+            task_entries = [es for _, es in _pack_bins(plan, eff)]
+        else:
+            task_entries = [es for _, es in sorted(plan.items())]
+        refs, n_split = [], 0
+        for es in task_entries:
+            nb = sum(b for _, _, b in es)
+            if refold_fn is not None and nb > budget and len(es) > 1:
+                # oversized partition: chunk-fold + refold (bounded
+                # per-task working set even under a single hot key)
+                chunks, cur, cb = [], [], 0
+                for e in es:
+                    if cur and cb + e[2] > budget:
+                        chunks.append(cur)
+                        cur, cb = [], 0
+                    cur.append(e)
+                    cb += e[2]
+                if cur:
+                    chunks.append(cur)
+                prefs = [_run_partition.remote(
+                    fn, [(p, bi) for p, bi, _ in ch]) for ch in chunks]
+                refs.append(_refold_partials.remote(refold_fn, *prefs))
+                n_split += 1
+            else:
+                refs.append(_run_partition.remote(
+                    fn, [(p, bi) for p, bi, _ in es]))
+        if _plan_out is not None:
+            _plan_out.update(tasks=len(task_entries), split=n_split,
+                             packed=pack, parts=len(plan))
         ray.wait(refs, num_returns=len(refs))  # files consumed: safe to rm
         return ray.data.from_arrow_refs(refs)
     finally:
@@ -176,7 +333,9 @@ ray.data.Dataset.fx_map_groups = _ds_fx_map_groups
 
 def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
               aggs: "list[tuple[str, str]]",
-              num_partitions: int = 16) -> ray.data.Dataset:
+              num_partitions: "int | None" = None,
+              target_bytes: "int | None" = None,
+              _plan_out: "dict | None" = None) -> ray.data.Dataset:
     """``ds.groupby(keys).aggregate(...)`` over the file exchange —
     for UNBOUNDED-cardinality grouped aggregates where a driver fold
     (analytics._fold_partials) would not be scale-safe and the native
@@ -184,8 +343,20 @@ def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
     (column, kind) pairs with kind in {sum, min, max, count}; kinds
     must be re-foldable over partials (they are — callers feed
     per-block partials of the same kind). Output columns keep the
-    input names (no "sum(x)" renames)."""
+    input names (no "sum(x)" renames).
+
+    ``num_partitions=None`` (the default) is the STAT-DRIVEN mode:
+    rows are tagged into ``_auto_virtual_parts()`` virtual buckets and
+    the exchange packs whole buckets into byte-budgeted tasks from the
+    manifest's measured slice sizes — task count scales with data
+    volume instead of a fixed modulus, and a single oversized bucket
+    (hot/low-cardinality key) is chunk-folded then re-folded so no
+    task's working set exceeds ``target_bytes``. Pass an explicit int
+    to pin the legacy one-task-per-part layout."""
     import pandas as pd
+
+    auto = num_partitions is None
+    P = _auto_virtual_parts() if auto else num_partitions
 
     def tag(t: pa.Table) -> pa.Table:
         # a stray inbound "part" (e.g. the empty-input schema of an
@@ -203,8 +374,7 @@ def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
             h = hk if h is None else (
                 (h * np.uint64(0x9E3779B97F4A7C15)) ^ hk)
         return t.append_column(
-            "part", pa.array((h % np.uint64(num_partitions))
-                             .astype(np.int32)))
+            "part", pa.array((h % np.uint64(P)).astype(np.int32)))
 
     def fold(g: pa.Table) -> pa.Table:
         agg = (g.drop_columns(["part"]).group_by(keys)
@@ -213,13 +383,25 @@ def fx_agg_by(ds: ray.data.Dataset, keys: "list[str]",
                          **{c: agg.column(f"{c}_{kind}")
                             for c, kind in aggs}})
 
+    def refold(g: pa.Table) -> pa.Table:
+        # fold of folds: count partials re-fold as SUM (a second count
+        # would count partial rows, not rows) — sum/min/max idempotent
+        aggs2 = [(c, "sum" if kind == "count" else kind)
+                 for c, kind in aggs]
+        agg = g.group_by(keys).aggregate(aggs2)
+        return pa.table({**{k: agg.column(k) for k in keys},
+                         **{c: agg.column(f"{c}_{k2}")
+                            for (c, _), (_, k2) in zip(aggs, aggs2)}})
+
     return file_exchange_map_groups(
-        ds.map_batches(tag, batch_format="pyarrow"), fold)
+        ds.map_batches(tag, batch_format="pyarrow"), fold,
+        pack=auto, refold_fn=refold, target_bytes=target_bytes,
+        _plan_out=_plan_out)
 
 
 def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
               sums: "list[str]",
-              num_partitions: int = 16) -> ray.data.Dataset:
+              num_partitions: "int | None" = None) -> ray.data.Dataset:
     """``ds.groupby(keys).sum(sums)`` over the file exchange."""
     return fx_agg_by(ds, keys, [(c, "sum") for c in sums],
                      num_partitions)
@@ -227,17 +409,27 @@ def fx_sum_by(ds: ray.data.Dataset, keys: "list[str]",
 
 def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
             on: "list[str] | str", how: str = "inner",
-            num_partitions: int = 16,
-            suffix: str = "_r", salt: int = 1) -> ray.data.Dataset:
+            num_partitions: "int | None" = None,
+            suffix: str = "_r", salt: int = 1,
+            target_bytes: "int | None" = None,
+            _plan_out: "dict | None" = None) -> ray.data.Dataset:
     """Generic co-partitioned hash EQUI-JOIN over the file exchange —
     the reusable primitive behind the module's hand-built join
     pipelines. Both sides are tagged ``hash(key) % num_partitions``
     and flow through ONE exchange; each partition task splits its rows
     by side and merges vectorized (arrow-backed frames, so int64 keys
     and values survive null-introduction without a float64 upcast).
+    ``num_partitions=None`` (default) = stat-driven mode: tag into
+    ``_auto_virtual_parts()`` virtual buckets, pack whole buckets into
+    byte-budgeted tasks from measured slice sizes (see fx_agg_by); an
+    explicit int pins the legacy one-task-per-part layout.
 
-    ``how``: inner | left | semi | anti. SQL null-key semantics (a
-    null key never matches). Non-key right columns that collide with a
+    ``how``: inner | left | semi | anti. SQL null-key semantics on the
+    MATCH (a null key never matches). ``anti`` is NOT EXISTS, not NOT
+    IN: a left row whose key is null or matches nothing is KEPT (SQL
+    NOT IN returns zero rows when the probe list contains a null —
+    use an explicit null filter on both sides if NOT IN semantics are
+    wanted). Non-key right columns that collide with a
     left name get ``suffix``; semi/anti return the left columns only,
     each left row at most once per its own multiplicity. ``part`` and
     ``__side`` are the exchange's reserved column names (the
@@ -256,6 +448,9 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    auto = num_partitions is None
+    num_partitions = (_auto_virtual_parts() if auto
+                      else num_partitions)
     ls = pa.schema(left.schema().base_schema)
     rs = pa.schema(right.schema().base_schema)
     for k in keys:
@@ -363,5 +558,8 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
          for c in (l_cols if out_left_only else l_cols + r_cols)])
     tagged = (left.map_batches(tag(0), batch_format="pyarrow")
               .union(right.map_batches(tag(1), batch_format="pyarrow")))
+    # joins can't refold (splitting a partition would separate build
+    # and probe rows of a key) — hot keys are the salt's job
     return file_exchange_map_groups(
-        tagged, join_part, empty_result=out_schema.empty_table())
+        tagged, join_part, empty_result=out_schema.empty_table(),
+        pack=auto, target_bytes=target_bytes, _plan_out=_plan_out)

@@ -290,3 +290,111 @@ def test_fx_join_salt_actually_spreads_hot_key(ray_session):
               if t.num_rows]
     assert sum(t.num_rows for t in blocks) == 4000   # every pair met once
     assert len(blocks) > 1      # the hot key fanned across >1 task
+
+
+def test_fx_agg_by_auto_stat_driven_matches_reference(ray_session):
+    """num_partitions=None (stat-driven): virtual buckets packed into
+    byte-budgeted tasks from the manifest's measured slice sizes.
+    Result must equal the pandas reference exactly; the plan hook must
+    show packing ran."""
+    from aqueduct_core_ray.stages.exchange import fx_agg_by
+    rng = np.random.default_rng(11)
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 5000, n).astype(np.int64)),
+        "v": pa.array(rng.integers(-100, 100, n).astype(np.int64)),
+    })
+    plan = {}
+    got = (fx_agg_by(ray.data.from_arrow(t).repartition(6), ["k"],
+                     [("v", "sum"), ("v", "count")] and [("v", "sum")],
+                     _plan_out=plan)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (t.to_pandas().groupby("k", as_index=False)["v"].sum()
+            .sort_values("k").reset_index(drop=True))
+    assert plan["packed"] and plan["tasks"] >= 1
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_fx_agg_by_oversized_partition_splits_and_refolds(ray_session):
+    """The memory guard: one deliberately hot key (every row hashes to
+    ONE bucket) under a tiny per-task byte budget must chunk-fold +
+    refold — >1 split task in the plan, per-chunk working set bounded
+    by the budget, and the aggregate (incl. the count->sum refold law)
+    still exact."""
+    from aqueduct_core_ray.stages.exchange import fx_agg_by
+    n = 50_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),          # ONE key
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(np.arange(n, dtype=np.int64) * 3),
+    })
+    plan = {}
+    got = (fx_agg_by(ray.data.from_arrow(t).repartition(8), ["k"],
+                     [("v", "sum"), ("w", "max"), ("k", "count")],
+                     target_bytes=64 * 1024, _plan_out=plan)
+           .to_pandas())
+    assert plan["split"] >= 1, plan      # the guard actually engaged
+    assert len(got) == 1
+    assert int(got["v"].iloc[0]) == n * (n - 1) // 2
+    assert int(got["w"].iloc[0]) == (n - 1) * 3
+    # count refolds as SUM of partial counts, not count of partials
+    assert int(got["k"].iloc[0]) == n
+
+
+def test_fx_join_auto_mode_matches_explicit(ray_session):
+    """Stat-driven fx_join (num_partitions=None) must equal the
+    explicit-P output for every how."""
+    import pandas as pd
+    from aqueduct_core_ray.stages.exchange import fx_join
+    rng = np.random.default_rng(29)
+    ldf = pd.DataFrame({"k": rng.integers(0, 30, 200),
+                        "v": np.arange(200, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": rng.integers(0, 30, 50),
+                        "w": np.arange(50, dtype=np.int64)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(rdf))
+    for how in ("inner", "left", "semi", "anti"):
+        plan = {}
+        base = (fx_join(lds, rds, on="k", how=how, num_partitions=7)
+                .to_pandas())
+        auto = (fx_join(lds, rds, on="k", how=how, _plan_out=plan)
+                .to_pandas())
+        assert plan["packed"]
+        cols = sorted(base.columns)
+        b = base[cols].sort_values(cols).reset_index(drop=True)
+        a = auto[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, obj=f"how={how}")
+
+
+def test_multinode_guard_refuses_node_local_default(ray_session,
+                                                    monkeypatch):
+    """On a >1-node cluster a node-local default exchange/index root
+    must FAIL LOUDLY (files written under one node's /tmp are invisible
+    elsewhere); an explicit root (arg or env) is the operator's
+    assertion that the path is shared and must pass."""
+    import aqueduct_core_ray.stages.exchange as ex
+    monkeypatch.delenv("AQR_EXCHANGE_ROOT", raising=False)
+    monkeypatch.setattr(ex, "_alive_node_count", lambda: 3)
+    t = pa.table({"part": pa.array([0, 1], pa.int32()),
+                  "v": pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    try:
+        ex.file_exchange_map_groups(ds, _make_fn())
+        assert False, "expected RuntimeError on multi-node default root"
+    except RuntimeError as e:
+        assert "SHARED storage" in str(e)
+    # explicit root passes the guard (path itself is still local —
+    # only the guard is under test here)
+    got = ex.file_exchange_map_groups(ds, _make_fn(),
+                                      root="/tmp/aqr_guard_ok")
+    assert got.count() == 2
+    # IVF root guard: default refuses, env passes
+    from aqueduct_core_ray.functions.ann import _default_index_root
+    try:
+        _default_index_root("unused")
+        assert False, "expected RuntimeError on multi-node IVF default"
+    except RuntimeError:
+        pass
+    monkeypatch.setenv("AQR_IVF_ROOT", "/tmp/aqr_ivf_shared")
+    assert _default_index_root("unused") == "/tmp/aqr_ivf_shared"
