@@ -61,11 +61,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return a.join(b).reset_index()[["source", "n_rows", "sum_n_chars"]]
 
     # ORDERING CONTRACT: the driver's correctness harness checks the
-    # FIRST 50 entries only (CORRECTNESS_r0{1,2,3}.json cap). Entries
+    # FIRST 50 entries only (CORRECTNESS_r0{1,2,3,4}.json cap). Entries
     # 1-50 below are therefore exactly 50 oracle-backed queries (every
-    # key has an oracle_sql() twin and is expected to hash-match);
-    # entry 50 is small_quantity_revenue by explicit VERDICT-r3
-    # requirement. The remaining ORACLE-BACKED entries come next
+    # key has an oracle_sql() twin and is expected to hash-match).
+    # Round 5 rotated the window per VERDICT-r4 item 3: lake_checksum,
+    # restore_lake, order_lines_join, parts_unsold_in_window,
+    # late_events and train_val_split moved IN; six trivial early ops
+    # (token_count, fingerprint, quality_score, redact_pii, lang_id,
+    # repetition_score) moved just past the boundary — still
+    # oracle-swept. The remaining ORACLE-BACKED entries come next
     # (70+ more: the TPC-H flavors, temporal/window/statistics ops,
     # sync-verification checksum, restore, the four fx_join modes,
     # split leakage, ...); all are verified by
@@ -104,23 +108,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": partial(tp.percentile_rank),
         "inter_event_gaps": partial(tp.inter_event_gaps),
         # --- training-data operators — oracle-backed ---
-        "token_count": partial(text.token_count),
         "top_tokens_by_source": partial(text.top_tokens_by_source),
-        "quality_score": partial(text.quality_score),
-        "fingerprint": partial(text.fingerprint),
         "dedup_exact": partial(dedup.exact_dedup),
-        "redact_pii": partial(text.redact_pii),
-        "lang_id": partial(text.lang_id),
         "decontaminate": partial(dedup.decontaminate),
         "curate_corpus": _curate,
         "ngram_jaccard_dedup": partial(dedup.ngram_jaccard_dedup),
         "duplicate_clusters": partial(dedup.duplicate_clusters),
         "near_dedup_keep": partial(dedup.near_dedup_keep),
         "remove_boilerplate_lines": partial(dedup.remove_boilerplate_lines),
-        "repetition_score": partial(text.repetition_score),
         "top_docs_per_source": partial(text.top_docs_per_source),
         "embedding_cosine_dedup": partial(dedup.embedding_cosine_dedup),
         "knn_bruteforce": partial(ann.knn_bruteforce),
+        # --- round-4/5 flagship ops rotated INTO the driver window
+        #     (VERDICT r4 item 3) so the driver's independent
+        #     hash-match covers them, not just the in-repo sweep ---
+        # sync-verification checksum of the replayed lake (oracle:
+        # bit-exact md5 bucket signatures re-derived from the raw log)
+        "lake_checksum": partial(er.lake_checksum),
+        # point-in-time restore: two-wave replay rolled back to
+        # generation 0 must equal the log PREFIX's LWW state
+        "restore_lake": partial(er.restore_lake),
+        # the generic fx_join primitive on real fact tables
+        "order_lines_join": partial(an.order_lines_join),
+        # fx_join's ANTI mode: slow-mover parts (NOT IN window)
+        "parts_unsold_in_window": partial(an.parts_unsold_in_window),
+        # watermark lateness audit over a deterministic adversarial
+        # arrival order (md5)
+        "late_events": partial(tp.late_events, arrival="md5"),
+        # deterministic md5-thresholded train/val split
+        "train_val_split": partial(sampling.train_val_split),
         # --- warehouse analytics (TPC-H-shaped) — oracle-backed ---
         "pricing_summary": partial(an.pricing_summary),
         "top_orders_by_revenue": partial(an.top_orders_by_revenue),
@@ -132,8 +148,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": partial(an.customers_without_orders),
         "small_quantity_revenue": partial(an.small_quantity_revenue),
         # ---------------- driver window boundary (entry 50) ----------
-        # oracle-backed variants of in-window checks (still verified by
-        # scripts/check_correctness.py's full oracle sweep):
+        # oracle-backed entries past the window (still verified by
+        # scripts/check_correctness.py's full oracle sweep), starting
+        # with the round-5 rotation's retirees — trivial early ops
+        # whose window slots went to the flagship rotation above:
+        "token_count": partial(text.token_count),
+        "fingerprint": partial(text.fingerprint),
+        "quality_score": partial(text.quality_score),
+        "redact_pii": partial(text.redact_pii),
+        "lang_id": partial(text.lang_id),
+        "repetition_score": partial(text.repetition_score),
         # routing_id override: user 10 remapped INTO the cluster set,
         # user 17 (default route 1, in-set) remapped OUT — the
         # reference's routing_id≠cluster_id model (Message.java:14-34)
@@ -165,12 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC replay preserved every doc row (the tokens column itself
         # is siphash-derived, so only rows-only checkable)
         "replay_documents_stats": _replay_documents_stats,
-        # sync-verification checksum of the replayed lake (oracle:
-        # bit-exact md5 bucket signatures re-derived from the raw log)
-        "lake_checksum": partial(er.lake_checksum),
-        # point-in-time restore: two-wave replay rolled back to
-        # generation 0 must equal the log PREFIX's LWW state
-        "restore_lake": partial(er.restore_lake),
         # round-4 late-session additions (oracle-backed): TPC-H
         # Q22/Q11/Q16 flavors, Markov transitions, retention cohorts,
         # and corpus-LM scoring
@@ -183,10 +201,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_score": partial(text.bigram_logprob_score),
         # Zipf-law OLS fit over the top-100 token frequencies
         "zipf_fit": partial(text.zipf_fit),
-        # the generic fx_join primitive on real fact tables
-        "order_lines_join": partial(an.order_lines_join),
-        # fx_join's ANTI mode: slow-mover parts (NOT IN window)
-        "parts_unsold_in_window": partial(an.parts_unsold_in_window),
         # near-dup cluster-size distribution (duplication report)
         "dup_cluster_sizes": partial(dedup.dup_cluster_sizes),
         # train->val split-leakage audit (md5-split + gram hits)
@@ -224,10 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANALYZE-style column profile (nulls, exact distinct, min/max,
         # length totals) of the documents table
         "profile_documents": partial(text.profile_documents),
-        # deterministic md5-thresholded split + per-source token-budget
-        # prefix sample (both md5-keyed so DuckDB reproduces the exact
-        # sampling decisions, not just the aggregate shape)
-        "train_val_split": partial(sampling.train_val_split),
+        # per-source token-budget prefix sample (md5-keyed so DuckDB
+        # reproduces the exact sampling decisions)
         "token_budget_sample": partial(sampling.token_budget_sample),
         # exact-k stratified sample in md5 order (deterministic,
         # oracle-replayable per-row decisions)
@@ -243,7 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # convention over a joint bounded histogram
         "spearman_chars_tokens": partial(text.spearman_chars_tokens),
         "pmi_bigrams": partial(text.pmi_bigrams),
-        "late_events": partial(tp.late_events, arrival="md5"),
         "fuzzy_match_pairs": _fuzzy_match_pairs,
         "source_divergence": partial(text.source_divergence),
         "skyline_docs": partial(text.skyline_docs),

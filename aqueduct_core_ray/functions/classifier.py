@@ -12,11 +12,19 @@ micro-units before the feature scatter — every cross-block reduction
 is an order-insensitive integer sum (floats only ever accumulate
 integers < 2^53, which is exact), so the trained weights and all
 scores are bit-identical under any partitioning / block order / CPU
-count: the same trick as ``ann.kmeans_embeddings``. Features are
-extracted ONCE per block and pinned in the object store; each
-iteration is one fan of raw per-block tasks folding a ``(dim+1,)``
-int64 gradient (a map_batches pass would cost ~1 s of plan overhead
-PER ITERATION — measured on the k-means twin).
+count: the same trick as ``ann.kmeans_embeddings``.
+
+Memory shape (the 100-TB fix): features are extracted ONCE per block
+by a STREAMING map_batches pass that spills each block's arrays to a
+file under the exchange root and returns only a (path, n_docs)
+manifest — nothing corpus-sized is ever pinned in the object store.
+Each GD iteration is one fan of raw tasks that re-read their feature
+file (buffered local/shared-FS read — the same placement contract as
+stages/exchange.py) and fold a ``(dim+1,)`` int64 gradient; peak
+object-store residency is O(in-flight gradient partials), not
+O(corpus). A map_batches pass per iteration would cost ~1 s of plan
+overhead PER ITERATION (measured on the k-means twin), which is why
+the iteration fan stays raw tasks over the spilled files.
 
 No reference analog (aqueduct-core moves opaque payloads); this is a
 §"beyond the reference" training-data operator. Iterative => no SQL
@@ -26,6 +34,11 @@ single-process numpy replica in tests/test_functions.py).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -33,22 +46,37 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..stages.exchange import _guard_shared_root
 from .text import _dsir_features, read_documents
 
 _MICRO = 1e6
 
 
-@ray.remote
-def _lr_prep(block: pa.Table, dim: int, positive_source: str):
-    """Featurize one block once: (feature ids, owning doc index, label,
-    doc_id). Pinned in the object store for the whole training loop."""
-    if block.num_rows == 0:
-        return None
-    feats, fdoc = _dsir_features(block, dim)
-    y = pc.equal(block.column("source"), positive_source) \
+def _load_feats(path: str):
+    """(feats, fdoc, y, doc_id) from one spilled block file."""
+    with np.load(path) as z:
+        return z["feats"], z["fdoc"], z["y"], z["did"]
+
+
+def _spill_block(t: pa.Table, *, feat_dir: str, dim: int,
+                 positive_source: str) -> pa.Table:
+    """Featurize one block ONCE and spill its arrays to disk; only the
+    bounded (path, n_docs) manifest returns to the driver."""
+    empty = pa.table({"path": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    feats, fdoc = _dsir_features(t, dim)
+    y = pc.equal(t.column("source"), positive_source) \
         .fill_null(False).to_numpy(zero_copy_only=False)
-    return (feats, fdoc, y.astype(np.int8),
-            block.column("doc_id").to_numpy(zero_copy_only=False))
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    path = os.path.join(feat_dir, f"feat-{uuid.uuid4().hex}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, feats=feats, fdoc=fdoc,
+             y=y.astype(np.int8), did=did.astype(np.int64))
+    os.replace(tmp, path)
+    return pa.table({"path": pa.array([path]),
+                     "n_docs": pa.array([t.num_rows], pa.int64())})
 
 
 def _doc_logits(prep, w: np.ndarray, dim: int) -> np.ndarray:
@@ -60,27 +88,25 @@ def _doc_logits(prep, w: np.ndarray, dim: int) -> np.ndarray:
     return z + w[dim]
 
 
-@ray.remote
-def _lr_iter(prep, w: np.ndarray, dim: int):
+@ray.remote(num_cpus=1)
+def _lr_iter(path: str, w: np.ndarray, dim: int) -> np.ndarray:
     """One block's gradient partial: integer micro-unit residuals
     scattered onto features. bincount's float accumulation only ever
     adds integers (|Σ| ≤ 1e6·occurrences < 2^53) — exact, therefore
     order-insensitive."""
-    if prep is None:
-        return None
+    prep = _load_feats(path)
     feats, fdoc, y, _ = prep
     z = _doc_logits(prep, w, dim)
     p = 1.0 / (1.0 + np.exp(-np.clip(z, -30.0, 30.0)))
     rq = np.floor((p - y) * _MICRO + 0.5).astype(np.int64)
     g = np.bincount(feats, weights=rq[fdoc].astype(np.float64),
                     minlength=dim).astype(np.int64)
-    return np.concatenate([g, [int(rq.sum())]]), len(y)
+    return np.concatenate([g, [int(rq.sum())]])
 
 
-@ray.remote
-def _lr_score(prep, w: np.ndarray, dim: int) -> pa.Table:
-    if prep is None:
-        return _empty_scores()
+@ray.remote(num_cpus=1)
+def _lr_score(path: str, w: np.ndarray, dim: int) -> pa.Table:
+    prep = _load_feats(path)
     _, _, y, did = prep
     z = _doc_logits(prep, w, dim)
     return pa.table({
@@ -97,42 +123,64 @@ def _empty_scores() -> pa.Table:
                      "logit_micro": pa.array([], pa.int64())})
 
 
-def _lr_fit(prep_refs, dim: int, iters: int, lr: float
-            ) -> "np.ndarray | None":
-    """Full-batch quantized GD over pinned block features. The fold
+def _lr_fit(paths: "list[str]", n_total: int, dim: int, iters: int,
+            lr: float) -> np.ndarray:
+    """Full-batch quantized GD over spilled block features. The fold
     ``np.sum([int64 partials])`` is order-insensitive, so the weight
     trajectory is bit-identical under any block layout."""
     w = np.zeros(dim + 1, np.float64)
-    n_total = None
     for _ in range(iters):
         wref = ray.put(w)
-        outs = [o for o in ray.get(
-            [_lr_iter.remote(p, wref, dim) for p in prep_refs])
-            if o is not None]
-        if not outs:
-            return None
-        if n_total is None:
-            n_total = sum(o[1] for o in outs)
-        g = np.sum([o[0] for o in outs], axis=0)
+        outs = ray.get([_lr_iter.remote(p, wref, dim) for p in paths])
+        g = np.sum(outs, axis=0)
         w = w - lr * (g / _MICRO) / n_total
     return w
 
 
 def quality_classifier_score(sf_dir: str, positive_source: str = "src0",
                              dim: int = 1 << 16, iters: int = 25,
-                             lr: float = 2.0) -> ray.data.Dataset:
+                             lr: float = 2.0,
+                             feat_root: "str | None" = None,
+                             _stats_out: "dict | None" = None
+                             ) -> ray.data.Dataset:
     """Train the hashed-feature logistic quality classifier on the
     corpus (label = ``source == positive_source``) and score every
     document. Returns (doc_id, label, logit_micro) — logit in integer
     micro-units (floor(z*1e6+0.5)); positive logits read as
-    "looks like the positive source"."""
-    blocks = read_documents(
-        sf_dir, columns=["doc_id", "text", "source"]).to_arrow_refs()
-    prep_refs = [_lr_prep.remote(b, dim, positive_source)
-                 for b in blocks]
-    w = _lr_fit(prep_refs, dim, iters, lr)
-    if w is None:
-        return ray.data.from_arrow(_empty_scores())
-    wref = ray.put(w)
-    return ray.data.from_arrow_refs(
-        [_lr_score.remote(p, wref, dim) for p in prep_refs])
+    "looks like the positive source".
+
+    ``feat_root``: where the once-per-block feature spill lives
+    (``AQR_EXCHANGE_ROOT`` / system tempdir by default — shared FS on
+    a real cluster, same contract and multi-node guard as the file
+    exchange)."""
+    base = (feat_root or os.environ.get("AQR_EXCHANGE_ROOT")
+            or tempfile.gettempdir())
+    _guard_shared_root(base, explicit=bool(
+        feat_root or os.environ.get("AQR_EXCHANGE_ROOT")),
+        kind="classifier feature root", env="AQR_EXCHANGE_ROOT")
+    feat_dir = os.path.join(base, f"aqr_lrfeat_{uuid.uuid4().hex}")
+    os.makedirs(feat_dir, exist_ok=True)
+    try:
+        from functools import partial as _p
+        manifest = read_documents(
+            sf_dir, columns=["doc_id", "text", "source"]).map_batches(
+            _p(_spill_block, feat_dir=feat_dir, dim=dim,
+               positive_source=positive_source),
+            batch_format="pyarrow", batch_size=None).take_all()
+        paths = [r["path"] for r in manifest]
+        n_total = sum(int(r["n_docs"]) for r in manifest)
+        if _stats_out is not None:
+            _stats_out.update(
+                spilled=True, feat_files=len(paths),
+                feat_bytes=sum(os.path.getsize(p) for p in paths))
+        if not paths:
+            return ray.data.from_arrow(_empty_scores())
+        w = _lr_fit(paths, n_total, dim, iters, lr)
+        wref = ray.put(w)
+        refs = [_lr_score.remote(p, wref, dim) for p in paths]
+        # scores materialize (bounded: 3 int64 cols/doc) before the
+        # feature spill is deleted
+        ray.wait(refs, num_returns=len(refs))
+        return ray.data.from_arrow_refs(refs)
+    finally:
+        shutil.rmtree(feat_dir, ignore_errors=True)

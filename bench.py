@@ -276,6 +276,23 @@ def main() -> None:
         "lake_rows": rep["lake_rows"],
         "n_events": N_EVENTS,
     }))
+    # FINAL line: short headline-only summary. The full line above
+    # carries 70+ per-query timings and can exceed a log tail window
+    # mid-line (round 4's record had parsed=null for exactly that
+    # reason); harvesters that take the last stdout line get a
+    # complete, parseable record either way.
+    print(json.dumps({
+        "metric": "cdc_replay_16M_events_wall",
+        "value": rep["replay_wall_s"], "unit": "sec",
+        "sf": SF_DIR, "num_cpus": args.cpus,
+        "events_per_s": rep["events_per_s"],
+        "events_per_s_8waves": rep8["events_per_s"],
+        "events_per_s_32waves": rep32["events_per_s"],
+        "events_per_s_32waves_sync": rep32sync["events_per_s"],
+        "lake_rows": rep["lake_rows"],
+        "queries_total_s": round(sum(queries.values()), 2),
+        "n_queries": len(queries),
+    }))
     import ray
     ray.shutdown()
 

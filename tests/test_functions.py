@@ -1675,3 +1675,35 @@ def test_bigram_logprob_score_random_corpora(tmp_path):
                    .reset_index(drop=True))
             assert list(out["doc_id"]) == list(range(len(docs)))
             assert list(out["score_permille"]) == want, (trial, P)
+
+
+def test_quality_classifier_spills_features_not_object_store(tmp_path):
+    """The 100-TB memory shape: features are spilled ONCE per block to
+    disk files (bounded path manifest on the driver) and the GD loop
+    re-reads them — nothing corpus-sized rides the object store across
+    iterations. The spill must exist during the run, be cleaned up
+    after, and leave the result bit-identical to the replica."""
+    import glob
+
+    from aqueduct_core_ray.functions.classifier import (
+        quality_classifier_score)
+    texts = [f"tok{i % 7} tok{i % 11} filler common words {i}"
+             for i in range(60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts),
+                  "source": pa.array(["src0" if i % 2 == 0 else "src1"
+                                      for i in range(60)])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    stats = {}
+    root = str(tmp_path / "featroot")
+    out = (quality_classifier_score(str(tmp_path), iters=5,
+                                    feat_root=root, _stats_out=stats)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert stats["spilled"] and stats["feat_files"] >= 1
+    assert stats["feat_bytes"] > 0
+    # spill directory cleaned up after the run
+    assert glob.glob(root + "/aqr_lrfeat_*") == []
+    # bit-exact vs the single-process replica at the same iters
+    exp_logit, exp_y = _lr_reference(t, "src0", 1 << 16, 5, 2.0)
+    assert np.array_equal(out["logit_micro"].to_numpy(), exp_logit)
+    assert np.array_equal(out["label"].to_numpy(), exp_y.astype(np.int64))
