@@ -705,7 +705,10 @@ def cmd_register(args) -> int:
                        fanout=args.fanout,
                        dead_after_s=args.dead_after)
     follow = reg.register(args.node_id, args.outbox,
-                          location=args.location)
+                          location=args.location,
+                          status=getattr(args, "status", "ok"),
+                          generation=getattr(args, "generation",
+                                             "strategic"))
     print(json.dumps({"ok": True, "node_id": args.node_id,
                       "follow": follow}))
     return 0
@@ -1043,6 +1046,13 @@ def main(argv: list[str] | None = None) -> int:
             rg.add_argument("--outbox", required=True,
                             help="this node's own outbox path")
             rg.add_argument("--location", default="")
+            rg.add_argument("--status", default="ok",
+                            choices=["ok", "following", "initialising",
+                                     "pending", "offline"],
+                            help="tree-sort tier: degraded statuses "
+                                 "sink toward leaf positions")
+            rg.add_argument("--generation", default="strategic",
+                            choices=["strategic", "legacy"])
         rg.set_defaults(fn=fn)
 
     args = ap.parse_args(argv)

@@ -651,3 +651,22 @@ def pca_project(sf_dir: str, n_components: int = 2) -> ray.data.Dataset:
 
     return _read_embeddings(sf_dir).map_batches(
         project, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "centroid_assign",
+    "embedding_covariance",
+    "kmeans_embeddings",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_ivf_recall",
+    "label_centroids",
+    "pca_project",
+))

@@ -241,3 +241,15 @@ def trained_token_count(sf_dir: str, num_merges: int = 200,
 def bpe_vocab(sf_dir: str, num_merges: int = 120) -> pa.Table:
     """queries() entry: the trained merge table on the sf corpus."""
     return train_bpe(sf_dir, num_merges=num_merges)
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "bpe_vocab",
+))

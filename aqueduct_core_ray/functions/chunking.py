@@ -445,3 +445,16 @@ def winnow_dedup(sf_dir: str, k: int = 16, w: int = 8,
         return t.filter(pc.greater_equal(t.column("n_docs"), min_docs))
 
     return folded.map_batches(gate, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "chunk_dedup",
+    "winnow_dedup",
+))

@@ -184,3 +184,15 @@ def quality_classifier_score(sf_dir: str, positive_source: str = "src0",
         return ray.data.from_arrow_refs(refs)
     finally:
         shutil.rmtree(feat_dir, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "quality_classifier_score",
+))

@@ -1774,3 +1774,29 @@ def split_leakage(sf_dir: str, shingle: int = 8,
 
     return (read_documents(sf_dir, columns=["doc_id", "text"])
             .map_batches(score, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "decontaminate",
+    "dup_cluster_sizes",
+    "dup_gram_coverage",
+    "duplicate_clusters",
+    "embedding_ann_dedup",
+    "embedding_cosine_dedup",
+    "exact_dedup",
+    "incremental_dedup",
+    "minhash_lsh_dedup",
+    "near_dedup_keep",
+    "ngram_jaccard_dedup",
+    "remove_boilerplate_lines",
+    "remove_dup_spans",
+    "semdedup",
+    "simhash_dedup",
+))

@@ -150,3 +150,15 @@ def fuzzy_match_pairs(sf_dir: str, block_chars: int = 12,
     return (read_documents(sf_dir, columns=["doc_id", "text"])
             .map_batches(keyed, batch_format="pyarrow")
             .fx_map_groups(per_part, empty_result=empty))
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "fuzzy_match_pairs",
+))

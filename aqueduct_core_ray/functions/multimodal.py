@@ -338,3 +338,17 @@ def media_features(sf_dir: str,
                          fn_constructor_kwargs={"real_decode": real_decode},
                          concurrency=concurrency or actor_pool_size(),
                          max_restarts=0))   # see frame_sample note
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "frame_sample",
+    "media_features",
+    "resize_media",
+))

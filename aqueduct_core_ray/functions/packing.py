@@ -181,3 +181,16 @@ def pack_documents(sf_dir: str, context_len: int = 512,
           .drop_columns(["tokens"])
           .map_batches(part_col, batch_format="pyarrow"))
     return ds.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "pack_sequences",
+    "pack_documents",
+))

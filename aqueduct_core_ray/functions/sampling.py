@@ -467,3 +467,22 @@ def stratified_topk_sample(sf_dir: str, k: int = 5,
     cand = ds.map_batches(local_topk, batch_format="pyarrow")
     return cand.groupby("source").map_groups(final_topk,
                                              batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "epoch_shuffle",
+    "mixture_resample",
+    "stratified_sample",
+    "stratified_topk_sample",
+    "token_budget_sample",
+    "train_val_split",
+    "weighted_sample",
+    "export_training_shards",
+))

@@ -499,3 +499,15 @@ class LakeTrigramIndex:
                     out_d.append(d)
         return pa.table({"needle": pa.array(out_n, pa.string()),
                          "doc_id": pa.array(out_d)})
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "substring_search",
+))

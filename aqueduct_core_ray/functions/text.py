@@ -1900,3 +1900,39 @@ def zipf_fit(sf_dir: str, k: int = 100) -> pa.Table:
         "intercept_micro": pa.array(
             [int(np.floor(intercept * 1e6 + 0.5))], pa.int64()),
     })
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "approx_top_tokens",
+    "bigram_logprob_score",
+    "bm25_topk",
+    "bpe_token_count",
+    "doc_frequency",
+    "dsir_weights",
+    "fingerprint",
+    "lang_id",
+    "pmi_bigrams",
+    "profile_documents",
+    "quality_score",
+    "quantile_band_docs",
+    "rank_auc",
+    "redact_pii",
+    "repetition_score",
+    "skyline_docs",
+    "source_divergence",
+    "spearman_chars_tokens",
+    "tfidf_top_terms",
+    "token_count",
+    "top_docs_per_source",
+    "top_tokens_by_source",
+    "type_token_ratio",
+    "unigram_logprob_score",
+    "zipf_fit",
+))

@@ -3127,3 +3127,46 @@ def orders_region0_left(sf_dir: str,
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     return fx_join(orders, cust, on="o_custkey", how="left",
                    num_partitions=num_partitions)
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "active_customers_in_window",
+    "banded_part_revenue",
+    "brand_revenue_by_year",
+    "customer_order_distribution",
+    "customers_without_orders",
+    "discount_revenue_delta",
+    "dominant_supplier_parts",
+    "important_parts",
+    "lapsed_rich_customers",
+    "large_orders",
+    "min_cost_supplier",
+    "nation_market_share",
+    "order_lines_join",
+    "orders_region0_left",
+    "orders_weekly_gapfill",
+    "parts_bought_together",
+    "parts_unsold_in_window",
+    "pricing_rollup",
+    "pricing_summary",
+    "priority_wait_orders",
+    "promo_revenue_share",
+    "revenue_by_nation",
+    "revenue_by_part_type",
+    "ship_delay_priority",
+    "small_quantity_revenue",
+    "sole_late_shipper",
+    "supplier_balance_by_nation",
+    "supplier_count_by_part",
+    "top_customers_by_return_revenue",
+    "top_orders_by_revenue",
+    "top_supplier_by_revenue",
+    "volume_shipping",
+))

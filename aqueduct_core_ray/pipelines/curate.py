@@ -302,3 +302,16 @@ def train_pipeline(sf_dir: str, out_dir: "str | None" = None,
         json.dump(row, f)
     os.replace(tmp, man_path)
     return out
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "curate_corpus",
+    "train_pipeline",
+))

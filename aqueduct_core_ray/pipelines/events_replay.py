@@ -360,3 +360,23 @@ def restore_lake(sf_dir: str, num_partitions: int = 16) -> pa.Table:
         ["doc_id", "value", "props", "source", "last_lsn"])
     shutil.rmtree(os.path.dirname(eng.store.root), ignore_errors=True)
     return out
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "derived_source_stats",
+    "generation_diff_events",
+    "lake_checksum",
+    "mirror_lake",
+    "online_dedup_feed",
+    "replay_documents_lake",
+    "restore_lake",
+    "schema_evolution_lake",
+    "tokenize_documents",
+))

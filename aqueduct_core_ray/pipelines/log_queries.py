@@ -366,3 +366,23 @@ def _route_filter(t: pa.Table, n_clusters: int, cset: pa.Array,
     mask = pc.and_(pc.is_in(rid, value_set=cset),
                    pc.is_in(t.column("event_type"), value_set=tset))
     return t.filter(mask)
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "byte_cap_prefix",
+    "consistency_sum",
+    "count_by_type",
+    "global_latest_offset",
+    "log_scan",
+    "lww_latest",
+    "max_offset_before_hour",
+    "max_offset_for_types",
+    "routing_semijoin",
+))

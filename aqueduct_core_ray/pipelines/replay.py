@@ -831,24 +831,49 @@ class CDCEngine:
         return out
 
     # -- parent-initiated bootstrap requests --------------------------- #
-    # Reference: NODE_REQUESTS — the server stores a per-node request
-    # (PostgreSQLNodeRequestStorage.java:20-68) and the node's own sync
-    # loop consumes it and re-bootstraps itself
-    # (SelfRegistrationTask.java:74-78). Here the request is a
-    # `_requests/<consumer_id>` marker beside the log the child tails;
-    # the child's tail() consumes it as a wipe-and-re-bootstrap.
+    # Reference: NODE_REQUESTS — the server stores a per-node TYPED
+    # request (PostgreSQLNodeRequestStorage.java:20-68 storing a
+    # BootstrapType.java:3-11 value) and the node's own sync loop
+    # consumes it and runs the matching stop/reset/start sequence
+    # (SelfRegistrationTask.java:74-78, BootstrapService.java:37-88).
+    # Here the request is a `_requests/<consumer_id>` JSON marker
+    # beside the log the child tails; the child's tail() consumes it
+    # and dispatches on ``kind``:
+    #   pipe_and_provider — wipe the lake and re-tail from scratch
+    #       (PIPE_AND_PROVIDER: everything stops, resets, restarts)
+    #   pipe              — re-tail KEEPING data: reset in-process
+    #       state (caches, in-flight absorbs) and reload the durable
+    #       manifest, then continue from the committed watermark
+    #       (PIPE: pipe reset without touching the provider)
+    #   provider          — recompute DERIVED outputs only: re-derive
+    #       and atomically re-publish derived/<name>.parquet from the
+    #       intact lake (PROVIDER: reset what this node provides,
+    #       base data untouched)
+    # The *_WITH_DELAY variants are the reference's fleet-staggering
+    # sleep — pacing belongs to tail()'s poll schedule here, and
+    # CORRUPTION_RECOVERY is the CLI's `rebuild --auto`.
 
-    def request_bootstrap(self, consumer_id: str) -> str:
-        """Parent-side: flag ``consumer_id`` to wipe its lake and
-        re-tail this outbox from scratch on its next poll — the remedy
-        for a child chain_status shows as corrupted/STALLED. Atomic
-        write; repeated requests coalesce (one marker per consumer)."""
+    BOOTSTRAP_KINDS = ("pipe_and_provider", "pipe", "provider")
+
+    def request_bootstrap(self, consumer_id: str,
+                          kind: str = "pipe_and_provider") -> str:
+        """Parent-side: flag ``consumer_id`` to run the ``kind``
+        bootstrap sequence on its next poll (see the class comment
+        above — full wipe-and-re-tail by default; ``pipe`` =
+        re-tail-keep-data, ``provider`` = recompute-derived-only).
+        The remedy for a child whose chain_status shows as
+        corrupted/STALLED. Atomic write; repeated requests coalesce
+        (one marker per consumer, latest kind wins)."""
+        if kind not in self.BOOTSTRAP_KINDS:
+            raise ValueError(f"unknown bootstrap kind {kind!r} "
+                             f"(one of {self.BOOTSTRAP_KINDS})")
         import json as _json
         d = os.path.join(self.outbox_dir, "_requests")
         os.makedirs(d, exist_ok=True)
         p = os.path.join(d, consumer_id)
         self.store._atomic_write(p, _json.dumps({
-            "request": "bootstrap", "wall_ts": time.time(),
+            "request": "bootstrap", "kind": kind,
+            "wall_ts": time.time(),
             "watermark": self.watermark}))
         return p
 
@@ -863,23 +888,13 @@ class CDCEngine:
                 out.append(r["consumer_id"])
         return out
 
-    def _consume_bootstrap_request(self, log_path: str,
-                                   consumer_id: str) -> bool:
-        """Child-side: if the tailed log carries a pending request for
-        us, wipe the local lake and reset in-process state so the next
-        wave re-bootstraps from lsn -1. The marker is removed only
-        AFTER the wipe — a crash between the two re-runs an (idempotent)
-        empty-lake wipe on the next poll, never loses the request."""
-        p = os.path.join(log_path, "_requests", consumer_id)
-        if not os.path.exists(p):
-            return False
-        import shutil as _shutil
-        # Drop in-flight BACKGROUND absorbs before the wipe: re-replay
-        # is deterministic, so a pre-wipe absorb finishing AFTER the
-        # wipe could present a basis the re-derived manifest validates
-        # — and its staged file is gone, crashing the adopting wave's
-        # promote. Wait the tasks out (so their late writes land before
-        # the wipe deletes _staged/), then forget them.
+    def _drain_bg_for_reset(self) -> None:
+        """Drop in-flight BACKGROUND absorbs before any reset: re-apply
+        is deterministic, so a pre-reset absorb finishing AFTER it
+        could present a basis the re-derived manifest validates — and
+        its staged file is gone, crashing the adopting wave's promote.
+        Wait the tasks out (so their late writes land before a wipe
+        deletes _staged/), then forget them."""
         if self._bg:
             import ray as _ray
             try:
@@ -890,6 +905,49 @@ class CDCEngine:
             for v in self._bg.values():
                 self.store.drop_staged(v["wid"])
             self._bg.clear()
+
+    def _consume_bootstrap_request(self, log_path: str,
+                                   consumer_id: str) -> bool:
+        """Child-side: if the tailed log carries a pending request for
+        us, run its typed sequence (see request_bootstrap). The marker
+        is removed only AFTER the sequence — a crash between the two
+        re-runs an (idempotent) sequence on the next poll, never loses
+        the request. Returns True when a request was consumed."""
+        p = os.path.join(log_path, "_requests", consumer_id)
+        if not os.path.exists(p):
+            return False
+        import json as _json
+        import shutil as _shutil
+        try:
+            with open(p) as f:
+                kind = _json.load(f).get("kind", "pipe_and_provider")
+        except (OSError, ValueError):
+            kind = "pipe_and_provider"     # pre-typed marker: full wipe
+        if kind == "provider":
+            # recompute-derived-only: re-derive + atomically re-publish
+            # the DAG outputs from the intact lake; base data, offsets
+            # and watermark untouched
+            if self.derivations and self.manifest is not None:
+                self.publish_derived_tables()
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            return True
+        if kind == "pipe":
+            # re-tail-keep-data: reset IN-PROCESS state (caches,
+            # in-flight absorbs) and reload the durable manifest; the
+            # next poll continues from the committed watermark
+            self._drain_bg_for_reset()
+            self.store = LakeStore(self.store.root)
+            self._cached_manifest = None
+            self._acct_cache = None
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+            return True
+        self._drain_bg_for_reset()
         root = self.store.root
         if os.path.isdir(root):
             for name in os.listdir(root):

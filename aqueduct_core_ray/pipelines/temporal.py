@@ -1896,3 +1896,45 @@ def interp_quantiles_by_type(sf_dir: str,
         "q": pa.array(out_q, pa.float64()),
         "value_mc": pa.array(out_v, pa.int64()),
     }))
+
+
+# ------------------------------------------------------------------ #
+# Per-operator timing telemetry (reference TimedDistributedStorage
+# .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
+# operator above records (op, wall_s, rows) per call — see
+# aqueduct_core_ray/metrics.py for the sinks.
+from ..metrics import instrument_entry_points  # noqa: E402
+
+instrument_entry_points(globals(), (
+    "approx_distinct_users_by_type",
+    "approx_quantiles_by_type",
+    "asof_join_prior",
+    "conversion_funnel",
+    "cumulative_users_by_day",
+    "distinct_users_by_type",
+    "event_transitions",
+    "event_type_pivot",
+    "exact_quantiles_by_type",
+    "hopping_window_counts",
+    "inter_event_gaps",
+    "interp_quantiles_by_type",
+    "interval_join_pairs",
+    "late_events",
+    "lead_lag_values",
+    "mad_by_type",
+    "mode_value_by_type",
+    "percentile_rank",
+    "props_key_stats",
+    "range_join_value_bands",
+    "retention_cohorts",
+    "rolling_active_users",
+    "rolling_window_sum",
+    "running_total",
+    "session_paths",
+    "sessionize",
+    "tumbling_window_counts",
+    "user_type_sets",
+    "value_histogram",
+    "value_outliers",
+    "value_stats_by_type",
+))

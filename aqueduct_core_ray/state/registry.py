@@ -15,10 +15,19 @@ re-pointed on their next ``follow_list`` refresh — composing with
 ``tail()``'s follow-list failover (ST5), which handles the window
 between a parent dying and the registry noticing.
 
-Tree shape: live nodes sorted by (location, node_id) fill a balanced
-``fanout``-ary tree breadth-first under the root outbox — node i's
+Tree shape: live nodes sorted by the reference's triple tier —
+offline-last, then generation (strategic before legacy), then status
+rank (OK < FOLLOWING < INITIALISING < PENDING < OFFLINE), then
+(location, node_id) for determinism (SubNodeGroup.java:118-135's three
+stable sorts with Status.java / Generation.java enum order; the
+(location, node_id) tail is this registry's deterministic stand-in for
+the reference's insertion-order stability) — fill a balanced
+``fanout``-ary tree breadth-first under the root outbox: node i's
 parent is the root for i < fanout, else node (i - fanout) // fanout.
-Deterministic: same registrations => same tree on every node.
+Deterministic: same registrations => same tree on every node. A node
+REPORTING a degraded status keeps its record but sinks toward leaf
+positions (Node.java:119-126's isOffline leaves); a node whose
+HEARTBEAT lapses drops out of the tree entirely (liveness eviction).
 """
 
 from __future__ import annotations
@@ -29,6 +38,12 @@ import time
 from typing import Any
 
 _SUBDIR = "_registry"
+
+# Status.java:3-9 enum order == sort rank (OK best, OFFLINE worst)
+_STATUS_RANK = {"ok": 0, "following": 1, "initialising": 2,
+                "pending": 3, "offline": 4}
+# Generation.java:3-6 (STRATEGIC sorts before LEGACY)
+_GEN_RANK = {"strategic": 0, "legacy": 1}
 
 
 class NodeRegistry:
@@ -49,14 +64,27 @@ class NodeRegistry:
 
     # -------------------------------------------------------------- #
     def register(self, node_id: str, outbox_path: str,
-                 location: str = "") -> list[str]:
+                 location: str = "", status: str = "ok",
+                 generation: str = "strategic") -> list[str]:
         """Upsert this node's record (J5) and return its current follow
         list. Re-registering refreshes the heartbeat; callers should
-        re-register on their poll cadence."""
+        re-register on their poll cadence. ``status`` / ``generation``
+        feed the tree sort tiers (see module docstring): re-registering
+        with a degraded status demotes the node toward leaf positions
+        on every reader's next refresh — the reference's
+        reorder-on-status-change behavior (NodeGroupSpec's "sorted
+        based on provider status")."""
         if "/" in node_id or node_id.startswith("."):
             raise ValueError(f"invalid node_id {node_id!r}")
+        if status not in _STATUS_RANK:
+            raise ValueError(f"unknown status {status!r} "
+                             f"(one of {sorted(_STATUS_RANK)})")
+        if generation not in _GEN_RANK:
+            raise ValueError(f"unknown generation {generation!r} "
+                             f"(one of {sorted(_GEN_RANK)})")
         rec = {"node_id": node_id, "outbox": outbox_path,
-               "location": location, "wall_ts": time.time()}
+               "location": location, "status": status,
+               "generation": generation, "wall_ts": time.time()}
         p = os.path.join(self.dir, f"{node_id}.json")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
@@ -72,8 +100,12 @@ class NodeRegistry:
 
     # -------------------------------------------------------------- #
     def nodes(self, live_only: bool = True) -> list[dict[str, Any]]:
-        """All records, sorted by (location, node_id) — the O3 registry
-        sort; ``live_only`` drops stale-heartbeat nodes."""
+        """All records in tree order — the O3 registry sort with the
+        reference's tiers: offline last, strategic before legacy,
+        healthier status first, (location, node_id) as the
+        deterministic tail; ``live_only`` drops stale-heartbeat
+        nodes (records missing the tier fields read as ok/strategic —
+        pre-round-5 records keep their old positions)."""
         out = []
         now = time.time()
         for fn in os.listdir(self.dir):
@@ -88,7 +120,11 @@ class NodeRegistry:
                               >= self.dead_after_s):
                 continue
             out.append(rec)
-        out.sort(key=lambda r: (r["location"], r["node_id"]))
+        out.sort(key=lambda r: (
+            r.get("status", "ok") == "offline",
+            _GEN_RANK.get(r.get("generation", "strategic"), 0),
+            _STATUS_RANK.get(r.get("status", "ok"), 0),
+            r["location"], r["node_id"]))
         return out
 
     def tree(self) -> dict[str, "str | None"]:

@@ -349,3 +349,101 @@ def test_restore_rebootstraps_children(inputs, tmp_path):
     assert child2.consistency_sum() == parent.consistency_sum()
     assert parent.checksum(columns=COLS).equals(
         child2.checksum(columns=COLS))
+
+
+def test_typed_bootstrap_pipe_keeps_data(inputs, tmp_path):
+    """BootstrapType.PIPE analog (BootstrapService.java:55-61): the
+    child consumes a kind="pipe" request by resetting IN-PROCESS state
+    and reloading the durable manifest — lake files, offsets and
+    watermark survive, and the same poll continues tailing new events
+    from the committed watermark (no re-replay from scratch)."""
+    import os
+
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    b = SPEC.wave_bounds
+    parent.replay(log, b[:1])
+
+    child_root = str(tmp_path / "till")
+    child = CDCEngine(child_root, num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+               poll_interval_s=0.05, max_idle_polls=1,
+               consumer_id="till-1")
+    assert child.watermark == b[0][1]
+    files_before = set(child.lake_files())
+    gen_before = child.manifest.generation
+
+    parent.replay(log, b)                    # rest of the stream
+    parent.request_bootstrap("till-1", kind="pipe")
+    marker = os.path.join(parent.outbox_dir, "_requests", "till-1")
+    assert os.path.exists(marker)
+
+    child2 = CDCEngine(child_root, num_partitions=3)
+    out2 = child2.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+                       poll_interval_s=0.05, max_idle_polls=1,
+                       consumer_id="till-1")
+    assert not os.path.exists(marker)
+    # data KEPT: the resumed tail applied ONLY the delta past the
+    # committed watermark — a wipe would have re-applied the stream
+    # from scratch (a wave ending at or below the old watermark)
+    applied = [r for r in out2 if "watermark" in r]
+    assert applied and min(r["watermark"] for r in applied) > b[0][1]
+    assert child2.manifest.generation > gen_before
+    assert child2.watermark == SPEC.n_events
+    assert child2.lake_table().select(COLS).to_pylist() == oracle()
+    assert child2.consistency_sum() == parent.consistency_sum()
+
+
+def test_typed_bootstrap_provider_recomputes_derived(inputs, tmp_path):
+    """BootstrapType.PROVIDER analog (BootstrapService.java:40-44): a
+    kind="provider" request makes the child re-derive and re-publish
+    its DAG outputs from the intact lake — base data, watermark and
+    offsets untouched; a corrupted derived/<name>.parquet heals."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloud"), num_partitions=4,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    parent.replay(log, SPEC.wave_bounds)
+
+    child_root = str(tmp_path / "till")
+    child = CDCEngine(child_root, num_partitions=3)
+    child.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+               poll_interval_s=0.05, max_idle_polls=1,
+               consumer_id="till-1")
+    pub = child.publish_derived_tables()
+    assert pub                                     # DEFAULT_DAG publishes
+    name, path = next(iter(pub.items()))
+    want = pq.read_table(path)
+    # corrupt the published derived table out-of-band
+    with open(path, "wb") as f:
+        f.write(b"garbage")
+    files_before = sorted(child.lake_files())
+    wm_before = child.watermark
+
+    parent.request_bootstrap("till-1", kind="provider")
+    child2 = CDCEngine(child_root, num_partitions=3)
+    child2.tail(parent.outbox_dir, wave_size=SPEC.n_events,
+                poll_interval_s=0.05, max_idle_polls=1,
+                consumer_id="till-1")
+    marker = os.path.join(parent.outbox_dir, "_requests", "till-1")
+    assert not os.path.exists(marker)
+    # derived output healed, base lake untouched
+    assert pq.read_table(path).equals(want)
+    assert sorted(child2.lake_files()) == files_before
+    assert child2.watermark == wm_before
+
+
+def test_request_bootstrap_rejects_unknown_kind(inputs, tmp_path):
+    log, seed = inputs
+    parent = CDCEngine(str(tmp_path / "cloudk"), num_partitions=2,
+                       emit_changelog=True)
+    parent.bootstrap(seed)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parent.request_bootstrap("till-1", kind="pipe_with_delay")

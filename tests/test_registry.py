@@ -119,3 +119,72 @@ def test_registry_cli(tmp_path):
     assert r2["follow"] == ["/o/a", root + "/outbox"]
     t = run("registry-tree", "--root", root, "--fanout", "1")
     assert t["tree"] == {"a": None, "b": "a"}
+
+
+def test_status_tiers_sink_impaired_nodes(tmp_path):
+    """Mirror of NodeGroupSpec "Nodes are sorted based on provider
+    status" (SubNodeGroup.java:118-135): statuses n1=offline,
+    n2=offline, n3=following, n4=pending, n5=initialising, n6=offline
+    must sort [n3, n5, n4, n1, n2, n6] — healthy toward the interior,
+    offline to the leaves — and the tree/follow lists must reflect it."""
+    reg = mk(tmp_path, fanout=1)
+    reg.register("n1", "/out/n1", status="offline")
+    reg.register("n2", "/out/n2", status="offline")
+    reg.register("n3", "/out/n3", status="following")
+    reg.register("n4", "/out/n4", status="pending")
+    reg.register("n5", "/out/n5", status="initialising")
+    reg.register("n6", "/out/n6", status="offline")
+    assert [r["node_id"] for r in reg.nodes()] == [
+        "n3", "n5", "n4", "n1", "n2", "n6"]
+    # fanout-1 chain: healthiest at the root, offline at the leaves
+    assert reg.follow_list("n3") == [ROOT]
+    assert reg.follow_list("n5") == ["/out/n3", ROOT]
+    assert reg.follow_list("n6") == ["/out/n2", "/out/n1", "/out/n4",
+                                     "/out/n5", "/out/n3", ROOT]
+
+
+def test_status_change_reorders_tree(tmp_path):
+    """The reorder-on-status-change case: a node re-registering with a
+    degraded status is demoted from an interior position on the next
+    read; recovering restores it."""
+    reg = mk(tmp_path, fanout=2)
+    for i in range(5):
+        reg.register(f"n{i}", f"/out/n{i}")
+    assert reg.tree()["n2"] == "n0"          # n0 interior
+    reg.register("n0", "/out/n0", status="offline")   # degrade n0
+    order = [r["node_id"] for r in reg.nodes()]
+    assert order == ["n1", "n2", "n3", "n4", "n0"]    # sank to leaf
+    assert reg.tree()["n0"] == "n2"          # now a leaf (under n2)
+    reg.register("n0", "/out/n0", status="ok")        # recover
+    assert [r["node_id"] for r in reg.nodes()][0] == "n0"
+
+
+def test_generation_tier_strategic_before_legacy(tmp_path):
+    """Generation primary over status within the online tier
+    (NodeGroupSpec "sorted based on generation primarily"): strategic
+    nodes precede legacy at any status; offline still sinks below
+    both (Generation.java:3-6)."""
+    reg = mk(tmp_path, fanout=2)
+    reg.register("s_off", "/out/s0", status="offline")
+    reg.register("leg_f", "/out/l1", status="following",
+                 generation="legacy")
+    reg.register("s_pen", "/out/s2", status="pending")
+    reg.register("leg_p", "/out/l3", status="pending",
+                 generation="legacy")
+    reg.register("s_fol", "/out/s4", status="following")
+    assert [r["node_id"] for r in reg.nodes()] == [
+        "s_fol", "s_pen", "leg_f", "leg_p", "s_off"]
+
+
+def test_register_rejects_unknown_tiers(tmp_path):
+    reg = mk(tmp_path)
+    try:
+        reg.register("x", "/out/x", status="weird")
+        assert False
+    except ValueError:
+        pass
+    try:
+        reg.register("x", "/out/x", generation="v2")
+        assert False
+    except ValueError:
+        pass
