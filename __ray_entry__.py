@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fx_join's SEMI mode: customers active in 1997 (IN-subquery)
         "active_customers_in_window": partial(
             an.active_customers_in_window),
+        # fx_join's FULL OUTER mode: rich customers vs order counts
+        "customer_orders_outer": partial(an.customer_orders_outer),
         "conversion_funnel": partial(tp.conversion_funnel),
         "label_centroids": partial(ann.label_centroids),
         "promo_revenue_share": partial(an.promo_revenue_share),
@@ -1387,6 +1389,17 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
               SELECT l_partkey FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                 AND l_shipdate <  TIMESTAMP '1997-07-01')""",
+        # fx_join outer mode == SQL FULL OUTER JOIN USING (key
+        # coalesced; null-key rows would survive unmatched, though the
+        # real tables carry none)
+        "customer_orders_outer": """
+            SELECT c_custkey, c_acctbal, n_orders
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > 9000.0) c
+            FULL OUTER JOIN (
+              SELECT o_custkey AS c_custkey,
+                     CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1) o USING (c_custkey)""",
         # generic co-partitioned equi-join on the fact tables
         "order_lines_join": """
             SELECT l_orderkey AS o_orderkey, l_linenumber,

@@ -3129,6 +3129,43 @@ def orders_region0_left(sf_dir: str,
                    num_partitions=num_partitions)
 
 
+def customer_orders_outer(sf_dir: str,
+                          min_acctbal: float = 9000.0,
+                          num_partitions: int = 16) -> ray.data.Dataset:
+    """fx_join's FULL OUTER mode on real tables: high-balance
+    customers FULL OUTER JOIN per-customer order counts — left-only
+    rows are rich customers who never ordered (null n_orders),
+    right-only rows are every other customer's order history (null
+    c_acctbal), key coalesced exactly like SQL FULL OUTER JOIN USING.
+    Returns (c_custkey, c_acctbal, n_orders).
+
+    Scale shape: the count side folds per-block partials through one
+    stat-driven fx_agg_by exchange (unbounded custkey domain — never
+    broadcast); the join is one more co-partitioned exchange in which
+    both sides move exactly once."""
+    import pyarrow.dataset as pads
+
+    from ..stages.exchange import fx_agg_by, fx_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_acctbal") > float(min_acctbal))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t.column("o_custkey"),
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = fx_agg_by(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+        .map_batches(ones, batch_format="pyarrow"),
+        ["c_custkey"], [("n_orders", "sum")])
+    return fx_join(cust, counts, on="c_custkey", how="outer",
+                   num_partitions=num_partitions)
+
+
 # ------------------------------------------------------------------ #
 # Per-operator timing telemetry (reference TimedDistributedStorage
 # .java:10-31 / MetricsInterceptor.java:12-36 analog): every public
@@ -3141,6 +3178,7 @@ instrument_entry_points(globals(), (
     "banded_part_revenue",
     "brand_revenue_by_year",
     "customer_order_distribution",
+    "customer_orders_outer",
     "customers_without_orders",
     "discount_revenue_delta",
     "dominant_supplier_parts",

@@ -424,12 +424,17 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
     byte-budgeted tasks from measured slice sizes (see fx_agg_by); an
     explicit int pins the legacy one-task-per-part layout.
 
-    ``how``: inner | left | semi | anti. SQL null-key semantics on the
-    MATCH (a null key never matches). ``anti`` is NOT EXISTS, not NOT
-    IN: a left row whose key is null or matches nothing is KEPT (SQL
-    NOT IN returns zero rows when the probe list contains a null —
-    use an explicit null filter on both sides if NOT IN semantics are
-    wanted). Non-key right columns that collide with a
+    ``how``: inner | left | outer | semi | anti. SQL null-key
+    semantics on the MATCH (a null key never matches — including in
+    ``outer``, where a null-key row from EITHER side survives as an
+    unmatched row, exactly like SQL FULL OUTER JOIN; pandas' own merge
+    would wrongly pair NaN keys, so null-key rows are split out and
+    appended unmatched). ``outer`` key columns are coalesced
+    (right-only rows carry the right side's key values). ``anti`` is
+    NOT EXISTS, not NOT IN: a left row whose key is null or matches
+    nothing is KEPT (SQL NOT IN returns zero rows when the probe list
+    contains a null — use an explicit null filter on both sides if NOT
+    IN semantics are wanted). Non-key right columns that collide with a
     left name get ``suffix``; semi/anti return the left columns only,
     each left row at most once per its own multiplicity. ``part`` and
     ``__side`` are the exchange's reserved column names (the
@@ -446,8 +451,13 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
     salt (pinned in tests)."""
     import pandas as pd
     keys = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if how == "outer" and salt > 1:
+        # replicating the right side into sub-buckets would emit its
+        # unmatched rows once per sub-bucket — outer joins defuse hot
+        # keys by raising num_partitions instead
+        raise ValueError("salt > 1 is not supported with how='outer'")
     auto = num_partitions is None
     num_partitions = (_auto_virtual_parts() if auto
                       else num_partitions)
@@ -535,6 +545,24 @@ def fx_join(left: ray.data.Dataset, right: ray.data.Dataset,
         rt = body.filter(pa.array(side == 1)).select(keys + r_cols)
         ldf = lt.to_pandas(types_mapper=pd.ArrowDtype)
         rdf = rt.to_pandas(types_mapper=pd.ArrowDtype)
+        if how == "outer":
+            # SQL FULL OUTER: null-key rows from EITHER side survive
+            # unmatched. pandas merge would pair NA keys with each
+            # other, so they are carved out and re-appended after the
+            # non-null merge (concat re-nulls the absent side).
+            lnull = ldf[keys].isna().any(axis=1).to_numpy()
+            rnull = rdf[keys].isna().any(axis=1).to_numpy()
+            out = ldf[~lnull].merge(rdf[~rnull], on=keys, how="outer")
+            parts = [out]
+            if lnull.any():
+                parts.append(ldf[lnull])
+            if rnull.any():
+                parts.append(rdf[rnull])
+            if len(parts) > 1:
+                out = pd.concat(parts, ignore_index=True)
+            want = l_cols + r_cols
+            return pa.Table.from_pandas(
+                out[want], preserve_index=False).cast(out_schema)
         rdf = rdf.dropna(subset=keys)          # null keys never match
         if how in ("inner", "semi", "anti"):
             lnn = ldf.dropna(subset=keys) if how != "anti" else ldf

@@ -133,6 +133,15 @@ def test_fx_join_matches_pandas_all_hows(ray_session):
             "inner": ldf.dropna(subset=["k"]).merge(
                 rnn.rename(columns={"tag": "tag_r"}), on="k",
                 how="inner"),
+            # SQL FULL OUTER: null-key rows from EITHER side survive
+            # unmatched (pandas alone would pair NaN keys)
+            "outer": pd.concat([
+                ldf.dropna(subset=["k"]).merge(
+                    rnn.rename(columns={"tag": "tag_r"}), on="k",
+                    how="outer"),
+                ldf[ldf["k"].isna()],
+                rdf[rdf["k"].isna()].rename(columns={"tag": "tag_r"})],
+                ignore_index=True),
             "left": ldf.merge(
                 rnn.rename(columns={"tag": "tag_r"}), on="k",
                 how="left"),
@@ -214,6 +223,11 @@ def test_fx_join_salted_output_invariant(ray_session):
         b = base[cols].sort_values(cols).reset_index(drop=True)
         s = salted[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(s, b, obj=f"how={how}")
+
+    import pytest
+    with pytest.raises(ValueError, match="outer"):
+        # replicated right side would duplicate unmatched right rows
+        fx_join(lds, rds, on="k", how="outer", num_partitions=4, salt=3)
 
 
 def test_fx_join_composite_keys(ray_session):
